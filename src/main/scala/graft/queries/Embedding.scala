@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Ann
+
+/** Similarity-search operator surface over the `embeddings` table
+  * (`vec_id BIGINT, embedding ARRAY<FLOAT>, label INT`).
+  *
+  * v1 is the exact brute-force baseline; v2 is the hyperplane-LSH scale
+  * path. Both emit (qid, rank, cid, cosine) so the oracle hash-checks the
+  * *ranking*, not just row counts. All vector folds are sequential and
+  * double-typed on both engines (see Ann scaladoc), so cosine values are
+  * bit-identical and ranks deterministic.
+  */
+object Embedding {
+
+  private val K = 5
+  private val NumQueries = 10
+  private val NumPlanes = 6
+  private val Dim = 64
+
+  /** DuckDB sequential-fold dot product over two list expressions. */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)""".stripMargin
+
+  private def sqlCosine(a: String, b: String): String =
+    s"(${sqlDot(a, b)}) / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  /** Exact brute-force cosine top-k: correctness baseline for ANN. */
+  val v1KnnBrute: Q = Q(
+    "v1_knn_brute",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings),
+       |scored AS (
+       |  SELECT qid, cid, ${sqlCosine("qvec", "cvec")} AS cosine
+       |  FROM q JOIN c ON qid <> cid)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine FROM (
+       |  SELECT qid, cid, cosine,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K
+       |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Ann.bruteForceTopK(corpus, queries, K).orderBy(col("qid"), col("rank"))
+  }
+
+  /** Hyperplane-LSH ANN: single-probe bucket join + exact rank within the
+    * bucket — the plan that survives when Q·N is unpayable. */
+  val v2KnnLsh: Q = {
+    val planes = (0 until NumPlanes).map(p => Ann.hyperplane(p, Dim))
+    val bucketSql = planes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN (${sqlDot("embedding", arr)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    Q(
+      "v2_knn_lsh",
+      s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b WHERE vec_id < $NumQueries),
+         |c AS (SELECT vec_id AS cid, embedding AS cvec, bucket FROM b),
+         |scored AS (
+         |  SELECT qid, cid, ${sqlCosine("qvec", "cvec")} AS cosine
+         |  FROM q JOIN c USING (bucket) WHERE qid <> cid)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine FROM (
+         |  SELECT qid, cid, cosine,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Ann.lshTopK(corpus, queries, planes, K).orderBy(col("qid"), col("rank"))
+    }
+  }
+
+  /** Vector stats: norms and label centroid distance — exercises the fold
+    * primitives standalone. */
+  val v3VectorNorms: Q = Q(
+    "v3_vector_norms",
+    s"""SELECT vec_id, label,
+       |  sqrt(${sqlDot("embedding", "embedding")}) AS l2_norm
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        sqrt(Ann.norm2(col("embedding"))).as("l2_norm"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms)
+}
