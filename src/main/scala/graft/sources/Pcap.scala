@@ -1,0 +1,185 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.functions.BinaryCodecs._
+
+/** One captured frame. Mirrors the reference's record abstraction
+  * (SURVEY §1.1 #1): positional 1-based frame number, split epoch
+  * seconds/µs, raw link-layer bytes, and the capture's DLT so the decode
+  * layer can dispatch (S4).
+  */
+final case class Frame(
+    pcapFilename: String,
+    frameNo: Long,
+    tsSec: Long,
+    tsUsec: Int,
+    dlt: Int,
+    data: Array[Byte])
+
+/** PCAP / PCAPNG frame source (SURVEY §2.1 S1-S4).
+  *
+  * Batch path: `spark.read.format("binaryFile")` → one file per task →
+  * in-task sequential record walk, preserving frame order *within* a file
+  * (the reference's semantics are per-file; order across files is not
+  * meaningful). Scale model: a 100 TB capture corpus is many files — the
+  * unit of parallelism is the file, same as the reference's queue workers
+  * (`models.py:257,263`), so this layout scales linearly with executors
+  * without any shuffle. A DataSource-V2 chunked reader is the planned
+  * upgrade for pathological single-huge-file inputs.
+  *
+  * Format sniffing (magic at `diameter.py:99-109`):
+  *   `d4c3b2a1` little-endian pcap, `a1b2c3d4` big-endian pcap,
+  *   `0a0d0d0a` pcapng.
+  */
+object Pcap {
+
+  final val MagicLe = 0xd4c3b2a1L
+  final val MagicBe = 0xa1b2c3d4L
+  final val MagicNg = 0x0a0d0d0aL
+
+  sealed trait Format
+  case object PcapLe extends Format
+  case object PcapBe extends Format
+  case object PcapNg extends Format
+
+  /** S1: magic/endianness sniffer (`diameter.py:99-109`). */
+  def sniff(bytes: Array[Byte]): Option[Format] = {
+    if (bytes.length < 4) return None
+    beLong(bytes, 0, 4) match {
+      case MagicBe => Some(PcapBe)
+      case x if x == 0xd4c3b2a1L => Some(PcapLe)
+      case MagicNg => Some(PcapNg)
+      case _ => None
+    }
+  }
+
+  /** S2/S3: decode a whole capture file to its frames. Unknown format →
+    * empty (the caller counts it as not_processed). */
+  def decodeFile(name: String, bytes: Array[Byte]): Seq[Frame] =
+    sniff(bytes) match {
+      case Some(PcapLe) => decodePcap(name, bytes, le = true)
+      case Some(PcapBe) => decodePcap(name, bytes, le = false)
+      case Some(PcapNg) => decodePcapNg(name, bytes)
+      case None => Seq.empty
+    }
+
+  /** S2: classic pcap — 24-byte global header (DLT at offset 20), then
+    * 16-byte per-record headers (`ts_sec, ts_usec, incl_len, orig_len`)
+    * (`diameter.py:423-457`). µs clamped to 6 digits (F16). */
+  private def decodePcap(name: String, b: Array[Byte], le: Boolean): Seq[Frame] = {
+    def u32(off: Int): Long = if (le) leLong(b, off, 4) else beLong(b, off, 4)
+    if (b.length < 24) return Seq.empty
+    val dlt = u32(20).toInt
+    val out = Seq.newBuilder[Frame]
+    var off = 24
+    var frameNo = 1L
+    while (off + 16 <= b.length) {
+      val tsSec = u32(off)
+      var tsUsec = u32(off + 4)
+      val inclLen = u32(off + 8).toInt
+      if (tsUsec.toString.length >= 6) tsUsec = tsUsec.toString.take(6).toLong
+      off += 16
+      if (inclLen < 0 || off + inclLen > b.length) return out.result()
+      out += Frame(name, frameNo, tsSec, tsUsec.toInt, dlt, java.util.Arrays.copyOfRange(b, off, off + inclLen))
+      off += inclLen
+      frameNo += 1
+    }
+    out.result()
+  }
+
+  /** S3: pcapng — SHB / IDB (DLT + `if_tsresol` option 9) / EPB walk;
+    * 64-bit timestamp recombined then split into seconds + µs by decimal
+    * digit slicing, preserving the reference's semantics
+    * (`diameter.py:489-568`, digit slicing at 541-556). Non-EPB blocks are
+    * skipped by length without parsing (§4.1 early-termination). */
+  private def decodePcapNg(name: String, b: Array[Byte]): Seq[Frame] = {
+    val out = Seq.newBuilder[Frame]
+    var off = 0
+    var le = true
+    var dlt = -1
+    var tsResol = 6 // power-of-10 fractional digits; default µs
+    var frameNo = 1L
+    def u32(o: Int): Long = if (le) leLong(b, o, 4) else beLong(b, o, 4)
+    def u16(o: Int): Int = (if (le) leLong(b, o, 2) else beLong(b, o, 2)).toInt
+    while (off + 12 <= b.length) {
+      val blockType = beLong(b, off, 4)
+      if (blockType == MagicNg) { // Section Header Block: read byte-order magic
+        le = leLong(b, off + 8, 4) == 0x1a2b3c4dL
+      }
+      val blockLen = u32(off + 4).toInt
+      if (blockLen < 12 || off + blockLen > b.length) return out.result()
+      val bt = u32(off)
+      if (bt == 1L) { // Interface Description Block
+        dlt = u16(off + 8)
+        // walk options for if_tsresol (code 9)
+        var o = off + 16
+        var done = false
+        while (!done && o + 4 <= off + blockLen - 4) {
+          val code = u16(o); val len = u16(o + 2)
+          if (code == 0) done = true
+          else {
+            if (code == 9 && len >= 1) tsResol = b(o + 4) & 0xff
+            o += 4 + ((len + 3) / 4) * 4
+          }
+        }
+      } else if (bt == 6L) { // Enhanced Packet Block
+        val tsHigh = u32(off + 12)
+        val tsLow = u32(off + 16)
+        val capLen = u32(off + 20).toInt
+        val ts = (tsHigh << 32) | tsLow
+        // reference semantics: decimal-digit split of the combined tick
+        // count — first 10 digits are epoch seconds, next up to 6 are µs
+        val s = java.lang.Long.toUnsignedString(ts)
+        val tsSec = if (s.length > 10) s.take(10).toLong else ts / 1000000L
+        val tsUsec =
+          if (s.length > 10) s.slice(10, 16).padTo(6, '0').toLong.toInt
+          else (ts % 1000000L).toInt
+        val dataOff = off + 28
+        if (capLen >= 0 && dataOff + capLen <= b.length) {
+          out += Frame(name, frameNo, tsSec, tsUsec, dlt,
+            java.util.Arrays.copyOfRange(b, dataOff, dataOff + capLen))
+          frameNo += 1
+        }
+      }
+      off += blockLen
+    }
+    out.result()
+  }
+
+  /** Batch source: every frame of every capture file under `path`. */
+  def frames(spark: SparkSession, path: String): Dataset[Frame] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => decodeFile(p, bytes) }
+  }
+
+  /** S4: DLT dispatch table (`diameter.py:21-25`, `gsm_map.py:15-20`):
+    * link-type → (is-IPv4 predicate over the frame, link-header length).
+    * DLT 141 (MTP3 on the wire) carries no IP layer — handled by the SS7
+    * path directly. */
+  val DltHeaderLen: Map[Int, Int] = Map(
+    0 -> 4, // NULL
+    1 -> 14, // EN10MB
+    109 -> 0, // ENC (raw IP)
+    113 -> 16, // LINUX_SLL
+    276 -> 20 // LINUX_SLL2
+  )
+
+  /** P1: link-layer IPv4 check (ethertype 0x0800; ARP 0x0806 dropped —
+    * `diameter.py:214-222`). Returns the IP-layer offset, or -1. */
+  def ipv4Offset(dlt: Int, data: Array[Byte]): Int = dlt match {
+    case 1 =>
+      if (data.length >= 14 && beInt(data, 12, 2) == 0x0800) 14 else -1
+    case 113 =>
+      if (data.length >= 16 && beInt(data, 14, 2) == 0x0800) 16 else -1
+    case 276 =>
+      if (data.length >= 20 && beInt(data, 0, 2) == 0x0800) 20 else -1
+    case 0 =>
+      if (data.length >= 4 && (data(0) == 2 || data(3) == 2)) 4 else -1
+    case 109 =>
+      if (data.length >= 1 && (data(0) >> 4) == 4) 0 else -1
+    case _ => -1
+  }
+}
