@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Second wave of SURVEY §2 coverage: scalar pack (F13/F15/F16/F5 bit
+  * ops), A3 first-per-group, unionByName (§2.7), multimodal binary
+  * metadata.
+  */
+object Extras {
+
+  /** F15 epoch split + F16 µs clamp + F5 bit masks/shifts over `events`. */
+  val q15ScalarPack2: Q = Q(
+    "q15_scalar_pack2",
+    """SELECT event_id,
+      |  epoch_us(ts) // 1000000 AS time_epoch,
+      |  CAST(epoch_us(ts) % 1000000 AS BIGINT) AS useconds_epoch,
+      |  event_id & 255 AS masked_low,
+      |  CAST(event_id >> 4 AS BIGINT) AS shifted,
+      |  replace(replace(replace(props, '&amp;', '&'), '&lt;', '<'), '&gt;', '>') AS unescaped
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        (unix_micros(col("ts")) / 1000000L).cast("long").as("time_epoch"),
+        (unix_micros(col("ts")) % 1000000L).cast("long").as("useconds_epoch"),
+        col("event_id").bitwiseAND(255).as("masked_low"),
+        shiftright(col("event_id"), 4).cast("long").as("shifted"),
+        regexp_replace(regexp_replace(regexp_replace(col("props"),
+          "&amp;", "&"), "&lt;", "<"), "&gt;", ">").as("unescaped"))
+      .orderBy(col("event_id"))
+  }
+
+  /** A3 first-per-group selection (`sip_ingestor.py:407-413`): the
+    * representative row is the first by explicit (ts, id) order. */
+  val q16FirstPerGroup: Q = Q(
+    "q16_first_per_group",
+    """SELECT user_id, event_id AS first_event_id, event_type AS first_event_type, ts AS first_ts
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("first_event_id"),
+        col("event_type").as("first_event_type"), col("ts").as("first_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  /** §2.7 union of linked + unlinked outputs
+    * (`http_ss7_ingestor.py:589-599`): two projections merged by name. */
+  val q17UnionByName: Q = Q(
+    "q17_union_by_name",
+    """SELECT * FROM (
+      |  SELECT event_id, user_id, 'linked' AS link_state FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT event_id, user_id, 'unlinked' AS link_state FROM events WHERE event_type = 'error'
+      |)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val linked = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), lit("linked").as("link_state"))
+    val unlinked = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), lit("unlinked").as("link_state"))
+    linked.unionByName(unlinked).orderBy(col("event_id"))
+  }
+
+  /** Multimodal binary-column metadata (blob length + content hash) —
+    * the oracle-checkable slice of graft.multimodal (the codec itself is
+    * stubbed; see Multimodal scaladoc). */
+  val q18MediaMeta: Q = Q(
+    "q18_media_meta",
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  'text' AS kind
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        lit("text").as("kind"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta)
+}

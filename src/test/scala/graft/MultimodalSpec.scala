@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{MediaRecord, Multimodal}
+import graft.sources.{Pcap, PcapWriter}
+
+class MultimodalSpec extends AnyFunSuite {
+
+  test("multimodal decode: schema, determinism, per-partition batch shape") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val blobs = (0L until 20L).map(i => MediaRecord(i, "image",
+      Array.tabulate[Byte](64 + i.toInt)(j => (i + j).toByte))).toDS().repartition(4)
+    val out = Multimodal.decode(blobs).collect().sortBy(_.mediaId)
+    assert(out.length == 20)
+    // deterministic stub: same bytes → same meta/features on re-run
+    val out2 = Multimodal.decode(blobs).collect().sortBy(_.mediaId)
+    assert(out.map(_.meta) sameElements out2.map(_.meta))
+    assert(out.forall(_.features.length == 8))
+    assert(out.forall(d => math.abs(d.features.sum - 1f) < 1e-3))
+    // typed schema survives into the DataFrame world
+    val df = Multimodal.decode(blobs).toDF()
+    assert(df.schema("meta").dataType.typeName == "struct")
+    assert(df.schema("content").dataType.typeName == "binary")
+  }
+
+  test("stub codec: mime sniff, resize cap, frame sampling") {
+    import Multimodal.StubCodec._
+    assert(sniffMime(Array(0xff, 0xd8, 0, 0).map(_.toByte)) == "image/jpeg")
+    assert(sniffMime("hello".getBytes) == "application/octet-stream")
+    assert(resize(new Array[Byte](5000), 1000).length == 1000)
+    assert(sampleFrames(new Array[Byte](10240), 2).size == 5)
+  }
+
+  test("K5 pcap writer round-trips through the reader") {
+    val frames = Pcap.decodeFile("a.pcap", TestBytes.pcapFile(Seq(
+      (100L, 5, TestBytes.ether(Array[Byte](1, 2))),
+      (101L, 6, TestBytes.ether(Array[Byte](3))))))
+    val rewritten = Pcap.decodeFile("b.pcap", PcapWriter.toBytes(frames, dlt = 1))
+    assert(rewritten.map(f => (f.frameNo, f.tsSec, f.tsUsec)) ==
+      frames.map(f => (f.frameNo, f.tsSec, f.tsUsec)))
+    assert(rewritten.zip(frames).forall { case (a, b) => a.data.sameElements(b.data) })
+  }
+}
