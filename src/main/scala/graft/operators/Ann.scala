@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Sequential-fold dot product of two vector columns (double). */
+  /** Sequential-fold dot product of two float-vector columns (double).
+    * Backed by the codegen'd [[graft.functions.FloatVecDot]] — same
+    * accumulation order and promotion as `aggregate(zip_with(...))`, ~10×
+    * less per-row overhead. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), _ + _)
+    graft.functions.VectorExpressions.fvec_dot(a, b)
 
   /** Sequential-fold squared L2 norm. */
   def norm2(a: Column): Column = dot(a, a)
@@ -39,21 +41,19 @@ object Ann {
 
   /** Deterministic ±1 hyperplane: component j of plane p is +1 iff the
     * first hex nibble of md5("p_j") is < '8'. Same constants are inlined
-    * into the oracle SQL. */
-  def hyperplane(p: Int, dim: Int): Seq[Double] =
+    * into the oracle SQL. (±1 is exact in float; promotion to double in
+    * the dot product keeps engine parity.) */
+  def hyperplane(p: Int, dim: Int): Seq[Float] =
     (0 until dim).map { j =>
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s"${p}_$j".getBytes("UTF-8"))
-      if (((md(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+      if (((md(0) >> 4) & 0xf) < 8) 1.0f else -1.0f
     }
 
   /** LSH bucket id: K sign bits of ±1-hyperplane projections. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+  def lshBucket(vec: Column, planes: Seq[Seq[Float]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val signedSum = aggregate(
-        zip_with(vec, typedLit(plane), (x, s) => x.cast("double") * s),
-        lit(0.0), _ + _)
-      when(signedSum >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(vec, typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Exact top-k neighbors by cosine for each query vector (brute force).
@@ -68,7 +68,7 @@ object Ann {
 
   /** ANN via single-probe hyperplane-LSH bucket join, then exact cosine
     * rank within the bucket. May return < k neighbors per query. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, planes: Seq[Seq[Double]], k: Int): DataFrame = {
+  def lshTopK(corpus: DataFrame, queries: DataFrame, planes: Seq[Seq[Float]], k: Int): DataFrame = {
     val cb = corpus.select(col("cid"), col("cvec"), lshBucket(col("cvec"), planes).as("bucket"))
     val qb = queries.select(col("qid"), col("qvec"), lshBucket(col("qvec"), planes).as("bucket"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))

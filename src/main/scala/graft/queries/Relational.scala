@@ -87,7 +87,17 @@ object Relational {
       |WHERE r_name = 'ASIA'
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
+    // partial aggregation pushed BELOW the join: the fact table collapses
+    // to one row per order key before it ever shuffles into the join —
+    // at 100 TB this is the difference between joining line items and
+    // joining orders. Decimal sums are associative, so the result is
+    // bit-identical to the flat oracle formulation.
+    val lineAgg = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2))).as("order_rev"),
+        count(lit(1)).as("order_items"))
+    lineAgg
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -95,8 +105,8 @@ object Relational {
       .filter(col("r_name") === "ASIA")
       .groupBy(col("n_name"))
       .agg(
-        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2))).cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+        sum(col("order_rev")).cast("double").as("revenue"),
+        sum(col("order_items")).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
