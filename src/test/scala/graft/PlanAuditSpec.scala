@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Relational, Text}
+
+/** Physical-plan audits (the "iterate until it's the plan you'd want"
+  * gate): pushdown reaches the scan, projections prune columns, small
+  * dims broadcast, window pairs share one exchange.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2: filters and projection reach the parquet scan") {
+    val plan = planOf(Relational.q2FilterPushdown.run(SparkTest.spark, sf))
+    assert(plan.contains("PushedFilters: ["), "expected pushed filters in scan")
+    assert(plan.contains("l_shipdate"), "shipdate filter should be pushed")
+    // column pruning: only the 4 referenced columns in ReadSchema
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unexpected column in $readSchema")
+    assert(readSchema.contains("l_extendedprice"))
+  }
+
+  test("q3: dimension joins broadcast, no exchange for nation/region") {
+    val plan = planOf(Relational.q3JoinAgg.run(SparkTest.spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+  }
+
+  test("q6: both windows share a single shuffle on user_id") {
+    val plan = planOf(Relational.q6Sessionize.run(SparkTest.spark, sf))
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange hashpartitioning(user_id"))
+    assert(exchanges <= 1, s"windows should reuse one user_id exchange, got:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scalar query") {
+    val df = Text.t1TokenStats.run(SparkTest.spark, sf)
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"))
+  }
+}
