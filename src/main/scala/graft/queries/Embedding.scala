@@ -94,5 +94,78 @@ object Embedding {
       .orderBy(col("vec_id"))
   }
 
-  val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms)
+  /** Embedding-cosine near-duplicate pairs (the 5th dedup modality from
+    * the build brief): all (a<b) pairs with cosine ≥ τ. Brute-force here
+    * (correctness oracle); the LSH-bucketed variant (v2's bucketing) is
+    * the scale path. */
+  val v5CosineNearDup: Q = Q(
+    "v5_cosine_neardup",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS da, b.vec_id AS db,
+       |         ${sqlCosine("a.embedding", "b.embedding")} AS cosine
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |SELECT da, db, cosine FROM p WHERE cosine >= 0.5
+       |ORDER BY da, db""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("da"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("db"), col("embedding").as("vb"))
+    a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"), Ann.cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= 0.5)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** IVF-style ANN: deterministic coarse cells (centroids = the first 16
+    * vectors), each vector assigned to its max-cosine centroid, queries
+    * probe their own cell only — the inverted-file layout that replaces
+    * the Q·N scan at scale (cell assignment is one broadcast pass;
+    * search touches 1/C of the corpus). */
+  val v4KnnIvf: Q = {
+    val numCells = 16
+    Q(
+      "v4_knn_ivf",
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < $numCells),
+         |assign AS (
+         |  SELECT vec_id, embedding, cent_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cent_id) AS rn
+         |    FROM embeddings e, cent c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec, cent_id FROM assign WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT qid, a.vec_id AS cid, ${sqlCosine("qvec", "a.embedding")} AS cosine
+         |  FROM q JOIN assign a USING (cent_id) WHERE a.vec_id <> qid)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine FROM (
+         |  SELECT qid, cid, cosine,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < numCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val assign = e.join(broadcast(cent))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(Ann.cosine(col("embedding"), col("cvec")).desc, col("cent_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val q = assign.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("cent_id"))
+      val scored = q.join(assign, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          Ann.cosine(col("qvec"), col("embedding")).as("cosine"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf, v5CosineNearDup)
 }
