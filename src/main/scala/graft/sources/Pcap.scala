@@ -147,8 +147,17 @@ object Pcap {
     out.result()
   }
 
-  /** Batch source: every frame of every capture file under `path`. */
+  /** Batch source: every frame of every capture file under `path`, via
+    * the DataSource V2 reader (`graft.sources.v2.PcapDataSource`) — one
+    * input partition per file, column pruning pushed to the reader. */
   def frames(spark: SparkSession, path: String): Dataset[Frame] = {
+    import spark.implicits._
+    spark.read.format("pcap").load(path).as[Frame]
+  }
+
+  /** binaryFile-based fallback (kept for environments where the v2
+    * source is not on the classpath). */
+  def framesViaBinaryFile(spark: SparkSession, path: String): Dataset[Frame] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select("path", "content").as[(String, Array[Byte])]
