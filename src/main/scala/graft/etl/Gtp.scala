@@ -76,7 +76,11 @@ object Gtp {
         if (len < 0 || off + 1 + len > b.length) return finish()
         t match {
           case 1 => cause = CauseNames.getOrElse(b(off + 1) & 0xff, (b(off + 1) & 0xff).toString)
-          case 2 => imsi = tbcdDecode(java.util.Arrays.copyOfRange(b, off + 1, off + 9))
+          case 2 =>
+            // F29 heuristic gate: decoded IMSI must exceed 10 digits
+            // (`gtp_ingestor.py:249-251`), filtering false positives
+            val cand = tbcdDecode(java.util.Arrays.copyOfRange(b, off + 1, off + 9))
+            if (cand.length > 10) imsi = cand
           case _ => ()
         }
         off += 1 + len

@@ -87,5 +87,58 @@ object Extras {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta)
+  /** Native `session_window` (Spark's streaming-compatible session
+    * operator, §2.10's analog of J7) — same 30-min gap as q6; window end
+    * = last event + gap. Oracle derives the identical windows from the
+    * lag/cumsum formulation. */
+  val q19SessionWindow: Q = Q(
+    "q19_session_window",
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM g
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events
+      |FROM numbered
+      |GROUP BY user_id, session_no
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** P14 CIDR exclusion over synthesized dotted-quad addresses (pure bit
+    * arithmetic — `operators/Cidr`). */
+  val q20CidrFilter: Q = Q(
+    "q20_cidr_filter",
+    """SELECT event_id,
+      |  '10.' || CAST(user_id % 256 AS BIGINT) || '.' || CAST(event_id % 256 AS BIGINT) || '.1' AS src_ip
+      |FROM events
+      |WHERE NOT (CAST(user_id % 256 AS BIGINT) = 5 AND (CAST(event_id % 256 AS BIGINT) >> 7) = 1)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val srcIp = concat(lit("10."), (col("user_id") % 256).cast("long").cast("string"),
+      lit("."), (col("event_id") % 256).cast("long").cast("string"), lit(".1"))
+    graft.Tables.events(s, d)
+      .select(col("event_id"), srcIp.as("src_ip"))
+      // exclude 10.5.128.0/17 → user_id%256 == 5 and third octet >= 128
+      .filter(graft.operators.Cidr.excludeFilter(col("src_ip"), col("src_ip"), Seq("10.5.128.0/17")))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
+    q19SessionWindow, q20CidrFilter)
 }
