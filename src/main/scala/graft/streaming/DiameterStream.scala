@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.etl.{Diameter, DiameterRec, Packets}
+import graft.sources.Pcap
+
+/** Streaming Diameter ingestion (SURVEY §2.10: "Structured Streaming
+  * file source watching a drop directory = the ingestion_queue
+  * pattern"): `readStream(binaryFile)` over a capture drop-dir → frame
+  * decode → Diameter decode → J1 correlation via
+  * `flatMapGroupsWithState`, with unmatched requests flushed by state
+  * timeout (the streaming analog of the EOF residue flush — an
+  * *extension*, the reference defines no late-data policy).
+  *
+  * Streaming restriction: one stateful operator per query, so this path
+  * decodes single-segment messages (the overwhelmingly common case);
+  * multi-segment captures go through the batch path, whose reassembly +
+  * correlation are two `flatMapGroups` stages. A `transformWithState`
+  * chain lifting this is round-2 work (NEXT.md #1).
+  */
+object DiameterStream {
+
+  private val BinaryFileSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  def records(spark: SparkSession, watchDir: String, timeoutMs: Long = 60000): Dataset[DiameterRec] = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile").schema(BinaryFileSchema)
+      .load(watchDir)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => Pcap.decodeFile(p, bytes) }
+      .flatMap(Packets.decode _)
+      .filter(p => p.srcPort == Diameter.Port || p.dstPort == Diameter.Port)
+      .flatMap { p =>
+        val payload = p.ipProto match {
+          case Packets.ProtoSctp =>
+            Packets.sctpChunks(p).find(c => c.chunkType == 0 && c.payload.nonEmpty).map(_.payload)
+          case Packets.ProtoTcp if p.payload.nonEmpty => Some(p.payload)
+          case _ => None
+        }
+        payload.flatMap(Diameter.decode).filter(_.commandCode != Diameter.CmdDeviceWatchdog)
+          .map(m => DiameterRec(p.frameNo.toString, p.tsSec, p.tsUsec, p.srcIp, p.dstIp,
+            p.pcapFilename, m.request, m.commandCode, m.hopByHopId, m.endToEndId,
+            m.sessionId, m.originHost, m.originRealm, m.destinationHost,
+            m.destinationRealm, m.resultCode, m.expResultCode, m.msisdn, m.imsi))
+      }
+      // unlike the batch path, the correlation key does NOT include the
+      // capture filename: the stream is one logical capture, so a request
+      // in one dropped file pairs with its answer in a later one
+      .groupByKey(r => (r.commandCode, r.hopByHopId, r.endToEndId, r.sessionId))
+      .flatMapGroupsWithState[DiameterRec, DiameterRec](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (_, it: Iterator[DiameterRec], state: GroupState[DiameterRec]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.iterator // K3 residue flush
+            state.remove()
+            out
+          } else {
+            val out = Seq.newBuilder[DiameterRec]
+            for (m <- it.toSeq.sortBy(_.framesList.split(" ").head.toLong)) {
+              if (m.request) {
+                if (state.getOption.isEmpty) { // D1 retransmission drop
+                  state.update(m)
+                  state.setTimeoutDuration(timeoutMs)
+                }
+              } else state.getOption match {
+                case Some(req) =>
+                  val msisdn = if (req.msisdn.nonEmpty) req.msisdn else m.msisdn
+                  val imsi = if (req.imsi.nonEmpty) req.imsi else m.imsi
+                  out += req.copy(msisdn = msisdn, imsi = imsi)
+                  out += m.copy(msisdn = msisdn, imsi = imsi)
+                  state.remove()
+                case None => out += m
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+}
