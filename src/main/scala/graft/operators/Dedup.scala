@@ -33,24 +33,38 @@ object Dedup {
 
   /** Distinct (id, shingle) pairs — the set representation for Jaccard.
     *
-    * Built relationally (posexplode + window `lead`) rather than with the
-    * `TextFunctions.shingles` array lambda: higher-order-function lambdas
-    * re-evaluate referenced subexpressions per element, making the array
-    * form O(tokens²) per document (measured 9s just to shingle 5k docs).
-    * The window form is one shuffle on the doc id and linear work. */
+    * Typed flatMap with per-document dedup (the documented
+    * mapPartitions-last-resort case, SURVEY §2.11): linear, no shuffle at
+    * all, and the output is already distinct. The Column-lambda form
+    * (`TextFunctions.shingles`) re-evaluates referenced subexpressions
+    * per element — O(tokens²) per document, measured 9s just to shingle
+    * 5k docs — and a window-`lead` formulation pays a full shuffle on the
+    * doc id. Tokenization matches the oracle exactly:
+    * `trim().split("\\s+")`. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("sid"),
-      posexplode(graft.functions.TextFunctions.tokens(col(textCol))).as(Seq("i", "tok")))
-    val w = Window.partitionBy(col("sid")).orderBy(col("i"))
-    val withLeads = toks.select(
-      (col("sid") +: col("tok") +:
-        (1 until n).map(o => lead(col("tok"), o).over(w).as(s"t$o"))): _*)
-    withLeads
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("sid"),
-        concat_ws(" ", (col("tok") +: (1 until n).map(o => col(s"t$o"))): _*).as("g"))
-      .distinct()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (sid, text) =>
+        val toks = text.trim.split("\\s+")
+        if (toks.length < n) Iterator.empty
+        else {
+          // per-document dedup here makes (sid, g) already distinct —
+          // no global distinct shuffle needed downstream
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i + n <= toks.length) {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+            seen.add(sb.toString)
+            i += 1
+          }
+          scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator()).asScala
+            .map(g => (sid, g))
+        }
+      }
+      .toDF("sid", "g")
   }
 
   /** Exact pairwise n-gram Jaccard with prefix filtering (ppjoin-style):
