@@ -56,4 +56,9 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
 object VectorExpressions {
   def fvec_dot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** SQL registration: `SELECT fvec_dot(a, b)` (FunctionRegistry path). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
+      "fvec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "scala_udf")
 }

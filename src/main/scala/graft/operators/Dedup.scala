@@ -104,11 +104,14 @@ object Dedup {
     jaccardize(inter, sizes, threshold)
   }
 
-  /** MinHash signature (K values) per document over n-gram shingles. */
+  /** MinHash signature (K values) per document over n-gram shingles,
+    * plus the set size — one aggregation pass computes both, so the
+    * Jaccard denominator later needs no second groupBy/join. */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
     sh.groupBy(col("sid"))
       .agg(min(minhashElem(col("g"), 0)).as("mh0"),
-        (1 until numHashes).map(i => min(minhashElem(col("g"), i)).as(s"mh$i")): _*)
+        (1 until numHashes).map(i => min(minhashElem(col("g"), i)).as(s"mh$i"))
+          :+ count(lit(1)).as("sz"): _*)
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard on
     * the candidate set. `numHashes = bands * rowsPerBand`. */
@@ -116,8 +119,8 @@ object Dedup {
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
     val sh = shingleSet(docs, idCol, textCol, n).cache()
-    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("sz"))
-    val mh = minhashSignatures(sh, k)
+    val mh = minhashSignatures(sh, k).cache()
+    val sizes = mh.select(col("sid"), col("sz"))
     val bucketCols = (0 until bands).map { b =>
       md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
     }

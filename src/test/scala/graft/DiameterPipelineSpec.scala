@@ -61,4 +61,12 @@ class DiameterPipelineSpec extends AnyFunSuite {
     df.createOrReplaceTempView("tb")
     assert(spark.sql("SELECT tbcd_decode(b) FROM tb").as[String].head() == "123")
   }
+
+  test("fvec_dot usable from SQL") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b").createOrReplaceTempView("vv")
+    assert(spark.sql("SELECT fvec_dot(a, b) FROM vv").as[Double].head() == 32.0)
+  }
 }
