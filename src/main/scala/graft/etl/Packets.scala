@@ -65,6 +65,11 @@ object Packets {
       if (proto == ProtoIpInIp) { off += ihl; guard += 1 }
       else guard = 4
     }
+    // The loop can exit via the guard counter with `off` advanced past a 4th
+    // nested header — re-validate before the final header reads, so a
+    // truncated/crafted frame quarantines (None) instead of throwing inside
+    // the flatMap and failing the job (reference `not_processed` semantics).
+    if (off + 20 > b.length || (b(off) >> 4 & 0xf) != 4) return None
     val ihl = (b(off) & 0xf) * 4
     val proto = b(off + 9) & 0xff
     val ipId = beInt(b, off + 4, 2)

@@ -128,13 +128,14 @@ object Pcap {
         val tsLow = u32(off + 16)
         val capLen = u32(off + 20).toInt
         val ts = (tsHigh << 32) | tsLow
-        // reference semantics: decimal-digit split of the combined tick
-        // count — first 10 digits are epoch seconds, next up to 6 are µs
+        // reference semantics (e.g. diameter.py:546-549): decimal-digit
+        // split of the combined tick count — first 10 digits are epoch
+        // seconds, and µs is the next 6 digits ONLY when at least 6 remain
+        // (ms-resolution captures with 11-15 digit tick counts get µs=0,
+        // not a scaled value).
         val s = java.lang.Long.toUnsignedString(ts)
-        val tsSec = if (s.length > 10) s.take(10).toLong else ts / 1000000L
-        val tsUsec =
-          if (s.length > 10) s.slice(10, 16).padTo(6, '0').toLong.toInt
-          else (ts % 1000000L).toInt
+        val tsSec = s.take(10).toLong
+        val tsUsec = if (s.length - 10 >= 6) s.slice(10, 16).toLong.toInt else 0
         val dataOff = off + 28
         if (capLen >= 0 && dataOff + capLen <= b.length) {
           out += Frame(name, frameNo, tsSec, tsUsec, dlt,

@@ -103,7 +103,15 @@ class PcapReaderFactory(required: StructType) extends PartitionReaderFactory {
         val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
         val in = fs.open(p)
         val bytes = try {
-          val len = fs.getFileStatus(p).getLen.toInt
+          val lenL = fs.getFileStatus(p).getLen
+          // Whole-file decode needs a single byte[]; JVM arrays cap at
+          // Int.MaxValue, so captures >= 2 GiB must fail loudly rather than
+          // wrap the int cast into a negative/truncated size.
+          if (lenL > Int.MaxValue - 8)
+            throw new java.io.IOException(
+              s"pcap file $file is $lenL bytes; the in-memory decoder supports " +
+              "at most 2 GiB per capture file — split the capture")
+          val len = lenL.toInt
           val buf = new Array[Byte](len)
           in.readFully(0, buf)
           buf

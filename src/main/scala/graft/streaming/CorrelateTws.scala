@@ -16,10 +16,17 @@ class CorrelateProcessor(timeoutMs: Long)
     extends StatefulProcessor[String, CorrEvent, CorrPair] {
 
   @transient private var pending: ValueState[CorrEvent] = _
+  // Expiry timestamp of the timer registered for the pending request. Kept so
+  // a match can deleteTimer() it — otherwise the stale timer fires while a
+  // LATER request is pending on the same key and flushes it spuriously.
+  @transient private var expiry: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     pending = getHandle.getValueState[CorrEvent]("pending",
       Encoders.product[CorrEvent], TTLConfig.NONE)
+    expiry = getHandle.getValueState[Long]("expiry",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   override def handleInputRows(key: String, rows: Iterator[CorrEvent],
       timerValues: TimerValues): Iterator[CorrPair] = {
@@ -28,11 +35,14 @@ class CorrelateProcessor(timeoutMs: Long)
       if (ev.isRequest) {
         if (!pending.exists()) { // D1: retransmission dropped
           pending.update(ev)
-          getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + timeoutMs)
+          val at = timerValues.getCurrentProcessingTimeInMs() + timeoutMs
+          expiry.update(at)
+          getHandle.registerTimer(at)
         }
       } else if (pending.exists()) {
         out += CorrPair(key, pending.get().frame, ev.frame, matched = true)
-        pending.clear()
+        if (expiry.exists()) getHandle.deleteTimer(expiry.get())
+        pending.clear(); expiry.clear()
       } else {
         out += CorrPair(key, -1L, ev.frame, matched = false)
       }
@@ -42,12 +52,16 @@ class CorrelateProcessor(timeoutMs: Long)
 
   override def handleExpiredTimer(key: String, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[CorrPair] = {
-    // K3 residue flush: unmatched request aged out
-    val out =
-      if (pending.exists()) Iterator(CorrPair(key, pending.get().frame, -1L, matched = false))
-      else Iterator.empty
-    pending.clear()
-    out
+    // K3 residue flush: unmatched request aged out. Guard against a stale
+    // timer racing a newer pending request: only flush if this expiry is the
+    // one registered for the currently pending request.
+    val isCurrent = pending.exists() && expiry.exists() &&
+      expiry.get() == expiredTimerInfo.getExpiryTimeInMs()
+    if (isCurrent) {
+      val out = Iterator(CorrPair(key, pending.get().frame, -1L, matched = false))
+      pending.clear(); expiry.clear()
+      out
+    } else Iterator.empty
   }
 }
 

@@ -36,6 +36,16 @@ class ProtocolSpec extends AnyFunSuite {
     assert(frames.head.data.sameElements(data))
   }
 
+  test("S3 pcapng reader: ms-resolution tick (13 digits) gets µs=0, " +
+      "matching the reference's >=6-remaining-digits guard") {
+    val data = ether(Array[Byte](43))
+    val tsTicks = 1700000000123L // 13 digits: 10 sec digits + only 3 left
+    val frames = Pcap.decodeFile("t.pcapng", pcapngFile(1, Seq((tsTicks, data))))
+    assert(frames.size == 1)
+    assert(frames.head.tsSec == 1700000000L)
+    assert(frames.head.tsUsec == 0)
+  }
+
   test("S1 sniffer rejects junk") {
     assert(Pcap.sniff("not a pcap".getBytes).isEmpty)
   }
