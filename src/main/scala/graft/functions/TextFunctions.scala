@@ -32,13 +32,6 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** One minhash value: lexicographic min over the set of
-    * `md5('<seed>|' || element)` hex strings. Fixed-width lowercase hex, so
-    * string min == numeric min. Aggregate with `min(...)` over an exploded
-    * element column; `seed` varies the permutation. */
-  def minhashElem(elem: Column, seed: Int): Column =
-    md5(concat(lit(s"$seed|"), elem))
-
   /** SimHash bit contribution: +1/-1 depending on bit `i` of the token's
     * hash. Bit = first hex nibble of md5('<i>#' || token) < 8 — pure string
     * compare, portable to any engine with md5. */

@@ -104,21 +104,42 @@ object Dedup {
     jaccardize(inter, sizes, threshold)
   }
 
-  /** MinHash signature (K values) per document over n-gram shingles,
-    * plus the set size — one aggregation pass computes both, so the
-    * Jaccard denominator later needs no second groupBy/join. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.groupBy(col("sid"))
-      .agg(min(minhashElem(col("g"), 0)).as("mh0"),
-        (1 until numHashes).map(i => min(minhashElem(col("g"), i)).as(s"mh$i"))
+  /** MinHash permutation family, shared verbatim with the SQL oracle:
+    * one md5 per shingle gives a 60-bit base value `x` (first 15 hex
+    * chars), and the K permutations are `h_i = (a_i·x + b_i) mod p` with
+    * p = 2³¹-1. Purely arithmetic after the single digest — 16× less
+    * hashing than md5-per-(seed,shingle), same min-wise independence.
+    * All intermediates fit signed 64-bit: a_i,x < p ⇒ a_i·x < 2⁶². */
+  final val MinhashP = 2147483647L // 2^31 - 1, Mersenne prime
+  def minhashA(i: Int): Long = (2654435761L * (i + 1)) % MinhashP
+  def minhashB(i: Int): Long = (2654777351L * (i + 1) + 97531L) % MinhashP
+
+  /** The 60-bit md5 base value for a shingle column (Spark side). The
+    * oracle spells it `CAST('0x' || substring(md5(g),1,15) AS BIGINT)`. */
+  def minhashBase(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long") % MinhashP
+
+  /** MinHash signature (K values) per document from a pre-computed base
+    * column `x`, plus the set size — one aggregation pass computes both,
+    * so the Jaccard denominator later needs no second groupBy/join. */
+  def minhashSignatures(shx: DataFrame, numHashes: Int): DataFrame = {
+    def h(i: Int) = (lit(minhashA(i)) * col("x") + lit(minhashB(i))) % MinhashP
+    shx.groupBy(col("sid"))
+      .agg(min(h(0)).as("mh0"),
+        (1 until numHashes).map(i => min(h(i)).as(s"mh$i"))
           :+ count(lit(1)).as("sz"): _*)
+  }
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard on
-    * the candidate set. `numHashes = bands * rowsPerBand`. */
+    * the candidate set. `numHashes = bands * rowsPerBand`. Shingle strings
+    * are consumed in one narrow projection (md5 base + 64-bit join hash);
+    * nothing wider than (long, long) ever shuffles. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
-    val sh = shingleSet(docs, idCol, textCol, n).cache()
+    val sh = shingleSet(docs, idCol, textCol, n)
+      .select(col("sid"), xxhash64(col("g")).as("g"), minhashBase(col("g")).as("x"))
+      .cache()
     val mh = minhashSignatures(sh, k).cache()
     val sizes = mh.select(col("sid"), col("sz"))
     val bucketCols = (0 until bands).map { b =>

@@ -149,7 +149,10 @@ object Text {
   /** MinHash + LSH banding near-dup pairs (the 100 TB scale path),
     * verified with exact Jaccard on candidates only. */
   val t6MinhashLsh: Q = {
-    val mins = (0 until NumHashes).map(i => s"min(md5('$i|' || g)) AS mh$i").mkString(",\n       ")
+    val p = Dedup.MinhashP
+    val mins = (0 until NumHashes)
+      .map(i => s"min((${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % $p) AS mh$i")
+      .mkString(",\n       ")
     val bandSelects = (0 until Bands).map { b =>
       val cat = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(" || ',' || ")
       s"SELECT sid, $b AS band, md5($cat) AS bucket FROM mh"
@@ -157,7 +160,8 @@ object Text {
     Q(
       "t6_minhash_lsh",
       s"""WITH $shingleCtes,
-         |mh AS (SELECT sid, $mins FROM sh GROUP BY sid),
+         |shx AS (SELECT sid, CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % $p AS x FROM sh),
+         |mh AS (SELECT sid, $mins FROM shx GROUP BY sid),
          |bands AS (
          |  $bandSelects),
          |cand AS (
