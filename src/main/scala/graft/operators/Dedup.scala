@@ -85,24 +85,55 @@ object Dedup {
     // hash, so oracle parity is untouched. Strings only exist pre-hash.
     val sh = shingleSet(docs, idCol, textCol, n)
       .select(col("sid"), xxhash64(col("g")).as("g")).cache()
-    val sizes = sh.groupBy(col("sid")).agg(count(lit(1)).as("sz"))
-    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val docsets = docsetsOf(sh).cache()
+    // document frequency via a window over g (one shuffle, no agg+join),
+    // then rarest-first position + set size in one shuffle over sid
+    val bySid = Window.partitionBy(col("sid"))
     val prefix = sh
-      .join(dfreq, "g")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("sid")).orderBy(col("df"), col("g"))))
-      .join(sizes, "sid")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select(col("sid"), col("g"),
+        row_number().over(bySid.orderBy(col("df"), col("g"))).as("pos"),
+        count(lit(1)).over(bySid).as("sz"))
       .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("sid"), col("g"))
+    // Candidate pruning beyond the prefix filter, both exact (no false
+    // negatives — every bound over-estimates the true intersection):
+    //  - length filter: J ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|)
+    //  - positional filter (ppjoin): a common token at rarest-first
+    //    positions (pa, pb) bounds the intersection by
+    //    min(pa,pb) + min(|A|-pa, |B|-pb); J ≥ τ needs
+    //    inter·(1+τ) ≥ τ·(|A|+|B|), so rows whose bound can't reach it
+    //    are dropped before the pair ever reaches verification.
+    val pa = col("a.pos"); val pb = col("b.pos")
+    val sa = col("a.sz"); val sb = col("b.sz")
+    val ubound = least(pa, pb) + least(sa - pa, sb - pb)
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.sid") < col("b.sid"))
+        col("a.g") === col("b.g") && col("a.sid") < col("b.sid")
+          && sa * threshold <= sb && sb * threshold <= sa
+          && ubound * (1 + threshold) >= (sa + sb) * threshold)
       .select(col("a.sid").as("da"), col("b.sid").as("db")).distinct()
-    val inter = cand
-      .join(sh.as("sa"), col("da") === col("sa.sid"))
-      .join(sh.as("sb"), col("db") === col("sb.sid") && col("sa.g") === col("sb.g"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-    jaccardize(inter, sizes, threshold)
+    verifyJaccard(cand, docsets, threshold)
   }
+
+  /** Per-document sorted shingle-hash sets — the verification dimension
+    * table. Bounded by document length, so rows stay small even at 10⁹
+    * docs, and the table broadcasts when the candidate side dwarfs it. */
+  def docsetsOf(sh: DataFrame): DataFrame =
+    sh.groupBy(col("sid")).agg(sort_array(collect_list(col("g"))).as("gs"))
+
+  /** Exact Jaccard verification of candidate pairs: one array_intersect
+    * over two row-sized arrays per pair, instead of an |A|+|B| row
+    * explosion + re-aggregation. Emits (da, db, jaccard) ≥ τ. */
+  def verifyJaccard(cand: DataFrame, docsets: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(docsets.as("xa"), col("da") === col("xa.sid"))
+      .join(docsets.as("xb"), col("db") === col("xb.sid"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("xa.gs"), col("xb.gs"))).cast("long").as("inter"),
+        size(col("xa.gs")).cast("long").as("sza"),
+        size(col("xb.gs")).cast("long").as("szb"))
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
 
   /** MinHash permutation family, shared verbatim with the SQL oracle:
     * one md5 per shingle gives a 60-bit base value `x` (first 15 hex
@@ -120,28 +151,25 @@ object Dedup {
     conv(substring(md5(g), 1, 15), 16, 10).cast("long") % MinhashP
 
   /** MinHash signature (K values) per document from a pre-computed base
-    * column `x`, plus the set size — one aggregation pass computes both,
-    * so the Jaccard denominator later needs no second groupBy/join. */
+    * column `x`. */
   def minhashSignatures(shx: DataFrame, numHashes: Int): DataFrame = {
     def h(i: Int) = (lit(minhashA(i)) * col("x") + lit(minhashB(i))) % MinhashP
     shx.groupBy(col("sid"))
       .agg(min(h(0)).as("mh0"),
-        (1 until numHashes).map(i => min(h(i)).as(s"mh$i"))
-          :+ count(lit(1)).as("sz"): _*)
+        (1 until numHashes).map(i => min(h(i)).as(s"mh$i")): _*)
   }
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard on
     * the candidate set. `numHashes = bands * rowsPerBand`. Shingle strings
     * are consumed in one narrow projection (md5 base + 64-bit join hash);
-    * nothing wider than (long, long) ever shuffles. */
+    * nothing wider than (long, long) or a row-sized array ever shuffles. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
     val sh = shingleSet(docs, idCol, textCol, n)
       .select(col("sid"), xxhash64(col("g")).as("g"), minhashBase(col("g")).as("x"))
       .cache()
-    val mh = minhashSignatures(sh, k).cache()
-    val sizes = mh.select(col("sid"), col("sz"))
+    val mh = minhashSignatures(sh, k)
     val bucketCols = (0 until bands).map { b =>
       md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
     }
@@ -151,11 +179,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.sid") < col("b.sid"))
       .select(col("a.sid").as("da"), col("b.sid").as("db")).distinct()
-    val inter = cand
-      .join(sh.as("sa"), col("da") === col("sa.sid"))
-      .join(sh.as("sb"), col("db") === col("sb.sid") && col("sa.g") === col("sb.g"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-    jaccardize(inter, sizes, threshold)
+    verifyJaccard(cand, docsetsOf(sh), threshold)
   }
 
   /** 16-bit SimHash signature per document over its distinct tokens. */
@@ -171,11 +195,4 @@ object Dedup {
     bitSums.select(col("sid"), sig.as("simhash"))
   }
 
-  private def jaccardize(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
-    inter
-      .join(sizes.as("za"), col("da") === col("za.sid"))
-      .join(sizes.as("zb"), col("db") === col("zb.sid"))
-      .select(col("da"), col("db"),
-        (col("inter").cast("double") / (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
 }
