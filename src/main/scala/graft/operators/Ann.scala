@@ -77,6 +77,24 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Embedding near-duplicate pairs via hyperplane-LSH bucketing: only
+    * same-bucket pairs are scored, so the plan is an equi-join on the
+    * bucket id (shuffle/broadcast hash join) — never the O(N²)
+    * BroadcastNestedLoopJoin of the exact formulation. Single-probe:
+    * a near-pair split across buckets is missed (recall < 1), which is
+    * the documented LSH trade; the exact small-N oracle stays available
+    * as the brute-force query. */
+  def lshNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Float]], threshold: Double): DataFrame = {
+    val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"),
+        cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

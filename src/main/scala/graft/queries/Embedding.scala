@@ -167,5 +167,29 @@ object Embedding {
     }
   }
 
-  val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf, v5CosineNearDup)
+  /** LSH-bucketed near-duplicate pairs — v5's scale shape: same-bucket
+    * (hyperplane signs) pairs only, so the join is an equi-join on the
+    * bucket id instead of the exact variant's O(N²) nested-loop. The
+    * oracle mirrors the same bucketing, so results hash-match exactly. */
+  val v6NearDupLsh: Q = {
+    val planes = (0 until NumPlanes).map(p => Ann.hyperplane(p, Dim))
+    val bucketSql = planes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN (${sqlDot("embedding", arr)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    Q(
+      "v6_neardup_lsh",
+      s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS da, b.vec_id AS db,
+         |         ${sqlCosine("a.embedding", "b.embedding")} AS cosine
+         |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT da, db, cosine FROM p WHERE cosine >= 0.5
+         |ORDER BY da, db""".stripMargin) { (s, d) =>
+      Ann.lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", planes, 0.5)
+        .orderBy(col("da"), col("db"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf, v5CosineNearDup, v6NearDupLsh)
 }

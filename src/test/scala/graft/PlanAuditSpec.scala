@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{Relational, Text}
+import graft.queries.{Embedding, Relational, Text}
 
 /** Physical-plan audits (the "iterate until it's the plan you'd want"
   * gate): pushdown reaches the scan, projections prune columns, small
@@ -34,6 +34,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = planOf(Relational.q6Sessionize.run(SparkTest.spark, sf))
     val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange hashpartitioning(user_id"))
     assert(exchanges <= 1, s"windows should reuse one user_id exchange, got:\n$plan")
+  }
+
+  test("v6: bucketed near-dup is an equi-join, not a nested-loop product") {
+    val plan = planOf(Embedding.v6NearDupLsh.run(SparkTest.spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed near-dup must not plan a cartesian/nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"bucketed near-dup must not plan a cartesian product:\n$plan")
   }
 
   test("whole-stage codegen covers the scalar query") {
