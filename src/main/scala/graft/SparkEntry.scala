@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Embedding, Extras, Q, Relational, Text}
+import graft.queries.{Embedding, Extras, Q, Relational, Text, XmlExtract}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{Embedding, Extras, Q, Relational, Text}
 object SparkEntry {
 
   /** All declared queries, in registration order. */
-  def allQueries: Seq[Q] = Relational.all ++ Text.all ++ Embedding.all ++ Extras.all
+  def allQueries: Seq[Q] =
+    Relational.all ++ Text.all ++ Embedding.all ++ Extras.all ++ XmlExtract.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -108,8 +108,11 @@ object Http {
 
   /** R3 segment accumulation for one 4-tuple flow: HTTP-start segments
     * open a message; continuations append; (seq, ack) duplicates drop
-    * (D2). Emits raw (meta, text) per message. */
-  def reassembleFlow(segs: Seq[(Piece, Long, Long)]): Seq[HttpMsg] = {
+    * (D2). Emits raw (meta, text) per message. Ports must be passed in
+    * (Piece carries none) so the F10 URI synthesis sees the real
+    * destination port. */
+  def reassembleFlow(segs: Seq[(Piece, Long, Long)],
+      srcPort: Int = 0, dstPort: Int = 0): Seq[HttpMsg] = {
     val sorted = segs.sortBy(_._1.frameNo)
     val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
     val out = Seq.newBuilder[HttpMsg]
@@ -118,7 +121,7 @@ object Http {
     def flush(): Unit = if (cur != null) {
       val (p, seq, ack, sb, frames) = cur
       parse(frames.reverse.mkString(" "), p.frameNo, p.tsSec, p.tsUsec,
-        p.srcIp, p.dstIp, p.pcapFilename, 0, 0, seq, ack, sb.toString)
+        p.srcIp, p.dstIp, p.pcapFilename, srcPort, dstPort, seq, ack, sb.toString)
         .foreach(out += _)
       cur = null
     }
@@ -142,13 +145,12 @@ object Http {
     out.result()
   }
 
-  /** Full pipeline: pcap → HTTP messages with ids + J4 request→response
-    * linking (`http_response_in` = id of the LAST response whose 4-tuple
-    * is the reverse of the request's). Ports are patched from the flow
-    * key after reassembly. */
-  def records(spark: SparkSession, path: String): DataFrame = {
+  /** Shared front half of the HTTP-family pipelines (http, http_ss7,
+    * http_ocs): pcap → TCP → per-flow reassembly → parsed messages.
+    * Shuffle key is the 4-tuple flow, never the file. */
+  def messages(spark: SparkSession, path: String): Dataset[HttpMsg] = {
     import spark.implicits._
-    val msgs: Dataset[HttpMsg] = Pcap.frames(spark, path)
+    Pcap.frames(spark, path)
       .flatMap(Packets.decode _)
       .filter(p => p.ipProto == Packets.ProtoTcp
         && (p.tcpFlags == 16 || p.tcpFlags == 24) && p.payload.nonEmpty)
@@ -157,11 +159,16 @@ object Http {
         val (_, _, srcPort, _, dstPort) = key
         reassembleFlow(it.map(p =>
           (Piece(p.frameNo, p.tsSec, p.tsUsec, p.srcIp, p.dstIp, p.pcapFilename, p.payload),
-            p.tcpSeq, p.tcpAck)).toSeq)
-          .map(m => m.copy(srcPort = srcPort, dstPort = dstPort))
+            p.tcpSeq, p.tcpAck)).toSeq, srcPort, dstPort)
       }
-    link(msgs.toDF())
   }
+
+  /** Full pipeline: pcap → HTTP messages with ids + J4 request→response
+    * linking (`http_response_in` = id of the LAST response whose 4-tuple
+    * is the reverse of the request's). Ports are patched from the flow
+    * key after reassembly. */
+  def records(spark: SparkSession, path: String): DataFrame =
+    link(messages(spark, path).toDF())
 
   /** J4 linking, engine-side ids (SURVEY §4.2 "redesigned"). */
   def link(msgs: DataFrame): DataFrame = {

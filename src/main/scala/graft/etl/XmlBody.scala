@@ -14,14 +14,18 @@ import scala.xml.{Elem, Node, XML}
 object XmlBody {
 
   /** P13: the OCS operation-type whitelist (17 types,
-    * `http_ocs_ingestor.py:30-48`). */
+    * `http_ocs_ingestor.py:30-48`). A non-whitelisted root drops the
+    * message entirely (`http_ocs_ingestor.py:322-323`). */
   val OcsOperationTypes: Set[String] = Set(
-    "sendRoutingInfo", "provideRoamingNumber", "initialDP", "connect",
-    "continue", "releaseCall", "applyCharging", "applyChargingReport",
-    "eventReportBCSM", "requestReportBCSMEvent", "callInformationReport",
-    "promptAndCollectUserInformation", "establishTemporaryConnection",
-    "disconnectForwardConnection", "connectToResource", "furnishChargingInformation",
-    "activityTest")
+    "mo-acr-request", "mo-acr-response",
+    "mo-idp-request", "mo-idp-response",
+    "dest-change-request", "dest-change-response",
+    "source-change-request-acr", "source-change-response-acr",
+    "source-change-request-idp", "source-change-response-idp",
+    "shadow-number-request", "shadow-number-response",
+    "roaming_code",
+    "volte-acr-request", "volte-acr-response",
+    "volte-idp-request", "volte-idp-response")
 
   /** F11 fixups: strip malformed attribute fragments the reference
     * patches before xmltodict (`http_ingestor.py:216-217`), then parse.

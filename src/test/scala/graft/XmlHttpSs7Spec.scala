@@ -8,9 +8,10 @@ class XmlHttpSs7Spec extends AnyFunSuite {
 
   test("F11 xml parse with fixups, P13 whitelist, F12 first-match") {
     val e = XmlBody.parse(
-      """<initialDP xmlns="urn:x"><a><msisdn>52155&12</msisdn></a><msisdn>other</msisdn></initialDP>""").get
-    assert(XmlBody.rootType(e) == "initialDP")
+      """<mo-acr-request xmlns="urn:x"><a><msisdn>52155&12</msisdn></a><msisdn>other</msisdn></mo-acr-request>""").get
+    assert(XmlBody.rootType(e) == "mo-acr-request")
     assert(XmlBody.OcsOperationTypes.contains(XmlBody.rootType(e)))
+    assert(!XmlBody.OcsOperationTypes.contains("initialDP"))
     // pre-order first match takes the deepest-first branch occurrence
     assert(XmlBody.findFirst(e, "msisdn").map(XmlBody.htmlUnescape).contains("52155&12"))
     assert(XmlBody.parse("not xml <<<").isEmpty)
