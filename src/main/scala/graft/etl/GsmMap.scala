@@ -6,13 +6,19 @@ import graft.functions.BinaryCodecs._
   * `gsm_map.py`): M3UA → MTP3 → SCCP (UDT/XUDT + segmentation) → TCAP
   * (targeted BER walk, not a full MAP grammar — SURVEY §7.3 #3).
   */
+/** One SCCP party address (Q.713 §3.4): subsystem number + global-title
+  * digit string (empty when the address carries no SSN / GT). */
+final case class SccpAddr(ssn: Int, gt: String)
+
 final case class SccpMsg(
     opc: Int,
     dpc: Int,
     sccpType: Int, // 9=UDT, 17=XUDT, 18=XUDTS
     data: Array[Byte],
     // XUDT segmentation (R6): Some((isFirst, remaining, ref)) when present
-    segmentation: Option[(Boolean, Int, Long)])
+    segmentation: Option[(Boolean, Int, Long)],
+    called: SccpAddr = SccpAddr(0, ""),
+    calling: SccpAddr = SccpAddr(0, ""))
 
 final case class TcapMsg(
     messType: String,
@@ -101,6 +107,43 @@ object GsmMap {
     None
   }
 
+  /** MTP3-on-the-wire (DLT 141, `gsm_map.py:15-20,161-177`): the frame IS
+    * the MTP3 message — SIO byte, 4-byte little-endian routing label
+    * (dpc = low 14 bits, opc = next 14), SCCP from offset 5. Gated on the
+    * reference's `service_inf & 3 == 3` SCCP check. */
+  def mtp3Data(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 6 || (b(0) & 3) != 3) return None
+    val label = leLong(b, 1, 4)
+    val opc = ((label & 0x0FFFC000L) >> 14).toInt
+    val dpc = (label & 0x3FFFL).toInt
+    Some((opc, dpc, java.util.Arrays.copyOfRange(b, 5, b.length)))
+  }
+
+  /** Q.713 party-address decode: address-indicator bit 0 = point code
+    * present (skip 2), bit 1 = SSN present, GTI in bits 2-5. GT digits are
+    * nibble-swapped BCD after the GT header (GTI 1: NAI; GTI 2: TT;
+    * GTI 3: TT+NP/ES; GTI 4: TT+NP/ES+NAI). Sigshark keys transactions on
+    * (ssn, gt) pairs (`sigshark.py:471-478` cgssn/cgpa/cdssn/cdpa). */
+  def sccpAddr(b: Array[Byte]): SccpAddr = {
+    if (b.length < 1) return SccpAddr(0, "")
+    val ai = b(0) & 0xff
+    var o = 1
+    if ((ai & 0x01) != 0) o += 2 // point code
+    var ssn = 0
+    if ((ai & 0x02) != 0 && o < b.length) { ssn = b(o) & 0xff; o += 1 }
+    val gti = (ai >> 2) & 0x0f
+    val gtHeader = gti match {
+      case 1 | 2 => 1
+      case 3 => 2
+      case 4 => 3
+      case _ => -1
+    }
+    val gt =
+      if (gtHeader < 0 || o + gtHeader >= b.length) ""
+      else bcdSwapDecode(java.util.Arrays.copyOfRange(b, o + gtHeader, b.length))
+    SccpAddr(ssn, gt)
+  }
+
   /** P9/R6: SCCP parse. UDT(9): pclass + 3 pointers + 3 len-prefixed
     * parts (called, calling, data). XUDT(17)/XUDTS(18): +hop counter, 4th
     * pointer to optional params; segmentation = option tag 16, len 4:
@@ -143,7 +186,7 @@ object GsmMap {
         }
       }
     }
-    Some(SccpMsg(opc, dpc, t, data, seg))
+    Some(SccpMsg(opc, dpc, t, data, seg, sccpAddr(part(0)), sccpAddr(part(1))))
   }
 
   /** R6: SCCP segmentation reassembly for one segmentation reference:

@@ -14,6 +14,21 @@ import graft.sources.Pcap
   * construct it. */
 final case class SegKey(file: String, srcIp: String, dstIp: String, ref: Long)
 
+/** One TCAP packet with the sigshark transaction-key fields
+  * (`sigshark.py` tshark columns CGSSN/CGPA/OTID, CDSSN/CDPA/DTID). */
+final case class TcapPkt(
+    pcapFilename: String,
+    frameNo: Long,
+    tsSec: Long,
+    tsUsec: Int,
+    messType: String,
+    otid: Long,
+    dtid: Long,
+    cgSsn: Int,
+    cgGt: String,
+    cdSsn: Int,
+    cdGt: String)
+
 object GsmMapPipeline {
 
   final case class Ss7Row(
@@ -35,18 +50,40 @@ object GsmMapPipeline {
       imsi: String,
       msisdn: String)
 
+  /** Shared SCCP extraction: DLT 141 frames are MTP3 on the wire (no IP
+    * layer — `gsm_map.py:15-20`); every other DLT goes through the
+    * IP → SCTP → M3UA unwrap. One flatMap, no extra pass over the frames. */
+  private[etl] def sccpMessages(spark: SparkSession, path: String)
+      : org.apache.spark.sql.Dataset[(SctpChunk, SccpMsg)] = {
+    import spark.implicits._
+    Pcap.frames(spark, path).flatMap { f =>
+      if (f.dlt == 141) {
+        GsmMap.mtp3Data(f.data).flatMap { case (opc, dpc, data) =>
+          GsmMap.sccpParse(opc, dpc, data).map { m =>
+            // MTP3-on-wire carries no IP/SCTP layer; synthesize the chunk
+            // envelope so downstream rows keep one shape (ips empty, like
+            // the reference's null ip columns on this path).
+            (SctpChunk(f.pcapFilename, f.frameNo, f.tsSec, f.tsUsec,
+              "", "", 0, 0, 0, -1, -1, GsmMap.PpidM3ua, data), m)
+          }
+        }.toSeq
+      } else {
+        Packets.decode(f).toSeq
+          .filter(_.ipProto == Packets.ProtoSctp)
+          .flatMap(Packets.sctpChunks _)
+          .filter(c => c.chunkType == 0 && c.ppid == GsmMap.PpidM3ua && c.payload.nonEmpty)
+          .flatMap { c =>
+            GsmMap.m3uaData(c.payload).flatMap { case (opc, dpc, _, data) =>
+              GsmMap.sccpParse(opc, dpc, data).map(m => (c, m))
+            }
+          }
+      }
+    }
+  }
+
   def records(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val sccp = Pcap.frames(spark, path)
-      .flatMap(Packets.decode _)
-      .filter(_.ipProto == Packets.ProtoSctp)
-      .flatMap(Packets.sctpChunks _)
-      .filter(c => c.chunkType == 0 && c.ppid == GsmMap.PpidM3ua && c.payload.nonEmpty)
-      .flatMap { c =>
-        GsmMap.m3uaData(c.payload).flatMap { case (opc, dpc, _, data) =>
-          GsmMap.sccpParse(opc, dpc, data).map(m => (c, m))
-        }
-      }
+    val sccp = sccpMessages(spark, path)
 
     val direct = sccp.filter(_._2.segmentation.isEmpty)
       .flatMap { case (c, m) => toRow(c, m, m.data, c.frameNo.toString) }
@@ -63,6 +100,24 @@ object GsmMapPipeline {
       }
 
     direct.union(segmented).toDF()
+  }
+
+  /** TCAP packets with sigshark key fields — the input to
+    * [[Sigshark.tcapTransactions]]. Unsegmented SCCP only: sigshark's
+    * tshark front-end likewise sees TCAP fields on whole messages
+    * (`sigshark.py:386-403` requires --flatten for multi-chunk packets). */
+  def tcapPackets(spark: SparkSession, path: String)
+      : org.apache.spark.sql.Dataset[TcapPkt] = {
+    import spark.implicits._
+    sccpMessages(spark, path)
+      .filter(_._2.segmentation.isEmpty)
+      .flatMap { case (c, m) =>
+        GsmMap.tcapParse(m.data).map { t =>
+          TcapPkt(c.pcapFilename, c.frameNo, c.tsSec, c.tsUsec,
+            t.messType, t.otid, t.dtid,
+            m.calling.ssn, m.calling.gt, m.called.ssn, m.called.gt)
+        }
+      }
   }
 
   private def toRow(c: SctpChunk, m: SccpMsg, data: Array[Byte], frames: String): Option[Ss7Row] =

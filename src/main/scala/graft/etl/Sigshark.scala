@@ -1,6 +1,8 @@
 package graft.etl
 
-import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.operators.Stateful
 import graft.sources.{Frame, Pcap, PcapWriter}
@@ -44,6 +46,87 @@ object Sigshark {
         else None
       }
       .toSeq
+  }
+
+  /** J7 TCAP transaction tracking (`sigshark.py:458-520`) — the tool's
+    * main use case. BEGIN opens a transaction at okey = cgssn_cgpa_otid;
+    * CONTINUE appends frames via okey or dkey (= cdssn_cdpa_dtid) and on
+    * first sight records the bidirectional tid-alias pair; END/ABORT
+    * closes via dkey directly or through the alias map. `keepPartial`
+    * mirrors `--incomplete`: orphan continues open a transaction, orphan
+    * ends emit a one-frame transaction, and still-open transactions flush
+    * at EOF. Runs per capture file as a flatMapGroups state machine over
+    * frame-ordered packets — distributed by file, no driver collect. */
+  def tcapTransactions(spark: SparkSession, path: String,
+      keepPartial: Boolean = false): Dataset[Transaction] = {
+    import spark.implicits._
+    GsmMapPipeline.tcapPackets(spark, path)
+      .groupByKey(_.pcapFilename)
+      .flatMapGroups { (_, it) =>
+        runTcapMachine(it.toArray.sortBy(_.frameNo), keepPartial)
+      }
+  }
+
+  private[etl] def runTcapMachine(pkts: Array[TcapPkt],
+      keepPartial: Boolean): Iterator[Transaction] = {
+    final case class Open(startTsSec: Long, startUsec: Int, frames: mutable.ArrayBuffer[Long])
+    val tas = mutable.LinkedHashMap.empty[String, Open]
+    val alias = mutable.HashMap.empty[String, String]
+    val done = mutable.ArrayBuffer.empty[Transaction]
+    def close(key: String, tx: Open, closingFrame: Option[Long]): Unit = {
+      tx.frames ++= closingFrame
+      done += Transaction(key, tx.startTsSec, tx.startUsec, tx.frames.toSeq)
+    }
+    def linkAlias(okey: String, dkey: String): Unit =
+      if (!alias.contains(okey)) { alias(okey) = dkey; alias(dkey) = okey }
+    for (p <- pkts) {
+      val okey = s"${p.cgSsn}_${p.cgGt}_${p.otid}"
+      val dkey = s"${p.cdSsn}_${p.cdGt}_${p.dtid}"
+      p.messType match {
+        case "begin" =>
+          tas(okey) = Open(p.tsSec, p.tsUsec, mutable.ArrayBuffer(p.frameNo))
+        case "continue" =>
+          if (tas.contains(okey)) {
+            tas(okey).frames += p.frameNo
+            linkAlias(okey, dkey)
+          } else if (tas.contains(dkey)) {
+            tas(dkey).frames += p.frameNo
+            linkAlias(okey, dkey)
+          } else if (keepPartial) {
+            tas(okey) = Open(p.tsSec, p.tsUsec, mutable.ArrayBuffer(p.frameNo))
+            alias(okey) = dkey
+            alias(dkey) = okey
+          } // else: missing begin — drop (`sigshark.py:495-498`)
+        case "end" | "abort" =>
+          if (tas.contains(dkey)) {
+            close(dkey, tas.remove(dkey).get, Some(p.frameNo))
+            alias.remove(dkey).foreach(alias.remove)
+          } else if (alias.contains(dkey)) {
+            val okey2 = alias(dkey)
+            tas.remove(okey2).foreach(close(okey2, _, Some(p.frameNo)))
+            alias.remove(dkey)
+            alias.remove(okey2)
+          } else if (keepPartial) {
+            done += Transaction(dkey, p.tsSec, p.tsUsec, Seq(p.frameNo))
+          } // else: missing begin — drop
+        case _ => ()
+      }
+    }
+    if (keepPartial) tas.foreach { case (k, tx) => close(k, tx, None) }
+    done.iterator
+  }
+
+  /** End-to-end TCAP tool run (`diameter.sh` sigshark parity): read
+    * capture, track TCAP transactions, write the transaction-sorted pcap
+    * (optionally with O3 separators). */
+  def runTcap(spark: SparkSession, inPath: String, outPath: java.nio.file.Path,
+      keepPartial: Boolean = false, separators: Boolean = false): Seq[Transaction] = {
+    val frames = Pcap.frames(spark, inPath).collect().toSeq
+    val txs = tcapTransactions(spark, inPath, keepPartial).collect().toSeq
+    val dlt = frames.headOption.map(_.dlt).getOrElse(1)
+    java.nio.file.Files.write(outPath,
+      transactionSortedPcap(frames, txs, dlt, separators))
+    txs
   }
 
   /** O1: transactions ordered by start time, frames contiguous per

@@ -45,4 +45,34 @@ class GsmMapPipelineSpec extends AnyFunSuite {
     assert(r.getAs[Int]("gsmOpCode") == 45)
     assert(r.getAs[String]("imsi") == "123456789012345")
   }
+
+  test("DLT 141: MTP3-on-wire capture reaches ss7map rows without M3UA") {
+    val imsiTbcd = Array(0x21, 0x43, 0x65, 0x87, 0x09, 0x21, 0x43, 0xf5).map(_.toByte)
+    val invoke = ber(0xa1, cat(
+      ber(0x02, Array[Byte](1)),
+      ber(0x02, Array[Byte](45)),
+      ber(0x30, ber(0x04, imsiTbcd))))
+    val begin = ber(0x62, cat(ber(0x48, Array[Byte](0x11, 0x22)), ber(0x6c, invoke)))
+    val sccp = TestBytes.sccpUdt(
+      sccpAddrGt(6, Array(0x65, 0x87).map(_.toByte)),
+      sccpAddrGt(8, Array(0x21, 0x43).map(_.toByte)),
+      begin)
+    val frame = mtp3(77, 88, sccp)
+    val dir = Files.createTempDirectory("graftmtp3")
+    Files.write(dir.resolve("m.pcapng"), pcapngFile(141, Seq((100L * 1000000L, frame))))
+
+    val rows = GsmMapPipeline.records(SparkTest.spark, dir.toString + "/*.pcapng").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Int]("mtp3Opc") == 77 && r.getAs[Int]("mtp3Dpc") == 88)
+    assert(r.getAs[String]("tcapMessType") == "begin")
+    assert(r.getAs[String]("imsi") == "123456789012345")
+    assert(r.getAs[String]("srcIp") == "")
+
+    // the same capture also feeds the sigshark TCAP key fields
+    val pkts = GsmMapPipeline.tcapPackets(SparkTest.spark, dir.toString + "/*.pcapng").collect()
+    assert(pkts.length == 1)
+    assert(pkts.head.cgSsn == 8 && pkts.head.cgGt == "1234")
+    assert(pkts.head.cdSsn == 6 && pkts.head.cdGt == "5678")
+  }
 }

@@ -37,6 +37,51 @@ class SigsharkSpec extends AnyFunSuite {
     assert(rewritten.map(_.tsSec) == Seq(1000L, 1003L, 1001L, 1002L))
   }
 
+  test("TCAP begin/continue/end with tid-alias map → transaction-sorted pcap") {
+    val a = Array[Byte](10, 0, 0, 1)
+    val b = Array[Byte](10, 0, 0, 2)
+    val gtA = sccpAddrGt(8, Array(0x21, 0x43).map(_.toByte)) // GT "1234"
+    val gtB = sccpAddrGt(6, Array(0x65, 0x87).map(_.toByte)) // GT "5678"
+    val gtC = sccpAddrGt(8, Array(0x99, 0x09).map(_.toByte)) // GT "9990"
+    def tcapOverM3ua(src: Array[Byte], dst: Array[Byte], calling: Array[Byte],
+        called: Array[Byte], tcap: Array[Byte]) =
+      ether(ipv4(132, src, dst, sctpData(2905, 2905, 0, 0, 3L,
+        m3uaTransfer(101, 202, sccpUdt(called, calling, tcap)))))
+    val begin1 = ber(0x62, ber(0x48, Array[Byte](0x11)))
+    val begin2 = ber(0x62, ber(0x48, Array[Byte](0x33)))
+    val cont1 = ber(0x65, cat(ber(0x48, Array[Byte](0x22)), ber(0x49, Array[Byte](0x11))))
+    val end2 = ber(0x64, ber(0x49, Array[Byte](0x33)))
+    // ends tx1 via the alias: dtid 0x22 was never a begin key, only the
+    // continue's otid — close must go through map_tids (`sigshark.py:503-507`)
+    val end1 = ber(0x67, ber(0x49, Array[Byte](0x22)))
+    val orphan = ber(0x65, cat(ber(0x48, Array[Byte](0x77)), ber(0x49, Array[Byte](0x78))))
+    // interleaved on the wire: tx1 frames (1,3,5), tx2 frames (2,4), orphan 6
+    val pcap = pcapFile(Seq(
+      (2000L, 0, tcapOverM3ua(a, b, gtA, gtB, begin1)),
+      (2001L, 0, tcapOverM3ua(a, b, gtC, gtB, begin2)),
+      (2002L, 0, tcapOverM3ua(b, a, gtB, gtA, cont1)),
+      (2003L, 0, tcapOverM3ua(b, a, gtB, gtC, end2)),
+      (2004L, 0, tcapOverM3ua(a, b, gtA, gtB, end1)),
+      (2005L, 0, tcapOverM3ua(a, b, gtA, gtB, orphan))))
+    val dir = Files.createTempDirectory("graftsigtcap")
+    Files.write(dir.resolve("in.pcap"), pcap)
+    val path = dir.toString + "/in.pcap"
+
+    val out = dir.resolve("out.pcap")
+    val txs = Sigshark.runTcap(SparkTest.spark, path, out)
+    assert(txs.size == 2)
+    val byKey = txs.map(t => t.key -> t).toMap
+    // begin key = cgssn_cgpa_otid of the BEGIN packet
+    assert(byKey("8_1234_17").frames == Seq(1L, 3L, 5L))
+    assert(byKey("8_9990_51").frames == Seq(2L, 4L))
+    // orphan continue dropped; kept under keepPartial (--incomplete)
+    assert(Sigshark.tcapTransactions(SparkTest.spark, path, keepPartial = true)
+      .collect().length == 3)
+    // O1: transaction-contiguous, start-ordered rewrite
+    val rewritten = Pcap.decodeFile("out", Files.readAllBytes(out))
+    assert(rewritten.map(_.tsSec) == Seq(2000L, 2002L, 2004L, 2001L, 2003L))
+  }
+
   test("incomplete transactions dropped unless keepPartial") {
     val a = Array[Byte](10, 0, 0, 1)
     val b = Array[Byte](10, 0, 0, 2)

@@ -71,6 +71,38 @@ object TestBytes {
       be32(ppid), payload, Array.fill[Byte](pad)(0))
   }
 
+  // --- SS7 builders ---
+
+  /** BER TLV with one-byte tag + short-form length. */
+  def ber(tag: Int, value: Array[Byte]): Array[Byte] =
+    cat(Array(tag.toByte, value.length.toByte), value)
+
+  /** Q.713 party address: SSN present + GTI 4 (TT + NP/ES + NAI header),
+    * digits as nibble-swapped BCD. */
+  def sccpAddrGt(ssn: Int, digitsBcd: Array[Byte]): Array[Byte] =
+    cat(Array[Byte](0x12, ssn.toByte, 0, 0x11, 0x04), digitsBcd)
+
+  /** SCCP UDT: pclass + 3 pointers + len-prefixed called/calling/data. */
+  def sccpUdt(called: Array[Byte], calling: Array[Byte], data: Array[Byte]): Array[Byte] =
+    cat(Array[Byte](9, 0),
+      Array[Byte](3, (3 + called.length).toByte, (3 + called.length + calling.length).toByte),
+      Array(called.length.toByte), called,
+      Array(calling.length.toByte), calling,
+      Array(data.length.toByte), data)
+
+  /** M3UA transfer-DATA (class 1 type 1) with one protocol-data param
+    * (tag 0x0210, SI=3) wrapping the SCCP bytes. */
+  def m3uaTransfer(opc: Long, dpc: Long, sccp: Array[Byte]): Array[Byte] = {
+    val pd = cat(be32(opc), be32(dpc), Array[Byte](3, 2, 0, 0), sccp)
+    val param = cat(be16(0x0210), be16(4 + pd.length), pd)
+    cat(Array[Byte](1, 0, 1, 1), be32(8L + param.length), param)
+  }
+
+  /** MTP3 on the wire (DLT 141): SIO (SI=3 → SCCP) + little-endian
+    * routing label (dpc low 14 bits, opc next 14) + SCCP bytes. */
+  def mtp3(opc: Int, dpc: Int, sccp: Array[Byte]): Array[Byte] =
+    cat(Array[Byte](3), le32((dpc.toLong | (opc.toLong << 14)) & 0xffffffffL), sccp)
+
   // --- Diameter builders ---
 
   def avp(code: Int, value: Array[Byte]): Array[Byte] = {
