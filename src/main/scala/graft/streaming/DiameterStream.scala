@@ -15,11 +15,12 @@ import graft.sources.Pcap
   * timeout (the streaming analog of the EOF residue flush — an
   * *extension*, the reference defines no late-data policy).
   *
-  * Streaming restriction: one stateful operator per query, so this path
-  * decodes single-segment messages (the overwhelmingly common case);
-  * multi-segment captures go through the batch path, whose reassembly +
-  * correlation are two `flatMapGroups` stages. A `transformWithState`
-  * chain lifting this is round-2 work (NEXT.md #1).
+  * This drop-dir path decodes single-segment messages (the
+  * overwhelmingly common case) with a single stateful operator. For
+  * captures whose messages straddle transport segments *across
+  * micro-batches*, [[ReassembleStream.diameterPairs]] chains the R1/R2
+  * stash machine and J1 correlation as two `transformWithState`
+  * operators in one query (NEXT.md #1, done).
   */
 object DiameterStream {
 
