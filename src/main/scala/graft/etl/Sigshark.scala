@@ -58,9 +58,16 @@ object Sigshark {
     * at EOF. Runs per capture file as a flatMapGroups state machine over
     * frame-ordered packets — distributed by file, no driver collect. */
   def tcapTransactions(spark: SparkSession, path: String,
+      keepPartial: Boolean = false): Dataset[Transaction] =
+    sessionize(GsmMapPipeline.tcapPackets(spark, path), keepPartial)
+
+  /** J7 machine over an arbitrary [[TcapPkt]] dataset (decoupled from the
+    * pcap pipeline so synthesized packet streams — e.g. the q26 oracle
+    * query — exercise the identical executor-side state machine). */
+  def sessionize(pkts: Dataset[TcapPkt],
       keepPartial: Boolean = false): Dataset[Transaction] = {
-    import spark.implicits._
-    GsmMapPipeline.tcapPackets(spark, path)
+    import pkts.sparkSession.implicits._
+    pkts
       .groupByKey(_.pcapFilename)
       .flatMapGroups { (_, it) =>
         runTcapMachine(it.toArray.sortBy(_.frameNo), keepPartial)
