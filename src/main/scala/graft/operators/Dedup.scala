@@ -44,7 +44,14 @@ object Dedup {
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // small-split fanout: a corpus arriving as fewer splits than cores
+    // (single-row-group parquet in the local harness) would serialize the
+    // tokenize+hash stage on one task. At real scale inputs arrive in
+    // thousands of splits and this is a no-op.
+    val target = spark.sparkContext.defaultParallelism
+    val narrow = docs.select(col(idCol).cast("long"), col(textCol))
+    val src = if (narrow.rdd.getNumPartitions < target) narrow.repartition(target) else narrow
+    src.as[(Long, String)]
       .flatMap { case (sid, text) =>
         val toks = text.trim.split("\\s+")
         if (toks.length < n) Iterator.empty
@@ -70,48 +77,99 @@ object Dedup {
   /** Exact pairwise n-gram Jaccard with prefix filtering (ppjoin-style):
     * J(A,B) ≥ τ implies |A∩B| ≥ ceil(τ·|A|), so B must share at least one
     * of A's first `|A| - ceil(τ·|A|) + 1` shingles under a global
-    * rarest-first order. The inverted-index join therefore runs only on
+    * rarest-first order. The inverted-index kernel therefore runs only on
     * per-document prefixes (rare shingles), collapsing the classic
-    * high-df pair explosion; candidates are then verified with the full
-    * intersection count. A pure candidate *prune* — results are
-    * identical to the naive quadratic join (which remains the DuckDB
-    * oracle formulation). */
+    * high-df pair explosion; surviving pairs are verified with the full
+    * intersection count *inside the kernel* (the index rows carry each
+    * doc's sorted hash set — the Vernica/Carey/Li MapReduce ssjoin
+    * layout), so only pairs with J ≥ τ are ever emitted from the stage.
+    * A pure candidate prune — results are identical to the naive
+    * quadratic join (which remains the DuckDB oracle formulation).
+    *
+    * Scale notes: every shuffle is keyed on the shingle hash or the doc
+    * id (high cardinality, no skew past the prefix filter); carrying the
+    * set in the index rows costs O(prefix·|set|) shuffle bytes per doc —
+    * the published trade for skipping the candidate↔set re-join. For
+    * very long documents (≫10⁴ shingles) prefer indexing against
+    * [[docsetsOf]] + [[verifyJaccard]], which re-joins instead of
+    * carrying. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // shingles shrink to 64-bit hashes for all internal joins/shuffles —
-    // set cardinalities and intersections are hash-invariant (collision
-    // probability ~n²/2^64, vanishing), and no output column exposes the
-    // hash, so oracle parity is untouched. Strings only exist pre-hash.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // shingles shrink to 64-bit hashes immediately — set cardinalities
+    // and intersections are hash-invariant (collision probability
+    // ~n²/2^64, vanishing), no output column exposes the hash, and every
+    // downstream shuffle carries longs, never strings
+    // not cached: the tokenize+hash pass is consumed twice (df
+    // aggregation + join probe) but re-running it measures cheaper than
+    // materializing a cache, and at corpus scale an uncached narrow pass
+    // beats pinning the full shingle set in executor memory
     val sh = shingleSet(docs, idCol, textCol, n)
-      .select(col("sid"), xxhash64(col("g")).as("g")).cache()
-    val docsets = docsetsOf(sh).cache()
-    // document frequency via a window over g (one shuffle, no agg+join),
-    // then rarest-first position + set size in one shuffle over sid
-    val bySid = Window.partitionBy(col("sid"))
-    val prefix = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .select(col("sid"), col("g"),
-        row_number().over(bySid.orderBy(col("df"), col("g"))).as("pos"),
-        count(lit(1)).over(bySid).as("sz"))
-      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-    // Candidate pruning beyond the prefix filter, both exact (no false
-    // negatives — every bound over-estimates the true intersection):
-    //  - length filter: J ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|)
-    //  - positional filter (ppjoin): a common token at rarest-first
-    //    positions (pa, pb) bounds the intersection by
-    //    min(pa,pb) + min(|A|-pa, |B|-pb); J ≥ τ needs
-    //    inter·(1+τ) ≥ τ·(|A|+|B|), so rows whose bound can't reach it
-    //    are dropped before the pair ever reaches verification.
-    val pa = col("a.pos"); val pb = col("b.pos")
-    val sa = col("a.sz"); val sb = col("b.sz")
-    val ubound = least(pa, pb) + least(sa - pa, sb - pb)
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.sid") < col("b.sid")
-          && sa * threshold <= sb && sb * threshold <= sa
-          && ubound * (1 + threshold) >= (sa + sb) * threshold)
-      .select(col("a.sid").as("da"), col("b.sid").as("db")).distinct()
-    verifyJaccard(cand, docsets, threshold)
+      .select(col("sid"), xxhash64(col("g")).as("g"))
+    // document frequency: partial-aggregated groupBy + equi-join (AQE
+    // broadcasts it when small) — unlike a count().over(partitionBy(g))
+    // window this map-side combines and never sorts the shingle rows
+    val dft = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // one typed pass per doc: rarest-first (df, g) order, emit the first
+    // sz - ceil(τ·sz) + 1 shingles as index rows, each carrying the
+    // numerically-sorted full set for in-kernel verification
+    val prefix = sh.join(dft, "g")
+      .select(col("sid"), col("g"), col("df"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val rows = it.toArray.sortBy(r => (r._3, r._2))
+        val sz = rows.length
+        val keep = sz - math.ceil(threshold * sz).toInt + 1
+        val set = rows.map(_._2); java.util.Arrays.sort(set)
+        Iterator.tabulate(keep)(i => (rows(i)._2, sid, i + 1, sz, set))
+      }
+    // the ppjoin kernel: per shared prefix shingle, length + positional
+    // filters (exact — every bound over-estimates the true intersection:
+    //  - length: J ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|);
+    //  - positional: a common token at rarest-first positions (pa, pb)
+    //    bounds the intersection by min(pa,pb) + min(|A|-pa, |B|-pb),
+    //    and J ≥ τ needs inter·(1+τ) ≥ τ·(|A|+|B|))
+    // then a sorted-merge intersection verifies survivors in place. The
+    // same true pair can emerge from several shared prefix shingles with
+    // identical (da, db, jaccard) values — distinct() collapses them.
+    prefix.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val out = Iterator.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < rows.length) {
+          var j = i + 1
+          while (j < rows.length) {
+            val x = rows(i); val y = rows(j)
+            val (a, b) = if (x._2 < y._2) (x, y) else (y, x)
+            val (da, db, pa, pb, sa, sb) = (a._2, b._2, a._3, b._3, a._4, b._4)
+            val ubound = math.min(pa, pb) + math.min(sa - pa, sb - pb)
+            if (da != db && sa * threshold <= sb && sb * threshold <= sa
+                && ubound * (1 + threshold) >= (sa + sb) * threshold) {
+              val inter = sortedIntersect(a._5, b._5)
+              val jac = inter.toDouble / (sa + sb - inter)
+              if (jac >= threshold) out += ((da, db, jac))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("da", "db", "jaccard").distinct()
+  }
+
+  /** Intersection size of two sorted long arrays (single merge pass). */
+  private def sortedIntersect(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
   }
 
   /** Per-document sorted shingle-hash sets — the verification dimension
@@ -165,21 +223,57 @@ object Dedup {
     * nothing wider than (long, long) or a row-sized array ever shuffles. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val k = bands * rowsPerBand
+    // signature AND verification set in ONE per-doc aggregation: the
+    // shingle rows are consumed in a single pass/shuffle. (Round 2
+    // cached the full shingle row set and shuffled it twice.)
     val sh = shingleSet(docs, idCol, textCol, n)
       .select(col("sid"), xxhash64(col("g")).as("g"), minhashBase(col("g")).as("x"))
-      .cache()
-    val mh = minhashSignatures(sh, k)
+    def h(i: Int) = (lit(minhashA(i)) * col("x") + lit(minhashB(i))) % MinhashP
+    val agg = sh.groupBy(col("sid"))
+      .agg(sort_array(collect_list(col("g"))).as("gs"),
+        (0 until k).map(i => min(h(i)).as(s"mh$i")): _*)
+    // band buckets are internal join keys only (never surfaced), so the
+    // cheap 64-bit xxhash64 replaces md5 without touching oracle parity
     val bucketCols = (0 until bands).map { b =>
-      md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+      xxhash64(concat_ws(",", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
     }
-    val bandsDf = mh.select(col("sid"),
-      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
-    val cand = bandsDf.as("a").join(bandsDf.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-          && col("a.sid") < col("b.sid"))
-      .select(col("a.sid").as("da"), col("b.sid").as("db")).distinct()
-    verifyJaccard(cand, docsetsOf(sh), threshold)
+    // fused bucket kernel (same layout as the ngram kernel): band rows
+    // carry the doc's sorted set, pairs are verified in-bucket with a
+    // sorted-merge intersection, and only J ≥ τ survivors are emitted —
+    // no candidate↔set re-join, no cache, one shuffle of the band rows.
+    // Carrying the set costs bands× duplication through the shuffle; at
+    // single-digit band counts that undercuts the re-join, and bucket
+    // population is bounded by LSH design so the per-group loop stays
+    // small at any corpus size. The same pair surviving in several bands
+    // emits identical (da, db, jaccard) rows — distinct() collapses them.
+    agg.select(col("sid"), col("gs"),
+        posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("sid"), col("gs"))
+      .as[(Int, Long, Long, Array[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._3)
+        val out = Iterator.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < rows.length) {
+          var j = i + 1
+          while (j < rows.length) {
+            val a = rows(i); val b = rows(j)
+            if (a._3 != b._3) {
+              val inter = sortedIntersect(a._4, b._4)
+              val jac = inter.toDouble / (a._4.length + b._4.length - inter)
+              if (jac >= threshold) out += ((a._3, b._3, jac))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("da", "db", "jaccard").distinct()
   }
 
   /** 16-bit SimHash signature per document over its distinct tokens. */
