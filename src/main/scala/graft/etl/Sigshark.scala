@@ -27,25 +27,33 @@ object Sigshark {
   /** One tracked transaction: ordered frame numbers + start timestamp. */
   final case class Transaction(key: String, startTsSec: Long, startUsec: Int, frames: Seq[Long])
 
-  /** J7 Diameter transaction tracking over one capture file. */
+  /** J7 Diameter transaction tracking (`sigshark.py:521-539`): request
+    * opens a transaction at (command, hop-by-hop, end-to-end, session),
+    * the answer closes it. Runs per capture file as a flatMapGroups
+    * state machine on executors — same shape as [[tcapTransactions]],
+    * no driver collect (a multi-GB capture never funnels through the
+    * driver; only the final pcap-write in [[run]] does, tool-parity). */
   def diameterTransactions(spark: SparkSession, path: String,
-      keepPartial: Boolean = false): Seq[Transaction] = {
+      keepPartial: Boolean = false): Dataset[Transaction] = {
     import spark.implicits._
-    val recs = DiameterPipeline.records(spark, path)
-    recs.map { r =>
-      (s"${r.commandCode}|${r.hopByHopId}|${r.endToEndId}|${r.sessionId}",
-        r.timeEpoch, r.usecondsEpoch, r.framesList, r.request)
-    }.collect()
-      .groupBy(_._1)
+    DiameterPipeline.records(spark, path)
+      .groupByKey(_.pcapFilename)
+      .flatMapGroups { (_, it) => runDiameterMachine(it.toSeq, keepPartial) }
+  }
+
+  private[etl] def runDiameterMachine(recs: Seq[DiameterRec],
+      keepPartial: Boolean): Iterator[Transaction] = {
+    recs
+      .groupBy(r => s"${r.commandCode}|${r.hopByHopId}|${r.endToEndId}|${r.sessionId}")
+      .iterator
       .flatMap { case (key, rows) =>
-        val sorted = rows.sortBy(r => (r._2.toLong, r._3))
-        val frames = sorted.flatMap(_._4.split(" ").map(_.toLong)).toSeq
-        val complete = rows.exists(!_._5) // an answer closed it
+        val sorted = rows.sortBy(r => (r.timeEpoch, r.usecondsEpoch))
+        val frames = sorted.flatMap(_.framesList.split(" ").map(_.toLong))
+        val complete = rows.exists(!_.request) // an answer closed it
         if (complete || keepPartial)
-          Some(Transaction(key, sorted.head._2, sorted.head._3, frames))
+          Some(Transaction(key, sorted.head.timeEpoch, sorted.head.usecondsEpoch, frames))
         else None
       }
-      .toSeq
   }
 
   /** J7 TCAP transaction tracking (`sigshark.py:458-520`) — the tool's
@@ -157,7 +165,7 @@ object Sigshark {
   def run(spark: SparkSession, inPath: String, outPath: java.nio.file.Path,
       keepPartial: Boolean = false): Seq[Transaction] = {
     val frames = Pcap.frames(spark, inPath).collect().toSeq
-    val txs = diameterTransactions(spark, inPath, keepPartial)
+    val txs = diameterTransactions(spark, inPath, keepPartial).collect().toSeq
     val dlt = frames.headOption.map(_.dlt).getOrElse(1)
     java.nio.file.Files.write(outPath, transactionSortedPcap(frames, txs, dlt))
     txs

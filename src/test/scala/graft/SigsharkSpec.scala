@@ -92,6 +92,6 @@ class SigsharkSpec extends AnyFunSuite {
     Files.write(dir.resolve("p.pcap"), pcap)
     val path = dir.toString + "/p.pcap"
     assert(Sigshark.diameterTransactions(SparkTest.spark, path).isEmpty)
-    assert(Sigshark.diameterTransactions(SparkTest.spark, path, keepPartial = true).size == 1)
+    assert(Sigshark.diameterTransactions(SparkTest.spark, path, keepPartial = true).count() == 1)
   }
 }
