@@ -100,4 +100,141 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"), col("cosine"))
   }
+
+  /** Scala-side sequential-fold dot — the same accumulation order and
+    * double promotion as [[graft.functions.FloatVecDot]], for typed-map
+    * vector math (query-side probing, centroid training). */
+  def dotD(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def cosineD(a: Array[Float], b: Array[Float]): Double =
+    dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+
+  private def nearestCell(cs: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val sim = cosineD(v, cs(c))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Distributed Lloyd's k-means in cosine geometry (assignment by max
+    * cosine, update by cell mean), `iters` rounds from a caller-supplied
+    * deterministic init. One pass per round: per-partition accumulators
+    * reduce to k×dim double sums — only (cell, sum, count) triples ever
+    * cross the wire, so a round costs a map over the corpus plus a
+    * k-row shuffle regardless of corpus size (the standard scalable
+    * Lloyd's layout; k-means‖ init is the further refinement when even
+    * the init sample must be distributed). Empty cells keep their
+    * previous centroid. */
+  def kmeansCentroids(vecs: DataFrame, vecCol: String,
+      init: Array[Array[Float]], iters: Int): Array[Array[Float]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val ds = vecs.select(col(vecCol)).as[Array[Float]]
+    var cents = init
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val sums = ds
+        .mapPartitions { it =>
+          val cs = bc.value
+          val dim = if (cs.nonEmpty) cs(0).length else 0
+          val acc = Array.fill(cs.length)(new Array[Double](dim))
+          val cnt = new Array[Long](cs.length)
+          it.foreach { v =>
+            val best = nearestCell(cs, v)
+            val a = acc(best)
+            var i = 0
+            val n = math.min(dim, v.length)
+            while (i < n) { a(i) += v(i); i += 1 }
+            cnt(best) += 1
+          }
+          Iterator.tabulate(cs.length)(i => (i, acc(i), cnt(i))).filter(_._3 > 0)
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (x, y) =>
+          val s = new Array[Double](x._2.length)
+          var i = 0
+          while (i < s.length) { s(i) = x._2(i) + y._2(i); i += 1 }
+          (x._1, s, x._3 + y._3)
+        }
+        .map(_._2)
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { case (cell, s, n) =>
+        next(cell) = Array.tabulate(s.length)(i => (s(i) / n).toFloat)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF search against trained centroids: corpus vectors live in their
+    * max-cosine cell (inverted file), queries probe their `nprobe`
+    * nearest cells, exact cosine rank within the probed cells. Probing
+    * >1 cell is what makes IVF an honest ANN — single-probe recall
+    * collapses whenever a query sits near a cell boundary. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      cents: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = corpus.select(col("cid"), col("cvec")).as[(Long, Array[Float])]
+      .map { case (cid, v) => (cid, v, nearestCell(bc.value, v)) }
+      .toDF("cid", "cvec", "cell")
+    val probes = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])]
+      .flatMap { case (qid, v) =>
+        val cs = bc.value
+        cs.indices
+          .sortBy(c => (-cosineD(v, cs(c)), c))
+          .take(math.min(nprobe, cs.length))
+          .map(c => (qid, v, c))
+      }
+      .toDF("qid", "qvec", "cell")
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+    topK(scored, k)
+  }
+
+  /** Multi-probe hyperplane LSH (Lv et al.'s perturbation idea in its
+    * simplest form): each query probes its own bucket plus the buckets
+    * reached by flipping its `nprobe - 1` least-confident sign bits
+    * (smallest |projection| first, index ascending on ties). The corpus
+    * side is untouched — still one bucket per vector, still an equi-join
+    * — so recall rises without re-indexing. Probed buckets are distinct,
+    * so no (qid, cid) pair is scored twice. */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+      planes: Seq[Seq[Float]], k: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val planesArr = planes.map(_.toArray).toArray
+    val cb = corpus.select(col("cid"), col("cvec"),
+      lshBucket(col("cvec"), planes).as("bucket"))
+    val qb = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])]
+      .flatMap { case (qid, v) =>
+        val projs = planesArr.map(dotD(v, _))
+        var base = 0L
+        var i = 0
+        while (i < projs.length) { if (projs(i) >= 0) base |= 1L << i; i += 1 }
+        val order = projs.indices.sortBy(i => (math.abs(projs(i)), i))
+        (0 until math.min(nprobe, order.length + 1)).map { j =>
+          (qid, v, if (j == 0) base else base ^ (1L << order(j - 1)))
+        }
+      }
+      .toDF("qid", "qvec", "bucket")
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+    topK(scored, k)
+  }
 }

@@ -29,6 +29,37 @@ class AnnSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(2) > 0.99)
   }
 
+  /** recall@5 of an approximate ranking vs the exact brute-force one. */
+  private def recallAt5(approx: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame): Double = {
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "cid").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val ex = sets(exact)
+    val ap = sets(approx)
+    val per = ex.map { case (q, t) => (ap.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+    per.sum / per.size
+  }
+
+  test("trained IVF recall@5 >= 0.9 vs exact; multi-probe LSH beats single-probe") {
+    val spark = SparkTest.spark
+    val d = "/root/testdata/sf0.01"
+    val exact = graft.queries.Embedding.v1KnnBrute.run(spark, d)
+    val ivf = graft.queries.Embedding.v7KnnIvfTrained.run(spark, d)
+    val rIvf = recallAt5(ivf, exact)
+    assert(rIvf >= 0.9, s"trained-IVF recall@5 = $rIvf")
+    val single = graft.queries.Embedding.v2KnnLsh.run(spark, d)
+    val multi = graft.queries.Embedding.v8KnnLshMultiprobe.run(spark, d)
+    val (rS, rM) = (recallAt5(single, exact), recallAt5(multi, exact))
+    // multi-probe candidates are a superset of single-probe → recall can
+    // only improve. No absolute floor here: the synthetic embeddings are
+    // near-uniform, so sign-LSH recall ≈ probed-bucket coverage (2/64 at
+    // nprobe=2) by construction — the ranking itself is exact-checked by
+    // the v8 SQL oracle, and the absolute ≥0.9 ANN gate is carried by
+    // the trained-IVF assertion above (nprobe=4 of 16 trained cells).
+    assert(rM >= rS, s"multi-probe $rM < single-probe $rS")
+  }
+
   test("lshNearDupPairs agrees with exact pairs when buckets coincide") {
     val spark = SparkTest.spark
     import spark.implicits._
