@@ -139,6 +139,60 @@ object Extras {
       .orderBy(col("event_id"))
   }
 
+  /** Blob-scale multimodal pipeline (round-1 ask #10): synthesize a
+    * 16-80 KiB binary blob per document (sizes deliberately skewed,
+    * magic bytes cycling jpeg/png/raw), run the REAL media path —
+    * [[graft.multimodal.Multimodal.repartitionBySize]] to cap
+    * blob-bytes-per-task, `mapPartitions` decode (one codec init per
+    * partition), resize, frame-sample — and emit the closed-form-checkable
+    * outputs. At sf0.1 this pushes ~240 MB of blob bytes through the
+    * shuffle + decode, so the BENCH row exercises the real shape; the
+    * stub codec's derived fields (mime sniff, duration=len, resize cap,
+    * every-4th-1KiB frame count) are exactly reproducible in SQL. */
+  val m1MediaPipeline: Q = Q(
+    "m1_media_pipeline",
+    """WITH d AS (SELECT doc_id, 16384 + (doc_id % 5) * 16384 AS len FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+      |       WHEN doc_id % 3 = 1 THEN 'image/png'
+      |       ELSE 'application/octet-stream' END AS mime,
+      |  len AS duration_ms,
+      |  CAST(least(len, 32768) AS INTEGER) AS resized_len,
+      |  CAST(len // 4096 AS INTEGER) AS n_frames
+      |FROM d ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.{MediaRecord, Multimodal}
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count()
+    val blobs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val seed = text.getBytes("UTF-8")
+        val len = 16384 + (id % 5).toInt * 16384
+        val b = new Array[Byte](len)
+        var i = 0
+        while (i < len) {
+          b(i) = if (seed.nonEmpty) seed(i % seed.length) else (i + id).toByte
+          i += 1
+        }
+        (id % 3) match {
+          case 0 => b(0) = 0xff.toByte; b(1) = 0xd8.toByte
+          case 1 => b(0) = 0x89.toByte; b(1) = 'P'.toByte
+          case _ => b(0) = 0; b(1) = 0
+        }
+        MediaRecord(id, "image", b)
+      }
+    // avg blob = 48 KiB; cap each task at ~8 MiB of blob bytes
+    val sized = Multimodal.repartitionBySize(blobs.toDF(), nDocs * 49152L, 8L << 20)
+    Multimodal.decode(sized.as[MediaRecord])
+      .map { m =>
+        (m.mediaId, m.meta.mimeType, m.meta.durationMs,
+          graft.multimodal.Multimodal.StubCodec.resize(m.content, 32768).length,
+          graft.multimodal.Multimodal.StubCodec.sampleFrames(m.content, 4).length)
+      }
+      .toDF("media_id", "mime", "duration_ms", "resized_len", "n_frames")
+      .orderBy(col("media_id"))
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
-    q19SessionWindow, q20CidrFilter)
+    q19SessionWindow, q20CidrFilter, m1MediaPipeline)
 }

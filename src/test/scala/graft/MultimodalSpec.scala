@@ -33,6 +33,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sampleFrames(new Array[Byte](10240), 2).size == 5)
   }
 
+  test("m1 blob pipeline: generator + repartition-by-size + decode end-to-end") {
+    val df = graft.queries.Extras.m1MediaPipeline.run(SparkTest.spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // closed-form expectations for the first documents
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getString(1) == "image/jpeg")
+    assert(byId(1L).getString(1) == "image/png")
+    assert(byId(2L).getString(1) == "application/octet-stream")
+    // doc 3: len = 16384 + 3*16384 = 65536 → resize caps at 32768, 16 frames
+    assert(byId(3L).getLong(2) == 65536L)
+    assert(byId(3L).getInt(3) == 32768)
+    assert(byId(3L).getInt(4) == 16)
+  }
+
   test("K5 pcap writer round-trips through the reader") {
     val frames = Pcap.decodeFile("a.pcap", TestBytes.pcapFile(Seq(
       (100L, 5, TestBytes.ether(Array[Byte](1, 2))),
