@@ -15,4 +15,16 @@ object GraftBridge {
 
   def functionRegistry(spark: SparkSession): org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+
+  /** Register a table-valued function (the `SELECT * FROM fn(...)`
+    * surface): the builder maps the call's argument expressions to the
+    * logical plan the reference resolves to. */
+  def registerTableFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Analyzed-input logical plan of a DataFrame (classic backend). */
+  def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.DataFrame].queryExecution.logical
 }

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestBytes._
+import graft.sources.SqlFrontDoor
+
+/** SQL-only round trips through the TVF front door: every assertion uses
+  * `spark.sql` exclusively — no DataFrame API — proving the protocol
+  * surface is reachable from plain SQL (SURVEY NEXT #5).
+  */
+class SqlFrontDoorSpec extends AnyFunSuite {
+
+  private def ber(tag: Int, value: Array[Byte]): Array[Byte] =
+    cat(Array(tag.toByte, value.length.toByte), value)
+
+  private lazy val spark = {
+    SqlFrontDoor.register(SparkTest.spark)
+    SparkTest.spark
+  }
+
+  test("scalar functions from pure SQL") {
+    val r = spark.sql(
+      """SELECT tbcd_decode(unhex('2143f5')) AS t,
+        |       bcd_swap(unhex('2143f5')) AS b,
+        |       fvec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "12345")
+    assert(r.getString(1) == "12345")
+    assert(r.getDouble(2) == 9.0)
+  }
+
+  test("pcap_frames + diameter_records TVFs round-trip a capture") {
+    val a = Array[Byte](10, 0, 0, 1)
+    val b = Array[Byte](10, 0, 0, 2)
+    val pcap = pcapFile(Seq(
+      (1000L, 0, ether(ipv4(132, a, b, sctpData(3868, 3868, 1, 1, 46L,
+        diameterMsg(request = true, 316, 9, 9, strAvp(263, "sess-1")))))),
+      (1001L, 0, ether(ipv4(132, b, a, sctpData(3868, 3868, 1, 1, 46L,
+        diameterMsg(request = false, 316, 9, 9, strAvp(263, "sess-1"),
+          u32Avp(268, 2001))))))))
+    val dir = Files.createTempDirectory("graftsqlfd")
+    Files.write(dir.resolve("d.pcap"), pcap)
+    val p = dir.toString + "/*.pcap"
+
+    assert(spark.sql(s"SELECT count(*) FROM pcap_frames('$p')").collect().head.getLong(0) == 2L)
+
+    val rows = spark.sql(
+      s"""SELECT sessionId, request, resultCode
+         |FROM diameter_records('$p')
+         |ORDER BY request DESC""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getBoolean(1) && rows(0).getString(0) == "sess-1")
+    assert(!rows(1).getBoolean(1) && rows(1).getLong(2) == 2001L)
+  }
+
+  test("tcap_transactions TVF sessionizes from pure SQL") {
+    val begin = ber(0x62, cat(ber(0x48, Array[Byte](0x11, 0x22)),
+      ber(0x6c, ber(0xa1, cat(ber(0x02, Array[Byte](1)), ber(0x02, Array[Byte](45)))))))
+    val end = ber(0x64, ber(0x49, Array[Byte](0x11, 0x22)))
+    val f1 = mtp3(77, 88, sccpUdt(
+      sccpAddrGt(6, Array(0x65, 0x87).map(_.toByte)),
+      sccpAddrGt(8, Array(0x21, 0x43).map(_.toByte)), begin))
+    val f2 = mtp3(88, 77, sccpUdt(
+      sccpAddrGt(8, Array(0x21, 0x43).map(_.toByte)),
+      sccpAddrGt(6, Array(0x65, 0x87).map(_.toByte)), end))
+    val dir = Files.createTempDirectory("graftsqltcap")
+    Files.write(dir.resolve("t.pcapng"),
+      pcapngFile(141, Seq((100L * 1000000L, f1), (101L * 1000000L, f2))))
+    val rows = spark.sql(
+      s"SELECT key, frames_list FROM tcap_transactions('${dir.toString}/*.pcapng')")
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "8_1234_" + 0x1122)
+    assert(rows.head.getString(1) == "1 2")
+  }
+
+  test("http_records TVF: request-response linking from pure SQL") {
+    val client = Array[Byte](10, 0, 0, 1)
+    val server = Array[Byte](10, 0, 0, 2)
+    def frame(src: Array[Byte], dst: Array[Byte], sp: Int, dp: Int, seq: Long,
+        ack: Long, text: String) =
+      ether(ipv4(6, src, dst, tcp(sp, dp, seq, ack, 24, text.getBytes("UTF-8"))))
+    val pcap = pcapFile(Seq(
+      (100L, 1, frame(client, server, 1111, 80, 1, 1, "GET /a HTTP/1.1\r\n\r\n")),
+      (100L, 2, frame(server, client, 80, 1111, 1, 2, "HTTP/1.1 200 OK\r\n\r\n"))))
+    val dir = Files.createTempDirectory("graftsqlhttp")
+    Files.write(dir.resolve("h.pcap"), pcap)
+    val rows = spark.sql(
+      s"""SELECT method, http_response_in FROM http_records('${dir.toString}/*.pcap')
+         |WHERE httpIsRequest""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "GET")
+    assert(rows.head.getLong(1) == 2L)
+  }
+
+  test("TVF composes with aggregation and pruning in one SQL statement") {
+    val a = Array[Byte](10, 0, 0, 1)
+    val b = Array[Byte](10, 0, 0, 2)
+    val frames = (1 to 4).map { i =>
+      (1000L + i, 0, ether(ipv4(132, a, b, sctpData(3868, 3868, 1, i, 46L,
+        diameterMsg(request = i % 2 == 1, 316, i, i, strAvp(263, s"s${i / 2}"))))))
+    }
+    val dir = Files.createTempDirectory("graftsqlagg")
+    Files.write(dir.resolve("d.pcap"), pcapFile(frames))
+    val rows = spark.sql(
+      s"""SELECT sessionId, count(*) AS n
+         |FROM diameter_records('${dir.toString}/*.pcap')
+         |GROUP BY sessionId ORDER BY sessionId""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq.sorted.nonEmpty)
+  }
+}
