@@ -276,10 +276,84 @@ object Dedup {
       .toDF("da", "db", "jaccard").distinct()
   }
 
+  /** SimHash near-neighbor stats via the pigeonhole band trick (the
+    * documented scale path for the t7 signatures, now a query): two
+    * 16-bit signatures within Hamming distance d must agree EXACTLY on
+    * at least one of d+1 disjoint bit chunks, so grouping by
+    * (chunk index, chunk value) covers every qualifying pair without an
+    * all-pairs join; the in-bucket check is the exact popcount.
+    *
+    * Coarse signatures collapse a large corpus onto few distinct values
+    * (≤ 2¹⁶ here), so the kernel runs over DISTINCT signatures with
+    * multiplicities — the doc-level pair explosion (quadratic in cluster
+    * size, millions of pairs on a template-heavy corpus) never
+    * materializes. Emits per-document (sid, n_near, min_hamming) for
+    * docs with ≥ 1 neighbor within `maxDist`: exactly the rollup of the
+    * naive all-pairs popcount join. Wider signatures at corpus scale
+    * widen the chunks (64/(d+1) bits), keeping bucket populations
+    * bounded. */
+  def simhashNearStats(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = maxDist + 1
+    val bitsPer = 16 / chunks
+    val mask = (1L << bitsPer) - 1
+    // cached: (sid, simhash) — one compact row per doc, consumed by the
+    // multiplicity count and the final stats join
+    val sigs = simhashSignatures(docs, idCol, textCol).cache()
+    val counts = sigs.groupBy(col("simhash")).agg(count(lit(1)).as("n"))
+    // pigeonhole kernel over distinct signatures; both directions out
+    val sigPairs = counts.select(col("simhash")).as[Long]
+      .flatMap { sig =>
+        (0 until chunks).map(c => (c, (sig >> (c * bitsPer)) & mask, sig))
+      }
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val ss = it.map(_._3).toArray.sorted
+        val out = Iterator.newBuilder[(Long, Long, Long)]
+        var i = 0
+        while (i < ss.length) {
+          var j = i + 1
+          while (j < ss.length) {
+            val ham = java.lang.Long.bitCount(ss(i) ^ ss(j))
+            if (ham <= maxDist && ss(i) != ss(j)) {
+              out += ((ss(i), ss(j), ham.toLong))
+              out += ((ss(j), ss(i), ham.toLong))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("s", "o", "ham").distinct()
+    // neighbors from OTHER signatures: weight by the other side's count
+    val fromOthers = sigPairs
+      .join(counts.select(col("simhash").as("o"), col("n").as("n_o")), "o")
+      .groupBy(col("s"))
+      .agg(sum(col("n_o")).as("n_other"), min(col("ham")).as("min_other"))
+    // combine with the same-signature contribution (n-1 docs at ham 0)
+    val perSig = counts
+      .join(fromOthers, col("simhash") === col("s"), "left")
+      .select(col("simhash"),
+        (coalesce(col("n_other"), lit(0L)) + col("n") - 1).as("n_near"),
+        when(col("n") >= 2, lit(0L)).otherwise(col("min_other")).as("min_hamming"))
+    sigs.join(perSig, "simhash")
+      .filter(col("n_near") > 0)
+      .select(col("sid"), col("n_near"), col("min_hamming"))
+  }
+
   /** 16-bit SimHash signature per document over its distinct tokens. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("sid"), explode(tokenSet(col(textCol))).as("t"))
+    // same small-split fanout as shingleSet: the 16 md5s per token are
+    // the dominant cost and must not run on a single scan task
+    val spark = docs.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val narrow = docs.select(col(idCol).as("sid"), col(textCol).as("txt"))
+    val src = if (narrow.rdd.getNumPartitions < target) narrow.repartition(target) else narrow
+    val toks = src
+      .select(col("sid"), explode(tokenSet(col("txt"))).as("t"))
     val bitSums = toks.groupBy(col("sid"))
       .agg(sum(simhashContrib(col("t"), 0)).as("s0"),
         (1 until 16).map(i => sum(simhashContrib(col("t"), i)).as(s"s$i")): _*)

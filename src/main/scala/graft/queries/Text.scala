@@ -201,6 +201,42 @@ object Text {
     }
   }
 
+  /** SimHash near-pair search: the pigeonhole chunk cover is exact for
+    * Hamming ≤ 3, so the Spark kernel's pair set must equal the oracle's
+    * naive all-pairs popcount join. The 16-bit signatures cluster hard
+    * on this template-heavy corpus (millions of qualifying pairs at
+    * sf0.1), so the query surface is the bounded per-document rollup —
+    * near-neighbor count + closest distance, the fields a dedup pipeline
+    * actually consumes — and the kernel runs over distinct signatures
+    * with multiplicities, never materializing the doc-pair explosion. */
+  val t9SimhashPairs: Q = {
+    val sums = (0 until 16).map { i =>
+      s"sum(CASE WHEN substring(md5('$i#' || t), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(",\n       ")
+    val sig = (0 until 16).map(i => s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    Q(
+      "t9_simhash_pairs",
+      s"""WITH toks AS (
+         |  SELECT doc_id AS sid, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+         |  FROM documents),
+         |bits AS (SELECT sid, $sums FROM toks GROUP BY sid),
+         |sigs AS (SELECT sid, CAST($sig AS BIGINT) AS simhash FROM bits),
+         |pairs AS (
+         |  SELECT a.sid AS da, b.sid AS db,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM sigs a JOIN sigs b ON a.sid < b.sid
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |sides AS (
+         |  SELECT da AS sid, hamming FROM pairs
+         |  UNION ALL SELECT db, hamming FROM pairs)
+         |SELECT sid, count(*) AS n_near, min(hamming) AS min_hamming
+         |FROM sides GROUP BY sid
+         |ORDER BY sid""".stripMargin) { (s, d) =>
+      Dedup.simhashNearStats(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
+        .orderBy(col("sid"))
+    }
+  }
+
   /** Rolling-hash document fingerprint (Horner, base 31, mod 2^31-1). */
   val t8Fingerprint: Q = Q(
     "t8_fingerprint",
@@ -217,5 +253,5 @@ object Text {
 
   val all: Seq[Q] = Seq(
     t1TokenStats, t2ExactDedup, t3Quality, t4LangId, t5NgramJaccard,
-    t6MinhashLsh, t7Simhash, t8Fingerprint)
+    t6MinhashLsh, t7Simhash, t8Fingerprint, t9SimhashPairs)
 }
