@@ -105,12 +105,25 @@ object GsmMapPipeline {
   /** TCAP packets with sigshark key fields — the input to
     * [[Sigshark.tcapTransactions]]. Unsegmented SCCP only: sigshark's
     * tshark front-end likewise sees TCAP fields on whole messages
-    * (`sigshark.py:386-403` requires --flatten for multi-chunk packets). */
-  def tcapPackets(spark: SparkSession, path: String)
-      : org.apache.spark.sql.Dataset[TcapPkt] = {
+    * (`sigshark.py:386-403` requires --flatten for multi-chunk packets).
+    * For the same reason each TCAP packet carries ONE frame number —
+    * the reference's SEGS/FRAGS multi-frame attribution per packet
+    * (`sigshark.py:459-466`) doesn't arise in the native-decode design,
+    * where SCCP segments are reassembled before the TCAP parse.
+    *
+    * `excludeCidrs` is sigshark's `--exclude-ip` (`sigshark.py:447-456`):
+    * packets whose src OR dst falls in any block never reach the
+    * transaction machine. */
+  def tcapPackets(spark: SparkSession, path: String,
+      excludeCidrs: Seq[String] = Nil): org.apache.spark.sql.Dataset[TcapPkt] = {
     import spark.implicits._
     sccpMessages(spark, path)
       .filter(_._2.segmentation.isEmpty)
+      .filter { case (c, _) =>
+        excludeCidrs.isEmpty ||
+          !(graft.operators.Cidr.inAnySubnetValue(c.srcIp, excludeCidrs)
+            || graft.operators.Cidr.inAnySubnetValue(c.dstIp, excludeCidrs))
+      }
       .flatMap { case (c, m) =>
         GsmMap.tcapParse(m.data).map { t =>
           TcapPkt(c.pcapFilename, c.frameNo, c.tsSec, c.tsUsec,

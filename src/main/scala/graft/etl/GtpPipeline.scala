@@ -50,8 +50,13 @@ object GtpPipeline {
           g.imsi, g.msisdn))
       }
       .toDF()
-    // J3: last-non-empty wins within (file, seq) — empty string ≠ null, so
-    // nullif first (SURVEY §2.11)
+    enrich(decoded).drop("frameNo")
+  }
+
+  /** J3: last-non-empty imsi/msisdn wins within (file, gtp_seq_number) —
+    * empty string ≠ null, so nullif first (SURVEY §2.11). Factored so the
+    * q32 oracle query exercises the identical window logic. */
+  def enrich(decoded: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("pcapFilename"), col("gtpSeqNumber"))
       .orderBy(col("frameNo"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -60,6 +65,5 @@ object GtpPipeline {
         coalesce(last(nullif(col("imsi"), lit("")), ignoreNulls = true).over(w), lit("")))
       .withColumn("msisdn",
         coalesce(last(nullif(col("msisdn"), lit("")), ignoreNulls = true).over(w), lit("")))
-      .drop("frameNo")
   }
 }

@@ -65,9 +65,17 @@ object Sigshark {
     * ends emit a one-frame transaction, and still-open transactions flush
     * at EOF. Runs per capture file as a flatMapGroups state machine over
     * frame-ordered packets — distributed by file, no driver collect. */
+  /** `excludeCidrs` = sigshark `--exclude-ip`; `displayFilter` is the
+    * engine's replacement for the tool's tshark display filter — any SQL
+    * predicate over the [[TcapPkt]] columns, applied before the machine
+    * (`sigshark.py:557-576` applies both inside the transaction scan). */
   def tcapTransactions(spark: SparkSession, path: String,
-      keepPartial: Boolean = false): Dataset[Transaction] =
-    sessionize(GsmMapPipeline.tcapPackets(spark, path), keepPartial)
+      keepPartial: Boolean = false, excludeCidrs: Seq[String] = Nil,
+      displayFilter: Option[String] = None): Dataset[Transaction] = {
+    val pkts = GsmMapPipeline.tcapPackets(spark, path, excludeCidrs)
+    sessionize(displayFilter.fold(pkts)(f =>
+      pkts.filter(org.apache.spark.sql.functions.expr(f))), keepPartial)
+  }
 
   /** J7 machine over an arbitrary [[TcapPkt]] dataset (decoupled from the
     * pcap pipeline so synthesized packet streams — e.g. the q26 oracle
@@ -135,9 +143,12 @@ object Sigshark {
     * capture, track TCAP transactions, write the transaction-sorted pcap
     * (optionally with O3 separators). */
   def runTcap(spark: SparkSession, inPath: String, outPath: java.nio.file.Path,
-      keepPartial: Boolean = false, separators: Boolean = false): Seq[Transaction] = {
+      keepPartial: Boolean = false, separators: Boolean = false,
+      excludeCidrs: Seq[String] = Nil,
+      displayFilter: Option[String] = None): Seq[Transaction] = {
     val frames = Pcap.frames(spark, inPath).collect().toSeq
-    val txs = tcapTransactions(spark, inPath, keepPartial).collect().toSeq
+    val txs = tcapTransactions(spark, inPath, keepPartial, excludeCidrs, displayFilter)
+      .collect().toSeq
     val dlt = frames.headOption.map(_.dlt).getOrElse(1)
     java.nio.file.Files.write(outPath,
       transactionSortedPcap(frames, txs, dlt, separators))

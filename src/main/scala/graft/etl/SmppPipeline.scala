@@ -64,7 +64,14 @@ object SmppPipeline {
           }
       }
       .toDF()
-    // J2: last-non-empty addr propagated across the (canonical key) group
+    correlateAndDedup(rows).drop("frameNo", "corrKey")
+  }
+
+  /** J2 + D3, factored for the q33 oracle query: last-non-empty
+    * source/destination_addr propagated across the canonical
+    * (file, corrKey) group, then frames_list-based output dedup with a
+    * deterministic keeper. */
+  def correlateAndDedup(rows: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("pcapFilename"), col("corrKey"))
       .orderBy(col("frameNo"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -78,6 +85,6 @@ object SmppPipeline {
         Window.partitionBy(col("pcapFilename"), col("framesList"), col("commandId"))
           .orderBy(col("frameNo"))))
       .filter(col("rn") === 1)
-      .drop("rn", "frameNo", "corrKey")
+      .drop("rn")
   }
 }

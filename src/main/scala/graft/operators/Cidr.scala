@@ -34,4 +34,20 @@ object Cidr {
     * exclusion list. */
   def excludeFilter(srcIp: Column, dstIp: Column, cidrs: Seq[String]): Column =
     !(inAnySubnet(srcIp, cidrs) || inAnySubnet(dstIp, cidrs))
+
+  /** Scala-side twin of [[inAnySubnet]] for the typed pipelines (same
+    * parse, same mask arithmetic). Malformed addresses never match. */
+  def inAnySubnetValue(ip: String, cidrs: Seq[String]): Boolean = {
+    val parts = ip.split("\\.")
+    if (parts.length != 4) return false
+    val packedOpt =
+      try Some(parts.map(_.toLong).reduce((a, b) => (a << 8) | b))
+      catch { case _: NumberFormatException => None }
+    packedOpt.exists { packed =>
+      cidrs.exists { c =>
+        val (net, mask) = parseCidr(c)
+        (packed & mask) == net
+      }
+    }
+  }
 }

@@ -82,6 +82,37 @@ class SigsharkSpec extends AnyFunSuite {
     assert(rewritten.map(_.tsSec) == Seq(2000L, 2002L, 2004L, 2001L, 2003L))
   }
 
+  test("--exclude-ip and display-filter compose into the TCAP scan") {
+    val a = Array[Byte](10, 0, 0, 1)
+    val b = Array[Byte](172.toByte, 16, 0, 2)
+    val gtA = sccpAddrGt(8, Array(0x21, 0x43).map(_.toByte))
+    val gtB = sccpAddrGt(6, Array(0x65, 0x87).map(_.toByte))
+    def tcapOverM3ua(src: Array[Byte], dst: Array[Byte], calling: Array[Byte],
+        called: Array[Byte], tcap: Array[Byte]) =
+      ether(ipv4(132, src, dst, sctpData(2905, 2905, 0, 0, 3L,
+        m3uaTransfer(101, 202, sccpUdt(called, calling, tcap)))))
+    val begin = ber(0x62, ber(0x48, Array[Byte](0x11)))
+    val end = ber(0x64, ber(0x49, Array[Byte](0x11)))
+    val pcap = pcapFile(Seq(
+      (3000L, 0, tcapOverM3ua(a, b, gtA, gtB, begin)),
+      (3001L, 0, tcapOverM3ua(b, a, gtB, gtA, end))))
+    val dir = Files.createTempDirectory("graftsigex")
+    Files.write(dir.resolve("in.pcap"), pcap)
+    val path = dir.toString + "/in.pcap"
+
+    assert(Sigshark.tcapTransactions(SparkTest.spark, path).count() == 1)
+    // P14: either endpoint in an excluded block removes the packets
+    assert(Sigshark.tcapTransactions(SparkTest.spark, path,
+      excludeCidrs = Seq("172.16.0.0/12")).count() == 0)
+    assert(Sigshark.tcapTransactions(SparkTest.spark, path,
+      excludeCidrs = Seq("192.168.0.0/16")).count() == 1)
+    // display filter drops the end → transaction never completes
+    assert(Sigshark.tcapTransactions(SparkTest.spark, path,
+      displayFilter = Some("messType = 'begin'")).count() == 0)
+    assert(Sigshark.tcapTransactions(SparkTest.spark, path, keepPartial = true,
+      displayFilter = Some("messType = 'begin'")).count() == 1)
+  }
+
   test("incomplete transactions dropped unless keepPartial") {
     val a = Array[Byte](10, 0, 0, 1)
     val b = Array[Byte](10, 0, 0, 2)
