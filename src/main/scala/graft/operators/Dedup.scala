@@ -113,7 +113,10 @@ object Dedup {
     val dft = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // one typed pass per doc: rarest-first (df, g) order, emit the first
     // sz - ceil(τ·sz) + 1 shingles as index rows, each carrying the
-    // numerically-sorted full set for in-kernel verification
+    // numerically-sorted full set for in-kernel verification. (A pure
+    // expression formulation — collect_list(struct)+array_sort+slice+
+    // posexplode — measured ~20% slower than this typed pass: the
+    // ObjectHashAggregate struct collection outweighs the encoder cost.)
     val prefix = sh.join(dft, "g")
       .select(col("sid"), col("g"), col("df"))
       .as[(Long, Long, Long)]

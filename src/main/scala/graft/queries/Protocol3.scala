@@ -270,5 +270,114 @@ object Protocol3 {
       .orderBy(col("doc_id"), col("fmt"), col("frame_no"))
   }
 
-  val all: Seq[Q] = Seq(q36HttpFlow, q37SipCrossleg, q38PacketDecode, q39PcapReaders)
+  // ---------------------------------------------------------------------
+  // q40: GTPv1/v2 decode — F17 code→name maps, F22 principled IE walk
+  // (TV + TLV v1 forms, 4-byte-header v2 TLVs), F29 >10-digit IMSI gate
+  // (a 9-digit TBCD IMSI must be rejected), F1 TBCD with filler nibbles.
+  // ---------------------------------------------------------------------
+
+  /** TBCD-encode a digit string into `nbytes` bytes (0xF filler). */
+  private def tbcdEnc(digits: String, nbytes: Int): Array[Byte] = {
+    val out = Array.fill(nbytes)(0xff.toByte)
+    var i = 0
+    while (i < digits.length) {
+      val nib = digits(i) - '0'
+      val b = i / 2
+      out(b) =
+        (if (i % 2 == 0) (out(b) & 0xf0) | nib else (nib << 4) | (out(b) & 0x0f)).toByte
+      i += 1
+    }
+    out
+  }
+
+  val q40GtpDecode: Q = Q(
+    "q40_gtp_decode",
+    """WITH d AS (SELECT doc_id, CAST(doc_id*7919 AS VARCHAR) AS dg,
+      |            CAST(doc_id%4 AS INTEGER) AS m FROM documents),
+      |e AS (SELECT doc_id, m, substr(repeat(dg,15),1,15) AS d15,
+      |             substr(repeat(dg,12),1,12) AS m12 FROM d)
+      |SELECT doc_id,
+      |  CASE WHEN m<=1 THEN 'v1' ELSE 'v2' END AS version,
+      |  CASE m WHEN 0 THEN 'Create PDP Context Request' WHEN 1 THEN 'Echo Response'
+      |         WHEN 2 THEN 'Create Session Request' ELSE 'Echo Request' END AS message,
+      |  CASE WHEN m=3 THEN 0 ELSE doc_id END AS teid,
+      |  CASE WHEN m IN (0, 2) THEN 'Request accepted' ELSE '' END AS cause,
+      |  CASE m WHEN 0 THEN doc_id%65536 WHEN 1 THEN 0 ELSE doc_id END AS seq,
+      |  CASE WHEN (m=0 AND doc_id%5<>0) OR m=2 THEN d15 ELSE '' END AS imsi,
+      |  CASE WHEN m IN (0, 2) THEN m12 ELSE '' END AS msisdn
+      |FROM e ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val dg = (id * 7919).toString
+        val m = (id % 4).toInt
+        val d15 = (dg * 15).take(15)
+        val d9 = (dg * 9).take(9) // F29: must be rejected (≤10 digits)
+        val m12 = (dg * 12).take(12)
+        val bytes = m match {
+          case 0 =>
+            val imsiDigits = if (id % 5 == 0) d9 else d15
+            enc(Array[Byte](0x32, 16), be16(0), be32(id), // v1, S flag
+              be16((id % 65536).toInt), be16(0), // seq + npdu/next
+              Array[Byte](1, 0x80.toByte), // Cause TV
+              Array[Byte](2), tbcdEnc(imsiDigits, 8), // IMSI TV
+              Array[Byte](0x86.toByte), be16(7), Array[Byte](0x91.toByte),
+              tbcdEnc(m12, 6)) // MSISDN TLV (TON/NPI + 6 TBCD bytes)
+          case 1 =>
+            enc(Array[Byte](0x30, 2), be16(0), be32(id)) // v1 Echo Response
+          case 2 =>
+            enc(Array[Byte](0x48, 32), be16(0), be32(id), // v2 + TEID
+              enc(be16((id >> 8).toInt & 0xff), // seq: 3 bytes then spare
+                Array[Byte]((id & 0xff).toByte, 0)),
+              Array[Byte](1), be16(8), Array[Byte](0), tbcdEnc(d15, 8), // IMSI
+              Array[Byte](2), be16(2), Array[Byte](0, 16, 0), // Cause
+              Array[Byte](76), be16(6), Array[Byte](0), tbcdEnc(m12, 6)) // MSISDN
+          case _ =>
+            enc(Array[Byte](0x40, 1), be16(0), // v2, no TEID
+              enc(be16((id >> 8).toInt & 0xff), Array[Byte]((id & 0xff).toByte, 0)))
+        }
+        val g = graft.etl.Gtp.decode(bytes).get
+        (id, g.gtpVersion, g.gtpMessage, g.gtpTeid, g.gtpCause, g.gtpSeqNumber,
+          g.imsi, g.msisdn)
+      }
+      .toDF("doc_id", "version", "message", "teid", "cause", "seq", "imsi", "msisdn")
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q41: S4 DLT dispatch + P1 link-layer IPv4 gate — the same UDP packet
+  // behind every supported link type (EN10MB, LINUX_SLL, LINUX_SLL2,
+  // NULL, ENC raw-IP), plus an ARP ethertype that must be dropped.
+  // ---------------------------------------------------------------------
+
+  val q41DltDispatch: Q = Q(
+    "q41_dlt_dispatch",
+    """WITH d AS (SELECT doc_id, CAST(doc_id%6 AS INTEGER) AS m,
+      |            CAST(doc_id%3+1 AS INTEGER) AS pl FROM documents)
+      |SELECT doc_id, '10.0.0.1' AS src_ip, CAST(7777 AS INTEGER) AS src_port,
+      |       CAST(8888 AS INTEGER) AS dst_port, pl AS payload_len
+      |FROM d WHERE m <> 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val m = (id % 6).toInt
+        val ip = encIpv4(17, encUdp(7777, 8888, Array.fill((id % 3).toInt + 1)('P'.toByte)))
+        val (dlt, frameBytes) = m match {
+          case 0 => (1, encEther(ip))
+          case 1 => (1, enc(new Array[Byte](12), be16(0x0806), ip)) // ARP → dropped
+          case 2 => (113, enc(new Array[Byte](14), be16(0x0800), ip))
+          case 3 => (276, enc(be16(0x0800), new Array[Byte](18), ip))
+          case 4 => (0, enc(Array[Byte](2, 0, 0, 0), ip))
+          case _ => (109, ip)
+        }
+        Packets.decode(Frame("f", 1, id, 0, dlt, frameBytes)).map { p =>
+          (id, p.srcIp, p.srcPort, p.dstPort, p.payload.length)
+        }
+      }
+      .toDF("doc_id", "src_ip", "src_port", "dst_port", "payload_len")
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q36HttpFlow, q37SipCrossleg, q38PacketDecode,
+    q39PcapReaders, q40GtpDecode, q41DltDispatch)
 }
