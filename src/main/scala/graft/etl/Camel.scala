@@ -28,8 +28,13 @@ object Camel {
   def hexToLong(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(regexp_replace(regexp_replace(c, "^0x", ""), ":", ""), 16, 10).cast("long")
 
-  def records(spark: SparkSession, jsonPath: String, pcapName: String): DataFrame = {
-    val raw = spark.read.option("multiLine", "true").json(jsonPath)
+  def records(spark: SparkSession, jsonPath: String, pcapName: String): DataFrame =
+    extract(spark.read.option("multiLine", "true").json(jsonPath), pcapName)
+
+  /** Column work over the raw `_source.layers` structure, factored so
+    * the q42 oracle query drives the identical extraction on a
+    * synthesized structure. */
+  def extract(raw: DataFrame, pcapName: String): DataFrame = {
     val layers = col("_source").getField("layers")
     def fieldArr(name: String) = layers.getField(name)
     def first(name: String) = element_at(fieldArr(name), 1)

@@ -378,6 +378,42 @@ object Protocol3 {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // q42: the CAMEL/tshark-JSON extraction (S5 parse path) — F15 epoch
+  // split, F19 hex→long in both 0x- and colon-separated forms, F17
+  // op-name map incl. the unmapped→null case, and the CAMEL F26 tid rule
+  // (otid iff initialDP else dtid) — over a synthesized `_source.layers`
+  // structure with the dotted tshark field names.
+  // ---------------------------------------------------------------------
+
+  val q42Camel: Q = Q(
+    "q42_camel",
+    """SELECT doc_id AS frame_number, doc_id AS time_epoch,
+      |  CAST(doc_id%1000000 AS INTEGER) AS useconds_epoch,
+      |  '1.2.3.4' AS src_ip, '5.6.7.8' AS dst_ip,
+      |  doc_id AS tcap_otid, doc_id+1 AS tcap_dtid,
+      |  CAST(CASE doc_id%3 WHEN 0 THEN 0 WHEN 1 THEN 31 ELSE 99 END AS INTEGER) AS camel_local,
+      |  'c.pcap' AS pcap_filename,
+      |  CASE doc_id%3 WHEN 0 THEN 'initialDP' WHEN 1 THEN 'continue' END AS camel_op_name,
+      |  CASE WHEN doc_id%3=0 THEN doc_id ELSE doc_id+1 END AS tcap_tid
+      |FROM documents ORDER BY frame_number""".stripMargin) { (s, d) =>
+    val raw = Tables.documents(s, d).select(
+      struct(
+        struct(
+          array(col("doc_id").cast("string")).as("frame.number"),
+          array(concat(col("doc_id").cast("string"), lit("."),
+            lpad((col("doc_id") % 1000000).cast("string"), 6, "0"))).as("frame.time_epoch"),
+          array(lit("1.2.3.4")).as("ip.src"),
+          array(lit("5.6.7.8")).as("ip.dst"),
+          array(concat(lit("0x"), lower(hex(col("doc_id"))))).as("tcap.otid"),
+          array(concat(lit("0:"), lower(hex(col("doc_id") + 1)))).as("tcap.dtid"),
+          array(when(col("doc_id") % 3 === 0, "0")
+            .when(col("doc_id") % 3 === 1, "31").otherwise("99")).as("camel.local")
+        ).as("layers")).as("_source"))
+    graft.etl.Camel.extract(raw, "c.pcap")
+      .orderBy(col("frame_number"))
+  }
+
   val all: Seq[Q] = Seq(q36HttpFlow, q37SipCrossleg, q38PacketDecode,
-    q39PcapReaders, q40GtpDecode, q41DltDispatch)
+    q39PcapReaders, q40GtpDecode, q41DltDispatch, q42Camel)
 }

@@ -44,6 +44,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucketed near-dup must not plan a cartesian product:\n$plan")
   }
 
+  test("t5/t6 fused kernels: no nested-loop or cartesian, no self-join subtree") {
+    for (q <- Seq(Text.t5NgramJaccard, Text.t6MinhashLsh)) {
+      val plan = planOf(q.run(SparkTest.spark, sf))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"${q.name} must stay an equi-shaped plan:\n$plan")
+      // the pair kernels group, they do not self-join: at most the one
+      // dft equi-join (t5) may appear
+      val joins = plan.linesIterator.count(l =>
+        l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")
+          || l.contains("ShuffledHashJoin"))
+      assert(joins <= 1, s"${q.name}: expected ≤1 join (df attach), got $joins:\n$plan")
+    }
+  }
+
+  test("t9: pigeonhole runs over distinct signatures, not documents") {
+    val df = Text.t9SimhashPairs.run(SparkTest.spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"t9 must not plan an all-pairs join:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(
