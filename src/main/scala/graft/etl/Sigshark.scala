@@ -22,6 +22,14 @@ import graft.sources.{Frame, Pcap, PcapWriter}
   * index is collected to the driver and the bytes streamed out — the
   * distributed part is the decode + sessionization.
   */
+/** One still-open TCAP transaction carried across machine steps (and
+  * micro-batches in the streaming mode). Top-level for encoder codegen. */
+final case class TcapOpen(key: String, startTsSec: Long, startUsec: Int, frames: Seq[Long])
+
+/** Carried TCAP machine state: open transactions in insertion order plus
+  * the bidirectional tid-alias map. */
+final case class TcapSessState(open: Seq[TcapOpen], alias: Map[String, String])
+
 object Sigshark {
 
   /** One tracked transaction: ordered frame numbers + start timestamp. */
@@ -90,11 +98,21 @@ object Sigshark {
       }
   }
 
-  private[etl] def runTcapMachine(pkts: Array[TcapPkt],
-      keepPartial: Boolean): Iterator[Transaction] = {
+  /** Incremental step over a packet sequence from a prior state: returns
+    * the carried-forward state (still-open transactions + tid-alias map)
+    * and the transactions closed by this sequence. Shared verbatim by the
+    * batch machine ([[runTcapMachine]] = step from empty + EOF flush) and
+    * the streaming operator (`streaming.TcapStream`, state spanning
+    * micro-batches) — one implementation, two execution modes, the same
+    * discipline as `Sessions`/`Stateful`. */
+  private[graft] def stepTcap(prior: TcapSessState, pkts: Seq[TcapPkt],
+      keepPartial: Boolean): (TcapSessState, Seq[Transaction]) = {
     final case class Open(startTsSec: Long, startUsec: Int, frames: mutable.ArrayBuffer[Long])
     val tas = mutable.LinkedHashMap.empty[String, Open]
+    prior.open.foreach(o =>
+      tas(o.key) = Open(o.startTsSec, o.startUsec, mutable.ArrayBuffer(o.frames: _*)))
     val alias = mutable.HashMap.empty[String, String]
+    alias ++= prior.alias
     val done = mutable.ArrayBuffer.empty[Transaction]
     def close(key: String, tx: Open, closingFrame: Option[Long]): Unit = {
       tx.frames ++= closingFrame
@@ -135,8 +153,23 @@ object Sigshark {
         case _ => ()
       }
     }
-    if (keepPartial) tas.foreach { case (k, tx) => close(k, tx, None) }
-    done.iterator
+    val carried = tas.toSeq.map { case (k, o) =>
+      TcapOpen(k, o.startTsSec, o.startUsec, o.frames.toSeq)
+    }
+    (TcapSessState(carried, alias.toMap), done.toSeq)
+  }
+
+  /** EOF flush of a carried state (batch end / streaming timeout):
+    * still-open transactions surface only under `keepPartial`. */
+  private[graft] def flushTcap(st: TcapSessState,
+      keepPartial: Boolean): Seq[Transaction] =
+    if (keepPartial) st.open.map(o => Transaction(o.key, o.startTsSec, o.startUsec, o.frames))
+    else Seq.empty
+
+  private[graft] def runTcapMachine(pkts: Array[TcapPkt],
+      keepPartial: Boolean): Iterator[Transaction] = {
+    val (st, done) = stepTcap(TcapSessState(Nil, Map.empty), pkts.toSeq, keepPartial)
+    done.iterator ++ flushTcap(st, keepPartial).iterator
   }
 
   /** End-to-end TCAP tool run (`diameter.sh` sigshark parity): read
