@@ -53,9 +53,15 @@ object Bench {
     // box is doing (round-2 verdict measured ~1.5x contention noise on
     // the one-shot numbers). Caches are dropped between runs so each
     // repetition pays its full scan/shuffle/cache cost.
+    // measure each repetition from a clean heap: the typed kernels and
+    // XML/collect_list queries churn the old gen, and without a GC
+    // fence later queries in the 58-query sweep pay their predecessors'
+    // garbage (measured 2-4x degradation on t5/t6/t9 when benched after
+    // the heavy queries vs solo)
     val results = queries.map { q =>
       val times = (1 to runs).map { _ =>
         spark.sharedState.cacheManager.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
