@@ -414,6 +414,44 @@ object Protocol3 {
       .orderBy(col("frame_number"))
   }
 
+  // ---------------------------------------------------------------------
+  // q43: F30 protocol-specific XML rules — SMPP commandId routing
+  // (5 → sourceAddress, 4 → destAddress, other → none) and the Diameter
+  // "null"/empty resultCode → 0 rule — through the real F11 fixup parse
+  // (a BARE ampersand in the address must survive the escape/unescape
+  // round trip).
+  // ---------------------------------------------------------------------
+
+  val q43XmlRules: Q = Q(
+    "q43_xml_rules",
+    """WITH d AS (SELECT doc_id, CAST(doc_id*7919 AS VARCHAR) AS dg,
+      |            CAST(doc_id%5 AS INTEGER) AS m FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN m=0 THEN '52&'||dg WHEN m=1 THEN '1'||dg END AS msisdn,
+      |  CASE WHEN m=3 THEN 0 WHEN m=4 THEN 2000+doc_id%10 END AS result_code
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val dg = (id * 7919).toString
+        val m = (id % 5).toInt
+        val body = m match {
+          case 0 => s"<submit><commandId>5</commandId><sourceAddress>52&$dg</sourceAddress>" +
+            s"<destAddress>x</destAddress></submit>"
+          case 1 => s"<submit><commandId>4</commandId><sourceAddress>x</sourceAddress>" +
+            s"<destAddress>1$dg</destAddress></submit>"
+          case 2 => "<submit><commandId>3</commandId><sourceAddress>x</sourceAddress></submit>"
+          case 3 => "<ccr><resultCode>null</resultCode></ccr>"
+          case _ => s"<ccr><resultCode>${2000 + id % 10}</resultCode></ccr>"
+        }
+        val e = graft.etl.XmlBody.parse(body).get
+        (id, graft.etl.XmlBody.smppXmlMsisdn(e),
+          graft.etl.XmlBody.diamXmlResultCode(e))
+      }
+      .toDF("doc_id", "msisdn", "result_code")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q36HttpFlow, q37SipCrossleg, q38PacketDecode,
-    q39PcapReaders, q40GtpDecode, q41DltDispatch, q42Camel)
+    q39PcapReaders, q40GtpDecode, q41DltDispatch, q42Camel, q43XmlRules)
 }
