@@ -1,13 +1,14 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.StringType
 
 import graft.etl._
-import graft.functions.{CodecExpressions, VectorExpressions}
+import graft.functions.{BcdSwapDecode, CodecExpressions, FloatVecDot, TbcdDecode, VectorExpressions}
 
 /** SQL front door (SURVEY NEXT #5): every protocol pipeline becomes a
   * table-valued function, so `spark.sql` alone reaches the whole
@@ -22,6 +23,11 @@ import graft.functions.{CodecExpressions, VectorExpressions}
   * A TVF call resolves to the pipeline's logical plan, so Catalyst sees
   * straight through it — column pruning and filters compose with the
   * pipeline output exactly as with the DataFrame API.
+  *
+  * Two deployment paths, same builders: [[SqlFrontDoor.register]] on a
+  * live session, or [[GraftExtensions]] via
+  * `spark.sql.extensions=graft.sources.GraftExtensions` at session
+  * build — the standard extension-jar story for a shared cluster.
   */
 object SqlFrontDoor {
 
@@ -32,32 +38,68 @@ object SqlFrontDoor {
     exprs(pos).eval(InternalRow.empty).toString
   }
 
-  /** Register every TVF + scalar function on the session. */
+  /** TVF name → (string args → pipeline DataFrame on the active session).
+    * All take one path argument except `camel_records`
+    * (tshark_json_path, pcap_name). */
+  private def tvfs: Seq[(String, Int, Seq[String] => DataFrame)] = {
+    def s = SparkSession.active
+    Seq(
+      ("pcap_frames", 1, a => Pcap.frames(s, a.head).toDF()),
+      ("diameter_records", 1, a => DiameterPipeline.records(s, a.head).toDF()),
+      ("http_records", 1, a => Http.records(s, a.head)),
+      ("http_ss7_records", 1, a => HttpSs7.records(s, a.head)),
+      ("http_ocs_records", 1, a => HttpOcs.records(s, a.head)),
+      ("sip_records", 1, a => Sip.records(s, a.head)),
+      ("smpp_records", 1, a => SmppPipeline.records(s, a.head)),
+      ("gtp_records", 1, a => GtpPipeline.records(s, a.head)),
+      ("gsm_map_records", 1, a => GsmMapPipeline.records(s, a.head)),
+      ("tcap_transactions", 1, a =>
+        Sigshark.tcapTransactions(s, a.head)
+          .map(t => (t.key, t.startTsSec, t.startUsec, t.frames.mkString(" ")))(
+            org.apache.spark.sql.Encoders.product[(String, Long, Int, String)])
+          .toDF("key", "start_ts_sec", "start_usec", "frames_list")),
+      ("camel_records", 2, a => Camel.records(s, a.head, a(1))))
+  }
+
+  private def tvfBuilder(name: String, nArgs: Int,
+      build: Seq[String] => DataFrame): Seq[Expression] => LogicalPlan =
+    exprs => GraftBridge.logicalPlan(
+      build((0 until nArgs).map(i => argString(exprs, name, i))))
+
+  /** Register every TVF + scalar function on a live session. */
   def register(spark: SparkSession): Unit = {
     CodecExpressions.register(spark)
     VectorExpressions.register(spark)
+    tvfs.foreach { case (name, n, build) =>
+      GraftBridge.registerTableFunction(spark, name, tvfBuilder(name, n, build))
+    }
+  }
 
-    def tvf(name: String)(build: String => DataFrame): Unit =
-      GraftBridge.registerTableFunction(spark, name,
-        exprs => GraftBridge.logicalPlan(build(argString(exprs, name, 0))))
+  private[sources] def info(name: String): ExpressionInfo =
+    new ExpressionInfo(SqlFrontDoor.getClass.getCanonicalName, name)
 
-    tvf("pcap_frames")(p => Pcap.frames(spark, p).toDF())
-    tvf("diameter_records")(p => DiameterPipeline.records(spark, p).toDF())
-    tvf("http_records")(p => Http.records(spark, p))
-    tvf("http_ss7_records")(p => HttpSs7.records(spark, p))
-    tvf("http_ocs_records")(p => HttpOcs.records(spark, p))
-    tvf("sip_records")(p => Sip.records(spark, p))
-    tvf("smpp_records")(p => SmppPipeline.records(spark, p))
-    tvf("gtp_records")(p => GtpPipeline.records(spark, p))
-    tvf("gsm_map_records")(p => GsmMapPipeline.records(spark, p))
-    tvf("tcap_transactions")(p =>
-      Sigshark.tcapTransactions(spark, p)
-        .map(t => (t.key, t.startTsSec, t.startUsec, t.frames.mkString(" ")))(
-          org.apache.spark.sql.Encoders.product[(String, Long, Int, String)])
-        .toDF("key", "start_ts_sec", "start_usec", "frames_list"))
-    // camel_records takes (tshark_json_path, pcap_name)
-    GraftBridge.registerTableFunction(spark, "camel_records", exprs =>
-      GraftBridge.logicalPlan(Camel.records(spark,
-        argString(exprs, "camel_records", 0), argString(exprs, "camel_records", 1))))
+  private[sources] def scalarInjections
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("tbcd_decode"), info("tbcd_decode"),
+      exprs => TbcdDecode(exprs.head)),
+    (FunctionIdentifier("bcd_swap"), info("bcd_swap"),
+      exprs => BcdSwapDecode(exprs.head)),
+    (FunctionIdentifier("fvec_dot"), info("fvec_dot"),
+      exprs => FloatVecDot(exprs.head, exprs(1))))
+
+  private[sources] def tableInjections
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
+    tvfs.map { case (name, n, build) =>
+      (FunctionIdentifier(name), info(name), tvfBuilder(name, n, build))
+    }
+}
+
+/** `spark.sql.extensions` entry point: injects the codec scalars and the
+  * pipeline TVFs into every session built with this class configured —
+  * no imperative registration call needed. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    SqlFrontDoor.scalarInjections.foreach(ext.injectFunction)
+    SqlFrontDoor.tableInjections.foreach(ext.injectTableFunction)
   }
 }

@@ -27,4 +27,24 @@ object GraftBridge {
   /** Analyzed-input logical plan of a DataFrame (classic backend). */
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.DataFrame].queryExecution.logical
+
+  /** A sibling session over the same SparkContext with the given
+    * extensions applied — what `spark.sql.extensions` would produce at
+    * session build (that static conf cannot be changed on a live
+    * context, so extension tests construct the session directly). */
+  def sessionWithExtensions(spark: SparkSession,
+      configure: SparkSessionExtensions => Unit): SparkSession = {
+    val ext = new SparkSessionExtensions
+    configure(ext)
+    // the 6-arg constructor is private[classic] in Scala but public in
+    // bytecode — reflection is the sanctioned-enough path for a test
+    // bridge (mirrors what Builder.getOrCreate does internally)
+    val ctor = classOf[org.apache.spark.sql.classic.SparkSession]
+      .getConstructors.find(_.getParameterCount == 6).get
+    ctor.newInstance(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sparkContext,
+      None, None, ext,
+      Map.empty[String, String], Map.empty[String, String])
+      .asInstanceOf[SparkSession]
+  }
 }

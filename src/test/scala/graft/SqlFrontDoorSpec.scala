@@ -97,6 +97,37 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) == 2L)
   }
 
+  test("GraftExtensions: an extensions-built session gets the whole surface") {
+    val base = SparkTest.spark
+    // what spark.sql.extensions=graft.sources.GraftExtensions produces
+    // at session build (static conf — cannot be flipped on a live
+    // context, so the session is constructed with the extensions applied)
+    val s2 = org.apache.spark.sql.GraftBridge.sessionWithExtensions(
+      base, new graft.sources.GraftExtensions()(_))
+    try {
+      assert(s2 ne base)
+      assert(s2.sql("SELECT tbcd_decode(unhex('2143f5')) AS t").collect()
+        .head.getString(0) == "12345")
+      val a = Array[Byte](10, 0, 0, 9)
+      val b = Array[Byte](10, 0, 0, 8)
+      val pcap = pcapFile(Seq(
+        (1000L, 0, ether(ipv4(132, a, b, sctpData(3868, 3868, 1, 1, 46L,
+          diameterMsg(request = true, 316, 5, 5, strAvp(263, "ext-1"))))))))
+      val dir = Files.createTempDirectory("graftsqlext")
+      Files.write(dir.resolve("d.pcap"), pcap)
+      val rows = s2.sql(
+        s"SELECT sessionId FROM diameter_records('${dir.toString}/*.pcap')").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("ext-1"))
+      // the base session is untouched by the injection
+      intercept[org.apache.spark.sql.AnalysisException] {
+        base.newSession().sql("SELECT tbcd_decode(unhex('21'))").collect()
+      }
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("TVF composes with aggregation and pruning in one SQL statement") {
     val a = Array[Byte](10, 0, 0, 1)
     val b = Array[Byte](10, 0, 0, 2)
