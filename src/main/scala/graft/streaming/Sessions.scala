@@ -3,6 +3,11 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoder}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** [[Sessions.correlateEventTime]] input: a correlation event with its
+  * event-time column (top-level for encoder codegen). */
+final case class TimedCorrEvent(key: String, isRequest: Boolean, frame: Long,
+    eventTime: java.sql.Timestamp)
+
 /** Streaming statefuls (SURVEY §2.10): the reference is batch-per-file
   * with dicts flushed at EOF; the streaming extension closes state by
   * *timeout* instead of EOF — `flatMapGroupsWithState` with processing-time
@@ -92,6 +97,47 @@ object Sessions {
                 if (state.getOption.isEmpty) { // D1: retransmission dropped
                   state.update(ev)
                   state.setTimeoutDuration(timeoutMs)
+                }
+              } else state.getOption match {
+                case Some(req) =>
+                  out += CorrPair(key, req.frame, ev.frame, matched = true)
+                  state.remove()
+                case None =>
+                  out += CorrPair(key, -1L, ev.frame, matched = false)
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** [[correlate]] on EVENT time: the unmatched-request flush fires when
+    * the WATERMARK passes request-time + timeout, not when a wall clock
+    * does — so a 100 TB backfill replayed at full speed produces exactly
+    * the rows the live stream did (processing-time flushes cannot make
+    * that promise). The state machine itself is the same J1 logic. */
+  def correlateEventTime(events: Dataset[TimedCorrEvent], watermarkDelay: String,
+      timeoutMs: Long)(
+      implicit e1: Encoder[CorrPair], e2: Encoder[TimedCorrEvent],
+      e3: Encoder[String]): Dataset[CorrPair] = {
+    events
+      .withWatermark("eventTime", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TimedCorrEvent, CorrPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[TimedCorrEvent], state: GroupState[TimedCorrEvent]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(r => CorrPair(key, r.frame, -1L, matched = false)).iterator
+            state.remove()
+            out
+          } else {
+            val out = Seq.newBuilder[CorrPair]
+            for (ev <- it.toSeq.sortBy(_.frame)) {
+              if (ev.isRequest) {
+                if (state.getOption.isEmpty) { // D1: retransmission dropped
+                  state.update(ev)
+                  state.setTimeoutTimestamp(ev.eventTime.getTime + timeoutMs)
                 }
               } else state.getOption match {
                 case Some(req) =>

@@ -59,6 +59,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time correlate: watermark-driven flush, wall clock irrelevant") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[graft.streaming.TimedCorrEvent]
+    // timeout 5s of EVENT time, watermark delay 0 — flushes depend only
+    // on the data's own timestamps
+    val q = Sessions.correlateEventTime(input.toDS(), "0 seconds", timeoutMs = 5000)
+      .writeStream.format("memory").queryName("corr_et")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50)).start()
+    try {
+      // matched pair, then an unmatched request at t=20
+      input.addData(
+        graft.streaming.TimedCorrEvent("a", isRequest = true, 1, ts(10)),
+        graft.streaming.TimedCorrEvent("a", isRequest = false, 2, ts(11)),
+        graft.streaming.TimedCorrEvent("b", isRequest = true, 3, ts(20)))
+      assert(eventually(20000) {
+        spark.sql("SELECT * FROM corr_et WHERE matched").count() == 1
+      })
+      // nothing flushes while the watermark sits below t=25...
+      Thread.sleep(500)
+      assert(spark.sql("SELECT * FROM corr_et").count() == 1)
+      // ...an event at t=60 advances it past 20s+5s → b's request flushes
+      input.addData(graft.streaming.TimedCorrEvent("c", isRequest = true, 4, ts(60)))
+      input.addData(graft.streaming.TimedCorrEvent("c", isRequest = false, 5, ts(61)))
+      assert(eventually(20000) {
+        spark.sql("SELECT * FROM corr_et WHERE NOT matched AND resFrame = -1").count() == 1
+      })
+      val flushed = spark.sql("SELECT key, reqFrame FROM corr_et WHERE NOT matched").collect().head
+      assert(flushed.getString(0) == "b" && flushed.getLong(1) == 3L)
+    } finally q.stop()
+  }
+
   test("batch sessionize: gap split matches the windowed-SQL analog") {
     val spark = SparkTest.spark
     import spark.implicits._
