@@ -170,7 +170,14 @@ object Http {
   def records(spark: SparkSession, path: String): DataFrame =
     link(messages(spark, path).toDF())
 
-  /** J4 linking, engine-side ids (SURVEY §4.2 "redesigned"). */
+  /** J4 linking, engine-side ids (SURVEY §4.2 "redesigned").
+    *
+    * Scale note: ids are a row_number window per capture FILE — one
+    * pathological multi-GB capture is one window partition. That matches
+    * the corpus-of-files model this source is built on (same unit of
+    * parallelism as the one-file-one-partition reader); per-flow id
+    * schemes would scale further but break the reference's file-scoped
+    * id semantics. */
   def link(msgs: DataFrame): DataFrame = {
     val withId = msgs.withColumn("id",
       row_number().over(Window.partitionBy(col("pcapFilename"))
