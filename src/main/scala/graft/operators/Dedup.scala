@@ -124,7 +124,10 @@ object Dedup {
       .flatMapGroups { (sid, it) =>
         val rows = it.toArray.sortBy(r => (r._3, r._2))
         val sz = rows.length
-        val keep = sz - math.ceil(threshold * sz).toInt + 1
+        // clamp: τ = 0 makes ceil(τ·sz) = 0 and the prefix bound sz + 1,
+        // which would index past the end — a degenerate threshold means
+        // every shingle is prefix
+        val keep = math.min(sz - math.ceil(threshold * sz).toInt + 1, sz)
         val set = rows.map(_._2); java.util.Arrays.sort(set)
         Iterator.tabulate(keep)(i => (rows(i)._2, sid, i + 1, sz, set))
       }
@@ -302,9 +305,13 @@ object Dedup {
     val chunks = maxDist + 1
     val bitsPer = 16 / chunks
     val mask = (1L << bitsPer) - 1
-    // cached: (sid, simhash) — one compact row per doc, consumed by the
-    // multiplicity count and the final stats join
-    val sigs = simhashSignatures(docs, idCol, textCol).cache()
+    // (sid, simhash) is consumed twice (multiplicity count + final stats
+    // join) but NOT cached: the signature subtree is pure-expression
+    // (explode + partial-aggregated sums), so both consumers canonicalize
+    // to the same exchange and ReuseExchange shares the expensive
+    // md5-per-token map stage — without pinning executor memory for the
+    // session lifetime the way a .cache() here would
+    val sigs = simhashSignatures(docs, idCol, textCol)
     val counts = sigs.groupBy(col("simhash")).agg(count(lit(1)).as("n"))
     // pigeonhole kernel over distinct signatures; both directions out
     val sigPairs = counts.select(col("simhash")).as[Long]

@@ -36,11 +36,21 @@ object GraftBridge {
       configure: SparkSessionExtensions => Unit): SparkSession = {
     val ext = new SparkSessionExtensions
     configure(ext)
-    // the 6-arg constructor is private[classic] in Scala but public in
+    // the constructor is private[classic] in Scala but public in
     // bytecode — reflection is the sanctioned-enough path for a test
-    // bridge (mirrors what Builder.getOrCreate does internally)
+    // bridge (mirrors what Builder.getOrCreate does internally).
+    // Matched by parameter types, not arity, so a Spark minor bump that
+    // adds an overload fails loudly here instead of picking the wrong one
+    val wanted = Seq(
+      classOf[org.apache.spark.SparkContext], classOf[Option[_]],
+      classOf[Option[_]], classOf[SparkSessionExtensions],
+      classOf[Map[_, _]], classOf[Map[_, _]])
     val ctor = classOf[org.apache.spark.sql.classic.SparkSession]
-      .getConstructors.find(_.getParameterCount == 6).get
+      .getConstructors.find(_.getParameterTypes.toSeq == wanted)
+      .getOrElse(throw new IllegalStateException(
+        "classic.SparkSession no longer has the (SparkContext, Option, Option, " +
+          "SparkSessionExtensions, Map, Map) constructor — update GraftBridge " +
+          "for this Spark version"))
     ctor.newInstance(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sparkContext,
       None, None, ext,

@@ -141,6 +141,9 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       s"""SELECT sessionId, count(*) AS n
          |FROM diameter_records('${dir.toString}/*.pcap')
          |GROUP BY sessionId ORDER BY sessionId""".stripMargin).collect()
-    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq.sorted.nonEmpty)
+    // i=1→s0(req), i=2,3→s1, i=4→s2: grouped counts prove the TVF scan,
+    // the aggregation, and the ORDER BY all composed in one statement
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("s0", 1L), ("s1", 2L), ("s2", 1L)))
   }
 }
