@@ -1,7 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.Platform
 
 import graft.functions.TextFunctions._
 
@@ -12,16 +17,23 @@ import graft.functions.TextFunctions._
   * written for 10^9+):
   *   - Exact dedup shuffles on a 128-bit content hash, never on the full
   *     text (shuffle payload is the hash + id, not the document).
-  *   - MinHash: one shuffle to distinct (id, shingle), one aggregation to
-  *     the K-value signature, one shuffle on (band, bucket). Candidate
-  *     verification joins only the *candidate* ids back to shingle sets —
-  *     the all-pairs O(n²) never materializes.
-  *   - n-gram Jaccard is the exact (quadratic-in-collisions) baseline;
-  *     its shingle-inverted-index join is the classic bottleneck that
-  *     MinHash-LSH replaces at scale — kept as the correctness oracle.
-  *   - SimHash: signature is a single aggregation; near-pair search uses
-  *     the pigeonhole band trick (hamming ≤ d pairs share one of d+1
-  *     signature chunks), not an all-pairs cross join.
+  *   - Every set-similarity operator starts from ONE narrow typed pass
+  *     that reduces each document to a compact row — sorted 64-bit
+  *     shingle-hash set, minhash signature, simhash — inside the scan
+  *     task. Documents are processed where they are read: the
+  *     tokenize+hash work (the dominant cost) never shuffles, and the
+  *     only rows that ever move are hashes and signatures.
+  *   - MinHash: zero aggregation shuffles (the signature is folded per
+  *     document in the scan task); one shuffle of band rows on
+  *     (band, bucket); candidate verification happens in-bucket against
+  *     the carried hash sets — the all-pairs O(n²) never materializes.
+  *   - n-gram Jaccard is the exact baseline: ppjoin prefix filtering
+  *     with in-kernel verification; the document-frequency table rides a
+  *     broadcast when it fits and degrades to an equi-join + regroup at
+  *     corpus scale.
+  *   - SimHash: near-pair search uses the pigeonhole band trick
+  *     (hamming ≤ d pairs share one of d+1 signature chunks) over
+  *     DISTINCT signatures, not an all-pairs cross join.
   */
 object Dedup {
 
@@ -31,48 +43,89 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
+  // ---------------------------------------------------------------- shared
+
+  /** 64-bit xxHash of a UTF-8 string — the internal shingle identity.
+    * Never surfaced in results (set cardinalities and intersections are
+    * hash-invariant, collision probability ~n²/2^64). */
+  private def hash64(s: String): Long = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
+
+  /** Distinct word n-gram shingles of a document, in first-occurrence
+    * order. Tokenization matches the oracle exactly:
+    * `trim().split("\\s+")`; fewer than n tokens → empty set. */
+  private def distinctShingles(text: String, n: Int): java.util.LinkedHashSet[String] = {
+    val toks = text.trim.split("\\s+")
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen
+  }
+
+  /** Narrow (id, text) source with small-split fanout: a corpus arriving
+    * as fewer splits than cores (single-row-group parquet in the local
+    * harness) would serialize the tokenize+hash stage on one task. At
+    * real scale inputs arrive in thousands of splits and this is a
+    * no-op. */
+  private def fannedOut(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val narrow = docs.select(col(idCol).cast("long"), col(textCol))
+    if (narrow.rdd.getNumPartitions < target) narrow.repartition(target) else narrow
+  }
+
+  /** Per-document sorted shingle-hash set, computed entirely inside the
+    * scan task — no shuffle, one tokenize+hash pass, one compact row
+    * (~8·|set| bytes) per document. Documents with fewer than n tokens
+    * produce no row (they have no set to compare). */
+  def docsetRows(docs: DataFrame, idCol: String, textCol: String, n: Int): Dataset[(Long, Array[Long])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fannedOut(docs, idCol, textCol).as[(Long, String)]
+      .flatMap { case (sid, text) =>
+        val seen = distinctShingles(text, n)
+        if (seen.isEmpty) Iterator.empty
+        else {
+          val gs = new Array[Long](seen.size)
+          var i = 0
+          val it = seen.iterator()
+          while (it.hasNext) { gs(i) = hash64(it.next()); i += 1 }
+          java.util.Arrays.sort(gs)
+          Iterator.single((sid, gs))
+        }
+      }
+  }
+
   /** Distinct (id, shingle) pairs — the set representation for Jaccard.
-    *
-    * Typed flatMap with per-document dedup (the documented
-    * mapPartitions-last-resort case, SURVEY §2.11): linear, no shuffle at
-    * all, and the output is already distinct. The Column-lambda form
-    * (`TextFunctions.shingles`) re-evaluates referenced subexpressions
-    * per element — O(tokens²) per document, measured 9s just to shingle
-    * 5k docs — and a window-`lead` formulation pays a full shuffle on the
-    * doc id. Tokenization matches the oracle exactly:
-    * `trim().split("\\s+")`. */
+    * Linear, no shuffle, and the output is already distinct (per-doc
+    * dedup happens in the flatMap). Kept as the string-shingle surface;
+    * the similarity kernels use [[docsetRows]] (hashes) instead. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // small-split fanout: a corpus arriving as fewer splits than cores
-    // (single-row-group parquet in the local harness) would serialize the
-    // tokenize+hash stage on one task. At real scale inputs arrive in
-    // thousands of splits and this is a no-op.
-    val target = spark.sparkContext.defaultParallelism
-    val narrow = docs.select(col(idCol).cast("long"), col(textCol))
-    val src = if (narrow.rdd.getNumPartitions < target) narrow.repartition(target) else narrow
-    src.as[(Long, String)]
+    fannedOut(docs, idCol, textCol).as[(Long, String)]
       .flatMap { case (sid, text) =>
-        val toks = text.trim.split("\\s+")
-        if (toks.length < n) Iterator.empty
-        else {
-          // per-document dedup here makes (sid, g) already distinct —
-          // no global distinct shuffle needed downstream
-          val seen = new java.util.LinkedHashSet[String]()
-          var i = 0
-          while (i + n <= toks.length) {
-            val sb = new java.lang.StringBuilder(toks(i))
-            var j = 1
-            while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-            seen.add(sb.toString)
-            i += 1
-          }
-          scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator()).asScala
-            .map(g => (sid, g))
-        }
+        scala.jdk.CollectionConverters.IteratorHasAsScala(distinctShingles(text, n).iterator())
+          .asScala.map(g => (sid, g))
       }
       .toDF("sid", "g")
   }
+
+  /** Document-frequency entries above this count ride a shuffle join
+    * instead of a broadcast: 1M (g, df) pairs ≈ 16 MB serialized, the
+    * scale at which Spark's own dimension-broadcast heuristics live. A
+    * 100 TB corpus has ~10^10 distinct shingles and always takes the
+    * join path; the broadcast path is the toy-to-mid-scale fast lane
+    * (one less shuffle of the widest dataset and no per-doc regroup). */
+  private val MaxDfBroadcastEntries = 1000000
 
   /** Exact pairwise n-gram Jaccard with prefix filtering (ppjoin-style):
     * J(A,B) ≥ τ implies |A∩B| ≥ ceil(τ·|A|), so B must share at least one
@@ -86,50 +139,77 @@ object Dedup {
     * A pure candidate prune — results are identical to the naive
     * quadratic join (which remains the DuckDB oracle formulation).
     *
-    * Scale notes: every shuffle is keyed on the shingle hash or the doc
-    * id (high cardinality, no skew past the prefix filter); carrying the
-    * set in the index rows costs O(prefix·|set|) shuffle bytes per doc —
-    * the published trade for skipping the candidate↔set re-join. For
-    * very long documents (≫10⁴ shingles) prefer indexing against
-    * [[docsetsOf]] + [[verifyJaccard]], which re-joins instead of
-    * carrying. */
+    * Two extra prunes on top of round 3:
+    *   - prefix elements with df = 1 are never indexed: a qualifying
+    *     pair's shared prefix element has df ≥ 2 by definition, so df=1
+    *     index rows could only ever form singleton buckets. Positions
+    *     are still computed over the FULL rarest-first order, keeping
+    *     the positional filter exact.
+    *   - when the df ≥ 2 table fits [[MaxDfBroadcastEntries]], it is
+    *     broadcast and the whole prefix computation happens inside the
+    *     docset scan task (the Vernica distributed-cache design): the
+    *     per-doc regroup shuffle disappears. Beyond that size the
+    *     equi-join + `groupByKey(sid)` fallback keeps the operator
+    *     corpus-scale-safe (every shuffle keyed on the shingle hash or
+    *     the doc id — high cardinality, no skew past the prefix filter).
+    *
+    * The docset pass is persisted: one compact row per document
+    * (~8·|set| bytes — 10⁹ docs ≈ 1 TB cluster-wide, a few GB per
+    * executor under MEMORY_AND_DISK), consumed exactly twice (df count,
+    * prefix emit). Re-running the tokenize+hash pass — the dominant cost
+    * — would double it instead. Callers own the lifecycle (the bench
+    * clears caches between queries; a pipeline unpersists after the
+    * pairs materialize). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // shingles shrink to 64-bit hashes immediately — set cardinalities
-    // and intersections are hash-invariant (collision probability
-    // ~n²/2^64, vanishing), no output column exposes the hash, and every
-    // downstream shuffle carries longs, never strings
-    // not cached: the tokenize+hash pass is consumed twice (df
-    // aggregation + join probe) but re-running it measures cheaper than
-    // materializing a cache, and at corpus scale an uncached narrow pass
-    // beats pinning the full shingle set in executor memory
-    val sh = shingleSet(docs, idCol, textCol, n)
-      .select(col("sid"), xxhash64(col("g")).as("g"))
-    // document frequency: partial-aggregated groupBy + equi-join (AQE
-    // broadcasts it when small) — unlike a count().over(partitionBy(g))
-    // window this map-side combines and never sorts the shingle rows
-    val dft = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // one typed pass per doc: rarest-first (df, g) order, emit the first
-    // sz - ceil(τ·sz) + 1 shingles as index rows, each carrying the
-    // numerically-sorted full set for in-kernel verification. (A pure
-    // expression formulation — collect_list(struct)+array_sort+slice+
-    // posexplode — measured ~20% slower than this typed pass: the
-    // ObjectHashAggregate struct collection outweighs the encoder cost.)
-    val prefix = sh.join(dft, "g")
-      .select(col("sid"), col("g"), col("df"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (sid, it) =>
-        val rows = it.toArray.sortBy(r => (r._3, r._2))
-        val sz = rows.length
-        // clamp: τ = 0 makes ceil(τ·sz) = 0 and the prefix bound sz + 1,
-        // which would index past the end — a degenerate threshold means
-        // every shingle is prefix
-        val keep = math.min(sz - math.ceil(threshold * sz).toInt + 1, sz)
-        val set = rows.map(_._2); java.util.Arrays.sort(set)
-        Iterator.tabulate(keep)(i => (rows(i)._2, sid, i + 1, sz, set))
+    val ds = docsetRows(docs, idCol, textCol, n).persist()
+    // document frequency: partial-aggregated groupBy over the exploded
+    // hash arrays — the strings are gone before the first shuffle
+    val dft = ds.flatMap(_._2).groupBy(col("value").as("g")).agg(count(lit(1)).as("df"))
+    val matchable = dft.filter(col("df") >= 2)
+    val probe = matchable.limit(MaxDfBroadcastEntries + 1).collect()
+
+    def prefixBound(sz: Int): Int =
+      // clamp: τ = 0 makes ceil(τ·sz) = 0 and the prefix bound sz + 1,
+      // which would index past the end — a degenerate threshold means
+      // every shingle is prefix
+      math.min(sz - math.ceil(threshold * sz).toInt + 1, sz)
+
+    val prefix: Dataset[(Long, Long, Int, Int, Array[Long])] =
+      if (probe.length <= MaxDfBroadcastEntries) {
+        val dfm = new scala.collection.mutable.LongMap[Long](math.max(probe.length * 2, 16))
+        probe.foreach(r => dfm.update(r.getLong(0), r.getLong(1)))
+        val bc = spark.sparkContext.broadcast(dfm)
+        ds.mapPartitions { it =>
+          val m = bc.value
+          it.flatMap { case (sid, gs) =>
+            val sz = gs.length
+            val keep = prefixBound(sz)
+            // gs is ascending; a stable sort on df alone yields the
+            // global (df, g) rarest-first order
+            val ordered = Array.tabulate(sz)(i => (m.getOrElse(gs(i), 1L), gs(i))).sortBy(_._1)
+            Iterator.range(0, keep)
+              .filter(i => ordered(i)._1 >= 2)
+              .map(i => (ordered(i)._2, sid, i + 1, sz, gs))
+          }
+        }
+      } else {
+        val sh = ds.flatMap { case (sid, gs) => gs.iterator.map(g => (sid, g)) }.toDF("sid", "g")
+        sh.join(dft, "g")
+          .select(col("sid"), col("g"), col("df"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (sid, it) =>
+            val rows = it.toArray.sortBy(r => (r._3, r._2))
+            val sz = rows.length
+            val keep = prefixBound(sz)
+            val set = rows.map(_._2); java.util.Arrays.sort(set)
+            Iterator.range(0, keep)
+              .filter(i => rows(i)._3 >= 2)
+              .map(i => (rows(i)._2, sid, i + 1, sz, set))
+          }
       }
     // the ppjoin kernel: per shared prefix shingle, length + positional
     // filters (exact — every bound over-estimates the true intersection:
@@ -214,6 +294,16 @@ object Dedup {
   def minhashBase(g: Column): Column =
     conv(substring(md5(g), 1, 15), 16, 10).cast("long") % MinhashP
 
+  /** The same 60-bit base value computed from raw md5 digest bytes: the
+    * first 15 hex chars are the first 7.5 bytes, i.e. the big-endian
+    * 8-byte value with the last nibble dropped. */
+  private def minhashBaseOf(digest: Array[Byte]): Long = {
+    var be = 0L
+    var i = 0
+    while (i < 8) { be = (be << 8) | (digest(i) & 0xffL); i += 1 }
+    (be >>> 4) % MinhashP
+  }
+
   /** MinHash signature (K values) per document from a pre-computed base
     * column `x`. */
   def minhashSignatures(shx: DataFrame, numHashes: Int): DataFrame = {
@@ -224,41 +314,65 @@ object Dedup {
   }
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard on
-    * the candidate set. `numHashes = bands * rowsPerBand`. Shingle strings
-    * are consumed in one narrow projection (md5 base + 64-bit join hash);
-    * nothing wider than (long, long) or a row-sized array ever shuffles. */
+    * the candidate set. `numHashes = bands * rowsPerBand`.
+    *
+    * The whole signature is folded inside the scan task: one narrow pass
+    * tokenizes, md5s each distinct shingle once, folds the K running
+    * minima AND the sorted verification set per document, and emits the
+    * `bands` band rows directly — no aggregation shuffle exists in the
+    * plan at all. The only shuffle is the band rows on (band, bucket);
+    * in-bucket pairs are verified with a sorted-merge intersection and
+    * only J ≥ τ survivors leave the stage (no candidate↔set re-join, no
+    * cache). Carrying the set costs bands× duplication through that one
+    * shuffle; at single-digit band counts that undercuts the re-join,
+    * and bucket population is bounded by LSH design so the per-group
+    * loop stays small at any corpus size. The same pair surviving in
+    * several bands emits identical (da, db, jaccard) rows — distinct()
+    * collapses them. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = bands * rowsPerBand
-    // signature AND verification set in ONE per-doc aggregation: the
-    // shingle rows are consumed in a single pass/shuffle. (Round 2
-    // cached the full shingle row set and shuffled it twice.)
-    val sh = shingleSet(docs, idCol, textCol, n)
-      .select(col("sid"), xxhash64(col("g")).as("g"), minhashBase(col("g")).as("x"))
-    def h(i: Int) = (lit(minhashA(i)) * col("x") + lit(minhashB(i))) % MinhashP
-    val agg = sh.groupBy(col("sid"))
-      .agg(sort_array(collect_list(col("g"))).as("gs"),
-        (0 until k).map(i => min(h(i)).as(s"mh$i")): _*)
-    // band buckets are internal join keys only (never surfaced), so the
-    // cheap 64-bit xxhash64 replaces md5 without touching oracle parity
-    val bucketCols = (0 until bands).map { b =>
-      xxhash64(concat_ws(",", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
-    }
-    // fused bucket kernel (same layout as the ngram kernel): band rows
-    // carry the doc's sorted set, pairs are verified in-bucket with a
-    // sorted-merge intersection, and only J ≥ τ survivors are emitted —
-    // no candidate↔set re-join, no cache, one shuffle of the band rows.
-    // Carrying the set costs bands× duplication through the shuffle; at
-    // single-digit band counts that undercuts the re-join, and bucket
-    // population is bounded by LSH design so the per-group loop stays
-    // small at any corpus size. The same pair surviving in several bands
-    // emits identical (da, db, jaccard) rows — distinct() collapses them.
-    agg.select(col("sid"), col("gs"),
-        posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
-      .select(col("band"), col("bucket"), col("sid"), col("gs"))
-      .as[(Int, Long, Long, Array[Long])]
+    val aArr = Array.tabulate(k)(minhashA)
+    val bArr = Array.tabulate(k)(minhashB)
+    fannedOut(docs, idCol, textCol).as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        rows.flatMap { case (sid, text) =>
+          val seen = distinctShingles(text, n)
+          if (seen.isEmpty) Iterator.empty
+          else {
+            val gs = new Array[Long](seen.size)
+            val mins = Array.fill(k)(Long.MaxValue)
+            var idx = 0
+            val it = seen.iterator()
+            while (it.hasNext) {
+              val s = it.next()
+              val bytes = s.getBytes(StandardCharsets.UTF_8)
+              gs(idx) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+              md.reset()
+              val x = minhashBaseOf(md.digest(bytes))
+              var i = 0
+              while (i < k) {
+                val h = (aArr(i) * x + bArr(i)) % MinhashP
+                if (h < mins(i)) mins(i) = h
+                i += 1
+              }
+              idx += 1
+            }
+            java.util.Arrays.sort(gs)
+            // band buckets are internal join keys only (never surfaced):
+            // fold the band's minima through xxHash64
+            Iterator.tabulate(bands) { b =>
+              var h = 42L
+              var r = 0
+              while (r < rowsPerBand) { h = XXH64.hashLong(mins(b * rowsPerBand + r), h); r += 1 }
+              (b, h, sid, gs)
+            }
+          }
+        }
+      }
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_, it) =>
         val rows = it.toArray.sortBy(_._3)
@@ -297,7 +411,14 @@ object Dedup {
     * docs with ≥ 1 neighbor within `maxDist`: exactly the rollup of the
     * naive all-pairs popcount join. Wider signatures at corpus scale
     * widen the chunks (64/(d+1) bits), keeping bucket populations
-    * bounded. */
+    * bounded.
+    *
+    * The per-doc signature frame (16 bytes/doc) is persisted: it is
+    * consumed twice (multiplicity count + final rollup probe) and since
+    * the typed signature pass is narrow there is no exchange for
+    * ReuseExchange to share — re-running it would double the dominant
+    * md5-per-token cost. The per-signature stats table (≤ 2¹⁶ rows) is
+    * broadcast back, so the probe side never shuffles. */
   def simhashNearStats(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -305,13 +426,7 @@ object Dedup {
     val chunks = maxDist + 1
     val bitsPer = 16 / chunks
     val mask = (1L << bitsPer) - 1
-    // (sid, simhash) is consumed twice (multiplicity count + final stats
-    // join) but NOT cached: the signature subtree is pure-expression
-    // (explode + partial-aggregated sums), so both consumers canonicalize
-    // to the same exchange and ReuseExchange shares the expensive
-    // md5-per-token map stage — without pinning executor memory for the
-    // session lifetime the way a .cache() here would
-    val sigs = simhashSignatures(docs, idCol, textCol)
+    val sigs = simhashSignatures(docs, idCol, textCol).persist()
     val counts = sigs.groupBy(col("simhash")).agg(count(lit(1)).as("n"))
     // pigeonhole kernel over distinct signatures; both directions out
     val sigPairs = counts.select(col("simhash")).as[Long]
@@ -349,28 +464,55 @@ object Dedup {
       .select(col("simhash"),
         (coalesce(col("n_other"), lit(0L)) + col("n") - 1).as("n_near"),
         when(col("n") >= 2, lit(0L)).otherwise(col("min_other")).as("min_hamming"))
-    sigs.join(perSig, "simhash")
+    sigs.join(broadcast(perSig), "simhash")
       .filter(col("n_near") > 0)
       .select(col("sid"), col("n_near"), col("min_hamming"))
   }
 
-  /** 16-bit SimHash signature per document over its distinct tokens. */
+  /** 16-bit SimHash signature per document over its distinct tokens.
+    *
+    * One narrow typed pass: per document, each distinct token contributes
+    * ±1 to each of the 16 bit sums via md5(`"<i>#" + token`) — bit i is
+    * +1 iff the digest's first hex char is in '0'..'7', i.e. the high
+    * bit of the first byte is 0, matching
+    * [[graft.functions.TextFunctions.simhashContrib]] and the oracle's
+    * `substring(md5(...),1,1) IN ('0'..'7')` verbatim. Folding the sums
+    * in the scan task replaces the round-3 explode (one row per
+    * (doc, token)) + 16-column hash aggregate + exchange: the 16 md5s
+    * per token are the irreducible cost and now they are the ONLY
+    * cost. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // same small-split fanout as shingleSet: the 16 md5s per token are
-    // the dominant cost and must not run on a single scan task
     val spark = docs.sparkSession
-    val target = spark.sparkContext.defaultParallelism
-    val narrow = docs.select(col(idCol).as("sid"), col(textCol).as("txt"))
-    val src = if (narrow.rdd.getNumPartitions < target) narrow.repartition(target) else narrow
-    val toks = src
-      .select(col("sid"), explode(tokenSet(col("txt"))).as("t"))
-    val bitSums = toks.groupBy(col("sid"))
-      .agg(sum(simhashContrib(col("t"), 0)).as("s0"),
-        (1 until 16).map(i => sum(simhashContrib(col("t"), i)).as(s"s$i")): _*)
-    val sig = (0 until 16)
-      .map(i => when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    bitSums.select(col("sid"), sig.as("simhash"))
+    import spark.implicits._
+    fannedOut(docs, idCol, textCol).as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        rows.map { case (sid, text) =>
+          // tokenSet parity: split(trim(text), "\\s+") then distinct —
+          // an empty document yields the single token "" here too
+          val toks = text.trim.split("\\s+")
+          val seen = new java.util.LinkedHashSet[String]()
+          var t = 0
+          while (t < toks.length) { seen.add(toks(t)); t += 1 }
+          val sums = new Array[Int](16)
+          val it = seen.iterator()
+          while (it.hasNext) {
+            val tok = it.next()
+            var i = 0
+            while (i < 16) {
+              md.reset()
+              val dg = md.digest((i.toString + "#" + tok).getBytes(StandardCharsets.UTF_8))
+              if ((dg(0) & 0x80) == 0) sums(i) += 1 else sums(i) -= 1
+              i += 1
+            }
+          }
+          var sig = 0L
+          var i = 0
+          while (i < 16) { if (sums(i) >= 0) sig |= (1L << i); i += 1 }
+          (sid, sig)
+        }
+      }
+      .toDF("sid", "simhash")
   }
 
 }
