@@ -7,6 +7,12 @@ import org.apache.spark.sql.types._
 import graft.etl.{Diameter, DiameterRec, Packets}
 import graft.sources.Pcap
 
+/** [[DiameterStream.recordsEventTime]] carrier: the decoded record plus
+  * its capture timestamp as an event-time column (top-level case class
+  * for encoder codegen; the column name is what `withWatermark`
+  * anchors). */
+final case class TimedDiameterRec(rec: DiameterRec, eventTime: java.sql.Timestamp)
+
 /** Streaming Diameter ingestion (SURVEY §2.10: "Structured Streaming
   * file source watching a drop directory = the ingestion_queue
   * pattern"): `readStream(binaryFile)` over a capture drop-dir → frame
@@ -30,7 +36,9 @@ object DiameterStream {
     StructField("length", LongType),
     StructField("content", BinaryType)))
 
-  def records(spark: SparkSession, watchDir: String, timeoutMs: Long = 60000): Dataset[DiameterRec] = {
+  /** readStream(binaryFile) → pcap frame decode → Diameter decode: the
+    * shared front of both correlation variants. */
+  private def decoded(spark: SparkSession, watchDir: String): Dataset[DiameterRec] = {
     import spark.implicits._
     spark.readStream.format("binaryFile").schema(BinaryFileSchema)
       .load(watchDir)
@@ -51,6 +59,11 @@ object DiameterStream {
             m.sessionId, m.originHost, m.originRealm, m.destinationHost,
             m.destinationRealm, m.resultCode, m.expResultCode, m.msisdn, m.imsi))
       }
+  }
+
+  def records(spark: SparkSession, watchDir: String, timeoutMs: Long = 60000): Dataset[DiameterRec] = {
+    import spark.implicits._
+    decoded(spark, watchDir)
       // unlike the batch path, the correlation key does NOT include the
       // capture filename: the stream is one logical capture, so a request
       // in one dropped file pairs with its answer in a later one
@@ -72,6 +85,55 @@ object DiameterStream {
                 }
               } else state.getOption match {
                 case Some(req) =>
+                  val msisdn = if (req.msisdn.nonEmpty) req.msisdn else m.msisdn
+                  val imsi = if (req.imsi.nonEmpty) req.imsi else m.imsi
+                  out += req.copy(msisdn = msisdn, imsi = imsi)
+                  out += m.copy(msisdn = msisdn, imsi = imsi)
+                  state.remove()
+                case None => out += m
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** [[records]] on EVENT time, end-to-end: the correlation clock is the
+    * CAPTURE timestamp, not the ingestion wall clock — the unmatched-
+    * request flush fires when the watermark (derived from packet
+    * timestamps across the whole stream) passes request-time + timeout.
+    * A 100 TB backfill replayed at full speed therefore produces exactly
+    * the rows the live tail did; the processing-time variant cannot make
+    * that promise (its flushes depend on ingestion pacing). Same J1/D1/
+    * K3 machine otherwise. */
+  def recordsEventTime(spark: SparkSession, watchDir: String,
+      watermarkDelay: String = "10 seconds",
+      timeoutMs: Long = 60000): Dataset[DiameterRec] = {
+    import spark.implicits._
+    decoded(spark, watchDir)
+      .map(r => TimedDiameterRec(r,
+        new java.sql.Timestamp(r.timeEpoch * 1000L + r.usecondsEpoch / 1000)))
+      .withWatermark("eventTime", watermarkDelay)
+      .groupByKey(t => (t.rec.commandCode, t.rec.hopByHopId, t.rec.endToEndId, t.rec.sessionId))
+      .flatMapGroupsWithState[TimedDiameterRec, DiameterRec](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it: Iterator[TimedDiameterRec], state: GroupState[TimedDiameterRec]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(_.rec).iterator // K3 residue flush
+            state.remove()
+            out
+          } else {
+            val out = Seq.newBuilder[DiameterRec]
+            for (t <- it.toSeq.sortBy(_.rec.framesList.split(" ").head.toLong)) {
+              val m = t.rec
+              if (m.request) {
+                if (state.getOption.isEmpty) { // D1 retransmission drop
+                  state.update(t)
+                  state.setTimeoutTimestamp(t.eventTime.getTime + timeoutMs)
+                }
+              } else state.getOption match {
+                case Some(reqT) =>
+                  val req = reqT.rec
                   val msisdn = if (req.msisdn.nonEmpty) req.msisdn else m.msisdn
                   val imsi = if (req.imsi.nonEmpty) req.imsi else m.imsi
                   out += req.copy(msisdn = msisdn, imsi = imsi)

@@ -53,4 +53,44 @@ class DiameterStreamSpec extends AnyFunSuite {
       assert(rows.exists(r => r.request && r.pcapFilename.endsWith("cap1.pcap")))
     } finally q.stop()
   }
+
+  test("event-time stream: correlation + watermark-driven residue flush") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftdropet")
+    val a = Array[Byte](10, 0, 0, 1)
+    val b = Array[Byte](10, 0, 0, 2)
+    def sctpFrame(src: Array[Byte], dst: Array[Byte], payload: Array[Byte]) =
+      ether(ipv4(132, src, dst, sctpData(3868, 3868, 1, 1, 46L, payload)))
+    val req1 = diameterMsg(request = true, 316, 5, 5, strAvp(263, "e1"),
+      groupedAvp(443, u32Avp(450, 0), strAvp(444, "7777")))
+    val ans1 = diameterMsg(request = false, 316, 5, 5, strAvp(263, "e1"), u32Avp(268, 2001))
+    val req2 = diameterMsg(request = true, 316, 6, 6, strAvp(263, "e2"))
+    val req3 = diameterMsg(request = true, 316, 7, 7, strAvp(263, "e3"))
+
+    val q = DiameterStream.recordsEventTime(spark, dir.toString,
+      watermarkDelay = "0 seconds", timeoutMs = 1000)
+      .writeStream.format("memory").queryName("diam_et")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      // batch 1: pair at capture time 1000s — emits both legs, enriched
+      Files.write(dir.resolve("e1.pcap"), pcapFile(Seq(
+        (1000L, 0, sctpFrame(a, b, req1)), (1000L, 500, sctpFrame(b, a, ans1)))))
+      assert(eventually(30000) { spark.sql("SELECT * FROM diam_et").count() == 2 })
+      assert(spark.sql("SELECT * FROM diam_et").as[graft.etl.DiameterRec]
+        .collect().forall(_.msisdn == "7777"))
+      // batch 2: lone request at 2000s — held (watermark still behind)
+      Files.write(dir.resolve("e2.pcap"), pcapFile(Seq((2000L, 0, sctpFrame(a, b, req2)))))
+      Thread.sleep(1500)
+      assert(spark.sql("SELECT * FROM diam_et").count() == 2)
+      // batch 3: unrelated request at 3000s advances the watermark past
+      // 2000s + 1s, so e2's pending request flushes as the residue —
+      // driven by CAPTURE time, not by how fast the files were dropped
+      Files.write(dir.resolve("e3.pcap"), pcapFile(Seq((3000L, 0, sctpFrame(a, b, req3)))))
+      assert(eventually(30000) {
+        spark.sql("SELECT * FROM diam_et WHERE sessionId = 'e2'").count() == 1
+      })
+      assert(spark.sql("SELECT * FROM diam_et").count() == 3)
+    } finally q.stop()
+  }
 }
