@@ -206,6 +206,177 @@ object Ann {
     topK(scored, k)
   }
 
+  private def l2sub(v: Array[Float], off: Int, c: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < c.length) { val d = v(off + i).toDouble - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Product-quantization codebooks: the vector space is split into `m`
+    * contiguous subspaces and each gets `k` sub-centroids trained by
+    * Lloyd's in L2 (the PQ standard — dot products are recovered at
+    * query time by table lookup). ALL subspaces train simultaneously in
+    * one pass per iteration: a round is one map over the corpus plus an
+    * (m·k)-row shuffle, regardless of corpus size — the same scalable
+    * layout as [[kmeansCentroids]]. Empty cells keep their previous
+    * sub-centroid. `init(mi)(ci)` supplies the deterministic starting
+    * sub-centroids. */
+  def pqCodebooks(vecs: DataFrame, vecCol: String,
+      init: Array[Array[Array[Float]]], iters: Int): Array[Array[Array[Float]]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val ds = vecs.select(col(vecCol)).as[Array[Float]]
+    val m = init.length
+    val k = init(0).length
+    val sub = init(0)(0).length
+    var books = init
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val sums = ds
+        .mapPartitions { it =>
+          val bs = bc.value
+          val acc = Array.fill(m, k)(new Array[Double](sub))
+          val cnt = Array.fill(m, k)(0L)
+          it.foreach { v =>
+            var mi = 0
+            while (mi < m) {
+              val off = mi * sub
+              var best = 0
+              var bestD = Double.MaxValue
+              var ci = 0
+              while (ci < k) {
+                val dd = l2sub(v, off, bs(mi)(ci))
+                if (dd < bestD) { bestD = dd; best = ci }
+                ci += 1
+              }
+              val a = acc(mi)(best)
+              var i = 0
+              while (i < sub) { a(i) += v(off + i); i += 1 }
+              cnt(mi)(best) += 1
+              mi += 1
+            }
+            ()
+          }
+          for (mi <- (0 until m).iterator; ci <- (0 until k).iterator if cnt(mi)(ci) > 0)
+            yield (mi * k + ci, acc(mi)(ci), cnt(mi)(ci))
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (x, y) =>
+          val s = new Array[Double](x._2.length)
+          var i = 0
+          while (i < s.length) { s(i) = x._2(i) + y._2(i); i += 1 }
+          (x._1, s, x._3 + y._3)
+        }
+        .map(_._2)
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { case (cell, s, n) =>
+        next(cell / k)(cell % k) = Array.tabulate(sub)(i => (s(i) / n).toFloat)
+      }
+      books = next
+    }
+    books
+  }
+
+  /** ANN via product quantization with asymmetric distance computation
+    * (ADC) and exact refinement — the compression path for corpora whose
+    * full vectors don't fit memory: the scan touches only the per-vector
+    * codes (m·log2(k) bits — 32× smaller than float32 at m=16, k=16),
+    * approximates `dot(q, x) ≈ Σ_m table[m][code_m]` by per-query lookup
+    * tables, keeps a bounded top-`refine` candidate heap per query per
+    * partition, and re-ranks ONLY the surviving candidates against their
+    * full vectors. Composes with [[ivfTopK]]'s cell routing for the full
+    * IVF-PQ design (cells bound the scan, PQ bounds the bytes); kept
+    * orthogonal here so each trade is measurable on its own.
+    *
+    * The approximate norm ‖x̂‖² = Σ_m ‖c_{m,code_m}‖² is exact for the
+    * reconstruction because subspaces partition the coordinates. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      books: Array[Array[Array[Float]]], k: Int, refine: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val kc = books(0).length
+    val sub = books(0)(0).length
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val qRows = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])].collect()
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    // ADC scan: encode + score + bounded per-query heap, one pass
+    val candidates = corpus.select(col("cid"), col("cvec")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val bs = bcBooks.value
+        val qs = bcQ.value
+        // per-query lookup tables: dot(q_m, c) and the code's ‖c‖²
+        val tabDot = Array.ofDim[Double](qs.length, m, kc)
+        val tabN2 = Array.ofDim[Double](m, kc)
+        for (mi <- 0 until m; ci <- 0 until kc) {
+          val c = bs(mi)(ci)
+          var n2 = 0.0
+          var i = 0
+          while (i < sub) { n2 += c(i).toDouble * c(i); i += 1 }
+          tabN2(mi)(ci) = n2
+          for (qi <- qs.indices) {
+            val qv = qs(qi)._2
+            var s = 0.0
+            var j = 0
+            while (j < sub) { s += qv(mi * sub + j).toDouble * c(j); j += 1 }
+            tabDot(qi)(mi)(ci) = s
+          }
+        }
+        val qNorm = qs.map(q => math.sqrt(dotD(q._2, q._2)))
+        // bounded candidate heaps: evict smallest approx score, larger
+        // cid first on ties (deterministic, favors smaller ids)
+        val heapOrd = Ordering.by[(Double, Long), (Double, Long)](p => (p._1, -p._2)).reverse
+        val heaps = Array.fill(qs.length)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(heapOrd))
+        val code = new Array[Int](m)
+        it.foreach { case (cid, v) =>
+          var mi = 0
+          while (mi < m) {
+            val off = mi * sub
+            var best = 0
+            var bestD = Double.MaxValue
+            var ci = 0
+            while (ci < kc) {
+              val dd = l2sub(v, off, bs(mi)(ci))
+              if (dd < bestD) { bestD = dd; best = ci }
+              ci += 1
+            }
+            code(mi) = best
+            mi += 1
+          }
+          var qi = 0
+          while (qi < qs.length) {
+            if (qs(qi)._1 != cid) {
+              var ad = 0.0
+              var an2 = 0.0
+              var j = 0
+              while (j < m) { ad += tabDot(qi)(j)(code(j)); an2 += tabN2(j)(code(j)); j += 1 }
+              val score = ad / (qNorm(qi) * math.sqrt(an2))
+              val h = heaps(qi)
+              if (h.size < refine) h.enqueue((score, cid))
+              // h.head is the WORST kept candidate (heapOrd is reversed);
+              // replace it when the new one beats it
+              else if (heapOrd.lt((score, cid), h.head)) { h.dequeue(); h.enqueue((score, cid)) }
+            }
+            qi += 1
+          }
+        }
+        for (qi <- qs.indices.iterator; (score, cid) <- heaps(qi).iterator)
+          yield (qs(qi)._1, cid, score)
+      }
+      .toDF("qid", "cid", "approx")
+    // global candidate cut, then exact re-rank of only those candidates
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    val cut = candidates.withColumn("r", row_number().over(w)).filter(col("r") <= refine)
+      .select(col("qid"), col("cid"))
+    val scored = cut
+      .join(corpus.select(col("cid"), col("cvec")), Seq("cid"))
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
+      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+    topK(scored, k)
+  }
+
   /** Multi-probe hyperplane LSH (Lv et al.'s perturbation idea in its
     * simplest form): each query probes its own bucket plus the buckets
     * reached by flipping its `nprobe - 1` least-confident sign bits

@@ -215,6 +215,35 @@ object Embedding {
     },
     None)
 
+  /** Product-quantized ANN (the compression leg of the 10⁹-vector story:
+    * the scan reads 4-bit codes — 64 bits/vector vs 2048 for float32,
+    * 32× — and full vectors are touched only for the refined
+    * candidates). 16 subspaces × 16 codes trained by 3 one-pass Lloyd's
+    * rounds from the same deterministic init as v7; ADC candidate scan
+    * with a bounded per-query heap; exact cosine re-rank of the top-64
+    * candidates. Iterative float training → no SQL oracle (rows-only
+    * check); `AnnSpec` gates recall@5 vs the exact v1 ranking. */
+  val v9KnnPq: Q = Q(
+    "v9_knn_pq",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val m = 16
+      val kc = 16
+      val sub = Dim / m
+      val init = e.filter(col("vec_id") < kc).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val books = Array.tabulate(m, kc)((mi, ci) =>
+        java.util.Arrays.copyOfRange(init(ci), mi * sub, (mi + 1) * sub))
+      val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val trained = Ann.pqCodebooks(corpus, "cvec", books, iters = 3)
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.pqTopK(corpus, queries, trained, K, refine = 64)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None)
+
   /** Multi-probe hyperplane LSH (nprobe = 2): the query also probes the
     * bucket reached by flipping its least-confident sign bit. The probe
     * choice is deterministic double arithmetic, so the oracle reproduces
@@ -265,5 +294,6 @@ object Embedding {
   }
 
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,
-    v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe)
+    v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
+    v9KnnPq)
 }

@@ -251,7 +251,92 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Intra-document repetition (Gopher-style quality signal): the
+    * fraction of bigrams that are repeats of an earlier bigram in the
+    * same document. Template/boilerplate text scores high and is a
+    * standard pre-training drop rule. One narrow typed pass; documents
+    * with fewer than 2 tokens have no bigrams and produce no row (same
+    * as the oracle's join semantics). */
+  val t10Repetition: Q = Q(
+    "t10_repetition",
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g FROM w, unnest(range(1, len(w))) AS u(i)),
+      |a AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS uniq FROM g GROUP BY 1)
+      |SELECT doc_id, CAST(total AS BIGINT) AS n_bigrams, CAST(uniq AS BIGINT) AS n_distinct,
+      |  CAST(total - uniq AS DOUBLE) / total AS dup_ratio
+      |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        if (toks.length < 2) Iterator.empty
+        else {
+          val total = toks.length - 1
+          val seen = new java.util.HashSet[String]()
+          var i = 0
+          while (i < total) { seen.add(toks(i) + " " + toks(i + 1)); i += 1 }
+          Iterator.single((id, total.toLong, seen.size.toLong,
+            (total - seen.size).toDouble / total))
+        }
+      }
+      .toDF("doc_id", "n_bigrams", "n_distinct", "dup_ratio")
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII scrubbing: email + long-digit-run redaction with match counts —
+    * the redact-before-training step of a data pipeline. The corpus is
+    * synthetic, so PII is synthesized deterministically per doc (the
+    * q21/q22 pattern) and the scrub must remove exactly what was
+    * planted plus anything already matching in the text. Pure codegen'd
+    * `regexp_replace`/`regexp_extract_all` — the same RE2-compatible
+    * patterns run verbatim in the oracle. */
+  val t11PiiRedact: Q = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val numRe = "[0-9]{7,}"
+    Q(
+      "t11_pii_redact",
+      s"""WITH s AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@example.com or +12345678901' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'), '$numRe', '<NUM>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'), '$numRe')) AS BIGINT) AS n_long_numbers
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or +12345678901"))
+      val deEmailed = regexp_replace(t, emailRe, "<EMAIL>")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          regexp_replace(deEmailed, numRe, "<NUM>").as("redacted"),
+          size(regexp_extract_all(t, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(deEmailed, lit(numRe), lit(0))).cast("long").as("n_long_numbers"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Deterministic hash sampling + shuffle order: keep ~10% of docs by
+    * a stable md5 bucket of the id (reproducible across runs, engines,
+    * and re-partitionings — unlike `sample()`), and order the survivors
+    * by the hash itself (the standard "global shuffle" before training).
+    * The 60-bit md5 slice is the same construction as the minhash base,
+    * whose cross-engine parity is already proven. */
+  val t12HashSample: Q = Q(
+    "t12_hash_sample",
+    """SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS shuffle_key
+      |FROM documents
+      |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
+      |ORDER BY shuffle_key""".stripMargin) { (s, d) =>
+    val h = md5(col("doc_id").cast("string"))
+    Tables.documents(s, d)
+      .filter(conv(substring(h, 1, 15), 16, 10).cast("long") % 100 < 10)
+      .select(col("doc_id"), substring(h, 1, 15).as("shuffle_key"))
+      .orderBy(col("shuffle_key"))
+  }
+
   val all: Seq[Q] = Seq(
     t1TokenStats, t2ExactDedup, t3Quality, t4LangId, t5NgramJaccard,
-    t6MinhashLsh, t7Simhash, t8Fingerprint, t9SimhashPairs)
+    t6MinhashLsh, t7Simhash, t8Fingerprint, t9SimhashPairs,
+    t10Repetition, t11PiiRedact, t12HashSample)
 }

@@ -58,6 +58,11 @@ class AnnSpec extends AnyFunSuite {
     // the v8 SQL oracle, and the absolute ≥0.9 ANN gate is carried by
     // the trained-IVF assertion above (nprobe=4 of 16 trained cells).
     assert(rM >= rS, s"multi-probe $rM < single-probe $rS")
+    // PQ+refine: the ADC scan must rank well enough that the exact
+    // re-rank of its top-64 candidates recovers the true top-5
+    val pq = graft.queries.Embedding.v9KnnPq.run(spark, d)
+    val rPq = recallAt5(pq, exact)
+    assert(rPq >= 0.9, s"PQ-refine recall@5 = $rPq")
   }
 
   test("lshNearDupPairs agrees with exact pairs when buckets coincide") {
