@@ -335,8 +335,36 @@ object Text {
       .orderBy(col("shuffle_key"))
   }
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * 3-gram with a held-out evaluation set (here: the first 20 docs, a
+    * deterministic stand-in for a benchmark suite). The eval side's
+    * distinct shingle set is tiny by construction, so the containment
+    * check is a broadcast semi-join against the corpus shingles — at
+    * 100 TB the corpus side streams through map tasks and nothing but
+    * matched (doc, count) rows shuffle. Reports per-document
+    * contamination counts; a pipeline drops rows with n_shared > 0. */
+  val t13Decontaminate: Q = Q(
+    "t13_decontaminate",
+    s"""WITH $shingleCtes,
+       |ev AS (SELECT DISTINCT g FROM sh WHERE sid < 20),
+       |hits AS (
+       |  SELECT sid, count(*) AS n_shared
+       |  FROM sh JOIN ev USING (g)
+       |  WHERE sid >= 20
+       |  GROUP BY sid)
+       |SELECT sid AS doc_id, CAST(n_shared AS BIGINT) AS n_shared
+       |FROM hits ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sh = Dedup.shingleSet(Tables.documents(s, d), "doc_id", "text", ShingleN)
+    val ev = sh.filter(col("sid") < 20).select(col("g")).distinct()
+    sh.filter(col("sid") >= 20)
+      .join(broadcast(ev), "g")
+      .groupBy(col("sid").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     t1TokenStats, t2ExactDedup, t3Quality, t4LangId, t5NgramJaccard,
     t6MinhashLsh, t7Simhash, t8Fingerprint, t9SimhashPairs,
-    t10Repetition, t11PiiRedact, t12HashSample)
+    t10Repetition, t11PiiRedact, t12HashSample, t13Decontaminate)
 }
