@@ -193,6 +193,28 @@ object Extras {
       .orderBy(col("media_id"))
   }
 
+  /** Skew-safe salted join (build brief: "salting for skew"): the fact
+    * side (lineitem) is salted per-row, the dim side (orders) replicated
+    * once per salt bucket, and the join runs on (orderkey, salt) — a hot
+    * orderkey's rows land on 8 reducers instead of one. The oracle is
+    * the PLAIN join: salting must not change a single row, which is the
+    * whole correctness claim of [[graft.operators.Skew.saltedJoin]]. */
+  val q44SaltedJoin: Q = Q(
+    "q44_salted_join",
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d).withColumnRenamed("o_orderkey", "l_orderkey")
+    graft.operators.Skew.saltedJoin(li, ord, Seq("l_orderkey"), buckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
-    q19SessionWindow, q20CidrFilter, m1MediaPipeline)
+    q19SessionWindow, q20CidrFilter, m1MediaPipeline, q44SaltedJoin)
 }
