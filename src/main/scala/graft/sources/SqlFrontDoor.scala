@@ -58,7 +58,20 @@ object SqlFrontDoor {
           .map(t => (t.key, t.startTsSec, t.startUsec, t.frames.mkString(" ")))(
             org.apache.spark.sql.Encoders.product[(String, Long, Int, String)])
           .toDF("key", "start_ts_sec", "start_usec", "frames_list")),
-      ("camel_records", 2, a => Camel.records(s, a.head, a(1))))
+      ("camel_records", 2, a => Camel.records(s, a.head, a(1))),
+      // training-data dedup family over a documents-shaped parquet
+      // (doc_id, text ...), with the library defaults (3-gram shingles,
+      // 4×4 minhash banding, τ=0.5, hamming ≤3). ngram_jaccard_pairs
+      // runs its document-frequency probe job at resolution time — the
+      // same eager step the DataFrame API performs.
+      ("doc_dedup_groups", 1, a =>
+        graft.operators.Dedup.exactGroups(s.read.parquet(a.head), "doc_id", "text")),
+      ("minhash_pairs", 1, a =>
+        graft.operators.Dedup.minhashLshPairs(s.read.parquet(a.head), "doc_id", "text", 3, 4, 4, 0.5)),
+      ("ngram_jaccard_pairs", 1, a =>
+        graft.operators.Dedup.ngramJaccardPairs(s.read.parquet(a.head), "doc_id", "text", 3, 0.5)),
+      ("simhash_near", 1, a =>
+        graft.operators.Dedup.simhashNearStats(s.read.parquet(a.head), "doc_id", "text", 3)))
   }
 
   private def tvfBuilder(name: String, nArgs: Int,

@@ -65,6 +65,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t9 must not plan an all-pairs join:\n$plan")
   }
 
+  test("t13: decontamination is a broadcast semi/equi join on the eval shingles") {
+    val plan = planOf(Text.t13Decontaminate.run(SparkTest.spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingle set must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q44/v9: salted join and PQ search stay equi-shaped") {
+    for (q <- Seq(graft.queries.Extras.q44SaltedJoin, Embedding.v9KnnPq)) {
+      val plan = planOf(q.run(SparkTest.spark, sf))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"${q.name} must not plan a cartesian/nested-loop join:\n$plan")
+    }
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(

@@ -146,4 +146,22 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("s0", 1L), ("s1", 2L), ("s2", 1L)))
   }
+
+  test("dedup-family TVFs match the DataFrame API from pure SQL") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    // minhash near-dup pairs: SQL TVF result == operator result
+    val sqlPairs = spark.sql(
+      s"SELECT da, db FROM minhash_pairs('$docs') ORDER BY da, db")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val apiPairs = graft.operators.Dedup
+      .minhashLshPairs(spark.read.parquet(docs), "doc_id", "text", 3, 4, 4, 0.5)
+      .orderBy("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sqlPairs.toSeq == apiPairs.toSeq)
+    // exact dedup groups compose with SQL aggregation in one statement
+    val nDocs = spark.read.parquet(docs).count()
+    val total = spark.sql(
+      s"SELECT CAST(sum(n_copies) AS BIGINT) AS n FROM doc_dedup_groups('$docs')")
+      .collect().head.getLong(0)
+    assert(total == nDocs, "every document must belong to exactly one group")
+  }
 }
