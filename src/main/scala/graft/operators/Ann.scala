@@ -377,6 +377,164 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Per-vector residuals against each vector's max-cosine cell centroid
+    * — the training input for IVF-PQ codebooks (quantizing residuals
+    * instead of raw vectors is what makes shared codebooks accurate:
+    * residuals are centered near zero in every cell). */
+  def residualsOf(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Float]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    corpus.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val c = bc.value(nearestCell(bc.value, v))
+        (id, Array.tabulate(v.length)(i => v(i) - c(i)))
+      }
+      .toDF(idCol, vecCol)
+  }
+
+  /** IVF-PQ: the full composition — IVF cells bound WHICH vectors a
+    * query scans (nprobe of them), PQ residual codes bound the BYTES the
+    * scan touches, and the exact re-rank bounds what the approximation
+    * can cost. The faiss-style layout re-expressed Spark-first:
+    *
+    *   - corpus pass: assign cell, encode the residual `v − centroid`
+    *     with the shared codebooks → (cid, cell, m 4-bit codes)
+    *   - query side (broadcast): nprobe max-cosine cells per query; the
+    *     reconstruction is `x̂ = cent_cell + Σ_m c_code`, so
+    *     `dot(q, x̂) = dot(q, cent) + Σ_m tabDot[m][code]` and
+    *     `‖x̂‖² = ‖cent‖² + 2·Σ_m tabCent[cell][m][code] + Σ_m ‖c‖²`
+    *     — all table lookups, precomputed once per partition from the
+    *     broadcast centroids + codebooks (cells·m·k doubles)
+    *   - bounded top-`refine` heap per query, exact cosine re-rank of
+    *     survivors only.
+    *
+    * At 10⁹ vectors the scan per query touches nprobe/cells of the
+    * corpus as codes (32× smaller than float32); full vectors are
+    * fetched for `refine` candidates per query. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      cents: Array[Array[Float]], books: Array[Array[Array[Float]]],
+      k: Int, nprobe: Int, refine: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val kc = books(0).length
+    val sub = books(0)(0).length
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcB = spark.sparkContext.broadcast(books)
+    val qRows = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])].collect()
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    val candidates = corpus.select(col("cid"), col("cvec")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val bs = bcB.value
+        val qs = bcQ.value
+        // query-independent tables
+        val tabN2 = Array.ofDim[Double](m, kc) // ‖c_{m,code}‖²
+        val tabCent = Array.ofDim[Double](cs.length, m, kc) // dot(cent_m, c)
+        for (mi <- 0 until m; ci <- 0 until kc) {
+          val c = bs(mi)(ci)
+          var n2 = 0.0
+          var i = 0
+          while (i < sub) { n2 += c(i).toDouble * c(i); i += 1 }
+          tabN2(mi)(ci) = n2
+          for (cell <- cs.indices) {
+            var s = 0.0
+            var j = 0
+            while (j < sub) { s += cs(cell)(mi * sub + j).toDouble * c(j); j += 1 }
+            tabCent(cell)(mi)(ci) = s
+          }
+        }
+        val centN2 = cs.map(c => dotD(c, c))
+        // per-query tables: dot(q_m, c) and dot(q, cent), plus which
+        // queries probe each cell (so a corpus row only scores against
+        // the queries that would ever scan its cell)
+        val tabQ = Array.ofDim[Double](qs.length, m, kc)
+        val qCentDot = Array.ofDim[Double](qs.length, cs.length)
+        val probesByCell = Array.fill(cs.length)(List.newBuilder[Int])
+        for (qi <- qs.indices) {
+          val qv = qs(qi)._2
+          for (mi <- 0 until m; ci <- 0 until kc) {
+            val c = bs(mi)(ci)
+            var s = 0.0
+            var j = 0
+            while (j < sub) { s += qv(mi * sub + j).toDouble * c(j); j += 1 }
+            tabQ(qi)(mi)(ci) = s
+          }
+          for (cell <- cs.indices) qCentDot(qi)(cell) = dotD(qv, cs(cell))
+          cs.indices
+            .sortBy(cell => (-qCentDot(qi)(cell) / math.sqrt(centN2(cell)), cell))
+            .take(math.min(nprobe, cs.length))
+            .foreach(cell => probesByCell(cell) += qi)
+        }
+        val probing = probesByCell.map(_.result().toArray)
+        val qNorm = qs.map(q => math.sqrt(dotD(q._2, q._2)))
+        val heapOrd = Ordering.by[(Double, Long), (Double, Long)](p => (p._1, -p._2)).reverse
+        val heaps = Array.fill(qs.length)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(heapOrd))
+        val code = new Array[Int](m)
+        it.foreach { case (cid, v) =>
+          val cell = nearestCell(cs, v)
+          val qids = probing(cell)
+          if (qids.nonEmpty) {
+            // encode the residual
+            var mi = 0
+            while (mi < m) {
+              val off = mi * sub
+              var best = 0
+              var bestD = Double.MaxValue
+              var ci = 0
+              while (ci < kc) {
+                val c = bs(mi)(ci)
+                var dd = 0.0
+                var i = 0
+                while (i < sub) {
+                  val d = (v(off + i) - cs(cell)(off + i)).toDouble - c(i)
+                  dd += d * d
+                  i += 1
+                }
+                if (dd < bestD) { bestD = dd; best = ci }
+                ci += 1
+              }
+              code(mi) = best
+              mi += 1
+            }
+            // reconstruction norm: ‖cent‖² + 2·dot(cent, r̂) + ‖r̂‖²
+            var cr = 0.0
+            var rn2 = 0.0
+            var j = 0
+            while (j < m) { cr += tabCent(cell)(j)(code(j)); rn2 += tabN2(j)(code(j)); j += 1 }
+            val xn2 = centN2(cell) + 2 * cr + rn2
+            var qi0 = 0
+            while (qi0 < qids.length) {
+              val qi = qids(qi0)
+              if (qs(qi)._1 != cid) {
+                var rd = 0.0
+                var jj = 0
+                while (jj < m) { rd += tabQ(qi)(jj)(code(jj)); jj += 1 }
+                val score = (qCentDot(qi)(cell) + rd) / (qNorm(qi) * math.sqrt(xn2))
+                val h = heaps(qi)
+                if (h.size < refine) h.enqueue((score, cid))
+                else if (heapOrd.lt((score, cid), h.head)) { h.dequeue(); h.enqueue((score, cid)) }
+              }
+              qi0 += 1
+            }
+          }
+        }
+        for (qi <- qs.indices.iterator; (score, cid) <- heaps(qi).iterator)
+          yield (qs(qi)._1, cid, score)
+      }
+      .toDF("qid", "cid", "approx")
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    val cut = candidates.withColumn("r", row_number().over(w)).filter(col("r") <= refine)
+      .select(col("qid"), col("cid"))
+    val scored = cut
+      .join(corpus.select(col("cid"), col("cvec")), Seq("cid"))
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
+      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+    topK(scored, k)
+  }
+
   /** Multi-probe hyperplane LSH (Lv et al.'s perturbation idea in its
     * simplest form): each query probes its own bucket plus the buckets
     * reached by flipping its `nprobe - 1` least-confident sign bits

@@ -244,6 +244,39 @@ object Embedding {
     },
     None)
 
+  /** Full IVF-PQ composition (faiss-style): Lloyd's-trained cells bound
+    * which vectors each query scans (nprobe=4 of 16), shared codebooks
+    * over cell RESIDUALS bound the bytes (4-bit codes), exact re-rank
+    * bounds the approximation. Iterative float training → no SQL oracle
+    * (rows-only check); `AnnSpec` gates recall@5 vs the exact v1
+    * ranking. */
+  val v10KnnIvfPq: Q = Q(
+    "v10_knn_ivf_pq",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val numCells = 16
+      val m = 16
+      val kc = 16
+      val sub = Dim / m
+      val init = e.filter(col("vec_id") < math.max(numCells, kc)).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val cents = Ann.kmeansCentroids(e, "embedding", init.take(numCells), iters = 5)
+      val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val residuals = Ann.residualsOf(corpus, "cid", "cvec", cents)
+      // codebook init from the first kc vectors' residuals (deterministic)
+      val rInit = residuals.filter(col("cid") < kc).orderBy(col("cid"))
+        .select(col("cvec")).collect().map(_.getSeq[Float](0).toArray)
+      val books0 = Array.tabulate(m, kc)((mi, ci) =>
+        java.util.Arrays.copyOfRange(rInit(ci % rInit.length), mi * sub, (mi + 1) * sub))
+      val books = Ann.pqCodebooks(residuals, "cvec", books0, iters = 3)
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.ivfPqTopK(corpus, queries, cents, books, K, nprobe = 4, refine = 96)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None)
+
   /** Multi-probe hyperplane LSH (nprobe = 2): the query also probes the
     * bucket reached by flipping its least-confident sign bit. The probe
     * choice is deterministic double arithmetic, so the oracle reproduces
@@ -295,5 +328,5 @@ object Embedding {
 
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,
     v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
-    v9KnnPq)
+    v9KnnPq, v10KnnIvfPq)
 }

@@ -63,6 +63,11 @@ class AnnSpec extends AnyFunSuite {
     val pq = graft.queries.Embedding.v9KnnPq.run(spark, d)
     val rPq = recallAt5(pq, exact)
     assert(rPq >= 0.9, s"PQ-refine recall@5 = $rPq")
+    // full IVF-PQ: nprobe=4 cells scanned as residual codes + re-rank —
+    // recall is bounded by cell coverage like v7, so the same floor
+    val ivfpq = graft.queries.Embedding.v10KnnIvfPq.run(spark, d)
+    val rIvfPq = recallAt5(ivfpq, exact)
+    assert(rIvfPq >= 0.9, s"IVF-PQ recall@5 = $rIvfPq")
   }
 
   test("lshNearDupPairs agrees with exact pairs when buckets coincide") {
