@@ -329,48 +329,57 @@ object Dedup {
     * loop stays small at any corpus size. The same pair surviving in
     * several bands emits identical (da, db, jaccard) rows — distinct()
     * collapses them. */
+  /** Per-document band rows — (band, bucket, sid, sorted hash set) —
+    * computed entirely in-task: distinct shingles, one md5 each feeding
+    * the K running minima, band buckets folded through xxHash64 (bucket
+    * ids are internal join keys only, never surfaced). Shared by the
+    * batch pair kernel and the streaming near-dup operator. `md` is the
+    * caller's per-partition digest instance. */
+  private[graft] def minhashBandRowsOf(sid: Long, text: String, n: Int,
+      bands: Int, rowsPerBand: Int, md: MessageDigest): Iterator[(Int, Long, Long, Array[Long])] = {
+    val k = bands * rowsPerBand
+    val aArr = Array.tabulate(k)(minhashA)
+    val bArr = Array.tabulate(k)(minhashB)
+    val seen = distinctShingles(text, n)
+    if (seen.isEmpty) Iterator.empty
+    else {
+      val gs = new Array[Long](seen.size)
+      val mins = Array.fill(k)(Long.MaxValue)
+      var idx = 0
+      val it = seen.iterator()
+      while (it.hasNext) {
+        val s = it.next()
+        val bytes = s.getBytes(StandardCharsets.UTF_8)
+        gs(idx) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+        md.reset()
+        val x = minhashBaseOf(md.digest(bytes))
+        var i = 0
+        while (i < k) {
+          val h = (aArr(i) * x + bArr(i)) % MinhashP
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+        idx += 1
+      }
+      java.util.Arrays.sort(gs)
+      Iterator.tabulate(bands) { b =>
+        var h = 42L
+        var r = 0
+        while (r < rowsPerBand) { h = XXH64.hashLong(mins(b * rowsPerBand + r), h); r += 1 }
+        (b, h, sid, gs)
+      }
+    }
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val k = bands * rowsPerBand
-    val aArr = Array.tabulate(k)(minhashA)
-    val bArr = Array.tabulate(k)(minhashB)
     fannedOut(docs, idCol, textCol).as[(Long, String)]
       .mapPartitions { rows =>
         val md = MessageDigest.getInstance("MD5")
         rows.flatMap { case (sid, text) =>
-          val seen = distinctShingles(text, n)
-          if (seen.isEmpty) Iterator.empty
-          else {
-            val gs = new Array[Long](seen.size)
-            val mins = Array.fill(k)(Long.MaxValue)
-            var idx = 0
-            val it = seen.iterator()
-            while (it.hasNext) {
-              val s = it.next()
-              val bytes = s.getBytes(StandardCharsets.UTF_8)
-              gs(idx) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
-              md.reset()
-              val x = minhashBaseOf(md.digest(bytes))
-              var i = 0
-              while (i < k) {
-                val h = (aArr(i) * x + bArr(i)) % MinhashP
-                if (h < mins(i)) mins(i) = h
-                i += 1
-              }
-              idx += 1
-            }
-            java.util.Arrays.sort(gs)
-            // band buckets are internal join keys only (never surfaced):
-            // fold the band's minima through xxHash64
-            Iterator.tabulate(bands) { b =>
-              var h = 42L
-              var r = 0
-              while (r < rowsPerBand) { h = XXH64.hashLong(mins(b * rowsPerBand + r), h); r += 1 }
-              (b, h, sid, gs)
-            }
-          }
+          minhashBandRowsOf(sid, text, n, bands, rowsPerBand, md)
         }
       }
       .groupByKey(r => (r._1, r._2))

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming._
+
+import graft.operators.Dedup
+
+/** One LSH band row of a streaming document (top-level for encoder
+  * codegen): the bucket membership plus the doc's sorted shingle-hash
+  * set for in-bucket verification. */
+final case class BandRow(band: Int, bucket: Long, sid: Long, gs: Array[Long])
+
+/** A verified near-duplicate pair (da < db). */
+final case class NearPair(da: Long, db: Long, jaccard: Double)
+
+/** Streaming MinHash+LSH near-duplicate detection — the continuous form
+  * of [[Dedup.minhashLshPairs]]: each arriving document's band rows are
+  * routed to their (band, bucket) key, verified with an exact
+  * sorted-merge Jaccard against the bucket's RETAINED members, and
+  * appended to the bucket state. A near-dup of any document seen within
+  * the retention TTL is caught as it arrives — the batch operator's
+  * semantics, minus pairs whose first member aged out of state (the
+  * documented unbounded-ingest trade, same as
+  * [[DedupStream.withinWatermark]]: global pairing over all history is
+  * the batch compaction's job).
+  *
+  * State is per (band, bucket): a list of (sid, shingle hashes) — the
+  * compact rows, never the text. Bucket population is bounded by LSH
+  * design plus the TTL; the per-arrival verify cost is the bucket size.
+  */
+class NearDupProcessor(threshold: Double)
+    extends StatefulProcessor[(Int, Long), BandRow, NearPair] {
+
+  @transient private var members: ListState[BandRow] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    members = getHandle.getListState[BandRow]("members",
+      Encoders.product[BandRow], NearDupStream.RetentionTtl)
+
+  private def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { inter += 1; i += 1; j += 1 }
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  override def handleInputRows(key: (Int, Long), rows: Iterator[BandRow],
+      timerValues: TimerValues): Iterator[NearPair] = {
+    val out = Seq.newBuilder[NearPair]
+    for (row <- rows) {
+      val seen = members.get()
+      while (seen.hasNext) {
+        val m = seen.next()
+        if (m.sid != row.sid) {
+          val jac = jaccard(m.gs, row.gs)
+          if (jac >= threshold) {
+            val (da, db) = if (m.sid < row.sid) (m.sid, row.sid) else (row.sid, m.sid)
+            out += NearPair(da, db, jac)
+          }
+        }
+      }
+      members.appendValue(row)
+    }
+    out.result().iterator
+  }
+}
+
+object NearDupStream {
+
+  /** Bucket-member retention: entries older than this are evicted by the
+    * state store's native TTL. Bounded state is what lets the operator
+    * run forever; widen it for longer dedup horizons. */
+  private[streaming] val RetentionTtl: TTLConfig =
+    new TTLConfig(java.time.Duration.ofHours(24))
+
+  /** docs(idCol: long, textCol: string) → verified near-dup pairs.
+    * The same pair surviving several bands emits once per band;
+    * `dropDuplicates` on (da, db) collapses them (unbounded dedup state
+    * in streaming — acceptable because pairs are rare by construction;
+    * at extreme rates key it with a watermark downstream). */
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): Dataset[NearPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.selectExpr(s"CAST($idCol AS LONG)", textCol).as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        rows.flatMap { case (sid, text) =>
+          Dedup.minhashBandRowsOf(sid, text, n, bands, rowsPerBand, md)
+            .map { case (b, h, s, gs) => BandRow(b, h, s, gs) }
+        }
+      }
+      .groupByKey(r => (r.band, r.bucket))
+      .transformWithState(new NearDupProcessor(threshold),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+      .dropDuplicates("da", "db")
+  }
+}

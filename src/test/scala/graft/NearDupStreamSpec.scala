@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{NearDupStream, NearPair}
+
+/** Streaming MinHash near-dup: an exact duplicate arriving in a LATER
+  * micro-batch must pair with the original (bucket state spans batches,
+  * all bands collide for identical docs so detection is deterministic);
+  * an unrelated document must not pair with anything.
+  */
+class NearDupStreamSpec extends AnyFunSuite {
+
+  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (cond) return true
+      Thread.sleep(100)
+    }
+    cond
+  }
+
+  test("duplicate across micro-batches pairs once; unrelated doc stays unpaired") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    try {
+      val template = "the quick brown fox jumps over the lazy dog again and again"
+      val other = "completely different content with no shared trigrams at all here"
+      val input = MemoryStream[(Long, String)]
+      val q = NearDupStream.pairs(input.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+        .writeStream.format("memory").queryName("neardup_stream")
+        .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+      try {
+        input.addData((1L, template), (2L, other))
+        Thread.sleep(1200)
+        assert(spark.sql("SELECT * FROM neardup_stream").count() == 0)
+        // batch 2: an exact duplicate of doc 1 — every band bucket
+        // collides, the in-bucket verify fires against the RETAINED
+        // member from batch 1, and dropDuplicates collapses the four
+        // band emissions to one pair
+        input.addData((3L, template))
+        assert(eventually(30000) {
+          spark.sql("SELECT * FROM neardup_stream").count() == 1
+        })
+        val p = spark.sql("SELECT * FROM neardup_stream").as[NearPair].head()
+        assert(p == NearPair(1L, 3L, 1.0))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}
