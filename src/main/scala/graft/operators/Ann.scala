@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,7 +24,7 @@ import org.apache.spark.sql.functions._
   *     unpayable. Bucket skew is bounded because sign-patterns of random
   *     hyperplanes split mass ~evenly.
   */
-object Ann {
+object Ann extends Serializable {
 
   /** Sequential-fold dot product of two float-vector columns (double).
     * Backed by the codegen'd [[graft.functions.FloatVecDot]] — same
@@ -127,15 +128,119 @@ object Ann {
     best
   }
 
+  /** Total clustering cost: Σ over vectors of (1 − max-cosine to any
+    * center) — the objective the cosine-geometry Lloyd's rounds descend.
+    * One narrow pass, a scalar per partition. */
+  def kmeansCost(vecs: DataFrame, vecCol: String, cents: Array[Array[Float]]): Double = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    vecs.select(col(vecCol)).as[Array[Float]]
+      .mapPartitions { it =>
+        val cs = bc.value
+        var s = 0.0
+        it.foreach { v =>
+          var best = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val sim = cosineD(v, cs(c)); if (sim > best) best = sim; c += 1
+          }
+          s += 1.0 - best
+        }
+        Iterator.single(s)
+      }
+      .collect().sum
+  }
+
+  /** k-means‖ initialization (Bahmani et al., VLDB 2012) in a fully
+    * deterministic variant — the corpus-scale replacement for "first k
+    * rows" seeding, whose quality collapses when the leading rows are
+    * not representative:
+    *
+    *   1. seed with the minimum-id vector;
+    *   2. for `rounds` passes, every vector joins the candidate set
+    *      independently with probability `l·d(x)/Σd` (d = 1 − max
+    *      cosine to the current candidates, l = oversample ≈ 2k); the
+    *      coin is a hash of (id, round) against the broadcast cost sum,
+    *      so re-runs and task retries draw identically;
+    *   3. candidates are weighted by the number of corpus vectors they
+    *      attract and reduced to k at the driver by greedy weighted
+    *      farthest-point selection (the deterministic k-means++ flavor).
+    *
+    * Each round is two narrow passes (cost sum, coin flips) over the
+    * corpus; only ~l candidate vectors ever reach the driver. */
+  def kmeansParallelInit(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int = 3, oversample: Int = 0): Array[Array[Float]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val l = if (oversample > 0) oversample else 2 * k
+    val ds = vecs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    def dist(v: Array[Float], cs: Array[Array[Float]]): Double = {
+      var best = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) { val s = cosineD(v, cs(c)); if (s > best) best = s; c += 1 }
+      math.max(0.0, 1.0 - best)
+    }
+    // deterministic uniform coin in [0, 1) from (id, round)
+    def coin(id: Long, round: Int): Double = {
+      val h = XXH64.hashLong(id, 4242L + round)
+      (h >>> 11).toDouble / (1L << 53).toDouble
+    }
+    var cands = Array(ds.orderBy(col(idCol)).first()._2)
+    for (round <- 0 until rounds) {
+      val bc = spark.sparkContext.broadcast(cands)
+      val sumD = ds.mapPartitions { it =>
+        val cs = bc.value
+        var s = 0.0
+        it.foreach { case (_, v) => s += dist(v, cs) }
+        Iterator.single(s)
+      }.collect().sum
+      if (sumD > 0) {
+        val picked = ds.mapPartitions { it =>
+          val cs = bc.value
+          it.filter { case (id, v) => coin(id, round) < l * dist(v, cs) / sumD }
+        }.collect()
+        cands = cands ++ picked.map(_._2)
+      }
+    }
+    // weight candidates by attraction, then greedy weighted farthest-point
+    val bcAll = spark.sparkContext.broadcast(cands)
+    val weights = ds.mapPartitions { it =>
+      val cs = bcAll.value
+      val w = new Array[Long](cs.length)
+      it.foreach { case (_, v) =>
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val s = cosineD(v, cs(c)); if (s > bestSim) { bestSim = s; best = c }; c += 1
+        }
+        w(best) += 1
+      }
+      Iterator.tabulate(cs.length)(i => (i, w(i)))
+    }.groupByKey(_._1).reduceGroups((a, b) => (a._1, a._2 + b._2)).map(_._2).collect()
+      .sortBy(_._1).map(_._2)
+    val out = scala.collection.mutable.ArrayBuffer(cands(weights.indices.maxBy(i => (weights(i), -i))))
+    while (out.length < math.min(k, cands.length)) {
+      val next = cands.indices.maxBy { i =>
+        val d = out.map(c => math.max(0.0, 1.0 - cosineD(cands(i), c))).min
+        (weights(i) * d, -i) // deterministic tie-break: lowest index
+      }
+      out += cands(next)
+    }
+    out.toArray
+  }
+
   /** Distributed Lloyd's k-means in cosine geometry (assignment by max
     * cosine, update by cell mean), `iters` rounds from a caller-supplied
     * deterministic init. One pass per round: per-partition accumulators
     * reduce to k×dim double sums — only (cell, sum, count) triples ever
     * cross the wire, so a round costs a map over the corpus plus a
     * k-row shuffle regardless of corpus size (the standard scalable
-    * Lloyd's layout; k-means‖ init is the further refinement when even
-    * the init sample must be distributed). Empty cells keep their
-    * previous centroid. */
+    * Lloyd's layout; [[kmeansParallelInit]] supplies the distributed,
+    * quality-seeded init when first-k rows won't do). Empty cells keep
+    * their previous centroid. */
   def kmeansCentroids(vecs: DataFrame, vecCol: String,
       init: Array[Array[Float]], iters: Int): Array[Array[Float]] = {
     val spark = vecs.sparkSession
