@@ -47,8 +47,14 @@ object Skew {
     require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
       s"saltedJoin supports fact-preserving join types only, got $joinType")
     val salted = fact.withColumn("__salt", rowSalt(fact, buckets))
+    // shuffle-hash, not broadcast and not sort-merge: a caller reaching
+    // for saltedJoin has already decided the dim does NOT broadcast
+    // (otherwise there is no shuffle to skew), and the exchange on
+    // (keys, salt) spreading the hot key across reducers IS the point —
+    // without the hint the planner may broadcast the replicated dim
+    // (paying a buckets× driver build for nothing) or sort both sides
     val replicated = dim.withColumn("__salt",
-      explode(sequence(lit(0), lit(buckets - 1))))
+      explode(sequence(lit(0), lit(buckets - 1)))).hint("shuffle_hash")
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 }

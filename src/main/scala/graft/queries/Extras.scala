@@ -206,8 +206,12 @@ object Extras {
       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d)
-    val ord = Tables.orders(s, d).withColumnRenamed("o_orderkey", "l_orderkey")
+    // prune BEFORE salting: the salt hashes every column it is given and
+    // the dim side replicates buckets×, so the operator gets exactly the
+    // columns the query needs and nothing else rides the 8× shuffle
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
     graft.operators.Skew.saltedJoin(li, ord, Seq("l_orderkey"), buckets = 8)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
