@@ -219,6 +219,33 @@ object Extras {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** As-of join (point-in-time enrichment): sparse per-user "rate
+    * updates" (every 20th event) join onto the interleaved fact events
+    * at the latest update at-or-before each fact timestamp. The oracle
+    * is DuckDB's NATIVE `ASOF LEFT JOIN` — the composed window
+    * formulation must reproduce the primitive exactly, including the
+    * inclusive equal-timestamp case and null for facts with no prior
+    * update. */
+  val q45AsofJoin: Q = Q(
+    "q45_asof_join",
+    """WITH dim AS (
+      |  SELECT user_id, ts, max(value) AS rate FROM events
+      |  WHERE event_id % 20 = 0 GROUP BY user_id, ts),
+      |fact AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_id % 20 <> 0)
+      |SELECT f.event_id, f.user_id, f.ts, d.rate
+      |FROM fact f ASOF LEFT JOIN dim d
+      |  ON f.user_id = d.user_id AND f.ts >= d.ts
+      |ORDER BY f.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val dim = ev.filter(col("event_id") % 20 === 0)
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("rate"))
+    val fact = ev.filter(col("event_id") % 20 =!= 0)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOf.joinLeft(fact, dim, Seq("user_id"), "ts", Seq("rate"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
-    q19SessionWindow, q20CidrFilter, m1MediaPipeline, q44SaltedJoin)
+    q19SessionWindow, q20CidrFilter, m1MediaPipeline, q44SaltedJoin, q45AsofJoin)
 }
