@@ -246,6 +246,39 @@ object Extras {
       .orderBy(col("event_id"))
   }
 
+  /** Range join (interval containment): every 50th event opens a
+    * 24-hour per-user interval; the other events join every interval
+    * containing them. The Spark side is the bucketed equi-join rewrite
+    * ([[graft.operators.RangeJoin]], bucket = the interval width so dim
+    * rows explode to ≤ 2 buckets); the oracle is the naive inequality
+    * join — the rewrite must reproduce it exactly. */
+  val q46RangeJoin: Q = Q(
+    "q46_range_join",
+    """WITH dim AS (
+      |  SELECT event_id AS interval_id, user_id,
+      |         epoch_us(ts) AS start_us, epoch_us(ts) + 86400000000 AS end_us
+      |  FROM events WHERE event_id % 50 = 0),
+      |fact AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_id % 50 <> 0)
+      |SELECT f.event_id, f.user_id, d.interval_id
+      |FROM fact f JOIN dim d
+      |  ON f.user_id = d.user_id AND f.ts_us BETWEEN d.start_us AND d.end_us
+      |ORDER BY f.event_id, d.interval_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val dim = ev.filter(col("event_id") % 50 === 0)
+      .select(col("event_id").as("interval_id"), col("user_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + 86400000000L).as("end_us"))
+    val fact = ev.filter(col("event_id") % 50 =!= 0)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    graft.operators.RangeJoin.join(fact, dim, Seq("user_id"),
+        "ts_us", "start_us", "end_us", bucketWidth = 86400000000L)
+      .select(col("event_id"), col("user_id"), col("interval_id"))
+      .orderBy(col("event_id"), col("interval_id"))
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
-    q19SessionWindow, q20CidrFilter, m1MediaPipeline, q44SaltedJoin, q45AsofJoin)
+    q19SessionWindow, q20CidrFilter, m1MediaPipeline, q44SaltedJoin, q45AsofJoin,
+    q46RangeJoin)
 }

@@ -72,8 +72,9 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
-  test("q44/v9: salted join and PQ search stay equi-shaped") {
-    for (q <- Seq(graft.queries.Extras.q44SaltedJoin, Embedding.v9KnnPq)) {
+  test("q44/v9/q45/q46: salted, as-of, range joins and PQ search stay equi-shaped") {
+    for (q <- Seq(graft.queries.Extras.q44SaltedJoin, Embedding.v9KnnPq,
+        graft.queries.Extras.q45AsofJoin, graft.queries.Extras.q46RangeJoin)) {
       val plan = planOf(q.run(SparkTest.spark, sf))
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"${q.name} must not plan a cartesian/nested-loop join:\n$plan")
