@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the
+  * cluster-resolution step a dedup pipeline runs after pair generation:
+  * near-dup pairs are edges, a component is a duplicate cluster, and
+  * the canonical survivor is the component minimum.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC '14). Converges
+  * in O(log² n) rounds on any graph — unlike naive min-label
+  * propagation, whose round count is the graph DIAMETER (a chain of
+  * near-dup shards from a sorted corpus can make that linear). Each
+  * round is a constant number of hash-shuffles keyed on node id; state
+  * is the edge list itself, never materialized adjacency lists, so a
+  * high-degree hub costs a big shuffle group but no single-task array.
+  * Lineage is truncated every round with `localCheckpoint` — on a real
+  * cluster swap for `checkpoint` against a reliable store so a lost
+  * executor doesn't recompute the whole iteration history.
+  */
+object Components {
+
+  /** (node, component) for every node appearing in `edges`, where
+    * component = the minimum node id reachable. Self-loops are ignored.
+    * Isolated nodes never appear in an edge list — union them in from
+    * the entity table (as their own component) if the caller needs
+    * total coverage. Throws if `maxIter` rounds pass without
+    * convergence (log² n rounds suffice; 50 covers any realistic n). */
+  def connectedComponents(edges0: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    // canonical directed-to-smaller form: (hi, lo), hi > lo, distinct
+    var e = edges0
+      .select(
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("hi"),
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("lo"))
+      .where(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint()
+
+    def signature(df: DataFrame): (Long, String) = {
+      // decimal sum: xxhash64 terms are ±2^63 and an ANSI long sum overflows
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1).toPlainString)
+    }
+
+    var sig = signature(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // large-star: center every node u over BOTH edge orientations and
+      // connect each strictly-larger neighbor v to m = min(Γ(u) ∪ {u}).
+      // m <= u < v, so the output stays in (hi, lo) form.
+      val both = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = both.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = both.where(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star: in the directed-to-smaller graph, each center hi
+      // re-attaches its smaller neighborhood (and itself) to the min.
+      val mins2 = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val small = large.join(mins2, "hi")
+        .where(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionAll(mins2.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint()
+      val nextSig = signature(small)
+      converged = nextSig == sig
+      sig = nextSig
+      e = small
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // converged state is a set of stars: every non-root points at its
+    // component min, roots appear only on the lo side
+    e.select(col("hi").as("node"), col("lo").as("component"))
+      .unionAll(e.select(col("lo").as("node"), col("lo").as("component")).distinct())
+      .distinct()
+  }
+}

@@ -428,17 +428,21 @@ object Dedup {
     * ReuseExchange to share — re-running it would double the dominant
     * md5-per-token cost. The per-signature stats table (≤ 2¹⁶ rows) is
     * broadcast back, so the probe side never shuffles. */
-  def simhashNearStats(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** Signature-level near pairs for Hamming ≤ maxDist via the exact
+    * pigeonhole chunk cover: 16 bits cut into maxDist+1 chunks, two
+    * signatures within maxDist must agree on ≥ 1 chunk, so candidates
+    * meet in an equi-keyed (chunk, value) group and are popcount-checked
+    * there. Input is one row per DISTINCT signature (column `simhash`);
+    * output is both directions, columns (s, o, ham). Runs over ≤ 2¹⁶
+    * distinct values regardless of corpus size — the doc-level pair
+    * explosion is never materialized. */
+  def simhashSigPairs(distinctSigs: DataFrame, maxDist: Int): DataFrame = {
+    val spark = distinctSigs.sparkSession
     import spark.implicits._
     val chunks = maxDist + 1
     val bitsPer = 16 / chunks
     val mask = (1L << bitsPer) - 1
-    val sigs = simhashSignatures(docs, idCol, textCol).persist()
-    val counts = sigs.groupBy(col("simhash")).agg(count(lit(1)).as("n"))
-    // pigeonhole kernel over distinct signatures; both directions out
-    val sigPairs = counts.select(col("simhash")).as[Long]
+    distinctSigs.select(col("simhash")).as[Long]
       .flatMap { sig =>
         (0 until chunks).map(c => (c, (sig >> (c * bitsPer)) & mask, sig))
       }
@@ -462,6 +466,15 @@ object Dedup {
         out.result()
       }
       .toDF("s", "o", "ham").distinct()
+  }
+
+  def simhashNearStats(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = simhashSignatures(docs, idCol, textCol).persist()
+    val counts = sigs.groupBy(col("simhash")).agg(count(lit(1)).as("n"))
+    val sigPairs = simhashSigPairs(counts.select(col("simhash")), maxDist)
     // neighbors from OTHER signatures: weight by the other side's count
     val fromOthers = sigPairs
       .join(counts.select(col("simhash").as("o"), col("n").as("n_o")), "o")

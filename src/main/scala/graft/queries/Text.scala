@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Components, Dedup}
 
 /** Text-analysis + dedup operator surface over the `documents` table —
   * the training-data-pipeline half of the engine (BASELINE.json
@@ -209,18 +209,24 @@ object Text {
     * near-neighbor count + closest distance, the fields a dedup pipeline
     * actually consumes — and the kernel runs over distinct signatures
     * with multiplicities, never materializing the doc-pair explosion. */
-  val t9SimhashPairs: Q = {
+  /** Shared DuckDB CTEs producing (sid, simhash): the 16-bit SimHash
+    * signature built exactly as `Dedup.simhashSignatures` builds it. */
+  private val simhashSigCtes: String = {
     val sums = (0 until 16).map { i =>
       s"sum(CASE WHEN substring(md5('$i#' || t), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS s$i"
     }.mkString(",\n       ")
     val sig = (0 until 16).map(i => s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id AS sid, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+       |  FROM documents),
+       |bits AS (SELECT sid, $sums FROM toks GROUP BY sid),
+       |sigs AS (SELECT sid, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
+  val t9SimhashPairs: Q = {
     Q(
       "t9_simhash_pairs",
-      s"""WITH toks AS (
-         |  SELECT doc_id AS sid, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
-         |  FROM documents),
-         |bits AS (SELECT sid, $sums FROM toks GROUP BY sid),
-         |sigs AS (SELECT sid, CAST($sig AS BIGINT) AS simhash FROM bits),
+      s"""WITH $simhashSigCtes,
          |pairs AS (
          |  SELECT a.sid AS da, b.sid AS db,
          |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -363,8 +369,53 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-cluster resolution — the step AFTER pair generation that
+    * every near-dup modality feeds: near-pairs are edges, a connected
+    * component is a duplicate cluster, and the survivor is the cluster
+    * minimum. Runs [[graft.operators.Components]] (large-star/small-star)
+    * over the SIGNATURE graph, never the doc-pair explosion: ≤ 2¹⁶
+    * simhash nodes regardless of corpus size, then docs pick up their
+    * cluster by a broadcast probe and the keeper map (≤ one row per
+    * cluster) broadcasts back — the only doc-sized shuffles are the
+    * signature pass itself and the final ORDER BY. The oracle computes
+    * the same fixpoint declaratively: a recursive CTE propagating
+    * min-labels over the signature edges. */
+  val t14DupClusters: Q = Q(
+    "t14_dup_clusters",
+    s"""WITH RECURSIVE $simhashSigCtes,
+       |nodes AS (SELECT DISTINCT simhash AS n FROM sigs),
+       |e AS (SELECT a.n AS u, b.n AS v FROM nodes a JOIN nodes b
+       |      ON a.n < b.n AND bit_count(xor(a.n, b.n)) <= 3),
+       |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       |reach(n, l) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT und.v, r.l FROM reach r JOIN und ON und.u = r.n),
+       |comp AS (SELECT n, min(l) AS component FROM reach GROUP BY n),
+       |dc AS (SELECT s.sid AS doc_id, c.component AS cluster
+       |       FROM sigs s JOIN comp c ON s.simhash = c.n),
+       |keep AS (SELECT cluster, min(doc_id) AS keeper_doc_id FROM dc GROUP BY cluster)
+       |SELECT doc_id, cluster, keeper_doc_id
+       |FROM dc JOIN keep USING (cluster)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sigs = Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text")
+    val edges = Dedup.simhashSigPairs(sigs.select(col("simhash")).distinct(), maxDist = 3)
+      .where(col("s") < col("o"))
+    val comp = Components.connectedComponents(edges, "s", "o")
+      .withColumnRenamed("node", "simhash")
+    val withCluster = sigs.join(broadcast(comp), Seq("simhash"), "left")
+      .select(col("sid").as("doc_id"),
+        coalesce(col("component"), col("simhash")).as("cluster"))
+    val keepers = withCluster.groupBy(col("cluster"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"))
+    withCluster.join(broadcast(keepers), "cluster")
+      .select(col("doc_id"), col("cluster"), col("keeper_doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     t1TokenStats, t2ExactDedup, t3Quality, t4LangId, t5NgramJaccard,
     t6MinhashLsh, t7Simhash, t8Fingerprint, t9SimhashPairs,
-    t10Repetition, t11PiiRedact, t12HashSample, t13Decontaminate)
+    t10Repetition, t11PiiRedact, t12HashSample, t13Decontaminate,
+    t14DupClusters)
 }
