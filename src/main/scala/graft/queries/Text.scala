@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Components, Dedup}
+import graft.operators.{Components, Dedup, Prefix}
 
 /** Text-analysis + dedup operator surface over the `documents` table —
   * the training-data-pipeline half of the engine (BASELINE.json
@@ -413,9 +413,41 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing: concatenate the corpus in doc_id order and cut
+    * it into fixed 4096-token training sequences — each document needs
+    * its global token offset, i.e. an exact prefix sum, which Spark's
+    * own `sum OVER (ORDER BY …)` computes in ONE task. Uses
+    * [[graft.operators.Prefix.runningTotal]] (range-repartition +
+    * per-partition offsets) instead; the oracle IS the single-task
+    * window formulation. Emits each doc's token span and the first/last
+    * sequence index it lands in. */
+  val t15SequencePack: Q = Q(
+    "t15_sequence_pack",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |run AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+      |  FROM tok)
+      |SELECT doc_id, n_tokens, end_off,
+      |       CAST((end_off - n_tokens) // 4096 AS BIGINT) AS seq_first,
+      |       CAST((end_off - 1) // 4096 AS BIGINT) AS seq_last
+      |FROM run ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    Prefix.runningTotal(tok, "doc_id", "n_tokens", "end_off")
+      .select(col("doc_id"), col("n_tokens"), col("end_off"),
+        expr("(end_off - n_tokens) div 4096").as("seq_first"),
+        expr("(end_off - 1) div 4096").as("seq_last"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     t1TokenStats, t2ExactDedup, t3Quality, t4LangId, t5NgramJaccard,
     t6MinhashLsh, t7Simhash, t8Fingerprint, t9SimhashPairs,
     t10Repetition, t11PiiRedact, t12HashSample, t13Decontaminate,
-    t14DupClusters)
+    t14DupClusters, t15SequencePack)
 }

@@ -72,6 +72,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("t15: the global running total plans no single-partition exchange") {
+    val plan = planOf(Text.t15SequencePack.run(SparkTest.spark, sf))
+    assert(!plan.contains("SinglePartition"),
+      s"prefix sum must not collapse to one task:\n$plan")
+  }
+
   test("q44/v9/q45/q46: salted, as-of, range joins and PQ search stay equi-shaped") {
     for (q <- Seq(graft.queries.Extras.q44SaltedJoin, Embedding.v9KnnPq,
         graft.queries.Extras.q45AsofJoin, graft.queries.Extras.q46RangeJoin)) {
