@@ -30,14 +30,14 @@ final case class NearPair(da: Long, db: Long, jaccard: Double)
   * compact rows, never the text. Bucket population is bounded by LSH
   * design plus the TTL; the per-arrival verify cost is the bucket size.
   */
-class NearDupProcessor(threshold: Double)
+class NearDupProcessor(threshold: Double, retention: java.time.Duration)
     extends StatefulProcessor[(Int, Long), BandRow, NearPair] {
 
   @transient private var members: ListState[BandRow] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     members = getHandle.getListState[BandRow]("members",
-      Encoders.product[BandRow], NearDupStream.RetentionTtl)
+      Encoders.product[BandRow], new TTLConfig(retention))
 
   private def jaccard(a: Array[Long], b: Array[Long]): Double = {
     var i = 0; var j = 0; var inter = 0
@@ -72,11 +72,11 @@ class NearDupProcessor(threshold: Double)
 
 object NearDupStream {
 
-  /** Bucket-member retention: entries older than this are evicted by the
-    * state store's native TTL. Bounded state is what lets the operator
-    * run forever; widen it for longer dedup horizons. */
-  private[streaming] val RetentionTtl: TTLConfig =
-    new TTLConfig(java.time.Duration.ofHours(24))
+  /** Default bucket-member retention: entries older than this are
+    * evicted by the state store's native TTL. Bounded state is what
+    * lets the operator run forever; widen per call for longer dedup
+    * horizons. */
+  val DefaultRetention: java.time.Duration = java.time.Duration.ofHours(24)
 
   /** docs(idCol: long, textCol: string) → verified near-dup pairs.
     * The same pair surviving several bands emits once per band;
@@ -84,7 +84,8 @@ object NearDupStream {
     * in streaming — acceptable because pairs are rare by construction;
     * at extreme rates key it with a watermark downstream). */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): Dataset[NearPair] = {
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      retention: java.time.Duration = DefaultRetention): Dataset[NearPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.selectExpr(s"CAST($idCol AS LONG)", textCol).as[(Long, String)]
@@ -96,7 +97,7 @@ object NearDupStream {
         }
       }
       .groupByKey(r => (r.band, r.bucket))
-      .transformWithState(new NearDupProcessor(threshold),
+      .transformWithState(new NearDupProcessor(threshold, retention),
         TimeMode.ProcessingTime(), OutputMode.Append())
       .dropDuplicates("da", "db")
   }
