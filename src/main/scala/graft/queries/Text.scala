@@ -445,9 +445,67 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus statistics profile: per detected language, doc counts and
+    * EXACT token-count quantiles — computed the way exact quantiles
+    * stay scalable: token count is a bounded-domain measure, so the
+    * corpus collapses to a (lang, n_tokens) histogram under a map-side-
+    * combined groupBy, and the quantile selection runs on the tiny
+    * histogram (cumulative window over ≤ |langs|·|distinct n| rows) —
+    * never a per-group sort of the corpus. Quantile rule, integer
+    * arithmetic on both sides: smallest n with cum ≥ ⌈q·total⌉. */
+  val t16Profile: Q = {
+    def sqlCount(lang: String) =
+      s"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN (${LangWords(lang).map(w => s"'$w'").mkString(", ")})))"
+    Q(
+      "t16_profile",
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
+         |    CASE WHEN ${sqlCount("en")} >= ${sqlCount("de")} AND ${sqlCount("en")} >= ${sqlCount("es")} THEN 'en'
+         |         WHEN ${sqlCount("de")} >= ${sqlCount("es")} THEN 'de'
+         |         ELSE 'es' END AS lang
+         |  FROM documents),
+         |hist AS (SELECT lang, n, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, n, c,
+         |         CAST(sum(c) OVER (PARTITION BY lang ORDER BY n
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM hist),
+         |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+         |               min(n) AS min_tokens, max(n) AS max_tokens FROM hist GROUP BY 1)
+         |SELECT lang, n_docs, min_tokens, max_tokens,
+         |       min(CASE WHEN cum >= (n_docs + 1) // 2 THEN n END) AS p50_tokens,
+         |       min(CASE WHEN cum >= (9 * n_docs + 9) // 10 THEN n END) AS p90_tokens
+         |FROM cum JOIN tot USING (lang)
+         |GROUP BY lang, n_docs, min_tokens, max_tokens
+         |ORDER BY lang""".stripMargin) { (s, d) =>
+      val w = tokens(col("text"))
+      def cnt(lang: String) = wordListCount(w, LangWords(lang))
+      val tok = Tables.documents(s, d).select(
+        size(w).cast("long").as("n"),
+        when(cnt("en") >= cnt("de") && cnt("en") >= cnt("es"), "en")
+          .when(cnt("de") >= cnt("es"), "de")
+          .otherwise("es").as("lang"))
+      val hist = tok.groupBy(col("lang"), col("n")).agg(count(lit(1)).as("c"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n"))
+        .rowsBetween(Long.MinValue, 0)
+      val cum = hist.withColumn("cum", sum(col("c")).over(win))
+      val tot = hist.groupBy(col("lang")).agg(
+        sum(col("c")).as("n_docs"), min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"))
+      cum.join(broadcast(tot), "lang")
+        .groupBy(col("lang"), col("n_docs"), col("min_tokens"), col("max_tokens"))
+        .agg(
+          min(when(col("cum") >= ((col("n_docs") + 1) / 2).cast("long"), col("n"))).as("p50_tokens"),
+          min(when(col("cum") >= ((col("n_docs") * 9 + 9) / 10).cast("long"), col("n"))).as("p90_tokens"))
+        .orderBy(col("lang"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     t1TokenStats, t2ExactDedup, t3Quality, t4LangId, t5NgramJaccard,
     t6MinhashLsh, t7Simhash, t8Fingerprint, t9SimhashPairs,
     t10Repetition, t11PiiRedact, t12HashSample, t13Decontaminate,
-    t14DupClusters, t15SequencePack)
+    t14DupClusters, t15SequencePack, t16Profile)
 }
