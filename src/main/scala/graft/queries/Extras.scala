@@ -278,7 +278,34 @@ object Extras {
       .orderBy(col("event_id"), col("interval_id"))
   }
 
+  /** Z-order layout keys ([[graft.operators.ZOrder]]): interleave the
+    * user bucket and the time bucket so a write sorted by the key
+    * clusters rows close in BOTH dimensions into the same files —
+    * parquet min/max pruning then serves 2-D range predicates, which a
+    * single-column sort can only prune on its leading dimension. The
+    * key is pure codegen'd bit arithmetic; the oracle runs the SAME
+    * shift/mask cascade generated from the same constants. */
+  val q47ZOrderLayout: Q = Q(
+    "q47_zorder_layout",
+    s"""WITH b AS (
+       |  SELECT event_id,
+       |         CAST(user_id % 1024 AS BIGINT) AS xb,
+       |         CAST((epoch_us(ts) // 60000000) % 1024 AS BIGINT) AS yb
+       |  FROM events)
+       |SELECT event_id, xb, yb,
+       |       CAST(${graft.operators.ZOrder.interleave2Sql("xb", "yb")} AS BIGINT) AS zkey
+       |FROM b
+       |ORDER BY zkey, event_id""".stripMargin) { (s, d) =>
+    val b = Tables.events(s, d).select(
+      col("event_id"),
+      (col("user_id") % 1024).as("xb"),
+      (expr("unix_micros(ts) div 60000000") % 1024).as("yb"))
+    b.select(col("event_id"), col("xb"), col("yb"),
+        graft.operators.ZOrder.interleave2(col("xb"), col("yb")).as("zkey"))
+      .orderBy(col("zkey"), col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
     q19SessionWindow, q20CidrFilter, m1MediaPipeline, q44SaltedJoin, q45AsofJoin,
-    q46RangeJoin)
+    q46RangeJoin, q47ZOrderLayout)
 }
