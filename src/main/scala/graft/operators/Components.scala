@@ -85,4 +85,28 @@ object Components {
       .unionAll(e.select(col("lo").as("node"), col("lo").as("component")).distinct())
       .distinct()
   }
+
+  /** Duplicate-cluster resolution over a documents table: simhash
+    * near-pairs (Hamming ≤ maxDist) are the edges, components over the
+    * SIGNATURE graph (≤ 2¹⁶ nodes regardless of corpus size) are the
+    * clusters, and each cluster's minimum doc id is its keeper. Docs
+    * pick up their cluster by a broadcast probe; the keeper map (one
+    * row per cluster) broadcasts back — the only doc-sized shuffles are
+    * the signature pass and whatever the caller sorts by. Returns
+    * (doc_id, cluster, keeper_doc_id). */
+  def dupClusters(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val sigs = Dedup.simhashSignatures(docs, idCol, textCol)
+    val edges = Dedup.simhashSigPairs(sigs.select(col("simhash")).distinct(), maxDist)
+      .where(col("s") < col("o"))
+    val comp = connectedComponents(edges, "s", "o")
+      .withColumnRenamed("node", "simhash")
+    val withCluster = sigs.join(broadcast(comp), Seq("simhash"), "left")
+      .select(col("sid").as("doc_id"),
+        coalesce(col("component"), col("simhash")).as("cluster"))
+    val keepers = withCluster.groupBy(col("cluster"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"))
+    withCluster.join(broadcast(keepers), "cluster")
+      .select(col("doc_id"), col("cluster"), col("keeper_doc_id"))
+  }
 }

@@ -398,18 +398,7 @@ object Text {
        |SELECT doc_id, cluster, keeper_doc_id
        |FROM dc JOIN keep USING (cluster)
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val sigs = Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text")
-    val edges = Dedup.simhashSigPairs(sigs.select(col("simhash")).distinct(), maxDist = 3)
-      .where(col("s") < col("o"))
-    val comp = Components.connectedComponents(edges, "s", "o")
-      .withColumnRenamed("node", "simhash")
-    val withCluster = sigs.join(broadcast(comp), Seq("simhash"), "left")
-      .select(col("sid").as("doc_id"),
-        coalesce(col("component"), col("simhash")).as("cluster"))
-    val keepers = withCluster.groupBy(col("cluster"))
-      .agg(min(col("doc_id")).as("keeper_doc_id"))
-    withCluster.join(broadcast(keepers), "cluster")
-      .select(col("doc_id"), col("cluster"), col("keeper_doc_id"))
+    Components.dupClusters(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
       .orderBy(col("doc_id"))
   }
 

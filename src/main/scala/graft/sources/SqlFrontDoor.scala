@@ -71,7 +71,16 @@ object SqlFrontDoor {
       ("ngram_jaccard_pairs", 1, a =>
         graft.operators.Dedup.ngramJaccardPairs(s.read.parquet(a.head), "doc_id", "text", 3, 0.5)),
       ("simhash_near", 1, a =>
-        graft.operators.Dedup.simhashNearStats(s.read.parquet(a.head), "doc_id", "text", 3)))
+        graft.operators.Dedup.simhashNearStats(s.read.parquet(a.head), "doc_id", "text", 3)),
+      // dup-cluster resolution (components over the signature graph);
+      // runs its iterative star rounds at resolution time, like
+      // ngram_jaccard_pairs runs its probe job
+      ("dup_clusters", 1, a =>
+        graft.operators.Components.dupClusters(s.read.parquet(a.head), "doc_id", "text", 3)),
+      // generic distributed prefix sum over any parquet:
+      // running_total(path, order_col, value_col) adds `running_total`
+      ("running_total", 3, a =>
+        graft.operators.Prefix.runningTotal(s.read.parquet(a.head), a(1), a(2), "running_total")))
   }
 
   private def tvfBuilder(name: String, nArgs: Int,

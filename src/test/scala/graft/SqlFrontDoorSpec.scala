@@ -164,4 +164,22 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(total == nDocs, "every document must belong to exactly one group")
   }
+
+  test("dup_clusters and running_total TVFs match the DataFrame API") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val sqlClusters = spark.sql(
+      s"SELECT doc_id, cluster, keeper_doc_id FROM dup_clusters('$docs') ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val apiClusters = graft.operators.Components
+      .dupClusters(spark.read.parquet(docs), "doc_id", "text", 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sqlClusters.toSeq == apiClusters.toSeq)
+    assert(sqlClusters.forall { case (_, _, keeper) => keeper >= 0 })
+    // running_total over doc_id: final row's total == corpus sum
+    val last = spark.sql(
+      s"""SELECT running_total FROM running_total('$docs', 'doc_id', 'doc_id')
+         |ORDER BY doc_id DESC LIMIT 1""".stripMargin).collect().head.getLong(0)
+    val n = spark.read.parquet(docs).count()
+    assert(last == n * (n - 1) / 2, "running total of 0..n-1 must be n(n-1)/2")
+  }
 }
