@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus bigram language-model scoring — the KenLM-shaped quality
+  * signal of a pre-training pipeline (CCNet-style perplexity filtering),
+  * self-trained on the corpus it scores: pass 1 counts unigrams and
+  * bigrams corpus-wide, pass 2 scores each document's bigrams under the
+  * add-one-smoothed conditional probability p(w2|w1) = (c2+1)/(c1+V).
+  *
+  * Determinism contract: the usual mean-log-probability is a
+  * transcendental; the engine keeps the score in FIXED-POINT integer
+  * arithmetic instead — p_fp = ((c2+1)·SCALE) div (c1+V) — so every
+  * intermediate is a BIGINT and the per-doc sum is order-independent,
+  * hash-matching the oracle bit-for-bit. (Monotone in each bigram's
+  * probability; documented deviation from log-space scoring.)
+  *
+  * Scale design:
+  *   - ONE narrow typed pass tokenizes each document where it is read
+  *     and emits a fixed-width row per token position: (doc_id,
+  *     unigram-hash, bigram-hash|null). Strings never shuffle.
+  *   - Unigram and bigram count tables are partial-aggregated groupBys
+  *     on 64-bit hashes; V falls out of the unigram table for free.
+  *     At 100 TB the bigram table is billions of rows — it stays
+  *     distributed and the score join is a plain equi-join on the hash
+  *     (high cardinality; the head of the Zipf curve is exactly the
+  *     data a count join must see, and AQE skew-split handles it).
+  *   - The token pass is persisted: consumed by both count tables and
+  *     the scoring join; re-running it would triple the tokenize cost.
+  */
+object BigramLm {
+
+  val Scale = 1000000L
+
+  /** Per-document fixed-point LM stats: (doc_id, n_bigrams, lm_sum,
+    * lm_mean). Documents with < 2 tokens have no bigrams and no row. */
+  def scores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        Iterator.tabulate(toks.length) { i =>
+          val big =
+            if (i + 1 < toks.length) Some(Dedup.hash64(toks(i) + " " + toks(i + 1)))
+            else None
+          (id, Dedup.hash64(toks(i)), big)
+        }
+      }
+      .toDF("doc_id", "h1", "h2")
+      .persist()
+
+    val c1 = rows.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    val c2 = rows.filter(col("h2").isNotNull)
+      .groupBy(col("h2")).agg(count(lit(1)).as("c2"))
+
+    rows.filter(col("h2").isNotNull)
+      .join(c2, "h2")
+      .join(c1, "h1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr(s"((c2 + 1) * $Scale) div (c1 + v)").as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("lm_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_sum"),
+        expr("lm_sum div n_bigrams").as("lm_mean"))
+  }
+}

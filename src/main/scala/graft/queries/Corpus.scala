@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Bm25, BigramLm, Layout, SpanDedup}
+
+/** Corpus-curation operator surface (round 4): the last-mile operators
+  * a pre-training data pipeline runs between raw text and trainer
+  * input — exact-substring span dedup, sparse lexical retrieval, LM
+  * quality scoring, leakage-free splits, shard layout. Oracle SQL is
+  * generated from the same constants as the Spark implementations.
+  */
+object Corpus {
+
+  private val WindowW = 8
+  private val Bm25Terms = Seq("spark", "join", "window")
+  private val Bm25TopK = 10
+  private val SimhashMaxDist = 3
+
+  /** Exact-substring span dedup (Lee et al.): W-token windows occurring
+    * ≥ 2 times corpus-wide, merged into maximal per-doc spans. The
+    * oracle groups by the raw window text; the engine by its 64-bit
+    * hash — a collision would fail the hash-match. */
+  val t17SpanDedup: Q = Q(
+    "t17_span_dedup",
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |win AS (
+       |  SELECT doc_id, i, array_to_string(w[i:i+${WindowW - 1}], ' ') AS g
+       |  FROM w, unnest(range(1, len(w) - ${WindowW - 2})) AS u(i)),
+       |freq AS (SELECT g FROM win GROUP BY g HAVING count(*) >= 2),
+       |dup AS (SELECT doc_id, i FROM win JOIN freq USING (g)),
+       |isl AS (
+       |  SELECT doc_id, i,
+       |         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= $WindowW
+       |              THEN 0 ELSE 1 END AS brk
+       |  FROM dup),
+       |grp AS (
+       |  SELECT doc_id, i,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM isl)
+       |SELECT doc_id,
+       |       CAST(min(i) AS BIGINT) AS span_start,
+       |       CAST(max(i) + ${WindowW - 1} AS BIGINT) AS span_end,
+       |       CAST(max(i) + ${WindowW - 1} - min(i) + 1 AS BIGINT) AS span_tokens,
+       |       CAST(count(*) AS BIGINT) AS n_windows
+       |FROM grp GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    SpanDedup.dupSpans(Tables.documents(s, d), "doc_id", "text", WindowW)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** BM25 top-k sparse retrieval with rational idf (no transcendentals)
+    * and fixed-order per-term score addition — see [[Bm25]]. */
+  val t18Bm25: Q = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val partials = Bm25Terms.map(t =>
+      s"coalesce(sum(CASE WHEN t = '$t' THEN s END), 0.0) AS s_$t").mkString(",\n       |        ")
+    val total = Bm25Terms.map(t => s"s_$t").reduceLeft((a, b) => s"($a + $b)")
+    Q(
+      "t18_bm25",
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS t FROM w)
+         |  WHERE t IN ($termList) GROUP BY doc_id, t),
+         |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+         |sc AS (
+         |  -- the e0 suffixes force DOUBLE literals: DuckDB parses bare
+         |  -- 2.2 as DECIMAL and computes tf*2.2 exactly, diverging from
+         |  -- the engine's IEEE double arithmetic by 1 ulp
+         |  SELECT doc_id, t,
+         |         ((n - df + 0.5e0) / (df + 0.5e0)) * (tf * ${Bm25.K1Plus1}e0) /
+         |           (tf + ${Bm25.K1}e0 * (${Bm25.OneMinusB}e0 + ${Bm25.B}e0 * (dl / avgdl))) AS s
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN st JOIN dfreq USING (t)),
+         |agg AS (
+         |  SELECT doc_id,
+         |        $partials
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, ${Bm25Terms.map(t => s"s_$t").mkString(", ")}, $total AS score
+         |FROM agg
+         |ORDER BY score DESC, doc_id
+         |LIMIT $Bm25TopK""".stripMargin) { (s, d) =>
+      Bm25.topK(Tables.documents(s, d), "doc_id", "text", Bm25Terms, Bm25TopK)
+    }
+  }
+
+  /** Corpus-trained bigram LM scoring in fixed point — see
+    * [[BigramLm]]. The oracle counts by raw token/bigram text; the
+    * engine by 64-bit hashes. */
+  val t19BigramLm: Q = Q(
+    "t19_bigram_lm",
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |tok AS (
+       |  SELECT doc_id, w[i] AS t,
+       |         CASE WHEN i < len(w) THEN w[i] || ' ' || w[i+1] END AS g
+       |  FROM w, unnest(range(1, len(w) + 1)) AS u(i)),
+       |c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY t),
+       |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+       |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM tok WHERE g IS NOT NULL GROUP BY g),
+       |sc AS (
+       |  SELECT doc_id, ((c2 + 1) * ${BigramLm.Scale}) // (c1 + v) AS p
+       |  FROM tok JOIN c2 USING (g) JOIN c1 USING (t) CROSS JOIN v)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(p) AS BIGINT) AS lm_sum,
+       |       CAST(sum(p) // count(*) AS BIGINT) AS lm_mean
+       |FROM sc GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    BigramLm.scores(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cluster-aware train/val/test split: the split decision hashes the
+    * near-dup CLUSTER id (t14's components), so no near-duplicate of an
+    * eval doc can land in train. Oracle = the t14 recursive-CTE
+    * fixpoint + the same md5 bucket rule. */
+  val t20LeakfreeSplit: Q = Q(
+    "t20_leakfree_split",
+    s"""WITH RECURSIVE ${Text.simhashSigCtes},
+       |nodes AS (SELECT DISTINCT simhash AS n FROM sigs),
+       |e AS (SELECT a.n AS u, b.n AS v FROM nodes a JOIN nodes b
+       |      ON a.n < b.n AND bit_count(xor(a.n, b.n)) <= $SimhashMaxDist),
+       |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       |reach(n, l) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT und.v, r.l FROM reach r JOIN und ON und.u = r.n),
+       |comp AS (SELECT n, min(l) AS component FROM reach GROUP BY n),
+       |dc AS (SELECT s.sid AS doc_id, c.component AS cluster
+       |       FROM sigs s JOIN comp c ON s.simhash = c.n),
+       |b AS (SELECT doc_id, cluster,
+       |        CAST('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bk
+       |      FROM dc)
+       |SELECT doc_id, cluster,
+       |       CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM b
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Layout.leakFreeSplit(Tables.documents(s, d), "doc_id", "text", SimhashMaxDist)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic shard layout: stable md5 shard bucket + within-shard
+    * position, computed by the two-phase range layout instead of a
+    * one-task-per-shard window — see [[Layout.shardPositions]]. The
+    * oracle IS the naive per-shard window formulation. */
+  val t21ShardLayout: Q = Q(
+    "t21_shard_layout",
+    """WITH k AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS shard,
+      |         md5(CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents)
+      |SELECT doc_id, shard,
+      |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+      |FROM k
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      Layout.md5Bucket(col("doc_id"), 16).as("shard"),
+      md5(col("doc_id").cast("string")).as("k"))
+    Layout.shardPositions(base, "shard", Seq("k", "doc_id"), "pos")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit, t21ShardLayout)
+}

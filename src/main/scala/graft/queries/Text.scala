@@ -210,8 +210,9 @@ object Text {
     * actually consumes — and the kernel runs over distinct signatures
     * with multiplicities, never materializing the doc-pair explosion. */
   /** Shared DuckDB CTEs producing (sid, simhash): the 16-bit SimHash
-    * signature built exactly as `Dedup.simhashSignatures` builds it. */
-  private val simhashSigCtes: String = {
+    * signature built exactly as `Dedup.simhashSignatures` builds it.
+    * Shared with [[Corpus]] (t20 reuses the component fixpoint). */
+  private[queries] val simhashSigCtes: String = {
     val sums = (0 until 16).map { i =>
       s"sum(CASE WHEN substring(md5('$i#' || t), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS s$i"
     }.mkString(",\n       ")

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BigramLm, Bm25, Layout, SpanDedup}
+
+/** Round-4 corpus-curation operators: exact-substring span dedup, BM25
+  * retrieval, bigram LM scoring, shard layout, leak-free splits —
+  * hand-computed expectations on tiny corpora (the oracle queries
+  * t17-t21 cover the same operators against DuckDB at sf0.01). */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("span dedup: cross-doc shared prefix merges into one span") {
+    val d = docs(
+      0L -> "a b c d e f g h i j",
+      1L -> "a b c d e f g h X Y",
+      2L -> "z z z")
+    val spans = SpanDedup.dupSpans(d, "doc_id", "text", w = 4)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // windows 1..5 ("a b c d" .. "e f g h") are shared; span covers
+    // tokens 1..8 in both docs; d2 is shorter than the window
+    assert(spans === Seq(
+      (0L, 1L, 8L, 8L, 5L),
+      (1L, 1L, 8L, 8L, 5L)))
+  }
+
+  test("span dedup: within-doc periodic repeat spans the whole doc") {
+    val d = docs(0L -> "p q r s p q r s p q r s", 1L -> "entirely different tokens here")
+    val spans = SpanDedup.dupSpans(d, "doc_id", "text", w = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // period-4 repeat: every window position 1..9 recurs (pos i == pos i+4)
+    assert(spans === Seq((0L, 1L, 12L, 12L, 9L)))
+  }
+
+  test("span dedup: disjoint duplicated regions stay separate spans") {
+    val d = docs(
+      0L -> "s1 s2 s3 s4 m1 m2 m3 m4 m5 m6 e1 e2 e3 e4",
+      1L -> "s1 s2 s3 s4 q1 q2 q3 q4 q5 q6 e1 e2 e3 e4")
+    val spans = SpanDedup.dupSpans(d, "doc_id", "text", w = 4)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // shared head (window pos 1) and shared tail (window pos 11): the
+    // gap of 10 > w keeps them separate islands
+    assert(spans === Seq(
+      (0L, 1L, 4L, 4L, 1L), (0L, 11L, 14L, 4L, 1L),
+      (1L, 1L, 4L, 4L, 1L), (1L, 11L, 14L, 4L, 1L)))
+  }
+
+  test("bm25: scores match the formula, ranking is deterministic") {
+    val d = docs(
+      0L -> "spark join spark",
+      1L -> "join window",
+      2L -> "other text here")
+    val out = Bm25.topK(d, "doc_id", "text", Seq("spark", "join"), topK = 3)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    // independent reimplementation of the score, same double order
+    val n = 3L; val avgdl = 8.0 / 3
+    def score(tf: Long, df: Long, dl: Long): Double =
+      (((n - df + 0.5) / (df + 0.5)) * (tf * Bm25.K1Plus1)) /
+        (tf + Bm25.K1 * (Bm25.OneMinusB + Bm25.B * (dl.toDouble / avgdl)))
+    val s0spark = score(2, 1, 3); val s0join = score(1, 2, 3)
+    val s1join = score(1, 2, 2)
+    assert(out.map(_._1) === Seq(0L, 1L))
+    assert(out(0) === ((0L, s0spark, s0join, s0spark + s0join)))
+    assert(out(1) === ((1L, 0.0, s1join, 0.0 + s1join)))
+  }
+
+  test("bigram lm: fixed-point scores match hand computation") {
+    val d = docs(0L -> "a b a b", 1L -> "a b", 2L -> "x")
+    val out = BigramLm.scores(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // c1: a=3, b=3, x=1; V=3; c2: "a b"=3, "b a"=1
+    // p(a b) = 4_000_000 div 6 = 666666 ; p(b a) = 2_000_000 div 6 = 333333
+    assert(out === Seq(
+      (0L, 3L, 666666L + 333333L + 666666L, (666666L + 333333L + 666666L) / 3),
+      (1L, 1L, 666666L, 666666L)))
+  }
+
+  test("shard positions: two-phase layout equals the naive per-shard window") {
+    val base = spark.range(1, 101)
+      .select(col("id"), (col("id") % 4).as("shard"), md5(col("id").cast("string")).as("k"))
+    val got = Layout.shardPositions(base, "shard", Seq("k", "id"), "pos", numPartitions = 5)
+      .select(col("id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("k"), col("id"))
+    val want = base.select(col("id"), row_number().over(w).cast("long").as("pos"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(got.count() === 100)
+  }
+
+  test("leak-free split: every cluster lands in exactly one split") {
+    val d = docs(
+      0L -> "dup text one two three four five six",
+      1L -> "dup text one two three four five six",
+      2L -> "another document body entirely different words",
+      3L -> "another document body entirely different words",
+      4L -> "a third unrelated corpus entry with its own tokens")
+    val out = Layout.leakFreeSplit(d, "doc_id", "text", maxDist = 3)
+    val splitsPerCluster = out.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("n"))
+      .agg(max(col("n"))).as[Long].head()
+    assert(splitsPerCluster === 1L)
+    assert(out.count() === 5)
+    val splits = out.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // identical texts share a cluster, so they must share a split
+    val bySplit = out.filter(col("doc_id").isin(0L, 1L))
+      .select("split").distinct().count()
+    assert(bySplit === 1L)
+  }
+}

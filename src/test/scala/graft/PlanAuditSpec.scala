@@ -87,6 +87,38 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("t17: span dedup joins positions to frequencies on the hash, no nested loop") {
+    val plan = planOf(graft.queries.Corpus.t17SpanDedup.run(SparkTest.spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"t17 must stay an equi-shaped plan:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"t17's island windows are per-document, never a global sort:\n$plan")
+  }
+
+  test("t18/t19: the only nested-loop inputs are the one-row stat frames") {
+    // Bm25/BigramLm crossJoin a broadcast single-row aggregate (avgdl/N,
+    // vocab size) — that scalar attach plans as BroadcastNestedLoopJoin
+    // by construction and is scale-safe. Every DATA join (tf↔dl, tf↔df,
+    // bigram↔counts) must stay equi-shaped.
+    for (q <- Seq(graft.queries.Corpus.t18Bm25, graft.queries.Corpus.t19BigramLm)) {
+      val plan = planOf(q.run(SparkTest.spark, sf))
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} must not plan a cartesian product:\n$plan")
+      val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnlj <= 1, s"${q.name}: only the scalar-stats attach may nested-loop, got $bnlj:\n$plan")
+    }
+  }
+
+  test("t21: shard layout windows are partition-local, no per-shard global task") {
+    val plan = planOf(graft.queries.Corpus.t21ShardLayout.run(SparkTest.spark, sf))
+    assert(!plan.contains("SinglePartition"),
+      s"t21 must not collapse to one task:\n$plan")
+    // the window partitions by (__pid, shard) — never by shard alone,
+    // which would put one task on each shard's full corpus slice
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"t21's position window must be partition-local:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(
