@@ -86,21 +86,74 @@ object Components {
       .distinct()
   }
 
+  /** A signature graph whose edge list fits under this bound is folded
+    * on the driver (≈16 bytes/edge → ~80 MB at the bound); beyond it
+    * the distributed star algorithm runs. A 16-bit signature space
+    * stays far under the bound (≤ 2¹⁶ nodes, ≤ ~23M edges only in the
+    * adversarial all-signatures-within-distance-3 case). */
+  private val MaxDriverEdges = 5000000
+
+  /** Min-labelled components of a COLLECTED edge list: union-find with
+    * path halving, then each node labelled with its component's minimum
+    * — the same fixpoint the star algorithm converges to. */
+  private[graft] def unionFindComponents(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp)
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb) }
+    }
+    val minOf = new scala.collection.mutable.LongMap[Long]()
+    parent.keys.foreach { n =>
+      val r = find(n)
+      minOf.update(r, math.min(minOf.getOrElse(r, Long.MaxValue), n))
+    }
+    parent.keys.map(n => (n, minOf(find(n)))).toSeq
+  }
+
   /** Duplicate-cluster resolution over a documents table: simhash
     * near-pairs (Hamming ≤ maxDist) are the edges, components over the
     * SIGNATURE graph (≤ 2¹⁶ nodes regardless of corpus size) are the
     * clusters, and each cluster's minimum doc id is its keeper. Docs
     * pick up their cluster by a broadcast probe; the keeper map (one
     * row per cluster) broadcasts back — the only doc-sized shuffles are
-    * the signature pass and whatever the caller sorts by. Returns
-    * (doc_id, cluster, keeper_doc_id). */
+    * the signature pass and whatever the caller sorts by.
+    *
+    * Because the signature space bounds the graph independent of corpus
+    * size, the component fold normally runs as a driver union-find over
+    * the collected edge list — the same bounded-metadata driver fold as
+    * [[Prefix]]'s per-partition offsets, replacing ~5 shuffle rounds of
+    * the star loop with one collect. A wider signature family that
+    * blows past [[MaxDriverEdges]] falls back to the distributed
+    * [[connectedComponents]]. Returns (doc_id, cluster,
+    * keeper_doc_id). */
   def dupClusters(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sigs = Dedup.simhashSignatures(docs, idCol, textCol)
     val edges = Dedup.simhashSigPairs(sigs.select(col("simhash")).distinct(), maxDist)
       .where(col("s") < col("o"))
-    val comp = connectedComponents(edges, "s", "o")
-      .withColumnRenamed("node", "simhash")
+    val probe = edges.select(col("s"), col("o")).as[(Long, Long)]
+      .limit(MaxDriverEdges + 1).collect()
+    val comp =
+      if (probe.length <= MaxDriverEdges)
+        unionFindComponents(probe).toDF("simhash", "component")
+      else
+        connectedComponents(edges, "s", "o")
+          .withColumnRenamed("node", "simhash")
     val withCluster = sigs.join(broadcast(comp), Seq("simhash"), "left")
       .select(col("sid").as("doc_id"),
         coalesce(col("component"), col("simhash")).as("cluster"))

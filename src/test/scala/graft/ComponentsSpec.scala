@@ -46,6 +46,19 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.length === 1000 && got.forall(_._2 === 0L))
   }
 
+  test("the driver union-find fold matches the distributed star algorithm") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(500)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+    val viaStar = Components
+      .connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val viaFold = Components.unionFindComponents(edges.toArray).toMap
+    assert(viaFold === viaStar)
+  }
+
   test("self-loops, duplicates and reversed edges are harmless") {
     val spark = SparkTest.spark
     import spark.implicits._
