@@ -80,7 +80,30 @@ object SqlFrontDoor {
       // generic distributed prefix sum over any parquet:
       // running_total(path, order_col, value_col) adds `running_total`
       ("running_total", 3, a =>
-        graft.operators.Prefix.runningTotal(s.read.parquet(a.head), a(1), a(2), "running_total")))
+        graft.operators.Prefix.runningTotal(s.read.parquet(a.head), a(1), a(2), "running_total")),
+      // round-4 corpus-curation family (same documents-shaped contract):
+      // exact-substring spans (8-token windows), BM25 retrieval
+      // (terms_csv, k), bigram LM scores, cluster-aware splits, and
+      // shard layout (n_shards)
+      ("span_dedup", 1, a =>
+        graft.operators.SpanDedup.dupSpans(s.read.parquet(a.head), "doc_id", "text", 8)),
+      ("bm25_topk", 3, a =>
+        graft.operators.Bm25.topK(s.read.parquet(a.head), "doc_id", "text",
+          a(1).split(",").toSeq, a(2).trim.toInt)),
+      ("bigram_lm_scores", 1, a =>
+        graft.operators.BigramLm.scores(s.read.parquet(a.head), "doc_id", "text")),
+      ("leak_free_split", 1, a =>
+        graft.operators.Layout.leakFreeSplit(s.read.parquet(a.head), "doc_id", "text", 3)),
+      ("shard_layout", 2, a => {
+        import org.apache.spark.sql.functions.{col, md5}
+        val nsh = a(1).trim.toInt
+        val base = s.read.parquet(a.head).select(
+          col("doc_id"),
+          graft.operators.Layout.md5Bucket(col("doc_id"), nsh).as("shard"),
+          md5(col("doc_id").cast("string")).as("k"))
+        graft.operators.Layout.shardPositions(base, "shard", Seq("k", "doc_id"), "pos")
+          .select(col("doc_id"), col("shard"), col("pos"))
+      }))
   }
 
   private def tvfBuilder(name: String, nArgs: Int,

@@ -182,4 +182,44 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     val n = spark.read.parquet(docs).count()
     assert(last == n * (n - 1) / 2, "running total of 0..n-1 must be n(n-1)/2")
   }
+
+  test("corpus-curation TVFs (span_dedup, bm25, lm, split, shard) from pure SQL") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    // span_dedup == operator output
+    val sqlSpans = spark.sql(
+      s"SELECT doc_id, span_start, span_end FROM span_dedup('$docs') ORDER BY doc_id, span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val apiSpans = graft.operators.SpanDedup
+      .dupSpans(spark.read.parquet(docs), "doc_id", "text", 8)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sqlSpans.toSeq == apiSpans.toSeq && sqlSpans.nonEmpty)
+    // bm25_topk composes with a WHERE from SQL; k is a string TVF arg
+    val hits = spark.sql(
+      s"SELECT doc_id, score FROM bm25_topk('$docs', 'spark,join,window', '5') WHERE score > 0")
+      .collect()
+    assert(hits.length <= 5 && hits.nonEmpty)
+    // bigram_lm_scores: every scored doc has n_bigrams >= 1 and a mean
+    // within the fixed-point probability range (0, SCALE]
+    val lmBad = spark.sql(
+      s"""SELECT count(*) AS bad FROM bigram_lm_scores('$docs')
+         |WHERE n_bigrams < 1 OR lm_mean <= 0 OR lm_mean > ${graft.operators.BigramLm.Scale}""".stripMargin)
+      .collect().head.getLong(0)
+    assert(lmBad == 0L)
+    // leak_free_split: one split per cluster, asserted in SQL
+    val leaky = spark.sql(
+      s"""SELECT count(*) AS n FROM (
+         |  SELECT cluster FROM leak_free_split('$docs')
+         |  GROUP BY cluster HAVING count(DISTINCT split) > 1)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(leaky == 0L)
+    // shard_layout: positions within each shard are exactly 1..count
+    val shardBad = spark.sql(
+      s"""SELECT count(*) AS n FROM (
+         |  SELECT shard, max(pos) AS mx, count(*) AS c, min(pos) AS mn
+         |  FROM shard_layout('$docs', '8') GROUP BY shard
+         |  HAVING mx != c OR mn != 1)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(shardBad == 0L)
+  }
 }
