@@ -38,55 +38,94 @@ object Layout {
           .otherwise("test").as("split"))
   }
 
-  /** Within-shard positions without a per-shard global window: the
-    * naive formulation `row_number() OVER (PARTITION BY shard ORDER BY
-    * key)` puts ONE TASK on each shard — a 16-shard layout of a 100 TB
+  /** Per-group running totals without a one-task-per-group window: the
+    * naive `sum(v) OVER (PARTITION BY g ORDER BY key)` puts each
+    * group's ENTIRE row set in one task — a 16-shard layout of a 100 TB
     * corpus means 16 tasks sorting ~6 TB each. This is the [[Prefix]]
-    * two-phase layout generalized to (shard, key):
+    * two-phase layout generalized to (group, key):
     *
-    *   1. range-repartition by (shard, key...) and pin the assignment —
-    *      each partition holds a contiguous slice of one-or-more shards;
-    *   2. one tiny job counts rows per (partition, shard); the driver
-    *      folds counts into exclusive per-(partition, shard) offsets
-    *      (≤ partitions + shards - 1 distinct pairs exist, since the
-    *      range order groups each shard's slices contiguously);
-    *   3. a per-(partition, shard) window — parallel, partition-local —
-    *      adds the local row_number to the broadcast offset.
+    *   1. range-repartition by (group, key...) and pin the assignment —
+    *      each partition holds a contiguous slice of one-or-more groups;
+    *   2. one tiny job sums `valueCol` per (partition, group); the
+    *      driver folds the sums into exclusive per-(partition, group)
+    *      offsets (≤ partitions + groups - 1 distinct pairs exist,
+    *      since the range order keeps each group's slices contiguous);
+    *   3. a per-(partition, group) window — parallel, partition-local —
+    *      adds the local running sum to the broadcast offset.
     *
-    * `keyCols` must be unique per row within a shard (callers append a
-    * unique id as tiebreak); `shardCol` must be a LongType column;
-    * `outCol` is 1-based like row_number. */
-  def shardPositions(df: DataFrame, shardCol: String, keyCols: Seq[String],
-      outCol: String, numPartitions: Int = 0): DataFrame = {
+    * `keyCols` must be unique per row within a group (callers append a
+    * unique id as tiebreak); `outCol` is the INCLUSIVE running total of
+    * `valueCol` in key order within the group. Group keys may be any
+    * orderable type (the offset frame reuses the input column's
+    * DataType). */
+  def groupRunningTotals(df: DataFrame, groupCol: String, keyCols: Seq[String],
+      valueCol: String, outCol: String, numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val orderCols = (shardCol +: keyCols).map(col)
+    val orderCols = (groupCol +: keyCols).map(col)
     val ranged = df
       .repartitionByRange(parts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    val counts = ranged.groupBy(col("__pid"), col(shardCol).as("__shard"))
-      .agg(count(lit(1)).as("c"))
+    val sums = ranged.groupBy(col("__pid"), col(groupCol).as("__grp"))
+      .agg(sum(col(valueCol)).as("s"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    val offsets = counts
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val offsets = sums
       .groupBy(_._2)
       .toSeq
-      .flatMap { case (shard, rows) =>
+      .flatMap { case (grp, rows) =>
         val sorted = rows.sortBy(_._1)
         val exclusive = sorted.scanLeft(0L)(_ + _._3)
-        sorted.map(_._1).zip(exclusive).map { case (pid, off) => (pid, shard, off) }
+        sorted.map(_._1).zip(exclusive).map { case (pid, off) =>
+          org.apache.spark.sql.Row(pid, grp, off)
+        }
       }
-    val offsetDf = spark.createDataFrame(offsets)
-      .toDF("__opid", "__shard", "__off")
-    val w = Window.partitionBy(col("__pid"), col(shardCol))
+    val offsetSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__opid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__grp", df.schema(groupCol).dataType),
+      org.apache.spark.sql.types.StructField("__off",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets, 1), offsetSchema)
+    val w = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(keyCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged
       .join(broadcast(offsetDf),
-        col("__pid") === col("__opid") && col(shardCol) === col("__shard"))
-      .withColumn(outCol, row_number().over(w).cast("long") + col("__off"))
-      .drop("__pid", "__opid", "__shard", "__off")
+        col("__pid") === col("__opid") && col(groupCol) === col("__grp"))
+      .withColumn(outCol, sum(col(valueCol)).over(w) + col("__off"))
+      .drop("__pid", "__opid", "__grp", "__off")
+  }
+
+  /** Within-shard positions (1-based, like row_number): the
+    * [[groupRunningTotals]] layout with a constant-1 value column.
+    * `shardCol` must be a LongType column. */
+  def shardPositions(df: DataFrame, shardCol: String, keyCols: Seq[String],
+      outCol: String, numPartitions: Int = 0): DataFrame =
+    groupRunningTotals(df.withColumn("__one", lit(1L)), shardCol, keyCols,
+      "__one", outCol, numPartitions)
+      .drop("__one")
+
+  /** Token-budget source mixing: keep each source's documents — in a
+    * stable hash order, so the selection is reproducible and unbiased
+    * by corpus layout — until the source's INCLUSIVE running token
+    * count exceeds the budget. The standard "balance the mixture"
+    * curation step (cap over-represented sources); the running count
+    * uses [[groupRunningTotals]], never a per-source global window.
+    * Returns (doc_id, source, n_tokens, cum_tokens) for kept docs. */
+  def sourceMix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, tokenBudget: Long): DataFrame = {
+    val tok = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(sourceCol).as("source"),
+      size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"),
+      md5(col(idCol).cast("string")).as("k"))
+    groupRunningTotals(tok, "source", Seq("k", "doc_id"), "n_tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
   }
 }

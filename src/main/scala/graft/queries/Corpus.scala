@@ -166,5 +166,33 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit, t21ShardLayout)
+  /** Token-budget source mixing: cap every source at a fixed token
+    * budget, taking documents in stable md5 order — the
+    * balance-the-mixture curation step. The oracle IS the naive
+    * per-source window formulation that [[Layout.groupRunningTotals]]
+    * replaces at scale. */
+  val t22SourceMix: Q = {
+    val budget = 800L
+    Q(
+      "t22_source_mix",
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |         md5(CAST(doc_id AS VARCHAR)) AS k
+         |  FROM documents),
+         |run AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM tok)
+         |SELECT doc_id, source, n_tokens, cum_tokens
+         |FROM run WHERE cum_tokens <= $budget
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Layout.sourceMix(Tables.documents(s, d), "doc_id", "text", "source", budget)
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
+    t21ShardLayout, t22SourceMix)
 }

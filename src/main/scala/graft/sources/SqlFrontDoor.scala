@@ -94,6 +94,9 @@ object SqlFrontDoor {
         graft.operators.BigramLm.scores(s.read.parquet(a.head), "doc_id", "text")),
       ("leak_free_split", 1, a =>
         graft.operators.Layout.leakFreeSplit(s.read.parquet(a.head), "doc_id", "text", 3)),
+      ("source_mix", 2, a =>
+        graft.operators.Layout.sourceMix(s.read.parquet(a.head), "doc_id", "text",
+          "source", a(1).trim.toLong)),
       ("shard_layout", 2, a => {
         import org.apache.spark.sql.functions.{col, md5}
         val nsh = a(1).trim.toInt

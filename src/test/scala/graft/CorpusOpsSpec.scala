@@ -96,6 +96,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.count() === 100)
   }
 
+  test("grouped running totals: two-phase layout equals the naive per-group window") {
+    val base = spark.range(1, 201)
+      .select(col("id"),
+        concat(lit("src"), (col("id") % 3).cast("string")).as("g"),
+        (col("id") % 7 + 1).as("v"),
+        md5(col("id").cast("string")).as("k"))
+    val got = Layout.groupRunningTotals(base, "g", Seq("k", "id"), "v", "cum", numPartitions = 5)
+      .select(col("id"), col("cum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("k"), col("id"))
+      .rowsBetween(Long.MinValue, 0)
+    val want = base.select(col("id"), sum(col("v")).over(w).as("cum"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("source mix: budget is an inclusive cap, selection is hash-stable") {
+    val d = Seq(
+      (0L, "ten t t t t t t t t t", "a"),
+      (1L, "ten t t t t t t t t t", "a"),
+      (2L, "ten t t t t t t t t t", "a"),
+      (3L, "short text", "b")).toDF("doc_id", "text", "source")
+    val out = Layout.sourceMix(d, "doc_id", "text", "source", tokenBudget = 20L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // source a: three 10-token docs -> exactly two fit the 20-token
+    // budget, chosen by md5(doc_id) order; source b fits entirely
+    val aDocs = out.filter(_._2 == "a")
+    assert(aDocs.length === 2 && aDocs.map(_._4).sorted === Seq(10L, 20L))
+    assert(out.filter(_._2 == "b").map(t => (t._3, t._4)) === Seq((2L, 2L)))
+  }
+
   test("leak-free split: every cluster lands in exactly one split") {
     val d = docs(
       0L -> "dup text one two three four five six",

@@ -213,6 +213,13 @@ class SqlFrontDoorSpec extends AnyFunSuite {
          |  GROUP BY cluster HAVING count(DISTINCT split) > 1)""".stripMargin)
       .collect().head.getLong(0)
     assert(leaky == 0L)
+    // source_mix: no source exceeds its token budget
+    val over = spark.sql(
+      s"""SELECT count(*) AS n FROM (
+         |  SELECT source, max(cum_tokens) AS mx FROM source_mix('$docs', '800')
+         |  GROUP BY source HAVING mx > 800)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(over == 0L)
     // shard_layout: positions within each shard are exactly 1..count
     val shardBad = spark.sql(
       s"""SELECT count(*) AS n FROM (
