@@ -405,6 +405,53 @@ object Dedup {
       .toDF("da", "db", "jaccard").distinct()
   }
 
+  /** Cross-corpus (incremental) near-dup: which NEW documents are
+    * near-duplicates of the EXISTING reference corpus — the ingestion
+    * gate a live training pipeline runs on every incoming batch. Same
+    * banding + in-bucket verification as [[minhashLshPairs]], but the
+    * kernel pairs only across the corpus boundary: new×new and ref×ref
+    * pairs are never formed, so a small batch against a huge reference
+    * costs the batch's bucket probes, not the reference's self-join.
+    * At a standing deployment the reference band rows are a persisted
+    * index; here both sides are computed by the shared scan kernel.
+    * Emits (da = new id, db = reference id, jaccard ≥ τ), distinct. */
+  def minhashLshPairsAcross(newDocs: DataFrame, refDocs: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    def bandRows(docs: DataFrame, isNew: Boolean) =
+      fannedOut(docs, idCol, textCol).as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = MessageDigest.getInstance("MD5")
+          rows.flatMap { case (sid, text) =>
+            minhashBandRowsOf(sid, text, n, bands, rowsPerBand, md)
+              .map(r => (r._1, r._2, r._3, r._4, isNew))
+          }
+        }
+    bandRows(newDocs, isNew = true)
+      .unionAll(bandRows(refDocs, isNew = false))
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val (news, refs) = it.toArray.partition(_._5)
+        val out = Iterator.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < news.length) {
+          var j = 0
+          while (j < refs.length) {
+            val a = news(i); val b = refs(j)
+            val inter = sortedIntersect(a._4, b._4)
+            val jac = inter.toDouble / (a._4.length + b._4.length - inter)
+            if (jac >= threshold) out += ((a._3, b._3, jac))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("da", "db", "jaccard").distinct()
+  }
+
   /** SimHash near-neighbor stats via the pigeonhole band trick (the
     * documented scale path for the t7 signatures, now a query): two
     * 16-bit signatures within Hamming distance d must agree EXACTLY on

@@ -193,6 +193,46 @@ object Corpus {
     }
   }
 
+  /** Fixed fastText-style linear scorer: integer weights over a small
+    * published vocabulary, applied per token OCCURRENCE. The model is a
+    * constant here; in production it is a broadcast weight table and
+    * the plan shape is identical — a narrow codegen'd scan, no
+    * shuffle until the final ORDER BY. */
+  private val ModelBias = 2L
+  private val ModelThreshold = 5L
+  private val ModelWeights: Seq[(String, Long)] = Seq(
+    "spark" -> 3L, "query" -> 2L, "join" -> 2L, "table" -> 1L,
+    "window" -> 1L, "stream" -> 1L, "batch" -> 1L,
+    "the" -> -1L, "a" -> -2L, "slow" -> -3L)
+
+  /** Model-based quality classification at scale (the inference step of
+    * a quality-filter pipeline): score = bias + Σ weight(token) over
+    * all occurrences, keep = score ≥ threshold. Integer arithmetic
+    * end-to-end; oracle applies the same weight table as a CASE
+    * cascade. */
+  val t24QualityModel: Q = {
+    val cases = ModelWeights.map { case (w, v) => s"WHEN '$w' THEN $v" }.mkString(" ")
+    Q(
+      "t24_quality_model",
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+         |SELECT doc_id,
+         |       CAST($ModelBias + list_sum(list_transform(w, t ->
+         |         CASE t $cases ELSE 0 END)) AS BIGINT) AS score,
+         |       ($ModelBias + list_sum(list_transform(w, t ->
+         |         CASE t $cases ELSE 0 END))) >= $ModelThreshold AS keep
+         |FROM w
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val weightMap = typedLit(ModelWeights.toMap)
+      val w = graft.functions.TextFunctions.tokens(col("text"))
+      val score = lit(ModelBias) + aggregate(
+        transform(w, t => coalesce(element_at(weightMap, t), lit(0L))),
+        lit(0L), _ + _)
+      Tables.documents(s, d)
+        .select(col("doc_id"), score.as("score"), (score >= ModelThreshold).as("keep"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
-    t21ShardLayout, t22SourceMix)
+    t21ShardLayout, t22SourceMix, t24QualityModel)
 }

@@ -181,6 +181,48 @@ object Text {
     }
   }
 
+  /** Cross-corpus incremental dedup: every 5th document plays the
+    * incoming batch, the rest the standing reference corpus; the gate
+    * reports which new docs near-dup an existing one. Shares the t6
+    * minhash family verbatim; the kernel pairs only across the
+    * boundary (new×new / ref×ref pairs never form). */
+  val t23CrossDedup: Q = {
+    val p = Dedup.MinhashP
+    val mins = (0 until NumHashes)
+      .map(i => s"min((${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % $p) AS mh$i")
+      .mkString(",\n       ")
+    val bandSelects = (0 until Bands).map { b =>
+      val cat = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(" || ',' || ")
+      s"SELECT sid, $b AS band, md5($cat) AS bucket FROM mh"
+    }.mkString("\n  UNION ALL ")
+    Q(
+      "t23_cross_dedup",
+      s"""WITH $shingleCtes,
+         |shx AS (SELECT sid, CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % $p AS x FROM sh),
+         |mh AS (SELECT sid, $mins FROM shx GROUP BY sid),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.sid AS da, b.sid AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.sid % 5 = 0 AND b.sid % 5 != 0),
+         |inter AS (
+         |  SELECT da, db, count(*) AS i
+         |  FROM cand JOIN sh sa ON sa.sid = da JOIN sh sb ON sb.sid = db AND sb.g = sa.g
+         |  GROUP BY 1, 2)
+         |SELECT da, db, CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+         |FROM inter JOIN sizes za ON da = za.sid JOIN sizes zb ON db = zb.sid
+         |WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= $JaccardThreshold
+         |ORDER BY da, db""".stripMargin) { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      Dedup.minhashLshPairsAcross(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", ShingleN, Bands, RowsPerBand, JaccardThreshold)
+        .orderBy(col("da"), col("db"))
+    }
+  }
+
   /** 16-bit SimHash signature per document (near-dup fingerprint). */
   val t7Simhash: Q = {
     val sums = (0 until 16).map { i =>
@@ -497,5 +539,5 @@ object Text {
     t1TokenStats, t2ExactDedup, t3Quality, t4LangId, t5NgramJaccard,
     t6MinhashLsh, t7Simhash, t8Fingerprint, t9SimhashPairs,
     t10Repetition, t11PiiRedact, t12HashSample, t13Decontaminate,
-    t14DupClusters, t15SequencePack, t16Profile)
+    t14DupClusters, t15SequencePack, t16Profile, t23CrossDedup)
 }

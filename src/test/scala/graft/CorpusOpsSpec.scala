@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{BigramLm, Bm25, Layout, SpanDedup}
+import graft.operators.{BigramLm, Bm25, Dedup, Layout, SpanDedup}
 
 /** Round-4 corpus-curation operators: exact-substring span dedup, BM25
   * retrieval, bigram LM scoring, shard layout, leak-free splits —
@@ -125,6 +125,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     val aDocs = out.filter(_._2 == "a")
     assert(aDocs.length === 2 && aDocs.map(_._4).sorted === Seq(10L, 20L))
     assert(out.filter(_._2 == "b").map(t => (t._3, t._4)) === Seq((2L, 2L)))
+  }
+
+  test("cross-corpus dedup pairs only across the boundary") {
+    val shared = "one two three four five six seven eight nine ten"
+    val newDocs = docs(
+      100L -> shared,            // dups a reference doc
+      101L -> shared,            // ALSO dups 100 — but new×new must not pair
+      102L -> "nothing like anything else in this corpus at all ok")
+    val refDocs = docs(
+      0L -> shared,
+      1L -> "reference body with its own completely distinct wording here",
+      2L -> shared)              // ref×ref dup — must not pair either
+    val pairs = Dedup.minhashLshPairsAcross(newDocs, refDocs, "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+      .orderBy("da", "db")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((100L, 0L), (100L, 2L), (101L, 0L), (101L, 2L)))
+    assert(pairs.forall(_._3 === 1.0))
   }
 
   test("leak-free split: every cluster lands in exactly one split") {

@@ -87,6 +87,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("t23/t24: cross-corpus kernel and model inference stay narrow/equi-shaped") {
+    val p23 = planOf(Text.t23CrossDedup.run(SparkTest.spark, sf))
+    assert(!p23.contains("BroadcastNestedLoopJoin") && !p23.contains("CartesianProduct"),
+      s"t23 must not plan an all-pairs join:\n$p23")
+    // model inference is one narrow scan: no joins, no aggregation
+    // exchange before the final sort
+    val p24 = planOf(graft.queries.Corpus.t24QualityModel.run(SparkTest.spark, sf))
+    assert(!p24.contains("Join"), s"t24 must not join:\n$p24")
+  }
+
   test("t17: span dedup joins positions to frequencies on the hash, no nested loop") {
     val plan = planOf(graft.queries.Corpus.t17SpanDedup.run(SparkTest.spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
