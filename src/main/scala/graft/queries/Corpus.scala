@@ -233,6 +233,56 @@ object Corpus {
     }
   }
 
+  /** URL canonicalization + URL-level dedup over a synthesized crawl
+    * (the q21 pattern: deterministic per-doc noise — case-shuffled
+    * scheme/host, default port, utm query, optional trailing slash and
+    * fragment). Canonical groups collapse the noise; the oracle runs
+    * the identical regex cascade. */
+  val t25UrlCanon: Q = Q(
+    "t25_url_canon",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END ||
+      |    '://Example' || CAST(doc_id % 3 AS VARCHAR) || '.COM:443/Page/' ||
+      |    CAST(doc_id % 50 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      |    '?utm_source=src' || CAST(doc_id AS VARCHAR) ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        CASE WHEN regexp_extract(lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://[^/]+')), '^[a-z]+') = 'https'
+      |             THEN regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://[^/]+')), ':443$', '')
+      |             WHEN regexp_extract(lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://[^/]+')), '^[a-z]+') = 'http'
+      |             THEN regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://[^/]+')), ':80$', '')
+      |             ELSE lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://[^/]+')) END ||
+      |        substring(regexp_replace(url, '#.*$', ''),
+      |                  length(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://[^/]+')) + 1),
+      |        '\?utm_.*$', ''),
+      |      '/$', '') AS canon_url
+      |  FROM u)
+      |SELECT canon_url,
+      |       CAST(count(*) AS BIGINT) AS n_urls,
+      |       min(doc_id) AS keeper_doc_id
+      |FROM c GROUP BY canon_url
+      |ORDER BY canon_url""".stripMargin) { (s, d) =>
+    import graft.operators.Urls
+    val url = concat(
+      when(col("doc_id") % 2 === 0, "HTTPS").otherwise("https"),
+      lit("://Example"), (col("doc_id") % 3).cast("string"), lit(".COM:443/Page/"),
+      (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 4 === 0, "/").otherwise(""),
+      lit("?utm_source=src"), col("doc_id").cast("string"),
+      when(col("doc_id") % 5 === 0, "#frag").otherwise(""))
+    Tables.documents(s, d)
+      .select(col("doc_id"), Urls.canonicalize(url).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("keeper_doc_id"))
+      .orderBy(col("canon_url"))
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
-    t21ShardLayout, t22SourceMix, t24QualityModel)
+    t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon)
 }

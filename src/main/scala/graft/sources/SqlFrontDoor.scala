@@ -94,6 +94,10 @@ object SqlFrontDoor {
         graft.operators.BigramLm.scores(s.read.parquet(a.head), "doc_id", "text")),
       ("leak_free_split", 1, a =>
         graft.operators.Layout.leakFreeSplit(s.read.parquet(a.head), "doc_id", "text", 3)),
+      ("cross_dedup", 2, a =>
+        graft.operators.Dedup.minhashLshPairsAcross(
+          s.read.parquet(a.head), s.read.parquet(a(1)),
+          "doc_id", "text", 3, 4, 4, 0.5)),
       ("source_mix", 2, a =>
         graft.operators.Layout.sourceMix(s.read.parquet(a.head), "doc_id", "text",
           "source", a(1).trim.toLong)),

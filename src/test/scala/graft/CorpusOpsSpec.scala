@@ -145,6 +145,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 === 1.0))
   }
 
+  test("url canonicalization: case, default ports, utm, fragment, slash") {
+    val cases = Seq(
+      ("HTTPS://Example.COM:443/Page/7/?utm_source=a#f", "https://example.com/Page/7"),
+      ("HTTP://Host.COM:80/A/b/", "http://host.com/A/b"),
+      ("https://h.com:8443/x", "https://h.com:8443/x"), // non-default port kept
+      ("https://h.com/x?id=1", "https://h.com/x?id=1"), // non-utm query kept
+      ("ftp://H.com:443/X#f", "ftp://h.com:443/X"), // :443 only stripped for https
+      ("https://h.com", "https://h.com"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.operators.Urls.canonicalize(col("url")))
+      .as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("leak-free split: every cluster lands in exactly one split") {
     val d = docs(
       0L -> "dup text one two three four five six",
