@@ -110,6 +110,36 @@ object Layout {
       "__one", outCol, numPartitions)
       .drop("__one")
 
+  /** Write a laid-out corpus as trainer-ready shard files plus a
+    * manifest: one parquet directory per shard (`shard=<k>/`, Spark's
+    * partitioned layout, so a trainer or a downstream job reads one
+    * shard without touching the rest), rows within each shard files
+    * sorted by position, and a `_manifest` parquet recording per-shard
+    * row and token counts — the index a data loader consults before
+    * opening anything.
+    *
+    * Scale notes: `repartition(shardCol)` gives one write task per
+    * shard (shards are sized for training files, so one task per shard
+    * is the intended granularity — at 100 TB you pick n_shards
+    * accordingly); `sortWithinPartitions` orders rows inside each file
+    * without a global sort; the manifest is a shard-count-sized
+    * aggregate. */
+  def writeShards(laidOut: DataFrame, shardCol: String, posCol: String,
+      tokenCol: String, outDir: String): Unit = {
+    laidOut
+      .repartition(col(shardCol))
+      .sortWithinPartitions(col(posCol))
+      .write
+      .partitionBy(shardCol)
+      .mode("overwrite")
+      .parquet(outDir)
+    laidOut.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col(tokenCol)).as("n_tokens"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(outDir + "/_manifest")
+  }
+
   /** Token-budget source mixing: keep each source's documents — in a
     * stable hash order, so the selection is reproducible and unbiased
     * by corpus layout — until the source's INCLUSIVE running token

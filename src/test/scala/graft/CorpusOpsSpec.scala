@@ -145,6 +145,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 === 1.0))
   }
 
+  test("shard writer: partitioned layout, in-file order, manifest totals") {
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val base = spark.range(0, 60)
+      .select(col("id").as("doc_id"), (col("id") % 4).as("shard"),
+        md5(col("id").cast("string")).as("k"), (col("id") % 5 + 1).as("n_tokens"))
+    val laidOut = Layout.shardPositions(base, "shard", Seq("k", "doc_id"), "pos")
+    Layout.writeShards(laidOut, "shard", "pos", "n_tokens", out)
+    // partitioned directories exist and read back shard-pruned
+    val shard2 = spark.read.parquet(out).filter(col("shard") === 2)
+    assert(shard2.count() === 15)
+    // rows inside each shard's file are stored in position order
+    val stored = spark.read.parquet(out).filter(col("shard") === 2)
+      .select("pos").as[Long].collect().toSeq
+    assert(stored === stored.sorted)
+    // manifest totals match the corpus
+    val man = spark.read.parquet(out + "/_manifest")
+      .orderBy("shard").as[(Long, Long, Long)].collect().toSeq
+    assert(man.map(_._2).sum === 60L)
+    assert(man.map(_._3).sum === (0L until 60L).map(_ % 5 + 1).sum)
+  }
+
   test("url canonicalization: case, default ports, utm, fragment, slash") {
     val cases = Seq(
       ("HTTPS://Example.COM:443/Page/7/?utm_source=a#f", "https://example.com/Page/7"),

@@ -213,6 +213,16 @@ class SqlFrontDoorSpec extends AnyFunSuite {
          |  GROUP BY cluster HAVING count(DISTINCT split) > 1)""".stripMargin)
       .collect().head.getLong(0)
     assert(leaky == 0L)
+    // cross_dedup with the same corpus on both sides must reproduce
+    // minhash_pairs exactly when restricted to da < db (the symmetric
+    // kernel's canonical orientation)
+    val crossPairs = spark.sql(
+      s"SELECT da, db FROM cross_dedup('$docs', '$docs') WHERE da < db ORDER BY da, db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val symPairs = spark.sql(
+      s"SELECT da, db FROM minhash_pairs('$docs') ORDER BY da, db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(crossPairs == symPairs && crossPairs.nonEmpty)
     // source_mix: no source exceeds its token budget
     val over = spark.sql(
       s"""SELECT count(*) AS n FROM (
