@@ -40,7 +40,7 @@ object BigramLm {
     import spark.implicits._
     val rows = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.trim.split("\\s+")
+        val toks = Dedup.wsTokens(text)
         Iterator.tabulate(toks.length) { i =>
           val big =
             if (i + 1 < toks.length) Some(Dedup.hash64(toks(i) + " " + toks(i + 1)))

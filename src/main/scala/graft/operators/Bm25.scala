@@ -53,9 +53,14 @@ object Bm25 {
 
   /** BM25 top-k: one output row per retrieved doc with per-term partial
     * scores (fixed column per query term) and their fixed-order total,
-    * ordered by (score desc, doc_id), limited to `topK`. */
+    * ordered by (score desc, doc_id), limited to `topK`. Duplicate
+    * query terms are collapsed; per-term columns are referenced
+    * backquoted so terms containing dots (e.g. a domain) stay plain
+    * column names rather than nested-field paths. */
   def topK(docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], topK: Int): DataFrame = {
+      terms0: Seq[String], topK: Int): DataFrame = {
+    val terms = terms0.distinct
+    def scol(t: String): Column = col(s"`s_$t`")
     val dl = docs.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
@@ -76,10 +81,10 @@ object Bm25 {
 
     val partials: Seq[Column] = terms.map(t =>
       sum(when(col("t") === t, col("s"))).as(s"s_$t"))
-    val total = terms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduceLeft(_ + _)
+    val total = terms.map(t => coalesce(scol(t), lit(0.0))).reduceLeft(_ + _)
     scored.groupBy(col("doc_id"))
       .agg(partials.head, partials.tail: _*)
-      .select(col("doc_id") +: terms.map(t => coalesce(col(s"s_$t"), lit(0.0)).as(s"s_$t")) :+
+      .select(col("doc_id") +: terms.map(t => coalesce(scol(t), lit(0.0)).as(s"s_$t")) :+
         total.as("score"): _*)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)

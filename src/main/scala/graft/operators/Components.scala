@@ -88,9 +88,11 @@ object Components {
 
   /** A signature graph whose edge list fits under this bound is folded
     * on the driver (≈16 bytes/edge → ~80 MB at the bound); beyond it
-    * the distributed star algorithm runs. A 16-bit signature space
-    * stays far under the bound (≤ 2¹⁶ nodes, ≤ ~23M edges only in the
-    * adversarial all-signatures-within-distance-3 case). */
+    * the distributed star algorithm runs. A 16-bit signature space is
+    * bounded by ~23M edges (every signature within distance 3 of every
+    * chunk-mate — the adversarial dense case), so a sufficiently dense
+    * corpus CAN exceed the bound and takes the fallback; typical
+    * corpora sit orders of magnitude below it. */
   private val MaxDriverEdges = 5000000
 
   /** Min-labelled components of a COLLECTED edge list: union-find with
@@ -146,14 +148,19 @@ object Components {
     val sigs = Dedup.simhashSignatures(docs, idCol, textCol)
     val edges = Dedup.simhashSigPairs(sigs.select(col("simhash")).distinct(), maxDist)
       .where(col("s") < col("o"))
-    val probe = edges.select(col("s"), col("o")).as[(Long, Long)]
-      .limit(MaxDriverEdges + 1).collect()
+      .select(col("s"), col("o")).as[(Long, Long)]
+      .persist()
+    // count-limited probe: decides the path without shipping 80 MB of
+    // over-bound edges to the driver just to discard them; the persist
+    // keeps the pair kernel from running twice on either path
+    val overBound = edges.limit(MaxDriverEdges + 1).count() > MaxDriverEdges
     val comp =
-      if (probe.length <= MaxDriverEdges)
-        unionFindComponents(probe).toDF("simhash", "component")
+      if (!overBound)
+        unionFindComponents(edges.collect()).toDF("simhash", "component")
       else
-        connectedComponents(edges, "s", "o")
+        connectedComponents(edges.toDF("s", "o"), "s", "o")
           .withColumnRenamed("node", "simhash")
+    edges.unpersist()
     val withCluster = sigs.join(broadcast(comp), Seq("simhash"), "left")
       .select(col("sid").as("doc_id"),
         coalesce(col("component"), col("simhash")).as("cluster"))

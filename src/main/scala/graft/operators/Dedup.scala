@@ -53,11 +53,20 @@ object Dedup {
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
   }
 
+  /** Whitespace tokenization shared by every parity-critical typed
+    * kernel (shingles, windows, bigrams, simhash): `trim().split("\\s+")`
+    * — the exact counterpart of the oracle's
+    * `string_split_regex(trim(text), '\s+')`. ONE definition so a
+    * future tokenization change cannot silently diverge the operators
+    * from each other (and from the oracles, which would surface as a
+    * hash mismatch). */
+  private[graft] def wsTokens(text: String): Array[String] = text.trim.split("\\s+")
+
   /** Distinct word n-gram shingles of a document, in first-occurrence
-    * order. Tokenization matches the oracle exactly:
-    * `trim().split("\\s+")`; fewer than n tokens → empty set. */
+    * order. Tokenization matches the oracle exactly ([[wsTokens]]);
+    * fewer than n tokens → empty set. */
   private def distinctShingles(text: String, n: Int): java.util.LinkedHashSet[String] = {
-    val toks = text.trim.split("\\s+")
+    val toks = wsTokens(text)
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
     while (i + n <= toks.length) {
@@ -440,9 +449,13 @@ object Dedup {
           var j = 0
           while (j < refs.length) {
             val a = news(i); val b = refs(j)
-            val inter = sortedIntersect(a._4, b._4)
-            val jac = inter.toDouble / (a._4.length + b._4.length - inter)
-            if (jac >= threshold) out += ((a._3, b._3, jac))
+            // overlapping corpora: a doc present on both sides is not a
+            // near-dup of itself (same guard as the symmetric kernel)
+            if (a._3 != b._3) {
+              val inter = sortedIntersect(a._4, b._4)
+              val jac = inter.toDouble / (a._4.length + b._4.length - inter)
+              if (jac >= threshold) out += ((a._3, b._3, jac))
+            }
             j += 1
           }
           i += 1
@@ -557,9 +570,9 @@ object Dedup {
       .mapPartitions { rows =>
         val md = MessageDigest.getInstance("MD5")
         rows.map { case (sid, text) =>
-          // tokenSet parity: split(trim(text), "\\s+") then distinct —
-          // an empty document yields the single token "" here too
-          val toks = text.trim.split("\\s+")
+          // tokenSet parity: wsTokens then distinct — an empty document
+          // yields the single token "" here too
+          val toks = wsTokens(text)
           val seen = new java.util.LinkedHashSet[String]()
           var t = 0
           while (t < toks.length) { seen.add(toks(t)); t += 1 }

@@ -54,13 +54,19 @@ object Layout {
     *      adds the local running sum to the broadcast offset.
     *
     * `keyCols` must be unique per row within a group (callers append a
-    * unique id as tiebreak); `outCol` is the INCLUSIVE running total of
-    * `valueCol` in key order within the group. Group keys may be any
-    * orderable type (the offset frame reuses the input column's
-    * DataType). */
+    * unique id as tiebreak); `valueCol` must be an integral, non-null
+    * column (the driver fold reads Long sums); `outCol` is the
+    * INCLUSIVE running total of `valueCol` in key order within the
+    * group. Group keys may be any orderable type (the offset frame
+    * reuses the input column's DataType; NULL groups are matched
+    * null-safely). */
   def groupRunningTotals(df: DataFrame, groupCol: String, keyCols: Seq[String],
       valueCol: String, outCol: String, numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(df.schema(valueCol).dataType)
+    }, s"groupRunningTotals needs an integral valueCol, got ${df.schema(valueCol).dataType}")
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -96,7 +102,7 @@ object Layout {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged
       .join(broadcast(offsetDf),
-        col("__pid") === col("__opid") && col(groupCol) === col("__grp"))
+        col("__pid") === col("__opid") && col(groupCol) <=> col("__grp"))
       .withColumn(outCol, sum(col(valueCol)).over(w) + col("__off"))
       .drop("__pid", "__opid", "__grp", "__off")
   }
@@ -126,14 +132,23 @@ object Layout {
     * aggregate. */
   def writeShards(laidOut: DataFrame, shardCol: String, posCol: String,
       tokenCol: String, outDir: String): Unit = {
+    // sort by (shard, pos): the writer itself requires ordering by the
+    // partition columns, and a [pos]-only sort would be discarded by
+    // the SortExec Spark inserts for [shard] whenever a task holds more
+    // than one shard
     laidOut
       .repartition(col(shardCol))
-      .sortWithinPartitions(col(posCol))
+      .sortWithinPartitions(col(shardCol), col(posCol))
       .write
       .partitionBy(shardCol)
       .mode("overwrite")
       .parquet(outDir)
-    laidOut.groupBy(col(shardCol))
+    // manifest from the files just written: re-aggregating `laidOut`
+    // would re-run its whole lineage (offset join + window) a second
+    // time; the read-back is a two-column scan and doubles as a
+    // write-path check
+    laidOut.sparkSession.read.parquet(outDir)
+      .groupBy(col(shardCol))
       .agg(count(lit(1)).as("n_rows"), sum(col(tokenCol)).as("n_tokens"))
       .coalesce(1)
       .write.mode("overwrite")

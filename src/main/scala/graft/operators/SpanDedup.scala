@@ -49,7 +49,7 @@ object SpanDedup {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.trim.split("\\s+")
+        val toks = Dedup.wsTokens(text)
         val last = toks.length - w
         if (last < 0) Iterator.empty
         else Iterator.tabulate(last + 1) { i =>

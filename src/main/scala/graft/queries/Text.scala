@@ -317,7 +317,7 @@ object Text {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.trim.split("\\s+")
+        val toks = Dedup.wsTokens(text)
         if (toks.length < 2) Iterator.empty
         else {
           val total = toks.length - 1

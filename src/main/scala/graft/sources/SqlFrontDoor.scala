@@ -89,7 +89,7 @@ object SqlFrontDoor {
         graft.operators.SpanDedup.dupSpans(s.read.parquet(a.head), "doc_id", "text", 8)),
       ("bm25_topk", 3, a =>
         graft.operators.Bm25.topK(s.read.parquet(a.head), "doc_id", "text",
-          a(1).split(",").toSeq, a(2).trim.toInt)),
+          a(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty), a(2).trim.toInt)),
       ("bigram_lm_scores", 1, a =>
         graft.operators.BigramLm.scores(s.read.parquet(a.head), "doc_id", "text")),
       ("leak_free_split", 1, a =>

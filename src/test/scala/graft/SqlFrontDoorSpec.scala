@@ -223,6 +223,11 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       s"SELECT da, db FROM minhash_pairs('$docs') ORDER BY da, db")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(crossPairs == symPairs && crossPairs.nonEmpty)
+    // overlapping corpora: a doc on both sides is not a dup of itself
+    val selfPairs = spark.sql(
+      s"SELECT count(*) FROM cross_dedup('$docs', '$docs') WHERE da = db")
+      .collect().head.getLong(0)
+    assert(selfPairs == 0L)
     // source_mix: no source exceeds its token budget
     val over = spark.sql(
       s"""SELECT count(*) AS n FROM (
