@@ -48,7 +48,7 @@ object Dedup {
   /** 64-bit xxHash of a UTF-8 string — the internal shingle identity.
     * Never surfaced in results (set cardinalities and intersections are
     * hash-invariant, collision probability ~n²/2^64). */
-  private[operators] def hash64(s: String): Long = {
+  private[graft] def hash64(s: String): Long = {
     val b = s.getBytes(StandardCharsets.UTF_8)
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
   }

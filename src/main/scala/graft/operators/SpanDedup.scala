@@ -41,24 +41,29 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** One row per W-token window: (doc_id, pos, h). `pos` is 1-based to
-    * match the oracle's `unnest(range(...))` indexing; documents with
-    * fewer than `w` tokens emit nothing. */
+  /** The per-document window kernel shared by the batch operator and
+    * [[graft.streaming.SpanDedupStream]]: one (id, pos, hash64(window))
+    * triple per W-token window, pos 1-based to match the oracle's
+    * `unnest(range(...))` indexing; documents with fewer than `w`
+    * tokens emit nothing. */
+  private[graft] def windowOccs(id: Long, text: String, w: Int): Iterator[(Long, Int, Long)] = {
+    val toks = Dedup.wsTokens(text)
+    val last = toks.length - w
+    if (last < 0) Iterator.empty
+    else Iterator.tabulate(last + 1) { i =>
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < w) { sb.append(' ').append(toks(i + j)); j += 1 }
+      (id, i + 1, Dedup.hash64(sb.toString))
+    }
+  }
+
+  /** One row per W-token window: (doc_id, pos, h). */
   def windowRows(docs: DataFrame, idCol: String, textCol: String, w: Int): Dataset[(Long, Int, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val toks = Dedup.wsTokens(text)
-        val last = toks.length - w
-        if (last < 0) Iterator.empty
-        else Iterator.tabulate(last + 1) { i =>
-          val sb = new java.lang.StringBuilder(toks(i))
-          var j = 1
-          while (j < w) { sb.append(' ').append(toks(i + j)); j += 1 }
-          (id, i + 1, Dedup.hash64(sb.toString))
-        }
-      }
+      .flatMap { case (id, text) => windowOccs(id, text, w) }
   }
 
   /** Maximal duplicated spans per document: windows whose content occurs
