@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.queries.Q
+
 /** Driver-run benchmark: every declared query at SPARK_GRAFT_SF_DIR,
   * one JSON line on stdout.
   *
@@ -70,10 +72,40 @@ object Bench {
         System.err.println(f"[bench] ${q.name}: ${times.map(t => f"$t%.2f").mkString(" ")}")
       q.name -> times(times.length / 2)
     }
+    // recall@5 of the ANN family vs the exact v1 ranking, so ANN
+    // quality regressions show up in the round artifact, not only in
+    // AnnSpec. Bounded work: each ranking is NumQueries*K rows.
+    val annNames = Seq("v2_knn_lsh", "v4_knn_ivf", "v7_knn_ivf_trained",
+      "v8_knn_lsh_multiprobe", "v9_knn_pq", "v10_knn_ivf_pq")
+    val byName = queries.map(q => q.name -> q).toMap
+    val recall: Seq[(String, Double)] =
+      byName.get("v1_knn_brute").toSeq.flatMap { v1 =>
+        try {
+          def ranking(q: Q): Map[Long, Set[Long]] = q.run(spark, sfDir)
+            .select("qid", "cid").collect()
+            .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+          val exact = ranking(v1)
+          annNames.flatMap(n => byName.get(n)).map { q =>
+            val got = ranking(q)
+            val r = exact.map { case (k, want) =>
+              got.getOrElse(k, Set.empty[Long]).count(want).toDouble / math.max(1, want.size)
+            }
+            q.name -> (if (exact.isEmpty) 1.0 else r.sum / exact.size)
+          }
+        } catch { case _: Throwable => Nil }
+      }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val rc = recall.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_5":$rc,"sf":"$sfDir"}""")
+    // the driver's artifact keeps the TAIL of the output: repeat the
+    // totals as a compact final line so a long per-query map can never
+    // truncate the headline number out of the record (round-4 BENCH
+    // artifact lost its "metric":"total" exactly this way)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

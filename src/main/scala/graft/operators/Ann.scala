@@ -164,8 +164,10 @@ object Ann extends Serializable {
     *      coin is a hash of (id, round) against the broadcast cost sum,
     *      so re-runs and task retries draw identically;
     *   3. candidates are weighted by the number of corpus vectors they
-    *      attract and reduced to k at the driver by greedy weighted
-    *      farthest-point selection (the deterministic k-means++ flavor).
+    *      attract and RECLUSTERED to k at the driver (Bahmani §3.3):
+    *      greedy weighted farthest-point picks the k seeds, then a
+    *      deterministic weighted Lloyd's over the candidate set pulls
+    *      each seed to the weighted mean of the mass it represents.
     *
     * Each round is two narrow passes (cost sum, coin flips) over the
     * corpus; only ~l candidate vectors ever reach the driver. */
@@ -204,7 +206,13 @@ object Ann extends Serializable {
         cands = cands ++ picked.map(_._2)
       }
     }
-    // weight candidates by attraction, then greedy weighted farthest-point
+    // weight candidates by attraction, then recluster the weighted
+    // candidate set into k at the driver (Bahmani §3.3): greedy
+    // weighted farthest-point seeds a deterministic weighted Lloyd's.
+    // Selection alone over-favors low-weight outliers — measured on the
+    // isotropic test embeddings it costs IVF nprobe=4 recall@5 0.9→0.64
+    // — while the recluster pulls each seed to the weighted mean of the
+    // corpus mass it represents.
     val bcAll = spark.sparkContext.broadcast(cands)
     val weights = ds.mapPartitions { it =>
       val cs = bcAll.value
@@ -229,7 +237,37 @@ object Ann extends Serializable {
       }
       out += cands(next)
     }
-    out.toArray
+    // driver-side weighted Lloyd's over the candidates (all arrays are
+    // oversample-sized — no distributed work): empty cells keep their
+    // seed, ties break to the lowest cell index via strict >
+    var cs = out.toArray.map(_.clone())
+    val dim = if (cs.nonEmpty) cs(0).length else 0
+    for (_ <- 0 until 25) {
+      val acc = Array.fill(cs.length)(new Array[Double](dim))
+      val wsum = new Array[Double](cs.length)
+      var ci = 0
+      while (ci < cands.length) {
+        val v = cands(ci)
+        val w = weights(ci).toDouble
+        if (w > 0) {
+          var best = 0
+          var bestSim = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val s = cosineD(v, cs(c)); if (s > bestSim) { bestSim = s; best = c }; c += 1
+          }
+          val a = acc(best)
+          var i = 0
+          val n = math.min(dim, v.length)
+          while (i < n) { a(i) += w * v(i); i += 1 }
+          wsum(best) += w
+        }
+        ci += 1
+      }
+      cs = Array.tabulate(cs.length)(c =>
+        if (wsum(c) > 0) Array.tabulate(dim)(i => (acc(c)(i) / wsum(c)).toFloat) else cs(c))
+    }
+    cs
   }
 
   /** Distributed Lloyd's k-means in cosine geometry (assignment by max

@@ -26,8 +26,13 @@ import org.apache.spark.sql.functions._
   *     distributed and the score join is a plain equi-join on the hash
   *     (high cardinality; the head of the Zipf curve is exactly the
   *     data a count join must see, and AQE skew-split handles it).
-  *   - The token pass is persisted: consumed by both count tables and
-  *     the scoring join; re-running it would triple the tokenize cost.
+  *   - The token pass is consumed by both count tables and the scoring
+  *     join, and deliberately NOT persisted: the token table is
+  *     corpus-sized (≈ one fixed-width row per token), so caching it is
+  *     a memory/disk liability at scale and an unbounded leak in a
+  *     long-lived SQL session (the bigram_lm_scores TVF has no
+  *     unpersist hook). Each consumer re-runs the narrow tokenize scan
+  *     instead — CPU-cheap relative to materializing the corpus.
   */
 object BigramLm {
 
@@ -49,7 +54,6 @@ object BigramLm {
         }
       }
       .toDF("doc_id", "h1", "h2")
-      .persist()
 
     val c1 = rows.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))

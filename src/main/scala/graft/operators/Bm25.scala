@@ -60,6 +60,7 @@ object Bm25 {
   def topK(docs: DataFrame, idCol: String, textCol: String,
       terms0: Seq[String], topK: Int): DataFrame = {
     val terms = terms0.distinct
+    require(terms.nonEmpty, "bm25 needs at least one query term")
     def scol(t: String): Column = col(s"`s_$t`")
     val dl = docs.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))

@@ -186,7 +186,14 @@ object Dedup {
       // every shingle is prefix
       math.min(sz - math.ceil(threshold * sz).toInt + 1, sz)
 
-    val prefix: Dataset[(Long, Long, Int, Int, Array[Long])] =
+    // each index row additionally carries the doc's INDEXED prefix
+    // hashes (ascending): the kernel emits a pair only in the bucket of
+    // the pair's smallest shared indexed-prefix hash, so every true
+    // pair leaves the stage exactly once and no output `distinct()`
+    // exchange+sort is needed (the ppjoin canonical-bucket rule). The
+    // extra payload is the ~(1-τ)·|set| prefix slice on rows that
+    // already carry the full set.
+    val prefix: Dataset[(Long, Long, Int, Int, Array[Long], Array[Long])] =
       if (probe.length <= MaxDfBroadcastEntries) {
         val dfm = new scala.collection.mutable.LongMap[Long](math.max(probe.length * 2, 16))
         probe.foreach(r => dfm.update(r.getLong(0), r.getLong(1)))
@@ -199,9 +206,11 @@ object Dedup {
             // gs is ascending; a stable sort on df alone yields the
             // global (df, g) rarest-first order
             val ordered = Array.tabulate(sz)(i => (m.getOrElse(gs(i), 1L), gs(i))).sortBy(_._1)
-            Iterator.range(0, keep)
+            val idx = Iterator.range(0, keep)
               .filter(i => ordered(i)._1 >= 2)
-              .map(i => (ordered(i)._2, sid, i + 1, sz, gs))
+              .map(i => (ordered(i)._2, i + 1)).toArray
+            val pfx = idx.map(_._1); java.util.Arrays.sort(pfx)
+            idx.iterator.map { case (g, pos) => (g, sid, pos, sz, gs, pfx) }
           }
         }
       } else {
@@ -215,9 +224,11 @@ object Dedup {
             val sz = rows.length
             val keep = prefixBound(sz)
             val set = rows.map(_._2); java.util.Arrays.sort(set)
-            Iterator.range(0, keep)
+            val idx = Iterator.range(0, keep)
               .filter(i => rows(i)._3 >= 2)
-              .map(i => (rows(i)._2, sid, i + 1, sz, set))
+              .map(i => (rows(i)._2, i + 1)).toArray
+            val pfx = idx.map(_._1); java.util.Arrays.sort(pfx)
+            idx.iterator.map { case (g, pos) => (g, sid, pos, sz, set, pfx) }
           }
       }
     // the ppjoin kernel: per shared prefix shingle, length + positional
@@ -226,11 +237,13 @@ object Dedup {
     //  - positional: a common token at rarest-first positions (pa, pb)
     //    bounds the intersection by min(pa,pb) + min(|A|-pa, |B|-pb),
     //    and J ≥ τ needs inter·(1+τ) ≥ τ·(|A|+|B|))
-    // then a sorted-merge intersection verifies survivors in place. The
-    // same true pair can emerge from several shared prefix shingles with
-    // identical (da, db, jaccard) values — distinct() collapses them.
+    // then the canonical-bucket rule — the pair is emitted only when
+    // THIS bucket's shingle is the smallest hash the two indexed
+    // prefixes share (both prefixes contain the bucket key, so the
+    // minimum always exists and exactly one bucket wins) — and a
+    // sorted-merge intersection verifies the single survivor in place.
     prefix.groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (g, it) =>
         val rows = it.toArray
         val out = Iterator.newBuilder[(Long, Long, Double)]
         var i = 0
@@ -242,7 +255,8 @@ object Dedup {
             val (da, db, pa, pb, sa, sb) = (a._2, b._2, a._3, b._3, a._4, b._4)
             val ubound = math.min(pa, pb) + math.min(sa - pa, sb - pb)
             if (da != db && sa * threshold <= sb && sb * threshold <= sa
-                && ubound * (1 + threshold) >= (sa + sb) * threshold) {
+                && ubound * (1 + threshold) >= (sa + sb) * threshold
+                && firstCommon(a._6, b._6) == g) {
               val inter = sortedIntersect(a._5, b._5)
               val jac = inter.toDouble / (sa + sb - inter)
               if (jac >= threshold) out += ((da, db, jac))
@@ -253,7 +267,19 @@ object Dedup {
         }
         out.result()
       }
-      .toDF("da", "db", "jaccard").distinct()
+      .toDF("da", "db", "jaccard")
+  }
+
+  /** First (smallest) element two ascending long arrays share;
+    * Long.MinValue when disjoint. */
+  private def firstCommon(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else return a(i)
+    }
+    Long.MinValue
   }
 
   /** Intersection size of two sorted long arrays (single merge pass). */

@@ -146,8 +146,12 @@ object Layout {
     // manifest from the files just written: re-aggregating `laidOut`
     // would re-run its whole lineage (offset join + window) a second
     // time; the read-back is a two-column scan and doubles as a
-    // write-path check
+    // write-path check. Partition-column type inference narrows the
+    // shard directory names to INT — cast back to the laid-out frame's
+    // type so the manifest schema matches what downstream consumers
+    // joined on.
     laidOut.sparkSession.read.parquet(outDir)
+      .withColumn(shardCol, col(shardCol).cast(laidOut.schema(shardCol).dataType))
       .groupBy(col(shardCol))
       .agg(count(lit(1)).as("n_rows"), sum(col(tokenCol)).as("n_tokens"))
       .coalesce(1)
@@ -165,8 +169,14 @@ object Layout {
     * BIGINT sum (a float Σ√c would be order-of-accumulation dependent
     * and break cross-engine parity; sqrt itself is IEEE
     * correctly-rounded in both engines). Each source's keep rate is
-    * one double division of two BIGINT products; a document is kept
-    * iff its 60-bit md5 value < rate · 2⁶⁰.
+    * one double division of two products whose FACTORS are cast to
+    * double first — at the documented 10¹²-doc scale the BIGINT
+    * products w·t and z·c can exceed Long.MaxValue, which Spark
+    * (non-ANSI) wraps silently while DuckDB errors: a silent parity
+    * break. Each factor is exactly representable (< 2⁵³) and IEEE
+    * double multiply/divide round identically on both engines, so the
+    * double-first form is deterministic AND overflow-free. A document
+    * is kept iff its 60-bit md5 value < rate · 2⁶⁰.
     *
     * Plan shape: two tiny aggregates (per-source counts, corpus
     * normalizer) broadcast into one narrow filter pass — no doc-sized
@@ -180,7 +190,9 @@ object Layout {
       .withColumn("w", floor(sqrt(col("c"))).cast("long"))
     val stats = counts.agg(sum(col("c")).as("n"), sum(col("w")).as("z"))
     val t = expr(s"(n * $targetNum) div $targetDen")
-    val rate = least(lit(1.0), (col("w") * t).cast("double") / (col("z") * col("c")))
+    val rate = least(lit(1.0),
+      (col("w").cast("double") * t.cast("double")) /
+        (col("z").cast("double") * col("c").cast("double")))
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
     docs.select(col(idCol).cast("long").as("doc_id"), col(sourceCol).as("source"))
       .join(broadcast(counts), "source")

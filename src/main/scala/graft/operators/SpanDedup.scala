@@ -27,9 +27,15 @@ import org.apache.spark.sql.functions._
   *   - Span merge is a per-document gaps-and-islands window (lag +
   *     running break-count): partitioned by doc_id, so the sort is
   *     document-sized, never corpus-sized.
-  *   - The window pass is persisted: it is consumed twice (frequency
-  *     count + position join) and re-running the tokenize+hash pass
-  *     would double the dominant cost. Callers own the lifecycle.
+  *   - The window pass is consumed twice (frequency count + position
+  *     join) and deliberately NOT persisted: a corpus-sized cache is a
+  *     scale liability of its own (executor memory/disk pressure, and
+  *     an unbounded leak in a long-lived SQL session — a TVF caller has
+  *     no unpersist hook), while the re-run is a narrow scan+hash pass.
+  *     The groupBy/join-back shape is kept over a `count() OVER
+  *     (PARTITION BY h)` window because a genuinely viral window hash
+  *     would pin one WindowExec task; the join path partial-aggregates
+  *     map-side and lets AQE skew-split the probe.
   *
   * Identity is a 64-bit xxHash (collision odds ~n²/2^64 — at 10^12
   * corpus windows that is ~3%-per-corpus of ONE false window match,
@@ -74,7 +80,7 @@ object SpanDedup {
     * n_windows), token positions 1-based inclusive. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int, minCount: Long = 2L): DataFrame = {
-    val win = windowRows(docs, idCol, textCol, w).toDF("doc_id", "pos", "h").persist()
+    val win = windowRows(docs, idCol, textCol, w).toDF("doc_id", "pos", "h")
     val dupHashes = win.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .select(col("h"))

@@ -296,8 +296,11 @@ object Corpus {
       |  FROM documents GROUP BY source),
       |s AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS z FROM c),
       |r AS (
+      |  -- factors cast to DOUBLE BEFORE multiplying, mirroring the
+      |  -- engine: BIGINT w*t / z*c would overflow at 10^12 docs
       |  SELECT source, least(1.0e0,
-      |           CAST(w * ((n * 2) // 5) AS DOUBLE) / (z * c)) AS rate
+      |           (CAST(w AS DOUBLE) * CAST((n * 2) // 5 AS DOUBLE)) /
+      |           (CAST(z AS DOUBLE) * CAST(c AS DOUBLE))) AS rate
       |  FROM c CROSS JOIN s)
       |SELECT d.doc_id, d.source
       |FROM documents d JOIN r USING (source)

@@ -56,14 +56,15 @@ class AnnSpec extends AnyFunSuite {
     // near-uniform, so sign-LSH recall ≈ probed-bucket coverage (2/64 at
     // nprobe=2) by construction — the ranking itself is exact-checked by
     // the v8 SQL oracle, and the absolute ≥0.9 ANN gate is carried by
-    // the trained-IVF assertion above (nprobe=4 of 16 trained cells).
+    // the trained-IVF assertion above (nprobe=12 of 16 quality-seeded
+    // cells — see the v7 scaladoc for the measured isotropy economics).
     assert(rM >= rS, s"multi-probe $rM < single-probe $rS")
     // PQ+refine: the ADC scan must rank well enough that the exact
     // re-rank of its top-64 candidates recovers the true top-5
     val pq = graft.queries.Embedding.v9KnnPq.run(spark, d)
     val rPq = recallAt5(pq, exact)
     assert(rPq >= 0.9, s"PQ-refine recall@5 = $rPq")
-    // full IVF-PQ: nprobe=4 cells scanned as residual codes + re-rank —
+    // full IVF-PQ: nprobe=12 cells scanned as residual codes + re-rank —
     // recall is bounded by cell coverage like v7, so the same floor
     val ivfpq = graft.queries.Embedding.v10KnnIvfPq.run(spark, d)
     val rIvfPq = recallAt5(ivfpq, exact)

@@ -9,14 +9,11 @@ import graft.streaming.Sessions.CorrEvent
 
 class CorrelateTwsSpec extends AnyFunSuite {
 
-  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (System.currentTimeMillis() < deadline) {
-      if (cond) return true
-      Thread.sleep(100)
-    }
-    cond
-  }
+  // CorrelateTws registers processing-time timers (transformWithState):
+  // the engine keeps a timer batch pending, so waits are bounded
+  // StreamSync.poll calls. The stale-timer test's sleeps are SEMANTIC
+  // wall-clock (they position events inside/outside a timer window) and
+  // sized with multi-second slack against box contention.
 
   test("transformWithState correlate: pairs + timer-based residue flush") {
     val spark = SparkTest.spark
@@ -34,13 +31,13 @@ class CorrelateTwsSpec extends AnyFunSuite {
           CorrEvent("k1", isRequest = true, 1, "req"),
           CorrEvent("k1", isRequest = false, 2, "ans"),
           CorrEvent("k2", isRequest = true, 3, "lonely"))
-        assert(eventually(30000) {
+        assert(StreamSync.poll(60000) {
           spark.sql("SELECT * FROM corr_tws WHERE matched").count() == 1
         })
         assert(spark.sql("SELECT * FROM corr_tws WHERE matched")
           .as[Sessions.CorrPair].head() == Sessions.CorrPair("k1", 1L, 2L, matched = true))
         // k2 flushes via the registered timer
-        assert(eventually(30000) {
+        assert(StreamSync.poll(60000) {
           spark.sql("SELECT * FROM corr_tws").as[Sessions.CorrPair].collect()
             .contains(Sessions.CorrPair("k2", 3L, -1L, matched = false))
         })
@@ -57,7 +54,7 @@ class CorrelateTwsSpec extends AnyFunSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     try {
       val input = MemoryStream[CorrEvent]
-      val q = CorrelateTws.correlate(input.toDS(), timeoutMs = 3000)
+      val q = CorrelateTws.correlate(input.toDS(), timeoutMs = 6000)
         .writeStream.format("memory").queryName("corr_tws2")
         .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
       try {
@@ -65,18 +62,21 @@ class CorrelateTwsSpec extends AnyFunSuite {
         input.addData(
           CorrEvent("k1", isRequest = true, 1, "req"),
           CorrEvent("k1", isRequest = false, 2, "ans"))
-        assert(eventually(30000) {
+        assert(StreamSync.poll(60000) {
           spark.sql("SELECT * FROM corr_tws2 WHERE matched").count() == 1
         })
         // Cycle 2 starts well before cycle 1's (stale) timer would fire...
-        Thread.sleep(2000)
+        // (sleeps only ever run LONG under load: "after the stale
+        // expiry" is delay-safe, and the 6s cycle-2 timeout leaves
+        // ~3.4s of slack on the "before cycle 2's own timeout" side)
+        Thread.sleep(4000)
         input.addData(CorrEvent("k1", isRequest = true, 3, "req2"))
         // ...and its answer arrives after that stale expiry but before
         // cycle 2's own timeout. A leaked timer would flush frame 3 as
         // unmatched here; the fix keeps it pending.
-        Thread.sleep(1600)
+        Thread.sleep(2600)
         input.addData(CorrEvent("k1", isRequest = false, 4, "ans2"))
-        assert(eventually(30000) {
+        assert(StreamSync.poll(60000) {
           spark.sql("SELECT * FROM corr_tws2 WHERE matched").count() == 2
         })
         assert(spark.sql("SELECT * FROM corr_tws2 WHERE NOT matched").count() == 0)

@@ -11,17 +11,13 @@ import graft.streaming.DedupStream
 /** Streaming exact dedup: a duplicate document arriving in a LATER
   * micro-batch must still be dropped (state carries the seen hashes),
   * and only the first sighting survives.
+  *
+  * Both operators are timer-free (dropDuplicates /
+  * dropDuplicatesWithinWatermark), so every wait here is a
+  * deterministic [[StreamSync.drain]] on the query handle — no
+  * wall-clock dependence under load.
   */
 class DedupStreamSpec extends AnyFunSuite {
-
-  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (System.currentTimeMillis() < deadline) {
-      if (cond) return true
-      Thread.sleep(100)
-    }
-    cond
-  }
 
   test("duplicates across micro-batches are dropped; firsts survive") {
     val spark = SparkTest.spark
@@ -33,12 +29,12 @@ class DedupStreamSpec extends AnyFunSuite {
       .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
     try {
       input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
-      assert(eventually(30000) {
+      assert(StreamSync.drain(q) {
         spark.sql("SELECT * FROM dedup_stream").count() == 2
       })
       // batch 2: one repeat from batch 1, one new
       input.addData((4L, "beta"), (5L, "gamma"))
-      assert(eventually(30000) {
+      assert(StreamSync.drain(q) {
         spark.sql("SELECT * FROM dedup_stream").count() == 3
       })
       val texts = spark.sql("SELECT text FROM dedup_stream").collect()
@@ -60,7 +56,7 @@ class DedupStreamSpec extends AnyFunSuite {
       val t0 = 1000000L
       input.addData((1L, "doc", new Timestamp(t0)),
         (2L, "doc", new Timestamp(t0 + 2000))) // repeat within window
-      assert(eventually(30000) {
+      assert(StreamSync.drain(q) {
         spark.sql("SELECT * FROM dedup_wm").count() == 1
       })
       // advance the watermark far past the window, then repeat again:
@@ -68,11 +64,11 @@ class DedupStreamSpec extends AnyFunSuite {
       // documented unbounded-ingest trade — global dedup is the batch
       // compaction's job)
       input.addData((3L, "advance", new Timestamp(t0 + 60000)))
-      assert(eventually(30000) {
+      assert(StreamSync.drain(q) {
         spark.sql("SELECT * FROM dedup_wm").count() == 2
       })
       input.addData((4L, "doc", new Timestamp(t0 + 55000)))
-      assert(eventually(30000) {
+      assert(StreamSync.drain(q) {
         spark.sql("SELECT * FROM dedup_wm").count() == 3
       })
     } finally q.stop()

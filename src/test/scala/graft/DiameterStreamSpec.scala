@@ -14,14 +14,10 @@ import graft.streaming.DiameterStream
   */
 class DiameterStreamSpec extends AnyFunSuite {
 
-  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (System.currentTimeMillis() < deadline) {
-      if (cond) return true
-      Thread.sleep(100)
-    }
-    cond
-  }
+  // Test 1 (ProcessingTimeTimeout) uses bounded StreamSync.poll calls
+  // and a consumed-rows wait before its zero-count assert; test 2 is
+  // event-time (EventTimeTimeout) and drains deterministically on the
+  // query handle.
 
   test("drop-dir stream: cross-file correlation across micro-batches") {
     val spark = SparkTest.spark
@@ -41,11 +37,11 @@ class DiameterStreamSpec extends AnyFunSuite {
     try {
       // batch 1: request only — nothing should emit (held in state)
       Files.write(dir.resolve("cap1.pcap"), pcapFile(Seq((1000L, 0, sctpFrame(a, b, req)))))
-      Thread.sleep(1500)
+      assert(StreamSync.awaitInputRows(q, 1))
       assert(spark.sql("SELECT * FROM diam_stream").count() == 0)
       // batch 2: the answer arrives in a separate file
       Files.write(dir.resolve("cap2.pcap"), pcapFile(Seq((1001L, 0, sctpFrame(b, a, ans)))))
-      assert(eventually(30000) { spark.sql("SELECT * FROM diam_stream").count() == 2 })
+      assert(StreamSync.poll(60000) { spark.sql("SELECT * FROM diam_stream").count() == 2 })
       val rows = spark.sql("SELECT * FROM diam_stream")
         .as[graft.etl.DiameterRec].collect().sortBy(_.framesList)
       // J1 enrichment across micro-batches: answer got the request's msisdn
@@ -76,18 +72,18 @@ class DiameterStreamSpec extends AnyFunSuite {
       // batch 1: pair at capture time 1000s — emits both legs, enriched
       Files.write(dir.resolve("e1.pcap"), pcapFile(Seq(
         (1000L, 0, sctpFrame(a, b, req1)), (1000L, 500, sctpFrame(b, a, ans1)))))
-      assert(eventually(30000) { spark.sql("SELECT * FROM diam_et").count() == 2 })
+      assert(StreamSync.drain(q) { spark.sql("SELECT * FROM diam_et").count() == 2 })
       assert(spark.sql("SELECT * FROM diam_et").as[graft.etl.DiameterRec]
         .collect().forall(_.msisdn == "7777"))
       // batch 2: lone request at 2000s — held (watermark still behind)
       Files.write(dir.resolve("e2.pcap"), pcapFile(Seq((2000L, 0, sctpFrame(a, b, req2)))))
-      Thread.sleep(1500)
+      q.processAllAvailable()
       assert(spark.sql("SELECT * FROM diam_et").count() == 2)
       // batch 3: unrelated request at 3000s advances the watermark past
       // 2000s + 1s, so e2's pending request flushes as the residue —
       // driven by CAPTURE time, not by how fast the files were dropped
       Files.write(dir.resolve("e3.pcap"), pcapFile(Seq((3000L, 0, sctpFrame(a, b, req3)))))
-      assert(eventually(30000) {
+      assert(StreamSync.drain(q) {
         spark.sql("SELECT * FROM diam_et WHERE sessionId = 'e2'").count() == 1
       })
       assert(spark.sql("SELECT * FROM diam_et").count() == 3)

@@ -10,17 +10,14 @@ import graft.streaming.{NearDupStream, NearPair}
   * micro-batch must pair with the original (bucket state spans batches,
   * all bands collide for identical docs so detection is deterministic);
   * an unrelated document must not pair with anything.
+  *
+  * The operator runs on TimeMode.ProcessingTime (TTL'd ListState), so
+  * the engine never quiesces and [[StreamSync.drain]] cannot be used;
+  * waits are bounded [[StreamSync.poll]] calls, and the zero-output
+  * check first waits for the batch to have consumed its rows
+  * ([[StreamSync.awaitInputRows]]) so it cannot pass vacuously.
   */
 class NearDupStreamSpec extends AnyFunSuite {
-
-  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (System.currentTimeMillis() < deadline) {
-      if (cond) return true
-      Thread.sleep(100)
-    }
-    cond
-  }
 
   test("duplicate across micro-batches pairs once; unrelated doc stays unpaired") {
     val spark = SparkTest.spark
@@ -38,14 +35,14 @@ class NearDupStreamSpec extends AnyFunSuite {
         .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
       try {
         input.addData((1L, template), (2L, other))
-        Thread.sleep(1200)
+        assert(StreamSync.awaitInputRows(q, 2))
         assert(spark.sql("SELECT * FROM neardup_stream").count() == 0)
         // batch 2: an exact duplicate of doc 1 — every band bucket
         // collides, the in-bucket verify fires against the RETAINED
         // member from batch 1, and dropDuplicates collapses the four
         // band emissions to one pair
         input.addData((3L, template))
-        assert(eventually(30000) {
+        assert(StreamSync.poll(60000) {
           spark.sql("SELECT * FROM neardup_stream").count() == 1
         })
         val p = spark.sql("SELECT * FROM neardup_stream").as[NearPair].head()

@@ -14,14 +14,8 @@ import graft.streaming.{AsmPair, ReassembleStream, SegEvent}
   */
 class ReassembleStreamSpec extends AnyFunSuite {
 
-  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (System.currentTimeMillis() < deadline) {
-      if (cond) return true
-      Thread.sleep(100)
-    }
-    cond
-  }
+  // ReassembleStream registers processing-time timers
+  // (transformWithState), so waits are bounded StreamSync.poll calls.
 
   private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
 
@@ -52,7 +46,7 @@ class ReassembleStreamSpec extends AnyFunSuite {
         // micro-batch 3: the answer, whole, on the same flow
         input.addData(SegEvent("flowA", 3, ts(12), ans))
 
-        assert(eventually(30000) {
+        assert(StreamSync.poll(60000) {
           spark.sql("SELECT * FROM asm_corr WHERE matched").count() == 1
         })
         val pair = spark.sql("SELECT * FROM asm_corr").as[AsmPair].head()
@@ -86,12 +80,12 @@ class ReassembleStreamSpec extends AnyFunSuite {
         input.addData(
           SegEvent("flowB", 1, ts(20), req ++ ans),
           SegEvent("flowC", 2, ts(21), lonely))
-        assert(eventually(30000) {
+        assert(StreamSync.poll(60000) {
           spark.sql("SELECT * FROM asm_corr2 WHERE matched").count() == 1
         })
         val matched = spark.sql("SELECT * FROM asm_corr2 WHERE matched").as[AsmPair].head()
         assert(matched == AsmPair("316_1_1_s2", "1", "1", matched = true))
-        assert(eventually(30000) {
+        assert(StreamSync.poll(60000) {
           spark.sql("SELECT * FROM asm_corr2").as[AsmPair].collect()
             .contains(AsmPair("317_2_2_s3", "2", "", matched = false))
         })

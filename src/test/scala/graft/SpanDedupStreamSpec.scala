@@ -10,17 +10,14 @@ import graft.streaming.{DupWindow, SpanDedupStream}
   * document's window must mark BOTH occurrences (the retained first one
   * retroactively), a third occurrence marks immediately off the flag
   * state, and unique windows never emit.
+  *
+  * The operator runs on TimeMode.ProcessingTime (TTL state), so the
+  * engine never quiesces and [[StreamSync.drain]] cannot be used;
+  * waits are bounded [[StreamSync.poll]] calls, and the zero-output
+  * check first waits for the batch to have consumed its rows
+  * ([[StreamSync.awaitInputRows]]) so it cannot pass vacuously.
   */
 class SpanDedupStreamSpec extends AnyFunSuite {
-
-  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (System.currentTimeMillis() < deadline) {
-      if (cond) return true
-      Thread.sleep(100)
-    }
-    cond
-  }
 
   test("second occurrence marks both docs' windows; third marks immediately") {
     val spark = SparkTest.spark
@@ -38,18 +35,18 @@ class SpanDedupStreamSpec extends AnyFunSuite {
       try {
         // batch 1: doc 1 carries the window once; doc 2 is unrelated
         input.addData((1L, shared), (2L, "epsilon zeta eta theta iota"))
-        Thread.sleep(1200)
+        assert(StreamSync.awaitInputRows(q, 2))
         assert(spark.sql("SELECT * FROM span_stream").count() == 0)
         // batch 2: doc 3 repeats it → both doc 1 (retroactive) and
         // doc 3 are marked
         input.addData((3L, shared))
-        assert(eventually(30000) {
+        assert(StreamSync.poll(60000) {
           spark.sql("SELECT * FROM span_stream").count() == 2
         })
         // batch 3: doc 4 repeats it again → one immediate mark off the
         // collapsed flag state
         input.addData((4L, shared))
-        assert(eventually(30000) {
+        assert(StreamSync.poll(60000) {
           spark.sql("SELECT * FROM span_stream").count() == 3
         })
         val marks = spark.sql("SELECT * FROM span_stream")

@@ -13,17 +13,11 @@ import graft.streaming.Sessions.{CorrEvent, SessionEvent}
   */
 class StreamingSpec extends AnyFunSuite {
 
-  /** Poll until `cond` holds — `processAllAvailable` can NOT be used here:
-    * with ProcessingTimeTimeout the engine always reports another batch
-    * pending, so it never quiesces. */
-  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (System.currentTimeMillis() < deadline) {
-      if (cond) return true
-      Thread.sleep(100)
-    }
-    cond
-  }
+  // The ProcessingTimeTimeout test must use StreamSync.poll —
+  // `processAllAvailable` can NOT be used there: with
+  // ProcessingTimeTimeout the engine always reports another batch
+  // pending, so it never quiesces. The event-time test drains
+  // deterministically.
 
   test("streaming correlate: match emits pair, timeout flushes residue") {
     val spark = SparkTest.spark
@@ -40,19 +34,19 @@ class StreamingSpec extends AnyFunSuite {
         CorrEvent("k1", isRequest = true, 2, "retrans"),
         CorrEvent("k1", isRequest = false, 3, "ans"),
         CorrEvent("k2", isRequest = true, 4, "lonely"))
-      assert(eventually(30000) {
+      assert(StreamSync.poll(60000) {
         spark.sql("SELECT * FROM corr WHERE matched").count() == 1
       })
       val matched = spark.sql("SELECT * FROM corr WHERE matched").as[Sessions.CorrPair].collect()
       assert(matched.toSeq == Seq(Sessions.CorrPair("k1", 1L, 3L, matched = true)))
       // k2's pending request must flush via state timeout (K3 analog)
-      assert(eventually(30000) {
+      assert(StreamSync.poll(60000) {
         spark.sql("SELECT * FROM corr").as[Sessions.CorrPair].collect()
           .contains(Sessions.CorrPair("k2", 4L, -1L, matched = false))
       })
       // unmatched answer passes straight through
       input.addData(CorrEvent("k3", isRequest = false, 9, "late-ans"))
-      assert(eventually(30000) {
+      assert(StreamSync.poll(60000) {
         spark.sql("SELECT * FROM corr").as[Sessions.CorrPair].collect()
           .contains(Sessions.CorrPair("k3", -1L, 9L, matched = false))
       })
@@ -78,16 +72,16 @@ class StreamingSpec extends AnyFunSuite {
         graft.streaming.TimedCorrEvent("a", isRequest = true, 1, ts(10)),
         graft.streaming.TimedCorrEvent("a", isRequest = false, 2, ts(11)),
         graft.streaming.TimedCorrEvent("b", isRequest = true, 3, ts(20)))
-      assert(eventually(20000) {
+      assert(StreamSync.drain(q) {
         spark.sql("SELECT * FROM corr_et WHERE matched").count() == 1
       })
       // nothing flushes while the watermark sits below t=25...
-      Thread.sleep(500)
+      q.processAllAvailable()
       assert(spark.sql("SELECT * FROM corr_et").count() == 1)
       // ...an event at t=60 advances it past 20s+5s → b's request flushes
       input.addData(graft.streaming.TimedCorrEvent("c", isRequest = true, 4, ts(60)))
       input.addData(graft.streaming.TimedCorrEvent("c", isRequest = false, 5, ts(61)))
-      assert(eventually(20000) {
+      assert(StreamSync.drain(q) {
         spark.sql("SELECT * FROM corr_et WHERE NOT matched AND resFrame = -1").count() == 1
       })
       val flushed = spark.sql("SELECT key, reqFrame FROM corr_et WHERE NOT matched").collect().head

@@ -14,14 +14,11 @@ import graft.streaming.TcapStream
   */
 class TcapStreamSpec extends AnyFunSuite {
 
-  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (System.currentTimeMillis() < deadline) {
-      if (cond) return true
-      Thread.sleep(100)
-    }
-    cond
-  }
+  // TcapStream uses flatMapGroupsWithState with ProcessingTimeTimeout:
+  // the engine never quiesces, so waits are bounded StreamSync.poll
+  // calls; the zero-count check first waits for the batch to have
+  // CONSUMED the rows (StreamSync.awaitInputRows) so it can't pass
+  // vacuously on a loaded box.
 
   test("begin/continue/end across micro-batches close via the alias map") {
     val spark = SparkTest.spark
@@ -44,7 +41,7 @@ class TcapStreamSpec extends AnyFunSuite {
       // batch 3: abort addressed to the responder tid → closes via alias
       input.addData(pkt(3, "abort", 6, "ga", 0x11, 8, "gb", 0x22))
 
-      assert(eventually(30000) {
+      assert(StreamSync.poll(60000) {
         spark.sql("SELECT * FROM tcap_stream").count() == 1
       })
       val row = spark.sql("SELECT key, frames FROM tcap_stream").collect().head
@@ -72,12 +69,12 @@ class TcapStreamSpec extends AnyFunSuite {
       // begin opens 6_ga_66; an end addressed to 8_gb_66 has no alias yet
       input.addData(pkt(2, "begin", 6, "ga", 0x42, 8, "gb", -1L))
       input.addData(pkt(3, "end", 8, "gb", -1L, 8, "gb", 0x42))
-      Thread.sleep(1000)
+      assert(StreamSync.awaitInputRows(q, 3))
       assert(spark.sql("SELECT * FROM tcap_stream2").count() == 0)
       // responder continue links 8_gb_153 ↔ 6_ga_66; end to 8_gb_153 closes
       input.addData(pkt(4, "continue", 8, "gb", 0x99, 6, "ga", 0x42))
       input.addData(pkt(5, "end", 6, "ga", -1L, 8, "gb", 0x99))
-      assert(eventually(30000) {
+      assert(StreamSync.poll(60000) {
         spark.sql("SELECT * FROM tcap_stream2").count() == 1
       })
       val row = spark.sql("SELECT key, frames FROM tcap_stream2").collect().head

@@ -13,14 +13,9 @@ import graft.streaming.TcapTws
   */
 class TcapTwsSpec extends AnyFunSuite {
 
-  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (System.currentTimeMillis() < deadline) {
-      if (cond) return true
-      Thread.sleep(100)
-    }
-    cond
-  }
+  // TcapTws registers processing-time timers (transformWithState), so
+  // waits are bounded StreamSync.poll calls — the engine keeps a timer
+  // batch pending and processAllAvailable would not be safe.
 
   private def withRocksDb[T](body: => T): T = {
     val spark = SparkTest.spark
@@ -48,7 +43,7 @@ class TcapTwsSpec extends AnyFunSuite {
         input.addData(p(1, "begin", 6, "ga", 0x11, 8, "gb", -1L))
         input.addData(p(2, "continue", 8, "gb", 0x22, 6, "ga", 0x11))
         input.addData(p(3, "abort", 6, "ga", 0x11, 8, "gb", 0x22))
-        assert(eventually(30000) {
+        assert(StreamSync.poll(60000) {
           spark.sql("SELECT * FROM tcap_tws").count() == 1
         })
         val row = spark.sql("SELECT key, frames FROM tcap_tws").collect().head
@@ -72,7 +67,7 @@ class TcapTwsSpec extends AnyFunSuite {
         // begin only — never closed; the sliding inactivity timer fires
         // and surfaces the partial transaction (sigshark --incomplete)
         input.addData(p(1, "begin", 6, "ga", 0x33, 8, "gb", -1L))
-        assert(eventually(30000) {
+        assert(StreamSync.poll(60000) {
           spark.sql("SELECT * FROM tcap_tws2").count() == 1
         })
         val row = spark.sql("SELECT key, frames FROM tcap_tws2").collect().head
