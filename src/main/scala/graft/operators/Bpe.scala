@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** BPE vocabulary induction (Sennrich et al., ACL '16) — the tokenizer-
+  * training step of an LLM data pipeline, built the way a corpus-scale
+  * trainer has to be built:
+  *
+  *   1. ONE pass reduces the corpus to the (word, count) DICTIONARY —
+  *      the classic BPE trick: every later statistic is a weighted sum
+  *      over distinct words, so the 100 TB corpus is touched exactly
+  *      once and each merge round runs over a table bounded by the
+  *      vocabulary (~10⁷-10⁸ rows with web noise), not the corpus.
+  *   2. each merge round is a map-side-combined pair count over the
+  *      dictionary's symbol sequences — only ((a, b), weight) rows
+  *      shuffle — followed by a driver top-1 (count desc, pair asc:
+  *      fully deterministic) and a narrow merge map.
+  *   3. the evolving dictionary is localCheckpoint'ed per round (each
+  *      round's top-1 action would otherwise replay the whole merge
+  *      lineage from the corpus scan) and the previous round released;
+  *      checkpoint blocks are dictionary-bounded and reclaimed by the
+  *      ContextCleaner once train() returns its `numMerges` driver
+  *      rows — nothing corpus-sized is ever cached.
+  *
+  * [[topPairs]] is the single-merge-step surface the t27 oracle
+  * hash-checks (integer counts, no floats anywhere); [[train]] is the
+  * iterative trainer whose per-round statistics are exactly that step.
+  * Symbols are 1-UTF-16-unit substrings at round 0 — identical to the
+  * oracle's per-character `substring` on the ASCII test corpus; a
+  * non-BMP corpus would seed from code points instead (same plan).
+  */
+object Bpe {
+
+  /** Corpus → (word, n) dictionary: the one corpus-sized pass. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+
+  /** Adjacent-pair counts of one merge round, weighted by word count:
+    * (a, b, cnt), the exact statistic BPE ranks. */
+  private def pairCounts(vocab: Dataset[(Seq[String], Long)]): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    vocab.flatMap { case (syms, n) =>
+      Iterator.range(0, syms.length - 1).map(i => (syms(i), syms(i + 1), n))
+    }.toDF("a", "b", "n")
+      .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
+  }
+
+  /** One greedy left-to-right application of merge (a, b) — the
+    * standard BPE merge semantics ("aaa" under (a,a) → ["aa", "a"]). */
+  private[graft] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** The first merge step's statistic, top-k: corpus-wide adjacent
+    * character-pair counts (weighted by word occurrences), ordered
+    * (cnt desc, a, b). The t27 oracle surface. */
+  def topPairs(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wordCounts(docs, textCol).as[(String, Long)]
+      .flatMap { case (t, n) =>
+        Iterator.range(0, t.length - 1)
+          .map(i => (t.substring(i, i + 1), t.substring(i + 1, i + 2), n))
+      }.toDF("a", "b", "n")
+      .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Iterative BPE trainer: `numMerges` rounds over the word-count
+    * dictionary; returns the merge list in rank order. Deterministic:
+    * ties break on (a, b) lexicographically. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[(Seq[String], Long)] = wordCounts(docs, textCol).as[(String, Long)]
+      .map { case (t, n) => (Seq.tabulate(t.length)(i => t.substring(i, i + 1)), n) }
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      var round = 0
+      var done = false
+      while (round < numMerges && !done) {
+        val top = pairCounts(vocab)
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          merges += ((a, b))
+          val prev = vocab
+          vocab = prev.map { case (syms, n) => (applyMerge(syms, a, b), n) }
+            // checkpoint, not just persist: each round's top-1 action
+            // would otherwise replay the whole merge lineage from the
+            // corpus scan, and the plan itself grows by a map per round
+            .localCheckpoint()
+          prev.unpersist()
+        }
+        round += 1
+      }
+      merges.toSeq
+    } finally vocab.unpersist()
+  }
+}

@@ -53,6 +53,13 @@ object Dedup {
     XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
   }
 
+  /** [[hash64]] under an explicit seed — the second half of a 128-bit
+    * identity (e.g. SpanDedup's `wideHash`). */
+  private[graft] def hash64Seeded(s: String, seed: Long): Long = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+  }
+
   /** Whitespace tokenization shared by every parity-critical typed
     * kernel (shingles, windows, bigrams, simhash): `trim().split("\\s+")`
     * — the exact counterpart of the oracle's

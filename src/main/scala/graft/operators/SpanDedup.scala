@@ -40,10 +40,12 @@ import org.apache.spark.sql.functions._
   * Identity is a 64-bit xxHash (collision odds ~n²/2^64 — at 10^12
   * corpus windows that is ~3%-per-corpus of ONE false window match,
   * which the span-merge absorbs unless it happens adjacent to a real
-  * span; a production pipeline that cannot tolerate it widens the
-  * identity to 128 bits, same plan shape). The DuckDB oracle groups by
-  * the window text itself, so a hash-parity failure would surface as a
-  * CORRECTNESS mismatch.
+  * span; a pipeline that cannot tolerate it passes `wideHash = true`,
+  * which widens the identity to 128 bits — two independent xxHash
+  * seeds, count and join keyed on BOTH — at ~n²/2^128 collision odds
+  * with the identical plan shape, +8 bytes per shuffled window row).
+  * The DuckDB oracle groups by the window text itself, so a
+  * hash-parity failure would surface as a CORRECTNESS mismatch.
   */
 object SpanDedup {
 
@@ -72,6 +74,21 @@ object SpanDedup {
       .flatMap { case (id, text) => windowOccs(id, text, w) }
   }
 
+  /** [[windowOccs]] with the 128-bit identity: (id, pos, h, h2), the two
+    * halves drawn from independent xxHash seeds over the same window. */
+  private def windowOccsWide(id: Long, text: String, w: Int): Iterator[(Long, Int, Long, Long)] = {
+    val toks = Dedup.wsTokens(text)
+    val last = toks.length - w
+    if (last < 0) Iterator.empty
+    else Iterator.tabulate(last + 1) { i =>
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < w) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val s = sb.toString
+      (id, i + 1, Dedup.hash64(s), Dedup.hash64Seeded(s, 1042L))
+    }
+  }
+
   /** Maximal duplicated spans per document: windows whose content occurs
     * ≥ `minCount` times corpus-wide (any document, any position,
     * including twice within one document), merged when their token
@@ -79,12 +96,25 @@ object SpanDedup {
     * apart). Returns (doc_id, span_start, span_end, span_tokens,
     * n_windows), token positions 1-based inclusive. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-      w: Int, minCount: Long = 2L): DataFrame = {
-    val win = windowRows(docs, idCol, textCol, w).toDF("doc_id", "pos", "h")
-    val dupHashes = win.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minCount)
-      .select(col("h"))
-    val dup = win.join(dupHashes, "h").select(col("doc_id"), col("pos"))
+      w: Int, minCount: Long = 2L, wideHash: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dup =
+      if (wideHash) {
+        val win = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+          .flatMap { case (id, text) => windowOccsWide(id, text, w) }
+          .toDF("doc_id", "pos", "h", "h2")
+        val dupKeys = win.groupBy(col("h"), col("h2")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= minCount)
+          .select(col("h"), col("h2"))
+        win.join(dupKeys, Seq("h", "h2")).select(col("doc_id"), col("pos"))
+      } else {
+        val win = windowRows(docs, idCol, textCol, w).toDF("doc_id", "pos", "h")
+        val dupHashes = win.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= minCount)
+          .select(col("h"))
+        win.join(dupHashes, "h").select(col("doc_id"), col("pos"))
+      }
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val running = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dup

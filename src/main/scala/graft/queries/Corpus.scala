@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bm25, BigramLm, Layout, SpanDedup}
+import graft.operators.{Bm25, BigramLm, Bpe, Layout, SpanDedup}
 
 /** Corpus-curation operator surface (round 4): the last-mile operators
   * a pre-training data pipeline runs between raw text and trainer
@@ -312,6 +312,27 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE vocab induction, first merge step (see [[Bpe]]): corpus-wide
+    * adjacent character-pair counts weighted by word occurrence, top-20
+    * by (count desc, pair). Integer counts end-to-end; the oracle
+    * counts pair INSTANCES, which equals the engine's word-count
+    * weighting. The iterative trainer ([[Bpe.train]]) ranks merges with
+    * exactly this statistic — BpeSpec pins it to the textbook example. */
+  val t27BpePairs: Q = Q(
+    "t27_bpe_pairs",
+    """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |tok AS (SELECT unnest(toks) AS t FROM w),
+      |pr AS (
+      |  SELECT substring(t, i, 1) AS a, substring(t, i + 1, 1) AS b
+      |  FROM tok, unnest(range(1, length(t))) AS u(i))
+      |SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+      |FROM pr GROUP BY a, b
+      |ORDER BY cnt DESC, a, b
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    Bpe.topPairs(Tables.documents(s, d), "text", 20)
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
-    t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample)
+    t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
+    t27BpePairs)
 }

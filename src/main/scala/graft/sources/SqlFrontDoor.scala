@@ -104,6 +104,10 @@ object SqlFrontDoor {
       ("source_mix", 2, a =>
         graft.operators.Layout.sourceMix(s.read.parquet(a.head), "doc_id", "text",
           "source", a(1).trim.toLong)),
+      // BPE vocab induction, first merge step: top-k adjacent
+      // character-pair counts (k)
+      ("bpe_top_pairs", 2, a =>
+        graft.operators.Bpe.topPairs(s.read.parquet(a.head), "text", a(1).trim.toInt)),
       ("shard_layout", 2, a => {
         import org.apache.spark.sql.functions.{col, md5}
         val nsh = a(1).trim.toInt

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+/** BPE trainer against the textbook word-count example:
+  * hug×10, pug×5, pun×12, bun×4, hugs×5 →
+  *   round 1 pairs: (u,g)=20, (p,u)=17, (u,n)=16, (h,u)=15, (g,s)=5, (b,u)=4
+  *     → merge (u,g); "ug" absorbs the u of hug/pug/hugs, so round 2 is
+  *   (u,n)=16 [pun+bun], (h,ug)=15, (p,u)=12 [pun only], (p,ug)=5, ...
+  *     → merge (u,n), then (h,ug)=15 wins round 3.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  private def corpus = {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val words = Seq("hug" -> 10, "pug" -> 5, "pun" -> 12, "bun" -> 4, "hugs" -> 5)
+    // one doc per word, the word repeated count times — occurrence
+    // weighting equals the dictionary weighting
+    words.zipWithIndex.map { case ((w, n), i) =>
+      (i.toLong, Seq.fill(n)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("train produces the textbook merge sequence") {
+    assert(Bpe.train(corpus, "text", 3) == Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+  }
+
+  test("topPairs ranks round-1 statistics with deterministic ties") {
+    val rows = Bpe.topPairs(corpus, "text", 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("u", "g", 20L), ("p", "u", 17L), ("u", "n", 16L)))
+  }
+
+  test("train stops early when no pairs remain") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val single = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // all words are single symbols after 0 merges → no pairs at all
+    assert(Bpe.train(single, "text", 5) == Seq.empty)
+  }
+
+  test("applyMerge is greedy left-to-right") {
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("h", "u", "g", "s"), "u", "g") == Seq("h", "ug", "s"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{BudgetedDoc, SourceBudgetStream}
+
+/** Streaming token-budget source gate: per-source admission until the
+  * running token count crosses the budget, saturation persists across
+  * micro-batches, and a dropped document still advances the counter
+  * (batch sourceMix semantics transposed to arrival order).
+  *
+  * The operator runs on TimeMode.ProcessingTime, so waits are bounded
+  * [[StreamSync.poll]] calls with a consumed-rows wait before the
+  * negative assertion.
+  */
+class SourceBudgetStreamSpec extends AnyFunSuite {
+
+  test("per-source budget: admit until saturated, stay saturated across batches") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    try {
+      def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+      val input = MemoryStream[(Long, String, String)]
+      // budget 5 tokens per source
+      val q = SourceBudgetStream.gate(
+        input.toDS().toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", tokenBudget = 5L)
+        .writeStream.format("memory").queryName("budget_gate")
+        .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+      try {
+        // batch 1: src a consumes 2+2 = 4 of 5; src b admits 3 of 5
+        input.addData((1L, words(2), "a"), (2L, words(2), "a"), (3L, words(3), "b"))
+        assert(StreamSync.poll(60000) {
+          spark.sql("SELECT * FROM budget_gate").count() == 3
+        })
+        // batch 2: doc 4 (3 tokens) overflows src a at 7 > 5 → dropped,
+        // but the counter ADVANCED — doc 5 (1 token) lands at 8 > 5 and
+        // is dropped too, exactly like the batch running-total filter.
+        // src b admits doc 6 (2 tokens, cum 5 == budget: inclusive).
+        input.addData((4L, words(3), "a"), (5L, words(1), "a"), (6L, words(2), "b"))
+        assert(StreamSync.poll(60000) {
+          spark.sql("SELECT * FROM budget_gate").count() == 4
+        })
+        assert(StreamSync.awaitInputRows(q, 6))
+        val kept = spark.sql("SELECT * FROM budget_gate").as[BudgetedDoc]
+          .collect().sortBy(_.docId).toSeq
+        assert(kept == Seq(
+          BudgetedDoc(1L, "a", 2L, 2L),
+          BudgetedDoc(2L, "a", 2L, 4L),
+          BudgetedDoc(3L, "b", 3L, 3L),
+          BudgetedDoc(6L, "b", 2L, 5L)))
+        // batch 3: src a stays saturated in a later batch; a fresh
+        // source admits normally
+        input.addData((7L, words(1), "a"), (8L, words(4), "c"))
+        assert(StreamSync.poll(60000) {
+          spark.sql("SELECT * FROM budget_gate").count() == 5
+        })
+        assert(spark.sql("SELECT * FROM budget_gate WHERE source = 'a'").count() == 2)
+        assert(spark.sql("SELECT * FROM budget_gate WHERE docId = 8").count() == 1)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}

@@ -53,4 +53,24 @@ class SpanDedupPropSpec extends AnyFunSuite {
       assert(got === reference(corpus), s"corpus: $corpus")
     }
   }
+
+  test("random corpora: 64-bit and 128-bit identities agree") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c")
+    val doc = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    var s = org.scalacheck.rng.Seed(4242L)
+    for (_ <- 0 until 5) {
+      val corpus = corpusGen.apply(Gen.Parameters.default, s).get
+      s = s.next
+      val df = corpus.toDF("doc_id", "text")
+      val narrow = SpanDedup.dupSpans(df, "doc_id", "text", W)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val wide = SpanDedup.dupSpans(df, "doc_id", "text", W, wideHash = true)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(narrow === wide, s"corpus: $corpus")
+    }
+  }
 }

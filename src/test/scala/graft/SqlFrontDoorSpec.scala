@@ -238,6 +238,13 @@ class SqlFrontDoorSpec extends AnyFunSuite {
          |GROUP BY k.source""".stripMargin).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(fracs.nonEmpty && fracs.values.forall(f => f > 0.0 && f <= 1.0))
+    // bpe_top_pairs: matches the operator output, k honored
+    val sqlBpe = spark.sql(
+      s"SELECT a, b, cnt FROM bpe_top_pairs('$docs', '5')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val apiBpe = graft.operators.Bpe.topPairs(spark.read.parquet(docs), "text", 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(sqlBpe == apiBpe && sqlBpe.length == 5)
     // source_mix: no source exceeds its token budget
     val over = spark.sql(
       s"""SELECT count(*) AS n FROM (
