@@ -182,8 +182,10 @@ object Dedup {
     import spark.implicits._
     val ds = docsetRows(docs, idCol, textCol, n).persist()
     // document frequency: partial-aggregated groupBy over the exploded
-    // hash arrays — the strings are gone before the first shuffle
-    val dft = ds.flatMap(_._2).groupBy(col("value").as("g")).agg(count(lit(1)).as("df"))
+    // hash arrays — the strings are gone before the first shuffle, and
+    // the explode is the codegen'd expression, not a typed lambda (the
+    // lambda path pays an object ser/deser per shingle)
+    val dft = ds.select(explode(col("_2")).as("g")).groupBy(col("g")).agg(count(lit(1)).as("df"))
     val matchable = dft.filter(col("df") >= 2)
     val probe = matchable.limit(MaxDfBroadcastEntries + 1).collect()
 
@@ -221,7 +223,7 @@ object Dedup {
           }
         }
       } else {
-        val sh = ds.flatMap { case (sid, gs) => gs.iterator.map(g => (sid, g)) }.toDF("sid", "g")
+        val sh = ds.select(col("_1").as("sid"), explode(col("_2")).as("g"))
         sh.join(dft, "g")
           .select(col("sid"), col("g"), col("df"))
           .as[(Long, Long, Long)]

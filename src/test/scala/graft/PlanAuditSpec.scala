@@ -129,6 +129,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t21's position window must be partition-local:\n$plan")
   }
 
+  test("t27: BPE top-pairs plans a heap top-k, not a global sort, over two aggregations") {
+    val plan = planOf(graft.queries.Corpus.t27BpePairs.run(SparkTest.spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"t27's top-k must be per-partition heaps:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // exactly the two aggregation exchanges (word dictionary, pair
+    // counts) — both partial-aggregated map-side
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"t27 expects word + pair exchanges only:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(
