@@ -31,13 +31,21 @@ object Prefix {
     * duplicate keys the range boundary between two equal keys is
     * partitioner-dependent and "running total" is ill-defined. */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
-      outCol: String, numPartitions: Int = 0): DataFrame = {
+      outCol: String, numPartitions: Int = 0): DataFrame =
+    runningTotal(df, Seq(orderCol), valueCol, outCol, numPartitions)
+
+  /** Composite-key variant: running total in lexicographic
+    * (`orderCols`) order; the COMBINATION must be unique per row
+    * (callers append a unique id as tiebreak, as in
+    * [[Layout.groupRunningTotals]]). */
+  def runningTotal(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      outCol: String, numPartitions: Int): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val ranged = df
-      .repartitionByRange(parts, col(orderCol))
+      .repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val partSums = ranged.groupBy(col("__pid"))
@@ -52,7 +60,7 @@ object Prefix {
     val offsetDf = spark.createDataFrame(
       exclusive.toSeq.map { case (pid, off) => (pid, off) })
       .toDF("__pid", "__off")
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged.join(broadcast(offsetDf), "__pid")
       .withColumn(outCol, sum(col(valueCol)).over(w) + col("__off"))

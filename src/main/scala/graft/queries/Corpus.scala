@@ -88,12 +88,10 @@ object Corpus {
     }
   }
 
-  /** Corpus-trained bigram LM scoring in fixed point — see
-    * [[BigramLm]]. The oracle counts by raw token/bigram text; the
-    * engine by 64-bit hashes. */
-  val t19BigramLm: Q = Q(
-    "t19_bigram_lm",
-    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+  /** The t19/t28 shared oracle chain: per-bigram fixed-point
+    * probabilities under the corpus-trained add-one bigram LM. */
+  private val lmScoreCtes: String =
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |tok AS (
        |  SELECT doc_id, w[i] AS t,
        |         CASE WHEN i < len(w) THEN w[i] || ' ' || w[i+1] END AS g
@@ -103,7 +101,14 @@ object Corpus {
        |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM tok WHERE g IS NOT NULL GROUP BY g),
        |sc AS (
        |  SELECT doc_id, ((c2 + 1) * ${BigramLm.Scale}) // (c1 + v) AS p
-       |  FROM tok JOIN c2 USING (g) JOIN c1 USING (t) CROSS JOIN v)
+       |  FROM tok JOIN c2 USING (g) JOIN c1 USING (t) CROSS JOIN v)""".stripMargin
+
+  /** Corpus-trained bigram LM scoring in fixed point — see
+    * [[BigramLm]]. The oracle counts by raw token/bigram text; the
+    * engine by 64-bit hashes. */
+  val t19BigramLm: Q = Q(
+    "t19_bigram_lm",
+    s"""WITH $lmScoreCtes
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |       CAST(sum(p) AS BIGINT) AS lm_sum,
        |       CAST(sum(p) // count(*) AS BIGINT) AS lm_mean
@@ -332,7 +337,30 @@ object Corpus {
     Bpe.topPairs(Tables.documents(s, d), "text", 20)
   }
 
+  /** CCNet-style quality-tier bucketing (see
+    * [[graft.operators.Quality]]): exact global rank by (lm_mean,
+    * doc_id) via the two-phase prefix layout — the oracle IS the naive
+    * single-task `row_number() OVER (ORDER BY ...)` formulation the
+    * operator replaces at scale. */
+  val t28PplBuckets: Q = Q(
+    "t28_ppl_buckets",
+    s"""WITH $lmScoreCtes,
+       |lm AS (
+       |  SELECT doc_id, CAST(sum(p) // count(*) AS BIGINT) AS lm_mean
+       |  FROM sc GROUP BY doc_id),
+       |r AS (
+       |  SELECT doc_id, lm_mean,
+       |         row_number() OVER (ORDER BY lm_mean, doc_id) AS rnk,
+       |         count(*) OVER () AS n
+       |  FROM lm)
+       |SELECT doc_id, lm_mean, CAST(((rnk - 1) * 3) // n AS BIGINT) AS bucket
+       |FROM r
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Quality.pplBuckets(Tables.documents(s, d), "doc_id", "text", 3)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
-    t27BpePairs)
+    t27BpePairs, t28PplBuckets)
 }

@@ -108,6 +108,11 @@ object SqlFrontDoor {
       // character-pair counts (k)
       ("bpe_top_pairs", 2, a =>
         graft.operators.Bpe.topPairs(s.read.parquet(a.head), "text", a(1).trim.toInt)),
+      // CCNet-style quality tiers: equal-population buckets over the
+      // corpus-LM score via the two-phase global rank (n_buckets)
+      ("ppl_buckets", 2, a =>
+        graft.operators.Quality.pplBuckets(s.read.parquet(a.head), "doc_id", "text",
+          a(1).trim.toInt)),
       ("shard_layout", 2, a => {
         import org.apache.spark.sql.functions.{col, md5}
         val nsh = a(1).trim.toInt

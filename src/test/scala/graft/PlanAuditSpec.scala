@@ -140,6 +140,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"t27 expects word + pair exchanges only:\n$plan")
   }
 
+  test("t28: the quality-tier global rank is a partition-local window") {
+    val plan = planOf(graft.queries.Corpus.t28PplBuckets.run(SparkTest.spark, sf))
+    // the rank window must partition by __pid (two-phase layout) — a
+    // bare `row_number() OVER (ORDER BY ...)` would sort the corpus on
+    // one task. (A SinglePartition exchange DOES appear for the 1-row
+    // corpus-count aggregate that rides the broadcast — that is fine.)
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"t28's rank window must be partition-local:\n$plan")
+    val globalWindow = plan.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(lm_mean"))
+    assert(!globalWindow, s"t28 must not plan an unpartitioned rank window:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(

@@ -245,6 +245,15 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     val apiBpe = graft.operators.Bpe.topPairs(spark.read.parquet(docs), "text", 5)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(sqlBpe == apiBpe && sqlBpe.length == 5)
+    // ppl_buckets: every scored doc gets a tier in [0, 3), tiers are
+    // equal-population within one doc
+    val tiers = spark.sql(
+      s"""SELECT bucket, count(*) AS c FROM ppl_buckets('$docs', '3')
+         |GROUP BY bucket ORDER BY bucket""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(tiers.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(tiers.map(_._2).max - tiers.map(_._2).min <= 1,
+      s"tiers must be equal-population: ${tiers.toSeq}")
     // source_mix: no source exceeds its token budget
     val over = spark.sql(
       s"""SELECT count(*) AS n FROM (
