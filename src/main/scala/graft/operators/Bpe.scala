@@ -78,6 +78,30 @@ object Bpe {
       .limit(k)
   }
 
+  /** Tokenizer APPLY: encode text under a trained merge list — per
+    * word, seed with characters and apply each merge in rank order
+    * (greedy left-to-right), the standard BPE encode. The merge list
+    * is driver data (`numMerges` rows) and ships in the closure like a
+    * broadcast model; the pass is narrow — one row per document, no
+    * shuffle at all until whatever the caller does next. Returns
+    * (doc_id, symbols ARRAY<STRING>, n_symbols). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        Dedup.wsTokens(text).foreach { w =>
+          var syms: Seq[String] = Seq.tabulate(w.length)(i => w.substring(i, i + 1))
+          merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+          out ++= syms
+        }
+        (id, out.toSeq, out.length.toLong)
+      }
+      .toDF("doc_id", "symbols", "n_symbols")
+  }
+
   /** Iterative BPE trainer: `numMerges` rounds over the word-count
     * dictionary; returns the merge list in rank order. Deterministic:
     * ties break on (a, b) lexicographically. */

@@ -42,6 +42,18 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.train(single, "text", 5) == Seq.empty)
   }
 
+  test("encode applies the trained merges in rank order per word") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val merges = Bpe.train(corpus, "text", 3) // (u,g), (u,n), (h,ug)
+    val docs = Seq((1L, "hugs pun bug")).toDF("doc_id", "text")
+    val row = Bpe.encode(docs, "doc_id", "text", merges).collect().head
+    assert(row.getSeq[String](1) == Seq("hug", "s", "p", "un", "b", "ug"))
+    assert(row.getLong(2) == 6L)
+    // symbols concatenate back to the original words
+    assert(row.getSeq[String](1).mkString == "hugspunbug")
+  }
+
   test("applyMerge is greedy left-to-right") {
     assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
     assert(Bpe.applyMerge(Seq("h", "u", "g", "s"), "u", "g") == Seq("h", "ug", "s"))
