@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization — the web-crawl curation step that collapses
@@ -39,5 +39,38 @@ object Urls {
     val rest = nofrag.substr(length(rawPre) + 1, length(nofrag))
     val noutm = regexp_replace(concat(noport, rest), "\\?utm_.*$", "")
     regexp_replace(noutm, "/$", "")
+  }
+
+  /** Bloom blocklist gate — the crawl-frontier / ingestion filter for a
+    * reference URL set too large to broadcast exactly (a 10⁸-URL
+    * blocklist is ~125 MB at 10 bits/entry vs several GB as an exact
+    * set). The filter is built DISTRIBUTED by Spark's own sketch
+    * (`df.stat.bloomFilter` — per-partition filters OR-merged, so
+    * insertion order is irrelevant and the bit array is deterministic),
+    * ships once as a broadcast, and gating is a narrow `might_contain`
+    * scan — works identically on a batch frame or a streaming one
+    * (stateless, like [[graft.streaming.CrossDedupStream]]).
+    *
+    * Semantics: NO false negatives — every canonicalized reference URL
+    * is dropped with certainty; a tunable `fpp` fraction of clean URLs
+    * is over-dropped (the right direction for a blocklist). Both sides
+    * are canonicalized with [[canonicalize]] so cosmetic variants of a
+    * blocked URL are blocked too. */
+  def bloomGate(docs: DataFrame, urlCol: String, reference: DataFrame,
+      refUrlCol: String, expectedRefSize: Long, fpp: Double = 0.01): DataFrame = {
+    val canonRef = reference.select(canonicalize(col(refUrlCol)).as("__u"))
+    val bloom = canonRef.stat.bloomFilter("__u", expectedRefSize, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    // the sketch probe has no Catalyst expression (util.sketch filters
+    // are not the BloomFilterAggregate format), so the gate is a typed
+    // row filter — the canonical key itself is still computed by the
+    // codegen'd expression chain; null URLs pass (nothing to block)
+    val withKey = docs.withColumn("__u", canonicalize(col(urlCol)))
+    val idx = withKey.schema.fieldIndex("__u")
+    withKey
+      .filter { r: org.apache.spark.sql.Row =>
+        r.isNullAt(idx) || !bc.value.mightContainString(r.getString(idx))
+      }
+      .drop("__u")
   }
 }
