@@ -39,7 +39,15 @@ object Prefix {
     * (callers append a unique id as tiebreak, as in
     * [[Layout.groupRunningTotals]]). */
   def runningTotal(df: DataFrame, orderCols: Seq[String], valueCol: String,
-      outCol: String, numPartitions: Int): DataFrame = {
+      outCol: String, numPartitions: Int): DataFrame =
+    runningTotalAndSum(df, orderCols, valueCol, outCol, numPartitions)._1
+
+  /** [[runningTotal]] plus the GRAND total, which the driver fold has
+    * already computed — callers needing N (e.g. [[Quality.pplBuckets]]'s
+    * tier boundary) read it here instead of re-aggregating the frame
+    * with another distributed job. */
+  def runningTotalAndSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      outCol: String, numPartitions: Int): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
@@ -62,8 +70,9 @@ object Prefix {
       .toDF("__pid", "__off")
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offsetDf), "__pid")
+    val out = ranged.join(broadcast(offsetDf), "__pid")
       .withColumn(outCol, sum(col(valueCol)).over(w) + col("__off"))
       .drop("__pid", "__off")
+    (out, partSums.map(_._2).sum)
   }
 }

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * (score, id), per-partition offsets folded on the driver, partition-
   * local windows), and the tier boundary is integer arithmetic on
   * (rank, N) — no corpus-sized anything on one task, plan-audited like
-  * t15/t21. N rides a broadcast 1-row aggregate.
+  * t15/t21. N falls out of the layout's own driver fold (it already
+  * sums every partition), so no extra count job runs.
   */
 object Quality {
 
@@ -31,10 +32,11 @@ object Quality {
     val scores = BigramLm.scores(docs, idCol, textCol)
       .select(col("doc_id"), col("lm_mean"))
       .withColumn("__one", lit(1L))
-    val ranked = Prefix.runningTotal(scores, Seq("lm_mean", "doc_id"), "__one", "rnk", 0)
-    val n = ranked.agg(count(lit(1)).as("n"))
-    ranked.crossJoin(broadcast(n))
-      .select(col("doc_id"), col("lm_mean"),
-        expr(s"((rnk - 1) * $buckets) div n").as("bucket"))
+    // N falls out of the rank layout's driver fold — no extra
+    // distributed count job
+    val (ranked, n) = Prefix.runningTotalAndSum(
+      scores, Seq("lm_mean", "doc_id"), "__one", "rnk", 0)
+    ranked.select(col("doc_id"), col("lm_mean"),
+      expr(s"((rnk - 1) * $buckets) div ${math.max(n, 1L)}").as("bucket"))
   }
 }
