@@ -116,7 +116,7 @@ object Ann extends Serializable {
   def cosineD(a: Array[Float], b: Array[Float]): Double =
     dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
 
-  private def nearestCell(cs: Array[Array[Float]], v: Array[Float]): Int = {
+  private[graft] def nearestCell(cs: Array[Array[Float]], v: Array[Float]): Int = {
     var best = 0
     var bestSim = Double.NegativeInfinity
     var c = 0
@@ -127,6 +127,14 @@ object Ann extends Serializable {
     }
     best
   }
+
+  /** The `nprobe` max-cosine cells for a vector, nearest first
+    * (deterministic index tie-break) — the probe set shared by
+    * [[ivfTopK]] and [[graft.streaming.AnnStream]]. */
+  private[graft] def nearestCells(cs: Array[Array[Float]], v: Array[Float],
+      nprobe: Int): Array[Int] =
+    cs.indices.sortBy(c => (-cosineD(v, cs(c)), c))
+      .take(math.min(nprobe, cs.length)).toArray
 
   /** Total clustering cost: Σ over vectors of (1 − max-cosine to any
     * center) — the objective the cosine-geometry Lloyd's rounds descend.
@@ -336,11 +344,7 @@ object Ann extends Serializable {
       .toDF("cid", "cvec", "cell")
     val probes = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])]
       .flatMap { case (qid, v) =>
-        val cs = bc.value
-        cs.indices
-          .sortBy(c => (-cosineD(v, cs(c)), c))
-          .take(math.min(nprobe, cs.length))
-          .map(c => (qid, v, c))
+        nearestCells(bc.value, v, nprobe).iterator.map(c => (qid, v, c))
       }
       .toDF("qid", "qvec", "cell")
     val scored = assigned.join(broadcast(probes), Seq("cell"))
