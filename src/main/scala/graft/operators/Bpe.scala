@@ -102,6 +102,14 @@ object Bpe {
       .toDF("doc_id", "symbols", "n_symbols")
   }
 
+  /** Symbol count of one word under a merge list — what [[encode]]
+    * emits for it, without materializing the symbols. */
+  private[graft] def countSymbols(w: String, merges: Seq[(String, String)]): Int = {
+    var syms: Seq[String] = Seq.tabulate(w.length)(i => w.substring(i, i + 1))
+    merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+    syms.length
+  }
+
   /** Iterative BPE trainer: `numMerges` rounds over the word-count
     * dictionary; returns the merge list in rank order. Deterministic:
     * ties break on (a, b) lexicographically. */

@@ -215,8 +215,36 @@ object Layout {
       col(sourceCol).as("source"),
       size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"),
       md5(col(idCol).cast("string")).as("k"))
+    mixFromCounts(tok, tokenBudget)
+  }
+
+  /** [[sourceMix]] with TOKENIZER-accurate counts: a document costs
+    * what the trainer will actually pay for it — its symbol count
+    * under a trained BPE merge list ([[graft.operators.Bpe.encode]]
+    * semantics) — instead of whitespace tokens. The merge list is
+    * driver data shipped in the closure (broadcast-model shape); the
+    * layout is the identical two-phase grouped running total. */
+  def sourceMixBpe(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, tokenBudget: Long,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs
+      .select(col(idCol).cast("long"), col(sourceCol), col(textCol))
+      .as[(Long, String, String)]
+      .map { case (id, source, text) =>
+        var n = 0L
+        graft.operators.Dedup.wsTokens(text).foreach(w =>
+          n += graft.operators.Bpe.countSymbols(w, merges))
+        (id, source, n)
+      }
+      .toDF("doc_id", "source", "n_tokens")
+      .withColumn("k", md5(col("doc_id").cast("string")))
+    mixFromCounts(tok, tokenBudget)
+  }
+
+  private def mixFromCounts(tok: DataFrame, tokenBudget: Long): DataFrame =
     groupRunningTotals(tok, "source", Seq("k", "doc_id"), "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= tokenBudget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
-  }
 }

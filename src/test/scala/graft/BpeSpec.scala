@@ -54,6 +54,22 @@ class BpeSpec extends AnyFunSuite {
     assert(row.getSeq[String](1).mkString == "hugspunbug")
   }
 
+  test("sourceMixBpe budgets in trained-tokenizer symbols, not whitespace tokens") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val merges = Bpe.train(corpus, "text", 3) // (u,g), (u,n), (h,ug)
+    // "hug hug" costs 2 BPE symbols; "bugs bugs" costs 2*3 = 6
+    // ("b","ug","s"); whitespace would price both at 2 tokens
+    val docs = Seq(
+      (1L, "hug hug", "a"),
+      (2L, "bugs bugs", "b")
+    ).toDF("doc_id", "text", "source")
+    val kept = graft.operators.Layout.sourceMixBpe(docs, "doc_id", "text", "source",
+      tokenBudget = 4L, merges)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(kept == Map(1L -> 2L), s"6-symbol doc must overflow a 4-symbol budget: $kept")
+  }
+
   test("applyMerge is greedy left-to-right") {
     assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
     assert(Bpe.applyMerge(Seq("h", "u", "g", "s"), "u", "g") == Seq("h", "ug", "s"))
