@@ -59,6 +59,7 @@ object Urls {
   def bloomGate(docs: DataFrame, urlCol: String, reference: DataFrame,
       refUrlCol: String, expectedRefSize: Long, fpp: Double = 0.01): DataFrame = {
     val canonRef = reference.select(canonicalize(col(refUrlCol)).as("__u"))
+      .filter(col("__u").isNotNull) // a null reference URL blocks nothing
     val bloom = canonRef.stat.bloomFilter("__u", expectedRefSize, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     // the sketch probe has no Catalyst expression (util.sketch filters

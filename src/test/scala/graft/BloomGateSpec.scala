@@ -16,8 +16,9 @@ class BloomGateSpec extends AnyFunSuite {
   test("blocked URLs and their canonical variants drop; clean URLs survive") {
     val spark = SparkTest.spark
     import spark.implicits._
-    val reference = (0 until 200)
+    val reference = ((0 until 200)
       .map(i => s"https://blocked$i.example/path/$i?utm_source=x")
+      :+ null.asInstanceOf[String]) // null reference entries block nothing
       .toDF("url")
     val docs = Seq(
       (1L, "https://blocked7.example/path/7"),          // canonical form
