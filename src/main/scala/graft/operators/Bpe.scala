@@ -78,37 +78,63 @@ object Bpe {
       .limit(k)
   }
 
+  /** Encode one word under a RANK-INDEXED merge table: repeatedly merge
+    * every occurrence of the lowest-rank adjacent pair present —
+    * O(|word|²) regardless of |merges|, vs the naive rank-sequential
+    * sweep's O(|merges|·|word|), which is the difference between a
+    * per-word map lookup and 32k wasted passes under a production
+    * vocabulary. Output-equivalent to rank-sequential application for
+    * any TRAINED merge list: a merge's output symbol can only appear in
+    * pairs learned AFTER it (higher rank), so picking the lowest
+    * present rank never misses an earlier merge — the standard
+    * tokenizer implementation shape, property-checked against the
+    * sequential form in BpeSpec. */
+  private[graft] def encodeWord(w: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: Seq[String] = Seq.tabulate(w.length)(i => w.substring(i, i + 1))
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var best: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (best == null) done = true
+      else syms = applyMerge(syms, best._1, best._2)
+    }
+    syms
+  }
+
   /** Tokenizer APPLY: encode text under a trained merge list — per
-    * word, seed with characters and apply each merge in rank order
-    * (greedy left-to-right), the standard BPE encode. The merge list
-    * is driver data (`numMerges` rows) and ships in the closure like a
-    * broadcast model; the pass is narrow — one row per document, no
-    * shuffle at all until whatever the caller does next. Returns
-    * (doc_id, symbols ARRAY<STRING>, n_symbols). */
+    * word, seed with characters and run the rank-indexed priority
+    * merge ([[encodeWord]]). The merge table is driver data
+    * (`numMerges` rows) and ships in the closure like a broadcast
+    * model; the pass is narrow — one row per document, no shuffle at
+    * all until whatever the caller does next. Returns (doc_id, symbols
+    * ARRAY<STRING>, n_symbols). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val ranks = rankTable(merges)
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, text) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        Dedup.wsTokens(text).foreach { w =>
-          var syms: Seq[String] = Seq.tabulate(w.length)(i => w.substring(i, i + 1))
-          merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
-          out ++= syms
-        }
+        Dedup.wsTokens(text).foreach(w => out ++= encodeWord(w, ranks))
         (id, out.toSeq, out.length.toLong)
       }
       .toDF("doc_id", "symbols", "n_symbols")
   }
 
-  /** Symbol count of one word under a merge list — what [[encode]]
-    * emits for it, without materializing the symbols. */
-  private[graft] def countSymbols(w: String, merges: Seq[(String, String)]): Int = {
-    var syms: Seq[String] = Seq.tabulate(w.length)(i => w.substring(i, i + 1))
-    merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
-    syms.length
-  }
+  private[graft] def rankTable(merges: Seq[(String, String)]): Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  /** Symbol count of one word under a rank table — what [[encode]]
+    * emits for it, without keeping the symbols. */
+  private[graft] def countSymbols(w: String, ranks: Map[(String, String), Int]): Int =
+    encodeWord(w, ranks).length
 
   /** Iterative BPE trainer: `numMerges` rounds over the word-count
     * dictionary; returns the merge list in rank order. Deterministic:

@@ -70,6 +70,33 @@ class BpeSpec extends AnyFunSuite {
     assert(kept == Map(1L -> 2L), s"6-symbol doc must overflow a 4-symbol budget: $kept")
   }
 
+  test("priority encodeWord equals rank-sequential application on trained merges") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    // train a deeper merge list on a denser corpus, then check the two
+    // application orders agree on random words over the same alphabet
+    val words = Seq("hug", "pug", "pun", "bun", "hugs", "bug", "hub", "nub")
+    val corpus = words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, Seq.fill(3 + i % 5)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, "text", 6)
+    val ranks = Bpe.rankTable(merges)
+    def sequential(w: String): Seq[String] = {
+      var syms: Seq[String] = Seq.tabulate(w.length)(i => w.substring(i, i + 1))
+      merges.foreach { case (a, b) => syms = Bpe.applyMerge(syms, a, b) }
+      syms
+    }
+    val gen = org.scalacheck.Gen.chooseNum(0, 8).flatMap(n =>
+      org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.oneOf("h", "u", "g", "p", "n", "b", "s"))
+        .map(_.mkString))
+    var seed = org.scalacheck.rng.Seed(7L)
+    for (_ <- 0 until 200) {
+      val w = gen.apply(org.scalacheck.Gen.Parameters.default, seed).get
+      seed = seed.next
+      assert(Bpe.encodeWord(w, ranks) == sequential(w), s"word: '$w' merges: $merges")
+    }
+  }
+
   test("applyMerge is greedy left-to-right") {
     assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
     assert(Bpe.applyMerge(Seq("h", "u", "g", "s"), "u", "g") == Seq("h", "ug", "s"))
