@@ -92,7 +92,15 @@ object Bench {
             }
             q.name -> (if (exact.isEmpty) 1.0 else r.sum / exact.size)
           }
-        } catch { case _: Throwable => Nil }
+        } catch {
+          // NonFatal only: a fatal error should crash the bench, and a
+          // recall failure must be visible on stderr — a silently-empty
+          // recall map would read as "not measured", hiding exactly the
+          // ANN quality regressions this block exists to surface
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] recall_at_5 failed: $e")
+            Nil
+        }
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -100,12 +108,25 @@ object Bench {
     val rc = recall.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_5":$rc,"sf":"$sfDir"}""")
+    // v2/v8 recall is a BY-CONSTRUCTION floor (sign-LSH single/2-probe
+    // of 64 buckets on isotropic vectors ≈ bucket coverage; the
+    // rankings themselves are SQL-oracle-exact — see AnnSpec); publish
+    // that next to the numbers so a reader doesn't take 0.1/0.16 for a
+    // regression
+    val notes = Seq(
+      "v2_knn_lsh" -> "bucket-coverage floor by construction (sign-LSH, 1 of 64 buckets probed)",
+      "v8_knn_lsh_multiprobe" -> "bucket-coverage floor by construction (sign-LSH, 2 of 64 buckets probed)")
+      .filter { case (k, _) => recall.exists(_._1 == k) }
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_5":$rc,"recall_floor_notes":$notes,"sf":"$sfDir"}""")
     // the driver's artifact keeps the TAIL of the output: repeat the
     // totals as a compact final line so a long per-query map can never
     // truncate the headline number out of the record (round-4 BENCH
-    // artifact lost its "metric":"total" exactly this way)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"sf":"$sfDir"}""")
+    // artifact lost its "metric":"total" exactly this way). Distinct
+    // metric name — two lines sharing "total" would double-count for a
+    // per-metric consumer.
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

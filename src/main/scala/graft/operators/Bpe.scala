@@ -89,6 +89,19 @@ object Bpe {
     * present rank never misses an earlier merge — the standard
     * tokenizer implementation shape, property-checked against the
     * sequential form in BpeSpec. */
+  /** Longest run [[encodeWord]] merges as one unit. Web noise contains
+    * unbroken multi-MB "words" (base64 blobs, minified JS); encodeWord
+    * is O(|word|²), so an uncapped word is a task stalled for hours and
+    * a per-character Seq the trainer materializes. Production
+    * tokenizers pre-split oversized words the same way; the split is at
+    * fixed character boundaries, so it is deterministic and loses no
+    * text — only merges that would have crossed a chunk boundary. */
+  private[graft] val MaxWordLen = 256
+
+  /** `w` in ≤ [[MaxWordLen]] pieces (identity for normal words). */
+  private[graft] def wordChunks(w: String): Iterator[String] =
+    if (w.length <= MaxWordLen) Iterator.single(w) else w.grouped(MaxWordLen)
+
   private[graft] def encodeWord(w: String, ranks: Map[(String, String), Int]): Seq[String] = {
     var syms: Seq[String] = Seq.tabulate(w.length)(i => w.substring(i, i + 1))
     var done = syms.length < 2
@@ -108,21 +121,25 @@ object Bpe {
   }
 
   /** Tokenizer APPLY: encode text under a trained merge list — per
-    * word, seed with characters and run the rank-indexed priority
-    * merge ([[encodeWord]]). The merge table is driver data
-    * (`numMerges` rows) and ships in the closure like a broadcast
-    * model; the pass is narrow — one row per document, no shuffle at
+    * word (pre-split at [[MaxWordLen]]), seed with characters and run
+    * the rank-indexed priority merge ([[encodeWord]]). The merge table
+    * is driver data (`numMerges` rows) shipped ONCE per executor as a
+    * `sparkContext.broadcast` — at a production 32k-100k merge
+    * vocabulary a closure copy would re-serialize the map into every
+    * task; the pass is narrow — one row per document, no shuffle at
     * all until whatever the caller does next. Returns (doc_id, symbols
     * ARRAY<STRING>, n_symbols). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ranks = rankTable(merges)
+    val ranksBc = spark.sparkContext.broadcast(rankTable(merges))
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, text) =>
+        val ranks = ranksBc.value
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        Dedup.wsTokens(text).foreach(w => out ++= encodeWord(w, ranks))
+        Dedup.wsTokens(text).foreach(w =>
+          wordChunks(w).foreach(c => out ++= encodeWord(c, ranks)))
         (id, out.toSeq, out.length.toLong)
       }
       .toDF("doc_id", "symbols", "n_symbols")
@@ -133,8 +150,11 @@ object Bpe {
 
   /** Symbol count of one word under a rank table — what [[encode]]
     * emits for it, without keeping the symbols. */
-  private[graft] def countSymbols(w: String, ranks: Map[(String, String), Int]): Int =
-    encodeWord(w, ranks).length
+  private[graft] def countSymbols(w: String, ranks: Map[(String, String), Int]): Int = {
+    var n = 0
+    wordChunks(w).foreach(c => n += encodeWord(c, ranks).length)
+    n
+  }
 
   /** Iterative BPE trainer: `numMerges` rounds over the word-count
     * dictionary; returns the merge list in rank order. Deterministic:
@@ -143,7 +163,11 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab: Dataset[(Seq[String], Long)] = wordCounts(docs, textCol).as[(String, Long)]
-      .map { case (t, n) => (Seq.tabulate(t.length)(i => t.substring(i, i + 1)), n) }
+      // oversized-word split BEFORE character seeding (see MaxWordLen) —
+      // pairCounts sums weights, so duplicate chunk rows are harmless
+      .flatMap { case (t, n) =>
+        wordChunks(t).map(c => (Seq.tabulate(c.length)(i => c.substring(i, i + 1)), n))
+      }
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {

@@ -229,14 +229,14 @@ object Layout {
       merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ranks = graft.operators.Bpe.rankTable(merges)
+    val ranksBc = spark.sparkContext.broadcast(graft.operators.Bpe.rankTable(merges))
     val tok = docs
       .select(col(idCol).cast("long"), col(sourceCol), col(textCol))
       .as[(Long, String, String)]
       .map { case (id, source, text) =>
         var n = 0L
         graft.operators.Dedup.wsTokens(text).foreach(w =>
-          n += graft.operators.Bpe.countSymbols(w, ranks))
+          n += graft.operators.Bpe.countSymbols(w, ranksBc.value))
         (id, source, n)
       }
       .toDF("doc_id", "source", "n_tokens")

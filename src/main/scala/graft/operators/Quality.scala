@@ -29,9 +29,17 @@ object Quality {
     * semantics. */
   def pplBuckets(docs: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, "need at least one bucket")
+    // The LM pass is the expensive part; its (doc_id, lm_mean) result is
+    // doc-count-sized and two columns wide — bounded, unlike the t17
+    // corpus-text frames. Pin it once so [[Prefix]]'s range sampler and
+    // checkpoint job read cached blocks instead of re-running the full
+    // count-and-join pipeline per consumer. The operator owns the frame
+    // end-to-end; blocks are reclaimed by the ContextCleaner with the
+    // checkpoint RDD, same lifecycle Prefix itself relies on.
     val scores = BigramLm.scores(docs, idCol, textCol)
       .select(col("doc_id"), col("lm_mean"))
       .withColumn("__one", lit(1L))
+      .localCheckpoint()
     // N falls out of the rank layout's driver fold — no extra
     // distributed count job
     val (ranked, n) = Prefix.runningTotalAndSum(

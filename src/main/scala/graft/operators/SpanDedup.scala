@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Exact-substring (span) deduplication — the token-window formulation
   * of Lee et al., "Deduplicating Training Data Makes Language Models
@@ -28,14 +29,22 @@ import org.apache.spark.sql.functions._
   *     running break-count): partitioned by doc_id, so the sort is
   *     document-sized, never corpus-sized.
   *   - The window pass is consumed twice (frequency count + position
-  *     join) and deliberately NOT persisted: a corpus-sized cache is a
-  *     scale liability of its own (executor memory/disk pressure, and
-  *     an unbounded leak in a long-lived SQL session — a TVF caller has
-  *     no unpersist hook), while the re-run is a narrow scan+hash pass.
-  *     The groupBy/join-back shape is kept over a `count() OVER
-  *     (PARTITION BY h)` window because a genuinely viral window hash
-  *     would pin one WindowExec task; the join path partial-aggregates
-  *     map-side and lets AQE skew-split the probe.
+  *     join), so [[dupSpans]] persists it for exactly the duration of
+  *     those two consumers: persist → one eager job that drives BOTH
+  *     the count and the position join against the cache (pinning the
+  *     duplicated-positions result, which truncates lineage) →
+  *     `unpersist()` before returning. The cache lives only inside the
+  *     operator call — nothing is left registered in the session's
+  *     CacheManager, so a long-lived SQL session calling the
+  *     `span_dedup` TVF cannot accumulate corpus-sized cache entries
+  *     (the round-4 leak this replaces). What remains pinned is the
+  *     (doc_id, pos) duplicated-positions frame — fixed-width rows
+  *     bounded by the corpus's actual duplication, reclaimed by the
+  *     ContextCleaner with its checkpoint RDD. The groupBy/join-back
+  *     shape is kept over a `count() OVER (PARTITION BY h)` window
+  *     because a genuinely viral window hash would pin one WindowExec
+  *     task; the join path partial-aggregates map-side and lets AQE
+  *     skew-split the probe.
   *
   * Identity is a 64-bit xxHash (collision odds ~n²/2^64 — at 10^12
   * corpus windows that is ~3%-per-corpus of ONE false window match,
@@ -99,22 +108,27 @@ object SpanDedup {
       w: Int, minCount: Long = 2L, wideHash: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val dup =
+    val (win, keyCols) =
       if (wideHash) {
-        val win = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+        val f = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
           .flatMap { case (id, text) => windowOccsWide(id, text, w) }
           .toDF("doc_id", "pos", "h", "h2")
-        val dupKeys = win.groupBy(col("h"), col("h2")).agg(count(lit(1)).as("c"))
+        (f, Seq("h", "h2"))
+      } else
+        (windowRows(docs, idCol, textCol, w).toDF("doc_id", "pos", "h"), Seq("h"))
+    // Persist the window frame for exactly its two consumers, then let
+    // one eager job (the localCheckpoint) run count + position join
+    // against the cache; unpersist before returning so no CacheManager
+    // entry outlives the call (TVF-safe — see the scaladoc).
+    win.persist(StorageLevel.MEMORY_AND_DISK)
+    val dup =
+      try {
+        val dupKeys = win.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
           .filter(col("c") >= minCount)
-          .select(col("h"), col("h2"))
-        win.join(dupKeys, Seq("h", "h2")).select(col("doc_id"), col("pos"))
-      } else {
-        val win = windowRows(docs, idCol, textCol, w).toDF("doc_id", "pos", "h")
-        val dupHashes = win.groupBy(col("h")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= minCount)
-          .select(col("h"))
-        win.join(dupHashes, "h").select(col("doc_id"), col("pos"))
-      }
+          .select(keyCols.map(col): _*)
+        win.join(dupKeys, keyCols).select(col("doc_id"), col("pos"))
+          .localCheckpoint()
+      } finally win.unpersist()
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val running = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dup

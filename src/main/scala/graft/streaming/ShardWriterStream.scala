@@ -34,13 +34,19 @@ object ShardWriterStream {
       .start()
 
   /** Per-shard row/token counts over the COMMITTED files (the sink's
-    * metadata log filters out uncommitted writes). Same schema as the
-    * batch manifest; shard comes back cast to long (partition-column
-    * inference narrows it to INT, the round-5 writeShards fix). */
+    * metadata log filters out uncommitted writes). Same contract as the
+    * batch manifest: partition-column inference narrows the shard
+    * directory names to INT, so the shard column is cast back to
+    * `shardType` — the laid-out frame's own type, as
+    * `Layout.writeShards` does — so the manifest schema matches what
+    * downstream consumers joined on. Defaults to LONG, the type every
+    * layout operator here emits. */
   def manifest(spark: org.apache.spark.sql.SparkSession, outDir: String,
-      shardCol: String, tokenCol: String): DataFrame =
+      shardCol: String, tokenCol: String,
+      shardType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType): DataFrame =
     spark.read.parquet(outDir)
-      .withColumn(shardCol, col(shardCol).cast("long"))
+      .withColumn(shardCol, col(shardCol).cast(shardType))
       .groupBy(col(shardCol))
       .agg(count(lit(1)).as("n_rows"), sum(col(tokenCol)).as("n_tokens"))
 }

@@ -77,7 +77,11 @@ object SourceBudgetStream {
       size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long").as("nTokens"))
       .as[BudgetEvent]
       .groupByKey(_.source)
+      // TimeMode.None: the processor registers no timers and uses no
+      // TTL, and ProcessingTime would make the engine commit an epoch
+      // every trigger — processAllAvailable never quiesces and callers
+      // are pushed into wall-clock polling (see StreamSync's scaladoc)
       .transformWithState(new SourceBudgetProcessor(tokenBudget),
-        TimeMode.ProcessingTime(), OutputMode.Append())
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -53,6 +53,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       (1L, 1L, 4L, 4L, 1L), (1L, 11L, 14L, 4L, 1L)))
   }
 
+  test("span dedup: internal window cache does not outlive the operator") {
+    // The round-5 design recomputed the window pass twice to avoid a
+    // session cache leak; round 6 persists it for exactly the two
+    // internal consumers and unpersists before returning. TVF contract:
+    // nothing may remain registered in the CacheManager after the call,
+    // and the only lineage pin left is the duplicated-positions
+    // localCheckpoint (ContextCleaner-reclaimed).
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val d = docs(
+      0L -> "a b c d e f g h i j",
+      1L -> "a b c d e f g h X Y")
+    val spans = SpanDedup.dupSpans(d, "doc_id", "text", w = 4)
+    assert(cm.isEmpty,
+      "dupSpans must unpersist its window frame before returning")
+    assert(spans.count() == 2)
+    assert(cm.isEmpty)
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leftover.size <= 1,
+      s"only the dup-positions checkpoint may remain, got $leftover")
+  }
+
   test("bm25: scores match the formula, ranking is deterministic") {
     val d = docs(
       0L -> "spark join spark",

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.{BudgetedDoc, SourceBudgetStream}
@@ -11,9 +10,9 @@ import graft.streaming.{BudgetedDoc, SourceBudgetStream}
   * micro-batches, and a dropped document still advances the counter
   * (batch sourceMix semantics transposed to arrival order).
   *
-  * The operator runs on TimeMode.ProcessingTime, so waits are bounded
-  * [[StreamSync.poll]] calls with a consumed-rows wait before the
-  * negative assertion.
+  * The operator runs on TimeMode.None (no timers, no TTL), so
+  * [[StreamSync.drain]]'s `processAllAvailable()` is a deterministic
+  * wait — no wall-clock polling.
   */
 class SourceBudgetStreamSpec extends AnyFunSuite {
 
@@ -31,11 +30,11 @@ class SourceBudgetStreamSpec extends AnyFunSuite {
         input.toDS().toDF("doc_id", "text", "source"),
         "doc_id", "text", "source", tokenBudget = 5L)
         .writeStream.format("memory").queryName("budget_gate")
-        .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+        .outputMode("append").start()
       try {
         // batch 1: src a consumes 2+2 = 4 of 5; src b admits 3 of 5
         input.addData((1L, words(2), "a"), (2L, words(2), "a"), (3L, words(3), "b"))
-        assert(StreamSync.poll(60000) {
+        assert(StreamSync.drain(q) {
           spark.sql("SELECT * FROM budget_gate").count() == 3
         })
         // batch 2: doc 4 (3 tokens) overflows src a at 7 > 5 → dropped,
@@ -43,10 +42,9 @@ class SourceBudgetStreamSpec extends AnyFunSuite {
         // is dropped too, exactly like the batch running-total filter.
         // src b admits doc 6 (2 tokens, cum 5 == budget: inclusive).
         input.addData((4L, words(3), "a"), (5L, words(1), "a"), (6L, words(2), "b"))
-        assert(StreamSync.poll(60000) {
+        assert(StreamSync.drain(q) {
           spark.sql("SELECT * FROM budget_gate").count() == 4
         })
-        assert(StreamSync.awaitInputRows(q, 6))
         val kept = spark.sql("SELECT * FROM budget_gate").as[BudgetedDoc]
           .collect().sortBy(_.docId).toSeq
         assert(kept == Seq(
@@ -57,7 +55,7 @@ class SourceBudgetStreamSpec extends AnyFunSuite {
         // batch 3: src a stays saturated in a later batch; a fresh
         // source admits normally
         input.addData((7L, words(1), "a"), (8L, words(4), "c"))
-        assert(StreamSync.poll(60000) {
+        assert(StreamSync.drain(q) {
           spark.sql("SELECT * FROM budget_gate").count() == 5
         })
         assert(spark.sql("SELECT * FROM budget_gate WHERE source = 'a'").count() == 2)
