@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions._
   * Scale design:
   *   - ONE narrow typed pass tokenizes each document where it is read
   *     and emits a fixed-width row per token position: (doc_id,
-  *     unigram-hash, bigram-hash|null). Strings never shuffle.
+  *     unigram-hash, bigram-hash|null). Strings never shuffle. The
+  *     typed flatMap is a MEASURED choice (round 6, sf0.1,
+  *     median-of-5, same window): the SQL `transform`-lambda form runs
+  *     ~2× slower (higher-order functions evaluate interpreted, not
+  *     codegen'd), and `posexplode` carrying the token array through
+  *     the generate runs ~1.5× slower (the array rides along every
+  *     exploded row) — 0.77s flatMap vs 1.32s transform vs 1.07s
+  *     posexplode on t19. The general prefer-explode rule does not
+  *     apply when per-element work needs lambda expressions.
   *   - Unigram and bigram count tables are partial-aggregated groupBys
   *     on 64-bit hashes; V falls out of the unigram table for free.
   *     At 100 TB the bigram table is billions of rows — it stays

@@ -46,12 +46,16 @@ object Layout {
     *
     *   1. range-repartition by (group, key...) and pin the assignment —
     *      each partition holds a contiguous slice of one-or-more groups;
-    *   2. one tiny job sums `valueCol` per (partition, group); the
-    *      driver folds the sums into exclusive per-(partition, group)
-    *      offsets (≤ partitions + groups - 1 distinct pairs exist,
-    *      since the range order keeps each group's slices contiguous);
-    *   3. a per-(partition, group) window — parallel, partition-local —
-    *      adds the local running sum to the broadcast offset.
+    *   2. one NARROW job sums `valueCol` per (partition, group) — no
+    *      aggregation exchange ([[Prefix.partGroupSums]]); the driver
+    *      folds the sums into exclusive per-(partition, group) offsets
+    *      (≤ partitions + groups - 1 distinct pairs exist, since the
+    *      range order keeps each group's slices contiguous);
+    *   3. a partition-local sort + typed pass adds the local running
+    *      sum to the broadcast offset ([[Prefix.addRunningTotal]]) —
+    *      zero shuffle; the `PARTITION BY (__pid, group)` window this
+    *      replaces re-exchanged the whole frame to re-create the
+    *      partitioning phase 1 had already pinned.
     *
     * `keyCols` must be unique per row within a group (callers append a
     * unique id as tiebreak); `valueCol` must be an integral, non-null
@@ -75,36 +79,22 @@ object Layout {
       .repartitionByRange(parts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    val sums = ranged.groupBy(col("__pid"), col(groupCol).as("__grp"))
-      .agg(sum(col(valueCol)).as("s"))
-      .collect()
-      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
-    val offsets = sums
-      .groupBy(_._2)
-      .toSeq
+    val sums = Prefix.partGroupSums(ranged, Some(groupCol), valueCol)
+    val offsets: Map[(Int, Any), Long] = sums
+      .groupBy(_._1._2)
+      .iterator
       .flatMap { case (grp, rows) =>
-        val sorted = rows.sortBy(_._1)
-        val exclusive = sorted.scanLeft(0L)(_ + _._3)
-        sorted.map(_._1).zip(exclusive).map { case (pid, off) =>
-          org.apache.spark.sql.Row(pid, grp, off)
+        val sorted = rows.sortBy(_._1._1)
+        val exclusive = sorted.scanLeft(0L)(_ + _._2)
+        sorted.map(_._1._1).zip(exclusive).map { case (pid, off) =>
+          ((pid, grp), off)
         }
       }
-    val offsetSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("__opid",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("__grp", df.schema(groupCol).dataType),
-      org.apache.spark.sql.types.StructField("__off",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    val offsetDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsets, 1), offsetSchema)
-    val w = Window.partitionBy(col("__pid"), col(groupCol))
-      .orderBy(keyCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .join(broadcast(offsetDf),
-        col("__pid") === col("__opid") && col(groupCol) <=> col("__grp"))
-      .withColumn(outCol, sum(col(valueCol)).over(w) + col("__off"))
-      .drop("__pid", "__opid", "__grp", "__off")
+      .toMap
+    val grpIdx = ranged.schema.fieldIndex(groupCol)
+    Prefix.addRunningTotal(ranged, groupCol +: keyCols, valueCol, outCol,
+      Some(grpIdx), offsets)
+      .drop("__pid")
   }
 
   /** Within-shard positions (1-based, like row_number): the

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Quality-tier bucketing — the CCNet move (Wenzek et al., LREC '20):
   * score every document under a corpus-trained LM, rank the corpus by
@@ -31,20 +32,34 @@ object Quality {
     require(buckets >= 1, "need at least one bucket")
     // The LM pass is the expensive part; its (doc_id, lm_mean) result is
     // doc-count-sized and two columns wide — bounded, unlike the t17
-    // corpus-text frames. Pin it once so [[Prefix]]'s range sampler and
-    // checkpoint job read cached blocks instead of re-running the full
-    // count-and-join pipeline per consumer. The operator owns the frame
-    // end-to-end; blocks are reclaimed by the ContextCleaner with the
-    // checkpoint RDD, same lifecycle Prefix itself relies on.
+    // corpus-text frames. Pin it once (persist + the count below
+    // materializes it in one job) so [[Prefix]]'s range sampler and
+    // checkpoint read cached blocks instead of re-running the full
+    // count-and-join pipeline per consumer; unpersist before returning —
+    // Prefix's eager checkpoint has consumed the cache by then, and no
+    // CacheManager entry may outlive the call (TVF contract, as in
+    // [[SpanDedup.dupSpans]]).
     val scores = BigramLm.scores(docs, idCol, textCol)
       .select(col("doc_id"), col("lm_mean"))
       .withColumn("__one", lit(1L))
-      .localCheckpoint()
-    // N falls out of the rank layout's driver fold — no extra
-    // distributed count job
-    val (ranked, n) = Prefix.runningTotalAndSum(
-      scores, Seq("lm_mean", "doc_id"), "__one", "rnk", 0)
-    ranked.select(col("doc_id"), col("lm_mean"),
-      expr(s"((rnk - 1) * $buckets) div ${math.max(n, 1L)}").as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the count both materializes the cache and sizes the rank stage:
+      // the (doc_id, lm_mean) frame is ~24 bytes/row, so partitions of
+      // ~2.7M rows hold ~64 MB — at sf0.1 that is ONE partition (no
+      // 32-task scheduling floor on a 5k-row frame), at 10^9 docs ~370
+      // (capped by the session's shuffle parallelism)
+      val n0 = scores.count()
+      val parts = math.max(1, math.min(
+        docs.sparkSession.sessionState.conf.numShufflePartitions,
+        (n0 / RowsPerRankPartition).toInt + 1))
+      val (ranked, n) = Prefix.runningTotalAndSum(
+        scores, Seq("lm_mean", "doc_id"), "__one", "rnk", parts)
+      ranked.select(col("doc_id"), col("lm_mean"),
+        expr(s"((rnk - 1) * $buckets) div ${math.max(n, 1L)}").as("bucket"))
+    } finally scores.unpersist()
   }
+
+  /** ~64 MB of (doc_id, lm_mean, __one) rows per rank partition. */
+  private val RowsPerRankPartition = 2700000L
 }

@@ -119,14 +119,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("t21: shard layout windows are partition-local, no per-shard global task") {
+  test("t21: shard layout positions are partition-local, no per-shard global task") {
     val plan = planOf(graft.queries.Corpus.t21ShardLayout.run(SparkTest.spark, sf))
     assert(!plan.contains("SinglePartition"),
       s"t21 must not collapse to one task:\n$plan")
-    // the window partitions by (__pid, shard) — never by shard alone,
-    // which would put one task on each shard's full corpus slice
-    assert(plan.contains("windowspecdefinition(__pid"),
-      s"t21's position window must be partition-local:\n$plan")
+    // round 6: the per-(__pid, shard) window became a partition-local
+    // typed pass with broadcast offsets — no window, and no re-exchange
+    // of the frame phase 1 already pinned
+    assert(!plan.contains("windowspecdefinition"),
+      s"t21's position pass must not plan a window (shuffle-free phase 3):\n$plan")
+    val exchanges = plan.linesIterator.count(_.trim.contains("Exchange hashpartitioning"))
+    assert(exchanges == 0,
+      s"t21 must not hash-exchange after the range layout:\n$plan")
   }
 
   test("t27: BPE top-pairs plans a heap top-k, not a global sort, over two aggregations") {
@@ -140,17 +144,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"t27 expects word + pair exchanges only:\n$plan")
   }
 
-  test("t28: the quality-tier global rank is a partition-local window") {
+  test("t28: the quality-tier global rank is partition-local, no rank window at all") {
     val plan = planOf(graft.queries.Corpus.t28PplBuckets.run(SparkTest.spark, sf))
-    // the rank window must partition by __pid (two-phase layout) — a
-    // bare `row_number() OVER (ORDER BY ...)` would sort the corpus on
-    // one task. (A SinglePartition exchange DOES appear for the 1-row
-    // corpus-count aggregate that rides the broadcast — that is fine.)
-    assert(plan.contains("windowspecdefinition(__pid"),
-      s"t28's rank window must be partition-local:\n$plan")
-    val globalWindow = plan.linesIterator.exists(l =>
-      l.contains("windowspecdefinition(lm_mean"))
-    assert(!globalWindow, s"t28 must not plan an unpartitioned rank window:\n$plan")
+    // round 6: the two-phase rank's `PARTITION BY __pid` window became a
+    // partition-local typed pass — a bare `row_number() OVER (ORDER BY
+    // lm_mean)` (single-task corpus sort) must never reappear, and the
+    // shuffle-free phase 3 plans no window whatsoever
+    assert(!plan.contains("windowspecdefinition"),
+      s"t28 must not plan any rank window (shuffle-free phase 3):\n$plan")
   }
 
   test("whole-stage codegen covers the scalar query") {
