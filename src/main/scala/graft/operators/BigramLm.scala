@@ -48,10 +48,13 @@ object BigramLm {
 
   /** Per-document fixed-point LM stats: (doc_id, n_bigrams, lm_sum,
     * lm_mean). Documents with < 2 tokens have no bigrams and no row. */
-  def scores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The shared tokenize pass: one (doc_id, unigram-hash,
+    * bigram-hash|null) row per token position. Also the training scan
+    * of [[graft.streaming.QualityGateStream]]'s pruned model. */
+  private[graft] def tokenRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rows = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = Dedup.wsTokens(text)
         Iterator.tabulate(toks.length) { i =>
@@ -62,6 +65,16 @@ object BigramLm {
         }
       }
       .toDF("doc_id", "h1", "h2")
+  }
+
+  /** The add-one conditional probability in fixed point — the ONE
+    * definition both the batch scorer and the streaming gate's pruned
+    * model apply. */
+  private[graft] def fixedPointP(c2: Long, c1: Long, v: Long): Long =
+    ((c2 + 1) * Scale) / (c1 + v)
+
+  def scores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rows = tokenRows(docs, idCol, textCol)
 
     val c1 = rows.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))

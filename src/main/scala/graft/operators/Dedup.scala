@@ -251,32 +251,66 @@ object Dedup {
     // prefixes share (both prefixes contain the bucket key, so the
     // minimum always exists and exactly one bucket wins) — and a
     // sorted-merge intersection verifies the single survivor in place.
-    prefix.groupByKey(_._1)
-      .flatMapGroups { (g, it) =>
-        val rows = it.toArray
-        val out = Iterator.newBuilder[(Long, Long, Double)]
-        var i = 0
-        while (i < rows.length) {
-          var j = i + 1
-          while (j < rows.length) {
-            val x = rows(i); val y = rows(j)
-            val (a, b) = if (x._2 < y._2) (x, y) else (y, x)
-            val (da, db, pa, pb, sa, sb) = (a._2, b._2, a._3, b._3, a._4, b._4)
-            val ubound = math.min(pa, pb) + math.min(sa - pa, sb - pb)
-            if (da != db && sa * threshold <= sb && sb * threshold <= sa
-                && ubound * (1 + threshold) >= (sa + sb) * threshold
-                && firstCommon(a._6, b._6) == g) {
-              val inter = sortedIntersect(a._5, b._5)
-              val jac = inter.toDouble / (sa + sb - inter)
-              if (jac >= threshold) out += ((da, db, jac))
+    //
+    // The grouping is an explicit repartition-by-g + partition-local
+    // sort + consecutive-run walk, NOT `groupByKey(_._1)`: same shuffle
+    // volume, but (a) no AppendColumns pass (g is already a column) and
+    // (b) the reduce width is OURS to choose — the df ≥ 2 table size
+    // (already on the driver) guards it, so the toy/mid-scale regime
+    // runs a handful of tasks instead of paying the 32-task scheduling
+    // floor (the measured t5 residual), while the join-path regime keeps
+    // full session parallelism.
+    val kernelParts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      probe.length / 25000 + 1))
+    prefix
+      .repartition(kernelParts, col("_1"))
+      .sortWithinPartitions(col("_1"))
+      .mapPartitions { rows0 =>
+        val rows = rows0.buffered
+        new Iterator[(Long, Long, Double)] {
+          private var pending: Iterator[(Long, Long, Double)] = Iterator.empty
+          private def advance(): Unit =
+            while (!pending.hasNext && rows.hasNext) {
+              val g = rows.head._1
+              val grp = scala.collection.mutable.ArrayBuffer.empty[
+                (Long, Long, Int, Int, Array[Long], Array[Long])]
+              while (rows.hasNext && rows.head._1 == g) grp += rows.next()
+              pending = pairKernel(g, grp, threshold)
             }
-            j += 1
-          }
-          i += 1
+          def hasNext: Boolean = { advance(); pending.hasNext }
+          def next(): (Long, Long, Double) = { advance(); pending.next() }
         }
-        out.result()
       }
       .toDF("da", "db", "jaccard")
+  }
+
+  /** The per-bucket ppjoin verify loop (see [[ngramJaccardPairs]]):
+    * filters + canonical-bucket rule + in-place intersection. */
+  private def pairKernel(g: Long,
+      rows: scala.collection.IndexedSeq[(Long, Long, Int, Int, Array[Long], Array[Long])],
+      threshold: Double): Iterator[(Long, Long, Double)] = {
+    val out = Iterator.newBuilder[(Long, Long, Double)]
+    var i = 0
+    while (i < rows.length) {
+      var j = i + 1
+      while (j < rows.length) {
+        val x = rows(i); val y = rows(j)
+        val (a, b) = if (x._2 < y._2) (x, y) else (y, x)
+        val (da, db, pa, pb, sa, sb) = (a._2, b._2, a._3, b._3, a._4, b._4)
+        val ubound = math.min(pa, pb) + math.min(sa - pa, sb - pb)
+        if (da != db && sa * threshold <= sb && sb * threshold <= sa
+            && ubound * (1 + threshold) >= (sa + sb) * threshold
+            && firstCommon(a._6, b._6) == g) {
+          val inter = sortedIntersect(a._5, b._5)
+          val jac = inter.toDouble / (sa + sb - inter)
+          if (jac >= threshold) out += ((da, db, jac))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
   }
 
   /** First (smallest) element two ascending long arrays share;

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BigramLm, Quality}
+import graft.streaming.{QualityGateStream, QualityTiered}
+
+/** Streaming quality-tier gate: offline-trained tiers (batch pplBuckets
+  * cut points + pruned LM), online stateless assignment. The gate has
+  * no state and no processing-time semantics, so [[StreamSync.drain]]'s
+  * `processAllAvailable()` is a deterministic wait.
+  */
+class QualityGateStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    1L -> "the cat sat on the mat",
+    2L -> "the cat sat on the hat",
+    3L -> "a dog ran through a park",
+    4L -> "quantum flux harmonics destabilize rapidly",
+    5L -> "the cat ran through the park",
+    6L -> "a dog sat on a mat",
+    7L -> "flux cat quantum mat",
+    8L -> "the the the the",
+    9L -> "park dog hat cat")
+
+  test("unpruned model scores bit-identical to the batch LM; tiers follow the cuts") {
+    val docs = corpus.toDF("doc_id", "text")
+    val model = QualityGateStream.trainModel(docs, "doc_id", "text", maxEntries = 10000)
+    val cuts = QualityGateStream.thresholds(docs, "doc_id", "text", buckets = 3)
+    assert(cuts.length == 2 && cuts.sorted.sameElements(cuts))
+    val batch = Quality.pplBuckets(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = QualityGateStream.gate(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", model, cuts)
+      .writeStream.format("memory").queryName("quality_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus: _*)
+      // a sub-2-token doc carries no score and must be dropped
+      input.addData(10L -> "solitary")
+      assert(StreamSync.drain(q) {
+        spark.sql("SELECT * FROM quality_gate").count() == corpus.size
+      })
+      val got = spark.sql("SELECT * FROM quality_gate").as[QualityTiered]
+        .collect().map(t => t.docId -> t).toMap
+      assert(!got.contains(10L))
+      for ((id, (lmMean, bucket)) <- batch) {
+        assert(got(id).lmMean == lmMean,
+          s"doc $id: stream score ${got(id).lmMean} != batch $lmMean")
+        val valueTier = cuts.count(_ <= lmMean)
+        assert(got(id).tier == valueTier)
+        // away from boundary ties, the value rule IS the batch bucket
+        if (!cuts.contains(lmMean))
+          assert(got(id).tier == bucket,
+            s"doc $id: tier ${got(id).tier} != batch bucket $bucket")
+      }
+    } finally q.stop()
+  }
+
+  test("fully pruned model scores every bigram at the unseen floor Scale/V") {
+    val docs = corpus.toDF("doc_id", "text")
+    val empty = QualityGateStream.trainModel(docs, "doc_id", "text", maxEntries = 0)
+    assert(empty.v > 0 && empty.c1.isEmpty && empty.c2.isEmpty)
+    // add-one smoothing with all counts pruned: p = (0+1)*Scale/(0+V)
+    val floor = BigramLm.Scale / empty.v
+    assert(empty.lmMean("alpha beta gamma").contains(floor))
+    assert(empty.lmMean("one").isEmpty)
+  }
+}
