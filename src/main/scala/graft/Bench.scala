@@ -46,7 +46,11 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
     queries.foreach { q =>
-      try { q.run(spark, warmDir).count() } catch { case _: Throwable => () }
+      try { q.run(spark, warmDir).count() }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup ${q.name} failed: $e")
+      }
     }
     spark.sharedState.cacheManager.clearCache()
 
@@ -65,7 +69,14 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count() } catch { case _: Throwable => () }
+        // a failed query must be LOUD: swallowing it would record a
+        // fake-fast time in the round artifact (same class as the
+        // silent recall catch ADVICE flagged)
+        try { q.run(spark, sfDir).count() }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] ${q.name} FAILED: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))

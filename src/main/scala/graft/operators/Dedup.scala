@@ -169,18 +169,21 @@ object Dedup {
     *     corpus-scale-safe (every shuffle keyed on the shingle hash or
     *     the doc id — high cardinality, no skew past the prefix filter).
     *
-    * The docset pass is persisted: one compact row per document
-    * (~8·|set| bytes — 10⁹ docs ≈ 1 TB cluster-wide, a few GB per
-    * executor under MEMORY_AND_DISK), consumed exactly twice (df count,
-    * prefix emit). Re-running the tokenize+hash pass — the dominant cost
-    * — would double it instead. Callers own the lifecycle (the bench
-    * clears caches between queries; a pipeline unpersists after the
-    * pairs materialize). */
+    * The docset pass is pinned with `localCheckpoint`: one compact row
+    * per document (~8·|set| bytes — 10⁹ docs ≈ 1 TB cluster-wide, a
+    * few GB per executor under MEMORY_AND_DISK), consumed exactly
+    * twice (df count, prefix emit). Re-running the tokenize+hash pass —
+    * the dominant cost — would double it instead. RDD-level blocks, not
+    * a CacheManager entry: reclaimed by the ContextCleaner when the
+    * returned frame goes unreachable, so the `ngram_jaccard_pairs` TVF
+    * cannot accumulate session cache entries (round-6; the prior
+    * `persist` relied on callers unpersisting, which a SQL caller
+    * can't). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ds = docsetRows(docs, idCol, textCol, n).persist()
+    val ds = docsetRows(docs, idCol, textCol, n).localCheckpoint()
     // document frequency: partial-aggregated groupBy over the exploded
     // hash arrays — the strings are gone before the first shuffle, and
     // the explode is the codegen'd expression, not a typed lambda (the
@@ -551,12 +554,15 @@ object Dedup {
     * widen the chunks (64/(d+1) bits), keeping bucket populations
     * bounded.
     *
-    * The per-doc signature frame (16 bytes/doc) is persisted: it is
-    * consumed twice (multiplicity count + final rollup probe) and since
-    * the typed signature pass is narrow there is no exchange for
-    * ReuseExchange to share — re-running it would double the dominant
-    * md5-per-token cost. The per-signature stats table (≤ 2¹⁶ rows) is
-    * broadcast back, so the probe side never shuffles. */
+    * The per-doc signature frame (16 bytes/doc) is pinned with
+    * `localCheckpoint`: it is consumed twice (multiplicity count +
+    * final rollup probe) and since the typed signature pass is narrow
+    * there is no exchange for ReuseExchange to share — re-running it
+    * would double the dominant md5-per-token cost. RDD-level blocks,
+    * ContextCleaner-reclaimed — no CacheManager entry for the
+    * `simhash_near` TVF to leak (round 6). The per-signature stats
+    * table (≤ 2¹⁶ rows) is broadcast back, so the probe side never
+    * shuffles. */
   /** Signature-level near pairs for Hamming ≤ maxDist via the exact
     * pigeonhole chunk cover: 16 bits cut into maxDist+1 chunks, two
     * signatures within maxDist must agree on ≥ 1 chunk, so candidates
@@ -601,7 +607,7 @@ object Dedup {
       maxDist: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = simhashSignatures(docs, idCol, textCol).persist()
+    val sigs = simhashSignatures(docs, idCol, textCol).localCheckpoint()
     val counts = sigs.groupBy(col("simhash")).agg(count(lit(1)).as("n"))
     val sigPairs = simhashSigPairs(counts.select(col("simhash")), maxDist)
     // neighbors from OTHER signatures: weight by the other side's count

@@ -70,12 +70,39 @@ object SourceBudgetStream {
       tokenBudget: Long): Dataset[BudgetedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    implicit val outEnc: org.apache.spark.sql.Encoder[BudgetedDoc] = Encoders.product[BudgetedDoc]
-    docs.select(
+    gated(docs.select(
       col(idCol).cast("long").as("docId"),
       col(sourceCol).as("source"),
       size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long").as("nTokens"))
-      .as[BudgetEvent]
+      .as[BudgetEvent], tokenBudget)
+  }
+
+  /** [[gate]] priced in TRAINED-TOKENIZER symbols instead of whitespace
+    * tokens — the streaming analog of
+    * [[graft.operators.Layout.sourceMixBpe]]: what the budget caps is
+    * what the trainer actually pays. The merge list ships once per
+    * executor as a broadcast rank table; counting is a narrow typed
+    * projection before the same per-source counter. */
+  def gateBpe(docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      tokenBudget: Long, merges: Seq[(String, String)]): Dataset[BudgetedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranksBc = spark.sparkContext.broadcast(graft.operators.Bpe.rankTable(merges))
+    gated(docs
+      .select(col(idCol).cast("long"), col(sourceCol), col(textCol))
+      .as[(Long, String, String)]
+      .map { case (id, source, text) =>
+        var n = 0L
+        graft.operators.Dedup.wsTokens(text).foreach(w =>
+          n += graft.operators.Bpe.countSymbols(w, ranksBc.value))
+        BudgetEvent(id, source, n)
+      }, tokenBudget)
+  }
+
+  private def gated(events: Dataset[BudgetEvent], tokenBudget: Long): Dataset[BudgetedDoc] = {
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    implicit val outEnc: org.apache.spark.sql.Encoder[BudgetedDoc] = Encoders.product[BudgetedDoc]
+    events
       .groupByKey(_.source)
       // TimeMode.None: the processor registers no timers and uses no
       // TTL, and ProcessingTime would make the engine commit an epoch

@@ -74,6 +74,12 @@ class CorpusOpsSpec extends AnyFunSuite {
     val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leftover.size <= 1,
       s"only the dup-positions checkpoint may remain, got $leftover")
+    // the other TVF-exposed dedup kernels pin RDD-level checkpoints,
+    // never CacheManager entries (round-6 leak-class sweep)
+    Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5).count()
+    Dedup.simhashNearStats(d, "doc_id", "text", 3).count()
+    assert(cm.isEmpty,
+      "ngramJaccardPairs/simhashNearStats must not register session caches")
   }
 
   test("bm25: scores match the formula, ranking is deterministic") {

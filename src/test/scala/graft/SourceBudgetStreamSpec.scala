@@ -63,4 +63,39 @@ class SourceBudgetStreamSpec extends AnyFunSuite {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("gateBpe prices documents in trained-tokenizer symbols, not whitespace tokens") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    try {
+      // textbook merges (BpeSpec): (u,g), (u,n), (h,ug) →
+      // "hug" = 1 symbol, "bug" = [b, ug] = 2 symbols
+      val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug"))
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.SourceBudgetStream.gateBpe(
+        input.toDS().toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", tokenBudget = 5L, merges)
+        .writeStream.format("memory").queryName("budget_gate_bpe")
+        .outputMode("append").start()
+      try {
+        // doc 1 = 3 symbols (hug bug), doc 2 = 2 symbols (bug): cum 5
+        // == budget admits both; doc 3 (1 ws-token but 2 symbols)
+        // overflows at 7 — a whitespace gate at the same budget would
+        // have admitted it (3+2+1 ws-tokens ≤ 5... wait: doc1 is 2
+        // ws-tokens, doc2 1, doc3 1 → ws cum 4 ≤ 5 admits all three)
+        input.addData((1L, "hug bug", "a"), (2L, "bug", "a"), (3L, "bug", "a"))
+        assert(StreamSync.drain(q) {
+          spark.sql("SELECT * FROM budget_gate_bpe").count() == 2
+        })
+        val kept = spark.sql("SELECT * FROM budget_gate_bpe")
+          .as[graft.streaming.BudgetedDoc].collect().sortBy(_.docId).toSeq
+        assert(kept == Seq(
+          graft.streaming.BudgetedDoc(1L, "a", 3L, 3L),
+          graft.streaming.BudgetedDoc(2L, "a", 2L, 5L)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
