@@ -222,10 +222,11 @@ object Ann extends Serializable {
     // — while the recluster pulls each seed to the weighted mean of the
     // corpus mass it represents.
     val bcAll = spark.sparkContext.broadcast(cands)
-    val weights = ds.mapPartitions { it =>
-      val cs = bcAll.value
-      val w = new Array[Long](cs.length)
-      it.foreach { case (_, v) =>
+    // treeAggregate (as in kmeansCentroids): one job, a cands-length
+    // long array to the driver, no conf-width exchange for l·rounds rows
+    val weights = ds.rdd.treeAggregate(new Array[Long](cands.length))(
+      seqOp = { case (w, (_, v)) =>
+        val cs = bcAll.value
         var best = 0
         var bestSim = Double.NegativeInfinity
         var c = 0
@@ -233,10 +234,13 @@ object Ann extends Serializable {
           val s = cosineD(v, cs(c)); if (s > bestSim) { bestSim = s; best = c }; c += 1
         }
         w(best) += 1
-      }
-      Iterator.tabulate(cs.length)(i => (i, w(i)))
-    }.groupByKey(_._1).reduceGroups((a, b) => (a._1, a._2 + b._2)).map(_._2).collect()
-      .sortBy(_._1).map(_._2)
+        w
+      },
+      combOp = { (x, y) =>
+        var i = 0
+        while (i < x.length) { x(i) += y(i); i += 1 }
+        x
+      })
     val out = scala.collection.mutable.ArrayBuffer(cands(weights.indices.maxBy(i => (weights(i), -i))))
     while (out.length < math.min(k, cands.length)) {
       val next = cands.indices.maxBy { i =>
@@ -280,51 +284,53 @@ object Ann extends Serializable {
 
   /** Distributed Lloyd's k-means in cosine geometry (assignment by max
     * cosine, update by cell mean), `iters` rounds from a caller-supplied
-    * deterministic init. One pass per round: per-partition accumulators
-    * reduce to k×dim double sums — only (cell, sum, count) triples ever
-    * cross the wire, so a round costs a map over the corpus plus a
-    * k-row shuffle regardless of corpus size (the standard scalable
-    * Lloyd's layout; [[kmeansParallelInit]] supplies the distributed,
-    * quality-seeded init when first-k rows won't do). Empty cells keep
-    * their previous centroid. */
+    * deterministic init. One treeAggregate job per round: per-partition
+    * k×dim accumulators merge up a √partitions tree and the driver
+    * receives a single k×dim array — nothing conf-width ever runs for
+    * k rows of data (the MLlib Lloyd's layout; round 6 replaced the
+    * groupByKey exchange). [[kmeansParallelInit]] supplies the
+    * distributed, quality-seeded init when first-k rows won't do. Empty
+    * cells keep their previous centroid. */
   def kmeansCentroids(vecs: DataFrame, vecCol: String,
       init: Array[Array[Float]], iters: Int): Array[Array[Float]] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val ds = vecs.select(col(vecCol)).as[Array[Float]]
     var cents = init
+    val dim = if (init.nonEmpty) init(0).length else 0
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cents)
-      val sums = ds
-        .mapPartitions { it =>
-          val cs = bc.value
-          val dim = if (cs.nonEmpty) cs(0).length else 0
-          val acc = Array.fill(cs.length)(new Array[Double](dim))
-          val cnt = new Array[Long](cs.length)
-          it.foreach { v =>
-            val best = nearestCell(cs, v)
-            val a = acc(best)
-            var i = 0
-            val n = math.min(dim, v.length)
-            while (i < n) { a(i) += v(i); i += 1 }
-            cnt(best) += 1
-          }
-          Iterator.tabulate(cs.length)(i => (i, acc(i), cnt(i))).filter(_._3 > 0)
-        }
-        .groupByKey(_._1)
-        .reduceGroups { (x, y) =>
-          val s = new Array[Double](x._2.length)
+      // treeAggregate, not groupByKey: the per-partition result is a
+      // k×dim accumulator, so a round is ONE job whose tree combine
+      // merges ≤ √partitions arrays — no conf-width exchange stage for
+      // k rows of data (the MLlib Lloyd's layout). The driver receives
+      // a single k×dim×8B array per round — the documented bound on k.
+      val (acc, cnt) = ds.rdd.treeAggregate(
+        (Array.fill(cents.length)(new Array[Double](dim)), new Array[Long](cents.length)))(
+        seqOp = { case (z, v) =>
+          val best = nearestCell(bc.value, v)
+          val a = z._1(best)
           var i = 0
-          while (i < s.length) { s(i) = x._2(i) + y._2(i); i += 1 }
-          (x._1, s, x._3 + y._3)
-        }
-        .map(_._2)
-        .collect()
-      val next = cents.map(_.clone())
-      sums.foreach { case (cell, s, n) =>
-        next(cell) = Array.tabulate(s.length)(i => (s(i) / n).toFloat)
+          val n = math.min(dim, v.length)
+          while (i < n) { a(i) += v(i); i += 1 }
+          z._2(best) += 1
+          z
+        },
+        combOp = { case (x, y) =>
+          var c = 0
+          while (c < x._1.length) {
+            val xa = x._1(c); val ya = y._1(c)
+            var i = 0
+            while (i < xa.length) { xa(i) += ya(i); i += 1 }
+            x._2(c) += y._2(c)
+            c += 1
+          }
+          x
+        })
+      cents = Array.tabulate(cents.length) { c =>
+        if (cnt(c) > 0) Array.tabulate(dim)(i => (acc(c)(i) / cnt(c)).toFloat)
+        else cents(c)
       }
-      cents = next
     }
     cents
   }
@@ -380,48 +386,51 @@ object Ann extends Serializable {
     var books = init
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(books)
-      val sums = ds
-        .mapPartitions { it =>
+      // same treeAggregate layout as kmeansCentroids: one job per
+      // round, m×k×sub doubles to the driver, no conf-width exchange
+      val (acc, cnt) = ds.rdd.treeAggregate(
+        (Array.fill(m, k)(new Array[Double](sub)), Array.fill(m, k)(0L)))(
+        seqOp = { case (z, v) =>
           val bs = bc.value
-          val acc = Array.fill(m, k)(new Array[Double](sub))
-          val cnt = Array.fill(m, k)(0L)
-          it.foreach { v =>
-            var mi = 0
-            while (mi < m) {
-              val off = mi * sub
-              var best = 0
-              var bestD = Double.MaxValue
-              var ci = 0
-              while (ci < k) {
-                val dd = l2sub(v, off, bs(mi)(ci))
-                if (dd < bestD) { bestD = dd; best = ci }
-                ci += 1
-              }
-              val a = acc(mi)(best)
-              var i = 0
-              while (i < sub) { a(i) += v(off + i); i += 1 }
-              cnt(mi)(best) += 1
-              mi += 1
+          var mi = 0
+          while (mi < m) {
+            val off = mi * sub
+            var best = 0
+            var bestD = Double.MaxValue
+            var ci = 0
+            while (ci < k) {
+              val dd = l2sub(v, off, bs(mi)(ci))
+              if (dd < bestD) { bestD = dd; best = ci }
+              ci += 1
             }
-            ()
+            val a = z._1(mi)(best)
+            var i = 0
+            while (i < sub) { a(i) += v(off + i); i += 1 }
+            z._2(mi)(best) += 1
+            mi += 1
           }
-          for (mi <- (0 until m).iterator; ci <- (0 until k).iterator if cnt(mi)(ci) > 0)
-            yield (mi * k + ci, acc(mi)(ci), cnt(mi)(ci))
-        }
-        .groupByKey(_._1)
-        .reduceGroups { (x, y) =>
-          val s = new Array[Double](x._2.length)
-          var i = 0
-          while (i < s.length) { s(i) = x._2(i) + y._2(i); i += 1 }
-          (x._1, s, x._3 + y._3)
-        }
-        .map(_._2)
-        .collect()
-      val next = books.map(_.map(_.clone()))
-      sums.foreach { case (cell, s, n) =>
-        next(cell / k)(cell % k) = Array.tabulate(sub)(i => (s(i) / n).toFloat)
+          z
+        },
+        combOp = { case (x, y) =>
+          var mi = 0
+          while (mi < m) {
+            var ci = 0
+            while (ci < k) {
+              val xa = x._1(mi)(ci); val ya = y._1(mi)(ci)
+              var i = 0
+              while (i < sub) { xa(i) += ya(i); i += 1 }
+              x._2(mi)(ci) += y._2(mi)(ci)
+              ci += 1
+            }
+            mi += 1
+          }
+          x
+        })
+      books = Array.tabulate(m, k) { (mi, ci) =>
+        if (cnt(mi)(ci) > 0)
+          Array.tabulate(sub)(i => (acc(mi)(ci)(i) / cnt(mi)(ci)).toFloat)
+        else books(mi)(ci)
       }
-      books = next
     }
     books
   }
