@@ -76,6 +76,15 @@ object BigramLm {
   def scores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val rows = tokenRows(docs, idCol, textCol)
 
+    // Each count table re-runs the narrow tokenize scan (3 scans total
+    // with the probe side) — a MEASURED choice, round 6, same-window
+    // A/B at sf0.1: merging the two counts into one tagged aggregate
+    // needs a localCheckpoint pin (the tag filters push below the
+    // aggregate and split a would-be shared exchange), and the pin's
+    // eager job + explode doubling cost MORE than the scan they save —
+    // t19 0.79 vs 1.06, t28 1.15 vs 1.48 medians. Same verdict as the
+    // round-5 t17 adjudication: recompute-the-narrow-scan beats
+    // materializing anything vocabulary- or corpus-sized here.
     val c1 = rows.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))
     val c2 = rows.filter(col("h2").isNotNull)
