@@ -341,19 +341,46 @@ object Ann extends Serializable {
     * >1 cell is what makes IVF an honest ANN — single-probe recall
     * collapses whenever a query sits near a cell boundary. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
-      cents: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
+      cents: Array[Array[Float]], k: Int, nprobe: Int): DataFrame =
+    ivfTopKAssigned(assignCells(corpus, cents), queries, cents, k, nprobe)
+
+  /** The inverted file itself: (cid, cvec, cell), cell = max-cosine
+    * centroid. The TRAIN-ONCE half of the deployment split — write
+    * this `partitionBy("cell")` to parquet and every later
+    * [[ivfTopKAssigned]] batch reads ONLY its probed cells via
+    * partition pruning. */
+  def assignCells(corpus: DataFrame, cents: Array[Array[Float]]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
-    val assigned = corpus.select(col("cid"), col("cvec")).as[(Long, Array[Float])]
+    corpus.select(col("cid"), col("cvec")).as[(Long, Array[Float])]
       .map { case (cid, v) => (cid, v, nearestCell(bc.value, v)) }
       .toDF("cid", "cvec", "cell")
-    val probes = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])]
-      .flatMap { case (qid, v) =>
-        nearestCells(bc.value, v, nprobe).iterator.map(c => (qid, v, c))
-      }
-      .toDF("qid", "qvec", "cell")
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+  }
+
+  /** IVF search against a PRE-ASSIGNED inverted file — the SERVE half
+    * of the deployment split: `assigned` is [[assignCells]]'s output,
+    * typically read back from `cell=<k>/`-partitioned parquet. The
+    * probed cell ids are known on the driver (the query batch is
+    * driver-sized by contract — it broadcasts), so the scan carries an
+    * explicit `cell IN (...)` filter: on a partitioned layout that is
+    * PARTITION PRUNING — a query batch probing p distinct cells reads
+    * p/cells of the corpus from storage, the actual 10⁹-vector serving
+    * story, vs. re-scanning and re-assigning the corpus per batch. */
+  def ivfTopKAssigned(assigned: DataFrame, queries: DataFrame,
+      cents: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    val qRows = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])].collect()
+    val probeRows = qRows.flatMap { case (qid, v) =>
+      nearestCells(bc.value, v, nprobe).map(c => (qid, v, c))
+    }
+    val probedCells = probeRows.map(_._3).distinct.toSeq
+    val probes = probeRows.toSeq.toDF("qid", "qvec", "cell")
+    val scored = assigned
+      .filter(col("cell").isInCollection(probedCells))
+      .join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
     topK(scored, k)

@@ -29,6 +29,41 @@ class AnnSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(2) > 0.99)
   }
 
+  test("ivf serve split: cell-partitioned read-back search equals inline, scan prunes to probed cells") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    // deterministic spread-out vectors; 4 cells trained from first-4 init
+    val dim = 8
+    val vecs = (0L until 64L).map { i =>
+      (i, Array.tabulate(dim)(j => math.cos(0.37 * (i * dim + j)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val init = corpus.filter($"cid" < 4).orderBy($"cid")
+      .select($"cvec").collect().map(_.getSeq[Float](0).toArray)
+    val cents = Ann.kmeansCentroids(vecs.select($"embedding"), "embedding", init, iters = 3)
+    val queries = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+
+    val inline = Ann.ivfTopK(corpus, queries, cents, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // the deployment split: write the inverted file partitioned by cell,
+    // serve from the read-back
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Ann.assignCells(corpus, cents).write.partitionBy("cell")
+      .mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+      .withColumn("cell", $"cell".cast("int"))
+    val served = Ann.ivfTopKAssigned(index, queries, cents, k = 5, nprobe = 2)
+    assert(served.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === inline)
+    // the probed-cell filter must reach the partitioned scan: pruning,
+    // not a full-corpus read
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"expected partition pruning on cell:\n$plan")
+  }
+
   /** recall@5 of an approximate ranking vs the exact brute-force one. */
   private def recallAt5(approx: org.apache.spark.sql.DataFrame,
       exact: org.apache.spark.sql.DataFrame): Double = {
