@@ -63,6 +63,25 @@ class QualityGateStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("random corpora: unpruned model score == batch LM score for every doc") {
+    import org.scalacheck.Gen
+    val word = Gen.oneOf("a", "b", "c", "dd")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    var s = org.scalacheck.rng.Seed(99L)
+    for (round <- 0 until 5) {
+      val texts = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, doc))
+        .apply(Gen.Parameters.default, s).get
+      s = s.next
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val model = QualityGateStream.trainModel(docs, "doc_id", "text", maxEntries = 100000)
+      val batch = BigramLm.scores(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      for ((t, i) <- texts.zipWithIndex)
+        assert(model.lmMean(t) == batch.get(i.toLong),
+          s"round $round doc $i text '$t' corpus $texts")
+    }
+  }
+
   test("fully pruned model scores every bigram at the unseen floor Scale/V") {
     val docs = corpus.toDF("doc_id", "text")
     val empty = QualityGateStream.trainModel(docs, "doc_id", "text", maxEntries = 0)
