@@ -113,6 +113,20 @@ object SqlFrontDoor {
       ("ppl_buckets", 2, a =>
         graft.operators.Quality.pplBuckets(s.read.parquet(a.head), "doc_id", "text",
           a(1).trim.toInt)),
+      // the quality-gate TRAINING step: the k-1 lm_mean cut points a
+      // deployment broadcasts to the streaming tier gate
+      // (QualityGateStream) — (bucket, cut), driver-sized
+      ("ppl_thresholds", 2, a => {
+        import org.apache.spark.sql.functions.col
+        val spark2 = s
+        import spark2.implicits._
+        graft.streaming.QualityGateStream
+          .thresholds(s.read.parquet(a.head), "doc_id", "text", a(1).trim.toInt)
+          .toSeq.zipWithIndex
+          .map { case (cut, i) => (i.toLong + 1L, cut) }
+          .toDF("bucket", "cut")
+          .select(col("bucket"), col("cut"))
+      }),
       ("shard_layout", 2, a => {
         import org.apache.spark.sql.functions.{col, md5}
         val nsh = a(1).trim.toInt

@@ -254,6 +254,18 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(tiers.map(_._1).toSeq == Seq(0L, 1L, 2L))
     assert(tiers.map(_._2).max - tiers.map(_._2).min <= 1,
       s"tiers must be equal-population: ${tiers.toSeq}")
+    // ppl_thresholds: the k-1 gate cut points, ascending, and each cut
+    // equals the min lm_mean of its batch bucket
+    val cuts = spark.sql(
+      s"SELECT bucket, cut FROM ppl_thresholds('$docs', '3') ORDER BY bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cuts.map(_._1).toSeq == Seq(1L, 2L))
+    assert(cuts.map(_._2).sorted.sameElements(cuts.map(_._2)))
+    val minByBucket = spark.sql(
+      s"""SELECT bucket, min(lm_mean) AS m FROM ppl_buckets('$docs', '3')
+         |WHERE bucket >= 1 GROUP BY bucket ORDER BY bucket""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cuts.toSeq == minByBucket.toSeq)
     // source_mix: no source exceeds its token budget
     val over = spark.sql(
       s"""SELECT count(*) AS n FROM (
