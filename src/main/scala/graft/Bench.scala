@@ -64,25 +64,32 @@ object Bench {
     // fence later queries in the 58-query sweep pay their predecessors'
     // garbage (measured 2-4x degradation on t5/t6/t9 when benched after
     // the heavy queries vs solo)
-    val results = queries.map { q =>
+    val measured = queries.map { q =>
+      var ok = true
       val times = (1 to runs).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         System.gc()
         val t0 = System.nanoTime()
         // a failed query must be LOUD: swallowing it would record a
         // fake-fast time in the round artifact (same class as the
-        // silent recall catch ADVICE flagged)
+        // silent recall catch ADVICE flagged). The failure also has to
+        // reach the JSON itself — an elapsed-to-crash duration reads as
+        // a fast run to any consumer of the artifact alone, so failed
+        // names are listed in a "failed" array on both emitted lines.
         try { q.run(spark, sfDir).count() }
         catch {
           case scala.util.control.NonFatal(e) =>
+            ok = false
             System.err.println(s"[bench] ${q.name} FAILED: $e")
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
         System.err.println(f"[bench] ${q.name}: ${times.map(t => f"$t%.2f").mkString(" ")}")
-      q.name -> times(times.length / 2)
+      (q.name, times(times.length / 2), ok)
     }
+    val results = measured.map { case (n, t, _) => n -> t }
+    val failed = measured.collect { case (n, _, false) => n }
     // recall@5 of the ANN family vs the exact v1 ranking, so ANN
     // quality regressions show up in the round artifact, not only in
     // AnnSpec. Bounded work: each ranking is NumQueries*K rows.
@@ -130,14 +137,26 @@ object Bench {
       .filter { case (k, _) => recall.exists(_._1 == k) }
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_5":$rc,"recall_floor_notes":$notes,"sf":"$sfDir"}""")
-    // the driver's artifact keeps the TAIL of the output: repeat the
-    // totals as a compact final line so a long per-query map can never
-    // truncate the headline number out of the record (round-4 BENCH
-    // artifact lost its "metric":"total" exactly this way). Distinct
-    // metric name — two lines sharing "total" would double-count for a
-    // per-metric consumer.
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.length},"sf":"$sfDir"}""")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_5":$rc,"recall_floor_notes":$notes,"failed":$fl,"sf":"$sfDir"}""")
+    // the driver's artifact keeps the TAIL of the output: the FINAL
+    // line must carry the complete record, not just the headline —
+    // round-6's artifact kept only 46 of 86 per-query timings because
+    // the full map lived on the first (truncated-away) line. So the
+    // tail line repeats the whole per-query map, recall, and failures.
+    // Distinct metric name — two lines sharing "total" would
+    // double-count for a per-metric consumer.
+    val tailLine = s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"recall_at_5":$rc,"recall_floor_notes":$notes,"failed":$fl,"sf":"$sfDir"}"""
+    println(tailLine)
+    // belt-and-braces: also persist the full record into the repo so the
+    // per-query history survives any driver-side truncation; committed
+    // with each round's artifacts.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+      (tailLine + "\n").getBytes("UTF-8"))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] BENCH_SELF.json write failed: $e")
+    }
     spark.stop()
   }
 }

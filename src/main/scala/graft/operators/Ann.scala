@@ -96,6 +96,12 @@ object Ann extends Serializable {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Cap on a query batch the serve path may pull to the driver and
+    * broadcast: 100k rows of (qid, 64-dim vec) ≈ 26 MB — comfortable;
+    * anything bigger is a corpus-shaped frame that belongs on the
+    * distributed probe path. */
+  private[graft] val MaxDriverQueryRows = 100000
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -341,8 +347,34 @@ object Ann extends Serializable {
     * >1 cell is what makes IVF an honest ANN — single-probe recall
     * collapses whenever a query sits near a cell boundary. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
-      cents: Array[Array[Float]], k: Int, nprobe: Int): DataFrame =
-    ivfTopKAssigned(assignCells(corpus, cents), queries, cents, k, nprobe)
+      cents: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // ivfTopKAssigned's broadcast-probe plan needs the query batch on
+    // the driver; a large distributed query frame must NOT silently
+    // ride into that collect (driver-memory cliff). Probe the size with
+    // a limit-guarded count and keep the distributed probe path for the
+    // big-frame regime: each query flatMaps to its nprobe (cell, qvec)
+    // probes and the inverted file is joined on cell — a shuffle both
+    // sides, which is the right plan when the query side is itself
+    // corpus-sized.
+    val small =
+      queries.select(col("qid")).limit(MaxDriverQueryRows + 1).count() <= MaxDriverQueryRows
+    if (small) ivfTopKAssigned(assignCells(corpus, cents), queries, cents, k, nprobe)
+    else {
+      val bc = spark.sparkContext.broadcast(cents)
+      val probes = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])]
+        .flatMap { case (qid, v) =>
+          nearestCells(bc.value, v, nprobe).map(c => (qid, v, c))
+        }
+        .toDF("qid", "qvec", "cell")
+      val scored = assignCells(corpus, cents)
+        .join(probes, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+      topK(scored, k)
+    }
+  }
 
   /** The inverted file itself: (cid, cvec, cell), cell = max-cosine
     * centroid. The TRAIN-ONCE half of the deployment split — write
@@ -372,7 +404,16 @@ object Ann extends Serializable {
     val spark = assigned.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
-    val qRows = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])].collect()
+    // fail LOUDLY instead of OOMing the driver: the serve contract is a
+    // driver-sized query batch (it broadcasts). The limit bounds what
+    // the guard itself can pull back; callers with bigger frames get
+    // the distributed path via [[ivfTopK]].
+    val qRows = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])]
+      .limit(MaxDriverQueryRows + 1).collect()
+    require(qRows.length <= MaxDriverQueryRows,
+      s"ivfTopKAssigned: query batch exceeds $MaxDriverQueryRows rows — " +
+        "the serve path broadcasts the batch; use ivfTopK's distributed " +
+        "probe path for corpus-sized query frames")
     val probeRows = qRows.flatMap { case (qid, v) =>
       nearestCells(bc.value, v, nprobe).map(c => (qid, v, c))
     }

@@ -263,9 +263,17 @@ object Dedup {
     // runs a handful of tasks instead of paying the 32-task scheduling
     // floor (the measured t5 residual), while the join-path regime keeps
     // full session parallelism.
-    val kernelParts = math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions,
-      probe.length / 25000 + 1))
+    // probe.length is TRUNCATED at MaxDfBroadcastEntries + 1, so past
+    // the broadcast cap it cannot size the reduce — the large-corpus
+    // join-path regime takes full session parallelism outright (sizing
+    // from the truncated count capped the most skew-sensitive stage at
+    // ~41 tasks no matter the session width)
+    val kernelParts =
+      if (probe.length > MaxDfBroadcastEntries)
+        spark.sessionState.conf.numShufflePartitions
+      else math.max(1, math.min(
+        spark.sessionState.conf.numShufflePartitions,
+        probe.length / 25000 + 1))
     prefix
       .repartition(kernelParts, col("_1"))
       .sortWithinPartitions(col("_1"))

@@ -122,8 +122,7 @@ object SqlFrontDoor {
         import spark2.implicits._
         graft.streaming.QualityGateStream
           .thresholds(s.read.parquet(a.head), "doc_id", "text", a(1).trim.toInt)
-          .toSeq.zipWithIndex
-          .map { case (cut, i) => (i.toLong + 1L, cut) }
+          .toSeq
           .toDF("bucket", "cut")
           .select(col("bucket"), col("cut"))
       }),

@@ -84,18 +84,20 @@ object QualityGateStream {
     LmModel(c1, c2, v)
   }
 
-  /** The k-1 lm_mean cut points of a batch [[Quality.pplBuckets]] run:
-    * cut b = the smallest lm_mean ranked into bucket b+1. Driver-sized
-    * (k-1 longs). Buckets left empty by a tiny corpus contribute no
-    * cut — the value rule then simply never assigns their tier. */
+  /** The k-1 lm_mean cut points of a batch [[Quality.pplBuckets]] run,
+    * labeled by their TRUE bucket id: (b, cut) where cut = the smallest
+    * lm_mean ranked into bucket b. Driver-sized (≤ k-1 pairs). Buckets
+    * left empty by a tiny corpus contribute no cut — returning pairs
+    * (not a bare value array) keeps the surviving cuts attached to
+    * their real bucket numbers instead of silently re-numbering them. */
   def thresholds(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int): Array[Long] = {
+      buckets: Int): Array[(Long, Long)] = {
     Quality.pplBuckets(docs, idCol, textCol, buckets)
       .filter(col("bucket") >= 1)
       .groupBy(col("bucket")).agg(min(col("lm_mean")).as("cut"))
       .orderBy(col("bucket"))
       .collect()
-      .map(_.getLong(1))
+      .map(r => (r.getLong(0), r.getLong(1)))
   }
 
   /** Gate a streaming documents frame: score each arrival under the

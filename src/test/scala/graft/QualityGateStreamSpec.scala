@@ -29,7 +29,11 @@ class QualityGateStreamSpec extends AnyFunSuite {
   test("unpruned model scores bit-identical to the batch LM; tiers follow the cuts") {
     val docs = corpus.toDF("doc_id", "text")
     val model = QualityGateStream.trainModel(docs, "doc_id", "text", maxEntries = 10000)
-    val cuts = QualityGateStream.thresholds(docs, "doc_id", "text", buckets = 3)
+    val pairs = QualityGateStream.thresholds(docs, "doc_id", "text", buckets = 3)
+    // cuts carry their true bucket ids (2..k on a corpus that fills
+    // every bucket) and ascend in value
+    assert(pairs.map(_._1).sameElements(Array(1L, 2L)))
+    val cuts = pairs.map(_._2)
     assert(cuts.length == 2 && cuts.sorted.sameElements(cuts))
     val batch = Quality.pplBuckets(docs, "doc_id", "text", 3)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -80,6 +84,21 @@ class QualityGateStreamSpec extends AnyFunSuite {
         assert(model.lmMean(t) == batch.get(i.toLong),
           s"round $round doc $i text '$t' corpus $texts")
     }
+  }
+
+  test("thresholds label cuts by TRUE bucket id when small corpora leave buckets empty") {
+    // 2 scored docs into 4 buckets: rank 1 → bucket 0, rank 2 → bucket
+    // (2-1)*4 div 2 = 2 — buckets 1 and 3 are empty. The one cut must
+    // be labeled by its real bucket (2), not re-numbered to 1 by
+    // position (the pre-fix SQL surface did exactly that).
+    val docs = Seq(8L -> "the the the the", 9L -> "park dog hat cat")
+      .toDF("doc_id", "text")
+    val pairs = QualityGateStream.thresholds(docs, "doc_id", "text", buckets = 4)
+    assert(pairs.map(_._1).sameElements(Array(2L)), pairs.toSeq)
+    val batchMin = Quality.pplBuckets(docs, "doc_id", "text", 4)
+      .filter(org.apache.spark.sql.functions.col("bucket") === 2L)
+      .collect().map(_.getLong(1)).min
+    assert(pairs.head._2 == batchMin)
   }
 
   test("fully pruned model scores every bigram at the unseen floor Scale/V") {
