@@ -62,6 +62,38 @@ class AnnSpec extends AnyFunSuite {
     val plan = served.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
       s"expected partition pruning on cell:\n$plan")
+    // and the pruning must be real in BYTES: the served batch reads
+    // strictly less of the index than a full-corpus scan would
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps materialized stages in leaf QueryStageExec nodes whose
+    // subtree lives in `.plan`, not in `.children` — a plain collect
+    // never reaches the scans
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    // the 3-query batch above probes all 4 cells (3×2 probes of 4), so
+    // bytes only prune on a narrower batch: one query probing 2 of the
+    // 4 cells must read strictly less of the index than its full size
+    val servedOne = Ann.ivfTopKAssigned(index,
+      queries.filter($"qid" === 0L), cents, k = 5, nprobe = 2)
+    servedOne.collect()
+    val indexScans = scans(servedOne.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("ivf_index")))
+    assert(indexScans.nonEmpty, "no FileSourceScanExec over the index found")
+    val scannedBytes = indexScans.map(_.metrics("filesSize").value).sum
+    val totalBytes = {
+      val root = java.nio.file.Paths.get(dir)
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally st.close()
+    }
+    assert(scannedBytes > 0 && scannedBytes < totalBytes,
+      s"served scan must prune bytes: scanned=$scannedBytes total=$totalBytes")
   }
 
   /** recall@5 of an approximate ranking vs the exact brute-force one. */
