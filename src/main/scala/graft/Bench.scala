@@ -132,8 +132,11 @@ object Bench {
     // that next to the numbers so a reader doesn't take 0.1/0.16 for a
     // regression
     val notes = Seq(
-      "v2_knn_lsh" -> "bucket-coverage floor by construction (sign-LSH, 1 of 64 buckets probed)",
-      "v8_knn_lsh_multiprobe" -> "bucket-coverage floor by construction (sign-LSH, 2 of 64 buckets probed)")
+      "v2_knn_lsh" -> ("bucket-coverage floor by construction (sign-LSH, 1 of 64 buckets " +
+        "probed); pedagogical baseline — serve with IVF/PQ (measured ceiling 0.28 at ALL " +
+        "single-bit flips)"),
+      "v8_knn_lsh_multiprobe" -> ("bucket-coverage floor by construction (sign-LSH, 2 of 64 " +
+        "buckets probed); pedagogical baseline — serve with IVF/PQ"))
       .filter { case (k, _) => recall.exists(_._1 == k) }
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")

@@ -51,7 +51,17 @@ object Embedding {
   }
 
   /** Hyperplane-LSH ANN: single-probe bucket join + exact rank within the
-    * bucket — the plan that survives when Q·N is unpayable. */
+    * bucket — the plan that survives when Q·N is unpayable.
+    *
+    * SERVICEABILITY (round-7 decision): v2/v8 are pedagogical
+    * baselines, not serving configs. On this corpus's isotropic vectors
+    * recall is bucket-coverage-bound by construction — measured at
+    * sf0.1: 0.10 @ 1 probe, 0.16 @ 2, 0.28 @ 7 (= base + ALL 6
+    * single-bit flips, the deepest [[graft.operators.Ann
+    * .lshTopKMultiProbe]] can probe). Recall ≥ 0.5 would need ~32 of
+    * the 64 buckets — a half-corpus scan in disguise. Serve with the
+    * IVF family (v7/v11 recall 0.96, v9/v10 0.92); the bench's
+    * `recall_floor_notes` carry the same statement into the artifact. */
   val v2KnnLsh: Q = {
     val planes = (0 until NumPlanes).map(p => Ann.hyperplane(p, Dim))
     val bucketSql = planes.zipWithIndex.map { case (plane, p) =>
