@@ -87,6 +87,61 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q44: salted join is the intended shuffle-hash on (key, salt) with map-side partials") {
+    val plan = planOf(graft.queries.Extras.q44SaltedJoin.run(SparkTest.spark, sf))
+    // broadcast would defeat salting (no shuffle left to skew) — the
+    // operator hints shuffle_hash on purpose; a regression to broadcast
+    // or sort-merge changes the operator's whole scale story
+    assert(plan.contains("ShuffledHashJoin"),
+      s"q44 must join shuffle-hash on (key, salt):\n$plan")
+    assert(plan.contains("__salt"), s"join key must carry the salt:\n$plan")
+    // the groupBy must combine map-side so the 8x-replicated dim rows
+    // collapse before the aggregation exchange
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"q44 aggregation must have a partial (map-side) phase:\n$plan")
+  }
+
+  test("q45: as-of join plans ZERO joins — one union, one window, one key exchange") {
+    val plan = planOf(graft.queries.Extras.q45AsofJoin.run(SparkTest.spark, sf))
+    assert(!plan.contains("Join"),
+      s"the as-of composition is union+window, never a join:\n$plan")
+    val hashEx = plan.linesIterator.count(_.trim.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2,
+      s"q45: expected the dim pre-aggregation + one window exchange, got $hashEx:\n$plan")
+  }
+
+  test("q46: range join rewrites to an equi join on (user, bucket)") {
+    val plan = planOf(graft.queries.Extras.q46RangeJoin.run(SparkTest.spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q46's whole point is avoiding the nested-loop plan:\n$plan")
+    assert(plan.contains("__bucket"), s"q46 must join on the time bucket:\n$plan")
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")
+        || l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"q46: exactly one equi join, got $joins:\n$plan")
+  }
+
+  test("q47: z-order key is a narrow codegen'd projection over a pruned scan") {
+    val df = graft.queries.Extras.q47ZOrderLayout.run(SparkTest.spark, sf)
+    // WholeStageCodegen spans only appear in the FINAL adaptive plan —
+    // execute before reading it
+    df.collect()
+    val plan = planOf(df)
+    // the key is bit arithmetic over two bucketed columns: no exchange
+    // before the final sort, no window, and the scan reads only the
+    // three referenced columns
+    val hashEx = plan.linesIterator.count(_.trim.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0, s"q47 must not hash-exchange:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_id") && readSchema.contains("user_id")
+      && readSchema.contains("ts") && !readSchema.contains("value"),
+      s"q47 scan must prune to event_id/user_id/ts: $readSchema")
+    // codegen spans print as "*(n) Project"/"*(n) Sort" prefixes in the
+    // final adaptive plan
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"the interleave cascade must stay inside a codegen span:\n$plan")
+  }
+
   test("t23/t24: cross-corpus kernel and model inference stay narrow/equi-shaped") {
     val p23 = planOf(Text.t23CrossDedup.run(SparkTest.spark, sf))
     assert(!p23.contains("BroadcastNestedLoopJoin") && !p23.contains("CartesianProduct"),
