@@ -49,7 +49,7 @@ object Sigshark {
       .flatMapGroups { (_, it) => runDiameterMachine(it.toSeq, keepPartial) }
   }
 
-  private[etl] def runDiameterMachine(recs: Seq[DiameterRec],
+  private[graft] def runDiameterMachine(recs: Seq[DiameterRec],
       keepPartial: Boolean): Iterator[Transaction] = {
     recs
       .groupBy(r => s"${r.commandCode}|${r.hopByHopId}|${r.endToEndId}|${r.sessionId}")
