@@ -101,25 +101,34 @@ object QualityGateStream {
   }
 
   /** Gate a streaming documents frame: score each arrival under the
-    * broadcast `model` and assign `tier` = number of `cuts` ≤ score
-    * (0 = best tier under the fixed-point mean's orientation,
-    * matching the batch bucket numbering). Documents with < 2 tokens
-    * carry no score and are dropped, as in the batch pass. */
+    * broadcast `model` and assign `tier` = the TRUE bucket id of the
+    * highest cut ≤ score (0 = best tier under the fixed-point mean's
+    * orientation, matching the batch bucket numbering). Taking
+    * [[thresholds]]' (bucket, cut) pairs — not bare values — keeps the
+    * streaming tier equal to the batch bucket id even when a sparse
+    * training corpus left intermediate buckets empty: counting cuts
+    * would silently renumber every tier above a missing one (the same
+    * bug class the round-6 ADVICE flagged on the SQL surface).
+    * Documents with < 2 tokens carry no score and are dropped, as in
+    * the batch pass. */
   def gate(docs: DataFrame, idCol: String, textCol: String,
-      model: LmModel, cuts: Array[Long]): Dataset[QualityTiered] = {
+      model: LmModel, cuts: Array[(Long, Long)]): Dataset[QualityTiered] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bcModel = spark.sparkContext.broadcast(model)
-    val bcCuts = spark.sparkContext.broadcast(cuts)
+    // cuts ascend with bucket id by construction (bucket ranks ascend
+    // in lm_mean), so one forward walk finds the highest cut ≤ score
+    val bcCuts = spark.sparkContext.broadcast(cuts.sortBy(_._2))
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { rows =>
         val m = bcModel.value
         val cs = bcCuts.value
         rows.flatMap { case (id, text) =>
           m.lmMean(text).map { mean =>
-            var t = 0
-            while (t < cs.length && cs(t) <= mean) t += 1
-            QualityTiered(id, mean, t)
+            var t = 0L
+            var i = 0
+            while (i < cs.length && cs(i)._2 <= mean) { t = cs(i)._1; i += 1 }
+            QualityTiered(id, mean, t.toInt)
           }
         }
       }

@@ -41,7 +41,7 @@ class QualityGateStreamSpec extends AnyFunSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val q = QualityGateStream.gate(
-      input.toDS().toDF("doc_id", "text"), "doc_id", "text", model, cuts)
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", model, pairs)
       .writeStream.format("memory").queryName("quality_gate")
       .outputMode("append").start()
     try {
@@ -84,6 +84,35 @@ class QualityGateStreamSpec extends AnyFunSuite {
         assert(model.lmMean(t) == batch.get(i.toLong),
           s"round $round doc $i text '$t' corpus $texts")
     }
+  }
+
+  test("gate assigns TRUE batch bucket ids when the training corpus left buckets empty") {
+    // 2 scored docs into 4 buckets leaves buckets 1 and 3 empty — the
+    // only cut carries bucket id 2, and a doc at/above it must be
+    // tiered 2, not 1 (counting cuts would renumber it)
+    val docs = Seq(8L -> "the the the the", 9L -> "park dog hat cat")
+      .toDF("doc_id", "text")
+    val model = QualityGateStream.trainModel(docs, "doc_id", "text", maxEntries = 10000)
+    val pairs = QualityGateStream.thresholds(docs, "doc_id", "text", buckets = 4)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = QualityGateStream.gate(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", model, pairs)
+      .writeStream.format("memory").queryName("quality_gate_sparse")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(8L -> "the the the the", 9L -> "park dog hat cat"): _*)
+      assert(StreamSync.drain(q) {
+        spark.sql("SELECT * FROM quality_gate_sparse").count() == 2
+      })
+      val tiers = spark.sql("SELECT * FROM quality_gate_sparse").as[QualityTiered]
+        .collect().map(t => t.docId -> t.tier).toMap
+      val batch = Quality.pplBuckets(docs, "doc_id", "text", 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      for ((id, bucket) <- batch)
+        assert(tiers(id).toLong == bucket,
+          s"doc $id: stream tier ${tiers(id)} != batch bucket $bucket")
+    } finally q.stop()
   }
 
   test("thresholds label cuts by TRUE bucket id when small corpora leave buckets empty") {
