@@ -153,12 +153,16 @@ object Bench {
     println(tailLine)
     // belt-and-braces: also persist the full record into the repo so the
     // per-query history survives any driver-side truncation; committed
-    // with each round's artifacts.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
-      (tailLine + "\n").getBytes("UTF-8"))
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] BENCH_SELF.json write failed: $e")
+    // with each round's artifacts. FULL sweeps only — a subset
+    // iteration run (BENCH_ONLY set) must not clobber the official
+    // whole-suite record.
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+        (tailLine + "\n").getBytes("UTF-8"))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] BENCH_SELF.json write failed: $e")
+      }
     }
     spark.stop()
   }
