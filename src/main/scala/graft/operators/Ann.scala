@@ -347,7 +347,13 @@ object Ann extends Serializable {
     * >1 cell is what makes IVF an honest ANN — single-probe recall
     * collapses whenever a query sits near a cell boundary. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
-      cents: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
+      cents: Array[Array[Float]], k: Int, nprobe: Int): DataFrame =
+    ivfTopKBounded(corpus, queries, cents, k, nprobe, MaxDriverQueryRows)
+
+  /** [[ivfTopK]] with an injectable driver-batch bound (specs force the
+    * distributed path on small frames through it). */
+  private[graft] def ivfTopKBounded(corpus: DataFrame, queries: DataFrame,
+      cents: Array[Array[Float]], k: Int, nprobe: Int, maxDriverRows: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     // ivfTopKAssigned's broadcast-probe plan needs the query batch on
@@ -359,7 +365,7 @@ object Ann extends Serializable {
     // sides, which is the right plan when the query side is itself
     // corpus-sized.
     val small =
-      queries.select(col("qid")).limit(MaxDriverQueryRows + 1).count() <= MaxDriverQueryRows
+      queries.select(col("qid")).limit(maxDriverRows + 1).count() <= maxDriverRows
     if (small) ivfTopKAssigned(assignCells(corpus, cents), queries, cents, k, nprobe)
     else {
       val bc = spark.sparkContext.broadcast(cents)

@@ -96,6 +96,29 @@ class AnnSpec extends AnyFunSuite {
       s"served scan must prune bytes: scanned=$scannedBytes total=$totalBytes")
   }
 
+  test("ivfTopK: the distributed big-frame probe path ranks identically to the serve path") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dim = 8
+    val vecs = (0L until 64L).map { i =>
+      (i, Array.tabulate(dim)(j => math.sin(0.23 * (i * dim + j)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val init = corpus.filter($"cid" < 4).orderBy($"cid")
+      .select($"cvec").collect().map(_.getSeq[Float](0).toArray)
+    val cents = Ann.kmeansCentroids(vecs.select($"embedding"), "embedding", init, iters = 3)
+    val queries = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val served = sets(Ann.ivfTopK(corpus, queries, cents, k = 5, nprobe = 2))
+    // maxDriverRows=1 forces the 5-query frame onto the distributed
+    // flatMap-probe join — same cells probed, same ranking out
+    val dist = sets(Ann.ivfTopKBounded(corpus, queries, cents, k = 5, nprobe = 2,
+      maxDriverRows = 1))
+    assert(dist === served)
+  }
+
   /** recall@5 of an approximate ranking vs the exact brute-force one. */
   private def recallAt5(approx: org.apache.spark.sql.DataFrame,
       exact: org.apache.spark.sql.DataFrame): Double = {
