@@ -64,4 +64,23 @@ class SpanDedupPropSpec extends AnyFunSuite {
       assert(got === want, s"round $round w=$w minCount=$minCount wide=$wide docs=$docs")
     }
   }
+
+  test("random corpora: 64-bit and 128-bit identities agree") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val vocab = Seq("a", "b", "c")
+    var s = org.scalacheck.rng.Seed(4242L)
+    def gen[A](g: Gen[A]): A = { val v = g.apply(Gen.Parameters.default, s).get; s = s.next; v }
+    for (round <- 0 until 5) {
+      val docs = (0 until gen(Gen.chooseNum(1, 6))).map { i =>
+        (i.toLong, (0 until gen(Gen.chooseNum(0, 10))).map(_ => gen(Gen.oneOf(vocab))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val narrow = SpanDedup.dupSpans(df, "doc_id", "text", 3)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val wide = SpanDedup.dupSpans(df, "doc_id", "text", 3, wideHash = true)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(narrow === wide, s"round $round docs $docs")
+    }
+  }
 }
