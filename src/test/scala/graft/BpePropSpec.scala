@@ -58,4 +58,24 @@ class BpePropSpec extends AnyFunSuite {
       assert(got == refTrain(words, 4), s"words: $words")
     }
   }
+
+  test("encodeWord round-trip: concatenated tokens reproduce the word under any merge table") {
+    // the lossless-encoding invariant: whatever merge table is applied
+    // (trained, empty, or mismatched), the tokens must concatenate back
+    // to the input — a merge can only ever join adjacent symbols
+    val word = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString))
+    val pair = for {
+      x <- Gen.oneOf("a", "b", "c", "ab", "cd")
+      y <- Gen.oneOf("a", "b", "d", "bc")
+    } yield (x, y)
+    var s = org.scalacheck.rng.Seed(910L)
+    def gen[A](g: Gen[A]): A = { val v = g.apply(Gen.Parameters.default, s).get; s = s.next; v }
+    for (_ <- 0 until 40) {
+      val w = gen(word)
+      val merges = (0 until gen(Gen.chooseNum(0, 5))).map(_ => gen(pair)).distinct
+      val ranks = merges.zipWithIndex.toMap
+      assert(Bpe.encodeWord(w, ranks).mkString == w, s"word '$w' merges $merges")
+    }
+  }
 }
