@@ -415,17 +415,25 @@ object Dedup {
     * cache). Carrying the set costs bands× duplication through that one
     * shuffle; at single-digit band counts that undercuts the re-join,
     * and bucket population is bounded by LSH design so the per-group
-    * loop stays small at any corpus size. The same pair surviving in
-    * several bands emits identical (da, db, jaccard) rows — distinct()
-    * collapses them. */
-  /** Per-document band rows — (band, bucket, sid, sorted hash set) —
-    * computed entirely in-task: distinct shingles, one md5 each feeding
-    * the K running minima, band buckets folded through xxHash64 (bucket
-    * ids are internal join keys only, never surfaced). Shared by the
-    * batch pair kernel and the streaming near-dup operator. `md` is the
-    * caller's per-partition digest instance. */
+    * loop stays small at any corpus size. A pair surviving in several
+    * bands is emitted ONCE, by the canonical-band rule: each row
+    * carries the document's full band-hash vector (`bands` longs —
+    * noise next to the set it already carries), and the kernel emits a
+    * pair only in the FIRST band where the two vectors agree — the
+    * same trick that freed the ppjoin kernel of its output
+    * `distinct()`, which here was a full exchange+sort over the
+    * emitted pair set. */
+  /** Per-document band rows — (band, bucket, sid, sorted hash set,
+    * all-band hash vector) — computed entirely in-task: distinct
+    * shingles, one md5 each feeding the K running minima, band buckets
+    * folded through xxHash64 (bucket ids are internal join keys only,
+    * never surfaced). Shared by the batch pair kernels and the
+    * streaming near-dup operators (which ignore the vector — their
+    * cross-batch dedup is state-based). `md` is the caller's
+    * per-partition digest instance. */
   private[graft] def minhashBandRowsOf(sid: Long, text: String, n: Int,
-      bands: Int, rowsPerBand: Int, md: MessageDigest): Iterator[(Int, Long, Long, Array[Long])] = {
+      bands: Int, rowsPerBand: Int,
+      md: MessageDigest): Iterator[(Int, Long, Long, Array[Long], Array[Long])] = {
     val k = bands * rowsPerBand
     val aArr = Array.tabulate(k)(minhashA)
     val bArr = Array.tabulate(k)(minhashB)
@@ -451,13 +459,23 @@ object Dedup {
         idx += 1
       }
       java.util.Arrays.sort(gs)
-      Iterator.tabulate(bands) { b =>
+      val bhs = Array.tabulate(bands) { b =>
         var h = 42L
         var r = 0
         while (r < rowsPerBand) { h = XXH64.hashLong(mins(b * rowsPerBand + r), h); r += 1 }
-        (b, h, sid, gs)
+        h
       }
+      Iterator.tabulate(bands)(b => (b, bhs(b), sid, gs, bhs))
     }
+  }
+
+  /** First band index at which two band-hash vectors agree — the
+    * canonical band that owns the pair's single emission. The kernels
+    * call it only for rows meeting in SOME bucket, so a match exists. */
+  private def firstSharedBand(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0
+    while (a(i) != b(i)) i += 1
+    i
   }
 
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -472,7 +490,8 @@ object Dedup {
         }
       }
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (key, it) =>
+        val band = key._1
         val rows = it.toArray.sortBy(_._3)
         val out = Iterator.newBuilder[(Long, Long, Double)]
         var i = 0
@@ -480,7 +499,10 @@ object Dedup {
           var j = i + 1
           while (j < rows.length) {
             val a = rows(i); val b = rows(j)
-            if (a._3 != b._3) {
+            // canonical-band rule: only the first band the two vectors
+            // share emits the pair — exactly one bucket wins, no output
+            // distinct() needed
+            if (a._3 != b._3 && firstSharedBand(a._5, b._5) == band) {
               val inter = sortedIntersect(a._4, b._4)
               val jac = inter.toDouble / (a._4.length + b._4.length - inter)
               if (jac >= threshold) out += ((a._3, b._3, jac))
@@ -491,7 +513,7 @@ object Dedup {
         }
         out.result()
       }
-      .toDF("da", "db", "jaccard").distinct()
+      .toDF("da", "db", "jaccard")
   }
 
   /** Cross-corpus (incremental) near-dup: which NEW documents are
@@ -503,7 +525,8 @@ object Dedup {
     * costs the batch's bucket probes, not the reference's self-join.
     * At a standing deployment the reference band rows are a persisted
     * index; here both sides are computed by the shared scan kernel.
-    * Emits (da = new id, db = reference id, jaccard ≥ τ), distinct. */
+    * Emits (da = new id, db = reference id, jaccard ≥ τ), each pair
+    * exactly once via the canonical-band rule. */
   def minhashLshPairsAcross(newDocs: DataFrame, refDocs: DataFrame,
       idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
@@ -515,14 +538,15 @@ object Dedup {
           val md = MessageDigest.getInstance("MD5")
           rows.flatMap { case (sid, text) =>
             minhashBandRowsOf(sid, text, n, bands, rowsPerBand, md)
-              .map(r => (r._1, r._2, r._3, r._4, isNew))
+              .map(r => (r._1, r._2, r._3, r._4, r._5, isNew))
           }
         }
     bandRows(newDocs, isNew = true)
       .unionAll(bandRows(refDocs, isNew = false))
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (_, it) =>
-        val (news, refs) = it.toArray.partition(_._5)
+      .flatMapGroups { (key, it) =>
+        val band = key._1
+        val (news, refs) = it.toArray.partition(_._6)
         val out = Iterator.newBuilder[(Long, Long, Double)]
         var i = 0
         while (i < news.length) {
@@ -530,8 +554,10 @@ object Dedup {
           while (j < refs.length) {
             val a = news(i); val b = refs(j)
             // overlapping corpora: a doc present on both sides is not a
-            // near-dup of itself (same guard as the symmetric kernel)
-            if (a._3 != b._3) {
+            // near-dup of itself (same guard as the symmetric kernel);
+            // canonical-band rule as in the symmetric kernel — one
+            // bucket owns the pair, no output distinct()
+            if (a._3 != b._3 && firstSharedBand(a._5, b._5) == band) {
               val inter = sortedIntersect(a._4, b._4)
               val jac = inter.toDouble / (a._4.length + b._4.length - inter)
               if (jac >= threshold) out += ((a._3, b._3, jac))
@@ -542,7 +568,7 @@ object Dedup {
         }
         out.result()
       }
-      .toDF("da", "db", "jaccard").distinct()
+      .toDF("da", "db", "jaccard")
   }
 
   /** SimHash near-neighbor stats via the pigeonhole band trick (the
@@ -578,7 +604,10 @@ object Dedup {
     * there. Input is one row per DISTINCT signature (column `simhash`);
     * output is both directions, columns (s, o, ham). Runs over ≤ 2¹⁶
     * distinct values regardless of corpus size — the doc-level pair
-    * explosion is never materialized. */
+    * explosion is never materialized. A pair agreeing on several chunks
+    * is emitted once, by the canonical-chunk rule (both full signatures
+    * are in hand, so the first agreeing chunk is a popcount-cheap
+    * inline check) — no output distinct() exchange. */
   def simhashSigPairs(distinctSigs: DataFrame, maxDist: Int): DataFrame = {
     val spark = distinctSigs.sparkSession
     import spark.implicits._
@@ -590,15 +619,22 @@ object Dedup {
         (0 until chunks).map(c => (c, (sig >> (c * bitsPer)) & mask, sig))
       }
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (key, it) =>
+        val chunk = key._1
         val ss = it.map(_._3).toArray.sorted
+        def firstSharedChunk(a: Long, b: Long): Int = {
+          var c = 0
+          while (((a >> (c * bitsPer)) & mask) != ((b >> (c * bitsPer)) & mask)) c += 1
+          c
+        }
         val out = Iterator.newBuilder[(Long, Long, Long)]
         var i = 0
         while (i < ss.length) {
           var j = i + 1
           while (j < ss.length) {
             val ham = java.lang.Long.bitCount(ss(i) ^ ss(j))
-            if (ham <= maxDist && ss(i) != ss(j)) {
+            if (ham <= maxDist && ss(i) != ss(j)
+                && firstSharedChunk(ss(i), ss(j)) == chunk) {
               out += ((ss(i), ss(j), ham.toLong))
               out += ((ss(j), ss(i), ham.toLong))
             }
@@ -608,7 +644,7 @@ object Dedup {
         }
         out.result()
       }
-      .toDF("s", "o", "ham").distinct()
+      .toDF("s", "o", "ham")
   }
 
   def simhashNearStats(docs: DataFrame, idCol: String, textCol: String,

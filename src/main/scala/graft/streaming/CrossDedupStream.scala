@@ -59,7 +59,7 @@ object CrossDedupStream {
           val checked = scala.collection.mutable.LongMap.empty[Boolean]
           val out = Seq.newBuilder[NearPair]
           Dedup.minhashBandRowsOf(sid, text, n, bands, rowsPerBand, md)
-            .foreach { case (band, bucket, _, gs) =>
+            .foreach { case (band, bucket, _, gs, _) =>
               idx.getOrElse((band, bucket), Array.empty).foreach { case (refId, refGs) =>
                 if (!checked.contains(refId)) {
                   checked.update(refId, true) // verify each ref member once

@@ -93,7 +93,7 @@ object NearDupStream {
         val md = MessageDigest.getInstance("MD5")
         rows.flatMap { case (sid, text) =>
           Dedup.minhashBandRowsOf(sid, text, n, bands, rowsPerBand, md)
-            .map { case (b, h, s, gs) => BandRow(b, h, s, gs) }
+            .map { case (b, h, s, gs, _) => BandRow(b, h, s, gs) }
         }
       }
       .groupByKey(r => (r.band, r.bucket))
