@@ -9,8 +9,10 @@ import graft.operators.Dedup
 
 /** One LSH band row of a streaming document (top-level for encoder
   * codegen): the bucket membership plus the doc's sorted shingle-hash
-  * set for in-bucket verification. */
-final case class BandRow(band: Int, bucket: Long, sid: Long, gs: Array[Long])
+  * set for in-bucket verification and its full band-hash vector for
+  * the canonical-band rule. */
+final case class BandRow(band: Int, bucket: Long, sid: Long, gs: Array[Long],
+    bhs: Array[Long])
 
 /** A verified near-duplicate pair (da < db). */
 final case class NearPair(da: Long, db: Long, jaccard: Double)
@@ -39,6 +41,12 @@ class NearDupProcessor(threshold: Double, retention: java.time.Duration)
     members = getHandle.getListState[BandRow]("members",
       Encoders.product[BandRow], new TTLConfig(retention))
 
+  private def firstSharedBand(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0
+    while (a(i) != b(i)) i += 1
+    i
+  }
+
   private def jaccard(a: Array[Long], b: Array[Long]): Double = {
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
@@ -56,7 +64,16 @@ class NearDupProcessor(threshold: Double, retention: java.time.Duration)
       val seen = members.get()
       while (seen.hasNext) {
         val m = seen.next()
-        if (m.sid != row.sid) {
+        // canonical-band rule (same as the batch kernel): the pair is
+        // owned by the FIRST band where the two vectors agree, so a
+        // pair matching in several bands emits exactly once with no
+        // downstream dedup state. One corner narrows: if the owner
+        // band's member row aged out a clock tick before a later
+        // band's, the pair is missed rather than emitted there —
+        // band rows of one arrival share a timestamp, so the races
+        // are tick-wide, and global pairing over all history is the
+        // batch compaction's job anyway.
+        if (m.sid != row.sid && firstSharedBand(m.bhs, row.bhs) == key._1) {
           val jac = jaccard(m.gs, row.gs)
           if (jac >= threshold) {
             val (da, db) = if (m.sid < row.sid) (m.sid, row.sid) else (row.sid, m.sid)
@@ -79,10 +96,13 @@ object NearDupStream {
   val DefaultRetention: java.time.Duration = java.time.Duration.ofHours(24)
 
   /** docs(idCol: long, textCol: string) → verified near-dup pairs.
-    * The same pair surviving several bands emits once per band;
-    * `dropDuplicates` on (da, db) collapses them (unbounded dedup state
-    * in streaming — acceptable because pairs are rare by construction;
-    * at extreme rates key it with a watermark downstream). */
+    * A pair surviving several bands emits ONCE via the canonical-band
+    * rule — the emission belongs to the first band whose vectors
+    * agree — so there is no downstream `dropDuplicates` and no
+    * unbounded dedup state store; the operator's only state is the
+    * TTL'd bucket membership. Doc ids are assumed unique per stream
+    * (a re-ingested id re-pairs against surviving state, as in any
+    * at-least-once source). */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
       retention: java.time.Duration = DefaultRetention): Dataset[NearPair] = {
@@ -93,12 +113,11 @@ object NearDupStream {
         val md = MessageDigest.getInstance("MD5")
         rows.flatMap { case (sid, text) =>
           Dedup.minhashBandRowsOf(sid, text, n, bands, rowsPerBand, md)
-            .map { case (b, h, s, gs, _) => BandRow(b, h, s, gs) }
+            .map { case (b, h, s, gs, bhs) => BandRow(b, h, s, gs, bhs) }
         }
       }
       .groupByKey(r => (r.band, r.bucket))
       .transformWithState(new NearDupProcessor(threshold, retention),
         TimeMode.ProcessingTime(), OutputMode.Append())
-      .dropDuplicates("da", "db")
   }
 }

@@ -39,8 +39,9 @@ class NearDupStreamSpec extends AnyFunSuite {
         assert(spark.sql("SELECT * FROM neardup_stream").count() == 0)
         // batch 2: an exact duplicate of doc 1 — every band bucket
         // collides, the in-bucket verify fires against the RETAINED
-        // member from batch 1, and dropDuplicates collapses the four
-        // band emissions to one pair
+        // member from batch 1, and the canonical-band rule makes
+        // exactly ONE of the four matching buckets emit the pair (all
+        // four verify in the same micro-batch, so count==1 proves it)
         input.addData((3L, template))
         assert(StreamSync.poll(60000) {
           spark.sql("SELECT * FROM neardup_stream").count() == 1
