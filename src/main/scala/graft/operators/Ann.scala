@@ -79,21 +79,50 @@ object Ann extends Serializable {
   }
 
   /** Embedding near-duplicate pairs via hyperplane-LSH bucketing: only
-    * same-bucket pairs are scored, so the plan is an equi-join on the
-    * bucket id (shuffle/broadcast hash join) — never the O(N²)
-    * BroadcastNestedLoopJoin of the exact formulation. Single-probe:
-    * a near-pair split across buckets is missed (recall < 1), which is
-    * the documented LSH trade; the exact small-N oracle stays available
-    * as the brute-force query. */
+    * same-bucket pairs are scored. Fused like the MinHash pair kernel —
+    * ONE narrow pass computes each vector's bucket (same sign bits as
+    * [[lshBucket]], typed fold = the codegen'd fold bit-for-bit), one
+    * shuffle groups buckets, and in-bucket pairs are cosine-verified in
+    * place. The earlier self-join formulation scanned and shuffled the
+    * vector frame TWICE to meet itself on the bucket id; this halves
+    * that, and bucket population is bounded by LSH design so the
+    * per-group loop stays small. Single-probe: a near-pair split
+    * across buckets is missed (recall < 1), which is the documented
+    * LSH trade; the exact small-N oracle stays available as the
+    * brute-force query. */
   def lshNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Seq[Float]], threshold: Double): DataFrame = {
-    val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("da"), col("b.id").as("db"),
-        cosine(col("a.v"), col("b.v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val planesArr = planes.map(_.toArray).toArray
+    vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        var b = 0L
+        var p = 0
+        while (p < planesArr.length) {
+          if (dotD(v, planesArr(p)) >= 0) b |= 1L << p
+          p += 1
+        }
+        (b, id, v)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val out = Iterator.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < rows.length) {
+          var j = i + 1
+          while (j < rows.length) {
+            val c = cosineD(rows(i)._3, rows(j)._3)
+            if (c >= threshold) out += ((rows(i)._2, rows(j)._2, c))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("da", "db", "cosine")
   }
 
   /** Cap on a query batch the serve path may pull to the driver and
