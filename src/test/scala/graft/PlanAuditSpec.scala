@@ -36,12 +36,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"windows should reuse one user_id exchange, got:\n$plan")
   }
 
-  test("v6: bucketed near-dup is an equi-join, not a nested-loop product") {
+  test("v6: fused bucket kernel plans NO join — one scan, one group exchange") {
     val plan = planOf(Embedding.v6NearDupLsh.run(SparkTest.spark, sf))
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      s"bucketed near-dup must not plan a cartesian/nested-loop join:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"bucketed near-dup must not plan a cartesian product:\n$plan")
+    // the round-7 fused kernel replaced the bucket self-join (double
+    // scan + two-sided shuffle of the vector frame) with one narrow
+    // pass + one groupByKey
+    assert(!plan.contains("Join"),
+      s"fused near-dup kernel must not join:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"v6 must scan the embeddings once, got $scans:\n$plan")
   }
 
   test("t5/t6 fused kernels: no nested-loop or cartesian, no self-join subtree") {
