@@ -70,8 +70,21 @@ object Diameter {
   /** Expected total message length if `b` starts a Diameter message and the
     * header is readable; -1 otherwise. Used by reassembly to detect
     * incomplete buffers (`diameter.py:127-128`). */
+  /** Declared total length of the Diameter message starting at b(0):
+    *   - version byte ≠ 1 → -1 (garbage; the machine emits as-is and
+    *     decode quarantines it — `diameter.py:114-116`);
+    *   - version 1 but < 4 bytes buffered → 4 ("need more to read the
+    *     length field"): the reassembler must STASH, exactly like a
+    *     declared length exceeding the buffer. The reference never
+    *     defines this case (its struct.unpack would throw on a short
+    *     slice); conflating it with garbage emitted a 1-3 byte
+    *     fragment AND desynced the rest of the flow whenever a TCP
+    *     segment boundary fell inside the header (found by
+    *     ReassemblePropSpec's random cuts). */
   def expectedLength(b: Array[Byte]): Int =
-    if (b.length < 4 || b(0) != 1) -1 else mask24(beLong(b, 0, 4)).toInt
+    if (b.isEmpty || b(0) != 1) -1
+    else if (b.length < 4) 4
+    else mask24(beLong(b, 0, 4)).toInt
 
   /** P7 + F21: decode one Diameter message. Returns None when version != 1
     * (`diameter.py:114-116`) or the buffer is shorter than the declared
