@@ -157,11 +157,17 @@ object Bench {
     // iteration run (BENCH_ONLY set) must not clobber the official
     // whole-suite record.
     if (only.isEmpty) {
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
-        (tailLine + "\n").getBytes("UTF-8"))
-      catch {
+      // resolve against the repo root when provided — a relative path
+      // would silently land in whatever CWD launched the bench
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "."), "BENCH_SELF.json")
+        .toAbsolutePath
+      try {
+        java.nio.file.Files.write(out, (tailLine + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench] wrote $out")
+      } catch {
         case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] BENCH_SELF.json write failed: $e")
+          System.err.println(s"[bench] $out write failed: $e")
       }
     }
     spark.stop()

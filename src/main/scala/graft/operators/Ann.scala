@@ -94,6 +94,14 @@ object Ann extends Serializable {
       planes: Seq[Seq[Float]], threshold: Double): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // the typed kernel keys on a long id; a lossy cast (string, decimal)
+    // would silently collapse non-numeric ids to null — refuse instead
+    val idType = vecs.select(col(idCol)).schema.head.dataType
+    require(Seq("byte", "short", "int", "integer", "long", "bigint")
+        .contains(idType.simpleString),
+      s"lshNearDupPairs: id column '$idCol' must be an integral type " +
+        s"(got ${idType.simpleString}) — map string ids to longs " +
+        "(e.g. xxhash64) before calling")
     val planesArr = planes.map(_.toArray).toArray
     vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
@@ -130,6 +138,25 @@ object Ann extends Serializable {
     * anything bigger is a corpus-shaped frame that belongs on the
     * distributed probe path. */
   private[graft] val MaxDriverQueryRows = 100000
+
+  /** Limit-guarded driver collect of a (qid, qvec) query batch — the
+    * single enforcement point for every plan that broadcasts its query
+    * batch to executors (IVF serve, PQ/IVF-PQ ADC tables). The `limit`
+    * bounds what the guard itself can pull back; past the bound it
+    * fails LOUDLY instead of OOMing the driver. */
+  private def collectQueryBatch(queries: DataFrame, maxDriverRows: Int,
+      caller: String): Array[(Long, Array[Float])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val rows = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])]
+      .limit(maxDriverRows + 1).collect()
+    require(rows.length <= maxDriverRows,
+      s"$caller: query batch exceeds $maxDriverRows rows — this plan " +
+        "broadcasts the batch and builds per-query lookup state on every " +
+        "executor; batch the queries, or use ivfTopK's distributed probe " +
+        "path for corpus-sized query frames")
+    rows
+  }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
@@ -439,16 +466,9 @@ object Ann extends Serializable {
     val spark = assigned.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
-    // fail LOUDLY instead of OOMing the driver: the serve contract is a
-    // driver-sized query batch (it broadcasts). The limit bounds what
-    // the guard itself can pull back; callers with bigger frames get
-    // the distributed path via [[ivfTopK]].
-    val qRows = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])]
-      .limit(MaxDriverQueryRows + 1).collect()
-    require(qRows.length <= MaxDriverQueryRows,
-      s"ivfTopKAssigned: query batch exceeds $MaxDriverQueryRows rows — " +
-        "the serve path broadcasts the batch; use ivfTopK's distributed " +
-        "probe path for corpus-sized query frames")
+    // the serve contract is a driver-sized query batch (it broadcasts);
+    // callers with bigger frames get the distributed path via [[ivfTopK]]
+    val qRows = collectQueryBatch(queries, MaxDriverQueryRows, "ivfTopKAssigned")
     val probeRows = qRows.flatMap { case (qid, v) =>
       nearestCells(bc.value, v, nprobe).map(c => (qid, v, c))
     }
@@ -552,14 +572,25 @@ object Ann extends Serializable {
     * The approximate norm ‖x̂‖² = Σ_m ‖c_{m,code_m}‖² is exact for the
     * reconstruction because subspaces partition the coordinates. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
-      books: Array[Array[Array[Float]]], k: Int, refine: Int): DataFrame = {
+      books: Array[Array[Array[Float]]], k: Int, refine: Int): DataFrame =
+    pqTopKBounded(corpus, queries, books, k, refine, MaxDriverQueryRows)
+
+  /** [[pqTopK]] with an injectable driver-batch bound (specs force the
+    * guard on small frames through it). The ADC plan is broadcast-query
+    * by construction — per-query lookup tables live on every executor —
+    * so past the bound it fails loudly rather than falling back: a
+    * corpus-sized query frame belongs on [[ivfTopK]]'s distributed
+    * probe path, not on a quadratic per-partition table build. */
+  private[graft] def pqTopKBounded(corpus: DataFrame, queries: DataFrame,
+      books: Array[Array[Array[Float]]], k: Int, refine: Int,
+      maxDriverRows: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val m = books.length
     val kc = books(0).length
     val sub = books(0)(0).length
     val bcBooks = spark.sparkContext.broadcast(books)
-    val qRows = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])].collect()
+    val qRows = collectQueryBatch(queries, maxDriverRows, "pqTopK")
     val bcQ = spark.sparkContext.broadcast(qRows)
     // ADC scan: encode + score + bounded per-query heap, one pass
     val candidates = corpus.select(col("cid"), col("cvec")).as[(Long, Array[Float])]
@@ -674,7 +705,16 @@ object Ann extends Serializable {
     * fetched for `refine` candidates per query. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
       cents: Array[Array[Float]], books: Array[Array[Array[Float]]],
-      k: Int, nprobe: Int, refine: Int): DataFrame = {
+      k: Int, nprobe: Int, refine: Int): DataFrame =
+    ivfPqTopKBounded(corpus, queries, cents, books, k, nprobe, refine,
+      MaxDriverQueryRows)
+
+  /** [[ivfPqTopK]] with an injectable driver-batch bound (specs force
+    * the guard on small frames through it); see [[pqTopKBounded]] for
+    * why past the bound this fails loudly instead of falling back. */
+  private[graft] def ivfPqTopKBounded(corpus: DataFrame, queries: DataFrame,
+      cents: Array[Array[Float]], books: Array[Array[Array[Float]]],
+      k: Int, nprobe: Int, refine: Int, maxDriverRows: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val m = books.length
@@ -682,7 +722,7 @@ object Ann extends Serializable {
     val sub = books(0)(0).length
     val bcC = spark.sparkContext.broadcast(cents)
     val bcB = spark.sparkContext.broadcast(books)
-    val qRows = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])].collect()
+    val qRows = collectQueryBatch(queries, maxDriverRows, "ivfPqTopK")
     val bcQ = spark.sparkContext.broadcast(qRows)
     val candidates = corpus.select(col("cid"), col("cvec")).as[(Long, Array[Float])]
       .mapPartitions { it =>

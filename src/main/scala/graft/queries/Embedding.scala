@@ -368,7 +368,11 @@ object Embedding {
       val init = Ann.kmeansParallelInit(e, "vec_id", "embedding", numCells)
       val cents = Ann.kmeansCentroids(e, "embedding", init, iters = 5)
       val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val dir = s"/tmp/graft_ivf_index_${Integer.toHexString(d.hashCode)}"
+      // keyed by PID + the sanitized full path: concurrent JVMs benching
+      // the same SF dir get disjoint index dirs (no write/read race) and
+      // distinct SF dirs can never collide the way String.hashCode could
+      val dir = s"/tmp/graft_ivf_index_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
       Ann.assignCells(corpus, cents).write.partitionBy("cell")
         .mode("overwrite").parquet(dir)
       (dir, cents)

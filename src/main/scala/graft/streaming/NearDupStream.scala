@@ -31,6 +31,16 @@ final case class NearPair(da: Long, db: Long, jaccard: Double)
   * State is per (band, bucket): a list of (sid, shingle hashes) — the
   * compact rows, never the text. Bucket population is bounded by LSH
   * design plus the TTL; the per-arrival verify cost is the bucket size.
+  *
+  * CHECKPOINT COMPATIBILITY: the canonical-band rewrite changed both
+  * the state row encoding ([[BandRow]] gained `bhs`) and the operator
+  * graph (the downstream `dropDuplicates` — an unbounded state store —
+  * is gone). Checkpoints written by the pre-rewrite operator cannot be
+  * restored; upgrading a running query requires a FRESH checkpoint
+  * directory (and re-ingesting whatever the retention window should
+  * cover). This is the standard Structured Streaming contract for
+  * state-schema/operator-graph changes, noted here because the rewrite
+  * crossed it.
   */
 class NearDupProcessor(threshold: Double, retention: java.time.Duration)
     extends StatefulProcessor[(Int, Long), BandRow, NearPair] {

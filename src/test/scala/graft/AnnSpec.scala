@@ -119,6 +119,40 @@ class AnnSpec extends AnyFunSuite {
     assert(dist === served)
   }
 
+  test("PQ family fails loudly past the driver-batch bound (injectable)") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dim = 8
+    val vecs = (0L until 16L).map { i =>
+      (i, Array.tabulate(dim)(j => math.sin(0.37 * (i * dim + j)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val queries = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val init = Array.tabulate(2, 2)((mi, ci) =>
+      Array.tabulate(4)(j => math.cos(0.11 * (mi * 8 + ci * 4 + j)).toFloat))
+    val books = Ann.pqCodebooks(corpus.select($"cvec"), "cvec", init, iters = 2)
+    val cents = Array.tabulate(2)(c =>
+      Array.tabulate(dim)(j => math.sin(0.5 * (c * dim + j)).toFloat))
+    // maxDriverRows=1 under a 5-row query frame: both ADC kernels must
+    // refuse (the plan broadcasts the batch — silent collect would be
+    // the driver-OOM cliff), naming themselves in the message
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.pqTopKBounded(corpus, queries, books, k = 3, refine = 8, maxDriverRows = 1)
+    }
+    assert(e1.getMessage.contains("pqTopK"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.ivfPqTopKBounded(corpus, queries, cents, books, k = 3, nprobe = 2,
+        refine = 8, maxDriverRows = 1)
+    }
+    assert(e2.getMessage.contains("ivfPqTopK"))
+    // within the bound the same calls serve normally
+    assert(Ann.pqTopKBounded(corpus, queries, books, k = 3, refine = 8,
+      maxDriverRows = 5).count() > 0)
+    assert(Ann.ivfPqTopKBounded(corpus, queries, cents, books, k = 3, nprobe = 2,
+      refine = 8, maxDriverRows = 5).count() > 0)
+  }
+
   /** recall@5 of an approximate ranking vs the exact brute-force one. */
   private def recallAt5(approx: org.apache.spark.sql.DataFrame,
       exact: org.apache.spark.sql.DataFrame): Double = {
