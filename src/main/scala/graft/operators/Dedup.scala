@@ -541,8 +541,19 @@ object Dedup {
               .map(r => (r._1, r._2, r._3, r._4, r._5, isNew))
           }
         }
-    bandRows(newDocs, isNew = true)
-      .unionAll(bandRows(refDocs, isNew = false))
+    acrossPairs(bandRows(newDocs, isNew = true)
+      .unionAll(bandRows(refDocs, isNew = false)), threshold)
+  }
+
+  /** Shared pairing stage of the cross-corpus kernels: one shuffle on
+    * (band, bucket), boundary-only pairing (new×new / ref×ref never
+    * form), canonical-band single emission. */
+  private def acrossPairs(
+      rows: Dataset[(Int, Long, Long, Array[Long], Array[Long], Boolean)],
+      threshold: Double): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key, it) =>
         val band = key._1
@@ -569,6 +580,64 @@ object Dedup {
         out.result()
       }
       .toDF("da", "db", "jaccard")
+  }
+
+  /** The reference corpus's minhash doc index as a storable frame —
+    * the BUILD-ONCE half of the incremental-dedup deployment split
+    * (mirrors [[graft.operators.Ann.assignCells]] for IVF): compute the
+    * shingle sets, minhash signatures and band-hash vectors of the
+    * standing corpus ONCE, write them out, and every incoming batch
+    * probes the persisted index instead of re-tokenizing and re-hashing
+    * 100 TB of reference text per batch. ONE row per document —
+    * (sid, gs, bhs), ~8·|shingle set| bytes plus 8·bands — never the
+    * text and never the per-band duplication of gs (band rows fan back
+    * out from `bhs` at probe time with a trivial flatMap; the expensive
+    * tokenize + md5 + minhash work is exactly what the index
+    * memoizes). */
+  def minhashDocIndex(refDocs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val spark = refDocs.sparkSession
+    import spark.implicits._
+    fannedOut(refDocs, idCol, textCol).as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        rows.flatMap { case (sid, text) =>
+          // first band row carries the doc's full gs + bhs
+          minhashBandRowsOf(sid, text, n, bands, rowsPerBand, md)
+            .take(1).map(r => (r._3, r._4, r._5))
+        }
+      }
+      .toDF("sid", "gs", "bhs")
+  }
+
+  /** The PROBE half: [[minhashLshPairsAcross]] against a pre-built
+    * reference index ([[minhashDocIndex]]'s output, typically read
+    * back from parquet). Only the incoming batch pays the tokenize +
+    * minhash scan; the reference side is a column-pruned read of the
+    * persisted doc rows fanned back out to band rows (bucket = bhs(b),
+    * the same value [[minhashBandRowsOf]] assigns). Identical output to
+    * the recompute-both-sides kernel — same boundary-only pairing, same
+    * canonical-band single emission. */
+  def minhashLshPairsAcrossIndexed(newDocs: DataFrame, refIndex: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val newRows = fannedOut(newDocs, idCol, textCol).as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        rows.flatMap { case (sid, text) =>
+          minhashBandRowsOf(sid, text, n, bands, rowsPerBand, md)
+            .map(r => (r._1, r._2, r._3, r._4, r._5, true))
+        }
+      }
+    val refRows = refIndex
+      .select(col("sid"), col("gs"), col("bhs"))
+      .as[(Long, Array[Long], Array[Long])]
+      .flatMap { case (sid, gs, bhs) =>
+        Iterator.tabulate(bands)(b => (b, bhs(b), sid, gs, bhs, false))
+      }
+    acrossPairs(newRows.unionAll(refRows), threshold)
   }
 
   /** SimHash near-neighbor stats via the pigeonhole band trick (the
