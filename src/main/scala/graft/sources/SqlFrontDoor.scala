@@ -98,6 +98,16 @@ object SqlFrontDoor {
         graft.operators.Dedup.minhashLshPairsAcross(
           s.read.parquet(a.head), s.read.parquet(a(1)),
           "doc_id", "text", 3, 4, 4, 0.5)),
+      // the incremental-dedup deployment split from SQL: build the
+      // standing corpus's minhash index once (CTAS/INSERT its output to
+      // parquet), then gate every incoming batch against it probe-only
+      ("minhash_doc_index", 1, a =>
+        graft.operators.Dedup.minhashDocIndex(
+          s.read.parquet(a.head), "doc_id", "text", 3, 4, 4)),
+      ("cross_dedup_indexed", 2, a =>
+        graft.operators.Dedup.minhashLshPairsAcrossIndexed(
+          s.read.parquet(a.head), s.read.parquet(a(1)),
+          "doc_id", "text", 3, 4, 4, 0.5)),
       ("temp_sample", 3, a =>
         graft.operators.Layout.temperatureSample(s.read.parquet(a.head), "doc_id",
           "source", a(1).trim.toInt, a(2).trim.toInt)),

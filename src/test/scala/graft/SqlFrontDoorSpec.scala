@@ -228,6 +228,16 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       s"SELECT count(*) FROM cross_dedup('$docs', '$docs') WHERE da = db")
       .collect().head.getLong(0)
     assert(selfPairs == 0L)
+    // the indexed serve path from SQL: CTAS the standing corpus's
+    // minhash index to parquet, then the probe-only gate must
+    // reproduce the recompute-both-sides kernel exactly
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_sql_idx").toString
+    spark.sql(s"SELECT * FROM minhash_doc_index('$docs')")
+      .write.mode("overwrite").parquet(idxDir)
+    val servedPairs = spark.sql(
+      s"SELECT da, db FROM cross_dedup_indexed('$docs', '$idxDir') WHERE da < db ORDER BY da, db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(servedPairs == crossPairs)
     // temp_sample: the boosted smallest source keeps a higher fraction
     // than the damped largest source
     val fracs = spark.sql(
