@@ -77,10 +77,13 @@ object Pcap {
     while (off + 16 <= b.length) {
       val tsSec = u32(off)
       var tsUsec = u32(off + 4)
-      val inclLen = u32(off + 8).toInt
+      // kept as Long: a crafted incl_len near Int.MaxValue would wrap an
+      // Int `off + inclLen` negative and slip past this bound
+      val inclLenL = u32(off + 8)
       if (tsUsec.toString.length >= 6) tsUsec = tsUsec.toString.take(6).toLong
       off += 16
-      if (inclLen < 0 || off + inclLen > b.length) return out.result()
+      if (inclLenL < 0 || off + inclLenL > b.length) return out.result()
+      val inclLen = inclLenL.toInt
       out += Frame(name, frameNo, tsSec, tsUsec.toInt, dlt, java.util.Arrays.copyOfRange(b, off, off + inclLen))
       off += inclLen
       frameNo += 1
@@ -107,8 +110,11 @@ object Pcap {
       if (blockType == MagicNg) { // Section Header Block: read byte-order magic
         le = leLong(b, off + 8, 4) == 0x1a2b3c4dL
       }
-      val blockLen = u32(off + 4).toInt
-      if (blockLen < 12 || off + blockLen > b.length) return out.result()
+      // same wrap hazard as the classic-pcap walker: bound in Long before
+      // narrowing, or a ~2^31 block length loops/throws the walk
+      val blockLenL = u32(off + 4)
+      if (blockLenL < 12 || off + blockLenL > b.length) return out.result()
+      val blockLen = blockLenL.toInt
       val bt = u32(off)
       if (bt == 1L) { // Interface Description Block
         dlt = u16(off + 8)
@@ -123,10 +129,13 @@ object Pcap {
             o += 4 + ((len + 3) / 4) * 4
           }
         }
-      } else if (bt == 6L) { // Enhanced Packet Block
+      } else if (bt == 6L && blockLen >= 32) {
+        // Enhanced Packet Block; structural minimum 32 bytes (28-byte
+        // fixed part + trailing length) — a truncated EPB at file end
+        // must be skipped, not read past the buffer
         val tsHigh = u32(off + 12)
         val tsLow = u32(off + 16)
-        val capLen = u32(off + 20).toInt
+        val capLenL = u32(off + 20)
         val ts = (tsHigh << 32) | tsLow
         // reference semantics (e.g. diameter.py:546-549): decimal-digit
         // split of the combined tick count — first 10 digits are epoch
@@ -137,7 +146,8 @@ object Pcap {
         val tsSec = s.take(10).toLong
         val tsUsec = if (s.length - 10 >= 6) s.slice(10, 16).toLong.toInt else 0
         val dataOff = off + 28
-        if (capLen >= 0 && dataOff + capLen <= b.length) {
+        if (capLenL >= 0 && dataOff + capLenL <= b.length) {
+          val capLen = capLenL.toInt
           out += Frame(name, frameNo, tsSec, tsUsec, dlt,
             java.util.Arrays.copyOfRange(b, dataOff, dataOff + capLen))
           frameNo += 1
