@@ -91,9 +91,16 @@ object Ann extends Serializable {
     * LSH trade; the exact small-N oracle stays available as the
     * brute-force query. */
   def lshNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
-      planes: Seq[Seq[Float]], threshold: Double): DataFrame = {
+      planes: Seq[Seq[Float]], threshold: Double,
+      maxBucket: Int = Int.MaxValue,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // same skew guard as the minhash kernels (Dedup.cappedBucket): an
+    // over-cap bucket — an embedding-space mega-cluster — is skipped and
+    // counted, never verified quadratically inside one task
+    val skipped = skippedAcc.getOrElse(
+      spark.sparkContext.longAccumulator(Dedup.SkippedBucketsAcc))
     // the typed kernel keys on a long id; a lossy cast (string, decimal)
     // would silently collapse non-numeric ids to null — refuse instead
     val idType = vecs.select(col(idCol)).schema.head.dataType
@@ -116,19 +123,23 @@ object Ann extends Serializable {
       }
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        val out = Iterator.newBuilder[(Long, Long, Double)]
-        var i = 0
-        while (i < rows.length) {
-          var j = i + 1
-          while (j < rows.length) {
-            val c = cosineD(rows(i)._3, rows(j)._3)
-            if (c >= threshold) out += ((rows(i)._2, rows(j)._2, c))
-            j += 1
+        val capped = Dedup.cappedBucket(it, maxBucket, skipped)
+        if (capped == null) Iterator.empty
+        else {
+          val rows = capped.sortBy(_._2)
+          val out = Iterator.newBuilder[(Long, Long, Double)]
+          var i = 0
+          while (i < rows.length) {
+            var j = i + 1
+            while (j < rows.length) {
+              val c = cosineD(rows(i)._3, rows(j)._3)
+              if (c >= threshold) out += ((rows(i)._2, rows(j)._2, c))
+              j += 1
+            }
+            i += 1
           }
-          i += 1
+          out.result()
         }
-        out.result()
       }
       .toDF("da", "db", "cosine")
   }

@@ -478,10 +478,37 @@ object Dedup {
     i
   }
 
+  /** Name of the accumulator counting buckets dropped by a `maxBucket`
+    * cap (visible per-job in the Spark UI) — the cap is never silent. */
+  val SkippedBucketsAcc = "graft.lsh.skippedBuckets"
+
+  /** Materialize one LSH bucket up to `maxBucket` rows; null (counted)
+    * when the bucket exceeds the cap. A mega-bucket — millions of
+    * near-identical boilerplate docs sharing a band hash — makes the
+    * in-bucket verify quadratic INSIDE ONE TASK, the skew cliff of any
+    * bucketed pair kernel at corpus scale. Pairs a cap drops are
+    * intra-mega-cluster near-dups, exactly what exact dedup (run first
+    * in the curation chain) collapses more cheaply; the cap bounds both
+    * compute and the task's heap (the bucket is never fully buffered). */
+  private[operators] def cappedBucket[T: scala.reflect.ClassTag](it: Iterator[T],
+      maxBucket: Int,
+      skipped: org.apache.spark.util.LongAccumulator): Array[T] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    while (it.hasNext && buf.length <= maxBucket) buf += it.next()
+    if (buf.length > maxBucket) { skipped.add(1L); null }
+    else buf.toArray
+  }
+
+  /** `maxBucket` (default: uncapped) skips buckets larger than the cap —
+    * see [[cappedBucket]]; skipped buckets are counted in the
+    * [[SkippedBucketsAcc]] accumulator. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = Int.MaxValue,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val skipped = skippedAcc.getOrElse(spark.sparkContext.longAccumulator(SkippedBucketsAcc))
     fannedOut(docs, idCol, textCol).as[(Long, String)]
       .mapPartitions { rows =>
         val md = MessageDigest.getInstance("MD5")
@@ -492,7 +519,10 @@ object Dedup {
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key, it) =>
         val band = key._1
-        val rows = it.toArray.sortBy(_._3)
+        val capped = cappedBucket(it, maxBucket, skipped)
+        if (capped == null) Iterator.empty
+        else {
+        val rows = capped.sortBy(_._3)
         val out = Iterator.newBuilder[(Long, Long, Double)]
         var i = 0
         while (i < rows.length) {
@@ -512,6 +542,7 @@ object Dedup {
           i += 1
         }
         out.result()
+        }
       }
       .toDF("da", "db", "jaccard")
   }
@@ -529,7 +560,9 @@ object Dedup {
     * exactly once via the canonical-band rule. */
   def minhashLshPairsAcross(newDocs: DataFrame, refDocs: DataFrame,
       idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = Int.MaxValue,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = newDocs.sparkSession
     import spark.implicits._
     def bandRows(docs: DataFrame, isNew: Boolean) =
@@ -542,7 +575,7 @@ object Dedup {
           }
         }
     acrossPairs(bandRows(newDocs, isNew = true)
-      .unionAll(bandRows(refDocs, isNew = false)), threshold)
+      .unionAll(bandRows(refDocs, isNew = false)), threshold, maxBucket, skippedAcc)
   }
 
   /** Shared pairing stage of the cross-corpus kernels: one shuffle on
@@ -550,14 +583,19 @@ object Dedup {
     * form), canonical-band single emission. */
   private def acrossPairs(
       rows: Dataset[(Int, Long, Long, Array[Long], Array[Long], Boolean)],
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucket: Int = Int.MaxValue,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
+    val skipped = skippedAcc.getOrElse(spark.sparkContext.longAccumulator(SkippedBucketsAcc))
     rows
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key, it) =>
         val band = key._1
-        val (news, refs) = it.toArray.partition(_._6)
+        val capped = cappedBucket(it, maxBucket, skipped)
+        if (capped == null) Iterator.empty
+        else {
+        val (news, refs) = capped.partition(_._6)
         val out = Iterator.newBuilder[(Long, Long, Double)]
         var i = 0
         while (i < news.length) {
@@ -578,6 +616,7 @@ object Dedup {
           i += 1
         }
         out.result()
+        }
       }
       .toDF("da", "db", "jaccard")
   }
@@ -620,7 +659,9 @@ object Dedup {
     * canonical-band single emission. */
   def minhashLshPairsAcrossIndexed(newDocs: DataFrame, refIndex: DataFrame,
       idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = Int.MaxValue,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = newDocs.sparkSession
     import spark.implicits._
     val newRows = fannedOut(newDocs, idCol, textCol).as[(Long, String)]
@@ -637,7 +678,7 @@ object Dedup {
       .flatMap { case (sid, gs, bhs) =>
         Iterator.tabulate(bands)(b => (b, bhs(b), sid, gs, bhs, false))
       }
-    acrossPairs(newRows.unionAll(refRows), threshold)
+    acrossPairs(newRows.unionAll(refRows), threshold, maxBucket, skippedAcc)
   }
 
   /** SimHash near-neighbor stats via the pigeonhole band trick (the

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Dedup}
+
+/** The `maxBucket` skew guard on the bucketed pair kernels: a
+  * mega-bucket (a template-heavy near-identical cluster landing on one
+  * band hash) must be SKIPPED and COUNTED, not verified quadratically
+  * inside one task — and the guard must change nothing when off (the
+  * oracle queries run uncapped). */
+class SkewGuardSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  // 40 identical docs: every band of every doc shares one bucket, so the
+  // symmetric kernel forms 40*39/2 pairs at jaccard 1.0 when uncapped
+  private def megaCluster = (1L to 40L)
+    .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    .toDF("doc_id", "text")
+
+  test("minhashLshPairs: cap skips the mega-bucket and counts it") {
+    val uncapped = Dedup.minhashLshPairs(megaCluster, "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+    assert(uncapped.count() === 40L * 39 / 2)
+    val acc = spark.sparkContext.longAccumulator(Dedup.SkippedBucketsAcc)
+    val capped = Dedup.minhashLshPairs(megaCluster, "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5, maxBucket = 10,
+      skippedAcc = Some(acc))
+    assert(capped.count() === 0)
+    assert(acc.value === 4) // all 4 band buckets over cap, each counted once
+  }
+
+  test("minhashLshPairsAcross: cap applies to the boundary kernel") {
+    val refs = megaCluster.withColumn("doc_id", col("doc_id") + 1000)
+    val uncapped = Dedup.minhashLshPairsAcross(megaCluster, refs, "doc_id",
+      "text", n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+    assert(uncapped.count() === 40L * 40)
+    val capped = Dedup.minhashLshPairsAcross(megaCluster, refs, "doc_id",
+      "text", n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5,
+      maxBucket = 10)
+    assert(capped.count() === 0)
+  }
+
+  test("lshNearDupPairs: cap applies to the vector kernel; small buckets pass") {
+    val planes = Seq.tabulate(4)(p => Seq.tabulate(4)(d => if (d == p) 1f else 0f))
+    // 30 identical vectors land in one bucket; 2 distinct ones elsewhere
+    val vecs = ((1L to 30L).map(i => (i, Array(1f, 1f, 1f, 1f))) ++
+      Seq((31L, Array(-1f, -1f, -1f, -1f)), (32L, Array(-1f, -1f, -1f, -0.9f))))
+      .toDF("vec_id", "embedding")
+    val uncapped = Ann.lshNearDupPairs(vecs, "vec_id", "embedding", planes, 0.5)
+    assert(uncapped.count() === 30L * 29 / 2 + 1)
+    val capped = Ann.lshNearDupPairs(vecs, "vec_id", "embedding", planes, 0.5,
+      maxBucket = 10)
+    // the mega-bucket is dropped; the 2-member bucket still verifies
+    assert(capped.count() === 1)
+  }
+}
