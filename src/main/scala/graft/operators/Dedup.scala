@@ -180,9 +180,11 @@ object Dedup {
     * `persist` relied on callers unpersisting, which a SQL caller
     * can't). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxBucket: Int = Int.MaxValue,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val skipped = skippedAcc.getOrElse(spark.sparkContext.longAccumulator(SkippedBucketsAcc))
     val ds = docsetRows(docs, idCol, textCol, n).localCheckpoint()
     // document frequency: partial-aggregated groupBy over the exploded
     // hash arrays — the strings are gone before the first shuffle, and
@@ -286,8 +288,14 @@ object Dedup {
               val g = rows.head._1
               val grp = scala.collection.mutable.ArrayBuffer.empty[
                 (Long, Long, Int, Int, Array[Long], Array[Long])]
-              while (rows.hasNext && rows.head._1 == g) grp += rows.next()
-              pending = pairKernel(g, grp, threshold)
+              // same skew guard as the minhash kernels: buffer at most
+              // cap+1 rows of the run, skip (and count) an over-cap group
+              while (rows.hasNext && rows.head._1 == g) {
+                val r = rows.next()
+                if (grp.length <= maxBucket) grp += r
+              }
+              if (grp.length > maxBucket) skipped.add(1L)
+              else pending = pairKernel(g, grp, threshold)
             }
           def hasNext: Boolean = { advance(); pending.hasNext }
           def next(): (Long, Long, Double) = { advance(); pending.next() }

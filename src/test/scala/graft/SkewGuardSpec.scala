@@ -43,6 +43,17 @@ class SkewGuardSpec extends AnyFunSuite {
     assert(capped.count() === 0)
   }
 
+  test("ngramJaccardPairs: cap applies to the ppjoin run walk") {
+    val uncapped = Dedup.ngramJaccardPairs(megaCluster, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    assert(uncapped.count() === 40L * 39 / 2)
+    val acc = spark.sparkContext.longAccumulator(Dedup.SkippedBucketsAcc)
+    val capped = Dedup.ngramJaccardPairs(megaCluster, "doc_id", "text",
+      n = 3, threshold = 0.5, maxBucket = 10, skippedAcc = Some(acc))
+    assert(capped.count() === 0)
+    assert(acc.value > 0)
+  }
+
   test("lshNearDupPairs: cap applies to the vector kernel; small buckets pass") {
     val planes = Seq.tabulate(4)(p => Seq.tabulate(4)(d => if (d == p) 1f else 0f))
     // 30 identical vectors land in one bucket; 2 distinct ones elsewhere
