@@ -40,16 +40,23 @@ final case class NearPair(da: Long, db: Long, jaccard: Double)
   * directory (and re-ingesting whatever the retention window should
   * cover). This is the standard Structured Streaming contract for
   * state-schema/operator-graph changes, noted here because the rewrite
-  * crossed it.
+  * crossed it. (The round-8 `nSeen` counter state is a second such
+  * crossing for pre-round-8 checkpoints.)
   */
-class NearDupProcessor(threshold: Double, retention: java.time.Duration)
+class NearDupProcessor(threshold: Double, retention: java.time.Duration,
+    maxBucket: Int = Int.MaxValue,
+    skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
     extends StatefulProcessor[(Int, Long), BandRow, NearPair] {
 
   @transient private var members: ListState[BandRow] = _
+  @transient private var nSeen: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     members = getHandle.getListState[BandRow]("members",
       Encoders.product[BandRow], new TTLConfig(retention))
+    nSeen = getHandle.getValueState[Long]("nSeen",
+      Encoders.scalaLong, new TTLConfig(retention))
+  }
 
   private def firstSharedBand(a: Array[Long], b: Array[Long]): Int = {
     var i = 0
@@ -70,7 +77,16 @@ class NearDupProcessor(threshold: Double, retention: java.time.Duration)
   override def handleInputRows(key: (Int, Long), rows: Iterator[BandRow],
       timerValues: TimerValues): Iterator[NearPair] = {
     val out = Seq.newBuilder[NearPair]
+    // streaming face of the batch kernels' maxBucket skew guard: past
+    // the cap the bucket is SATURATED — membership is cleared and
+    // arrivals drop (counted once, at the transition) until the TTL
+    // retires the bucket. Bounds both the state row count and the
+    // per-arrival verify under a boilerplate storm; the dropped pairs
+    // are intra-mega-cluster, the batch compaction's job.
+    var n = if (nSeen.exists()) nSeen.get() else 0L
     for (row <- rows) {
+      if (n > maxBucket) { /* saturated: drop */ }
+      else {
       val seen = members.get()
       while (seen.hasNext) {
         val m = seen.next()
@@ -92,7 +108,14 @@ class NearDupProcessor(threshold: Double, retention: java.time.Duration)
         }
       }
       members.appendValue(row)
+      n += 1
+      if (n > maxBucket) {
+        members.clear()
+        skippedAcc.foreach(_.add(1L))
+      }
+      }
     }
+    nSeen.update(n)
     out.result().iterator
   }
 }
@@ -115,7 +138,9 @@ object NearDupStream {
     * at-least-once source). */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
-      retention: java.time.Duration = DefaultRetention): Dataset[NearPair] = {
+      retention: java.time.Duration = DefaultRetention,
+      maxBucket: Int = Int.MaxValue,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[NearPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.selectExpr(s"CAST($idCol AS LONG)", textCol).as[(Long, String)]
@@ -127,7 +152,8 @@ object NearDupStream {
         }
       }
       .groupByKey(r => (r.band, r.bucket))
-      .transformWithState(new NearDupProcessor(threshold, retention),
+      .transformWithState(
+        new NearDupProcessor(threshold, retention, maxBucket, skippedAcc),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }

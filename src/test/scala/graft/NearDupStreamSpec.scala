@@ -51,4 +51,38 @@ class NearDupStreamSpec extends AnyFunSuite {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("maxBucket saturates a hot bucket: bounded state, drops counted") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    try {
+      val template = "the quick brown fox jumps over the lazy dog again and again"
+      val acc = spark.sparkContext.longAccumulator(
+        graft.operators.Dedup.SkippedBucketsAcc)
+      val input = MemoryStream[(Long, String)]
+      // cap 3: docs 1-3 fill the bucket; doc 4 pairs then trips
+      // saturation (state cleared, counted); docs 5-6 drop silently
+      val q = NearDupStream.pairs(input.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = 3, skippedAcc = Some(acc))
+        .writeStream.format("memory").queryName("neardup_sat")
+        .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+      try {
+        input.addData((1L to 4L).map(i => (i, template)): _*)
+        // pairs among the first 4 arrivals: (1,2),(1,3),(2,3),(1,4),(2,4),(3,4)
+        assert(StreamSync.poll(60000) {
+          spark.sql("SELECT * FROM neardup_sat").count() == 6
+        })
+        // saturation counted once per band bucket (identical docs share
+        // all 4 band buckets, each trips independently)
+        assert(acc.value == 4)
+        input.addData((5L, template), (6L, template))
+        assert(StreamSync.awaitInputRows(q, 6))
+        assert(spark.sql("SELECT * FROM neardup_sat").count() == 6) // no new pairs
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
