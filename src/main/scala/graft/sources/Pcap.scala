@@ -25,8 +25,10 @@ final case class Frame(
   * meaningful). Scale model: a 100 TB capture corpus is many files — the
   * unit of parallelism is the file, same as the reference's queue workers
   * (`models.py:257,263`), so this layout scales linearly with executors
-  * without any shuffle. A DataSource-V2 chunked reader is the planned
-  * upgrade for pathological single-huge-file inputs.
+  * without any shuffle. For pathological single-huge-file inputs the
+  * DSv2 reader's `chunkBytes` option splits a classic pcap into ranged
+  * tasks with chain-validated boundary resync ([[decodeChunk]]) —
+  * offset-valued frameNo, exactness pinned by ChunkedPcapSpec.
   *
   * Format sniffing (magic at `diameter.py:99-109`):
   *   `d4c3b2a1` little-endian pcap, `a1b2c3d4` big-endian pcap,
@@ -87,6 +89,106 @@ object Pcap {
       out += Frame(name, frameNo, tsSec, tsUsec.toInt, dlt, java.util.Arrays.copyOfRange(b, off, off + inclLen))
       off += inclLen
       frameNo += 1
+    }
+    out.result()
+  }
+
+  /** Classic-pcap global-header fields needed to plan a chunked read:
+    * endianness, DLT, and the snap length (clamped to a sane cap for
+    * resync plausibility and overhang sizing). */
+  final case class PcapHeader(le: Boolean, dlt: Int, snapCap: Long)
+
+  /** Parse the 24-byte classic-pcap global header, or None for pcapng /
+    * unknown / short input. */
+  def classicHeader(bytes: Array[Byte]): Option[PcapHeader] =
+    if (bytes.length < 24) None
+    else sniff(bytes) match {
+      case Some(PcapLe) | Some(PcapBe) =>
+        val le = sniff(bytes).contains(PcapLe)
+        def u32(off: Int): Long = if (le) leLong(bytes, off, 4) else beLong(bytes, off, 4)
+        val snap = u32(16)
+        val snapCap = math.min(math.max(snap, 65535L), 1L << 20)
+        Some(PcapHeader(le, u32(20).toInt, snapCap))
+      case _ => None
+    }
+
+  /** Bytes a chunk reader must read past its range end so that (a) the
+    * last record STARTING in the range is complete and (b) a resync
+    * candidate near the end can still chain-check its successor. */
+  def chunkOverhang(h: PcapHeader): Long = 2L * (16 + h.snapCap)
+
+  /** S2 at scale: decode the classic-pcap records of ONE BYTE RANGE of a
+    * capture — the chunked half of the DSv2 reader's split model for
+    * pathological single-huge-file inputs (a 1 TB capture is otherwise
+    * one task). `buf` holds file bytes `[bufStartOff, bufStartOff +
+    * buf.length)`; records whose 16-byte header STARTS in
+    * `[bufStartOff, emitEndOff)` are emitted (the standard split
+    * ownership rule), reading into the overhang to finish the last one.
+    *
+    * Mid-file chunks cannot know where a record boundary falls, so they
+    * RESYNC: scan forward for the first offset whose record header is
+    * structurally plausible (µs field < 10^6, lengths within the snap
+    * cap and the file) AND whose successor record chains (next header
+    * plausible, or the record ends exactly at EOF). False sync needs a
+    * payload embedding a 2-record plausible chain at the cut — the
+    * first chunk never resyncs, so a whole-file read stays exact.
+    *
+    * `frameNo` in chunked mode is the record's FILE OFFSET — stable,
+    * unique and capture-ordered (sort by it to restore order) but not
+    * the dense 1..N of [[decodeFile]]; rank it when density matters.
+    * On a corrupt middle, [[decodePcap]] stops for the rest of the
+    * file while later chunks resync past the damage and recover the
+    * tail — chunked reads dominate, never lose, frames there. */
+  def decodeChunk(name: String, buf: Array[Byte], bufStartOff: Long,
+      emitEndOff: Long, fileLen: Long, h: PcapHeader): Seq[Frame] = {
+    def u32(rel: Int): Long = if (h.le) leLong(buf, rel, 4) else beLong(buf, rel, 4)
+    // structural plausibility of a record header at file offset `off`
+    // (relative position rel = off - bufStartOff must have 16 bytes)
+    def headerPlausible(rel: Int): Boolean = {
+      val usec = u32(rel + 4)
+      val incl = u32(rel + 8)
+      val orig = u32(rel + 12)
+      usec < 1000000L && incl <= h.snapCap && orig <= 0xffffffL &&
+        bufStartOff + rel + 16 + incl <= fileLen
+    }
+    // deep chain validation: walk pseudo-records from `rel`; EVERY
+    // header until exact EOF (or the end of the readable lookahead)
+    // must stay plausible. A one-byte-shifted false boundary can fool a
+    // single-successor check (shifted reads inherit the true record's
+    // low-entropy length bytes) and then silently jump over real
+    // records; it cannot stay plausible across the whole overhang,
+    // while a true boundary always does.
+    def chains(rel0: Int): Boolean = {
+      var r = rel0
+      while (true) {
+        if (bufStartOff + r == fileLen) return true
+        if (r + 16 > buf.length) return true // lookahead exhausted, chain held
+        if (!headerPlausible(r)) return false
+        r += 16 + u32(r + 8).toInt
+      }
+      true
+    }
+    var rel = 0
+    if (bufStartOff > 24) { // mid-file chunk: resync
+      var found = -1
+      while (found < 0 && rel + 16 <= buf.length &&
+          bufStartOff + rel < emitEndOff) {
+        if (headerPlausible(rel) && chains(rel)) found = rel else rel += 1
+      }
+      if (found < 0) return Seq.empty
+      rel = found
+    }
+    val out = Seq.newBuilder[Frame]
+    while (rel + 16 <= buf.length && bufStartOff + rel < emitEndOff) {
+      val tsSec = u32(rel)
+      var tsUsec = u32(rel + 4)
+      val inclLenL = u32(rel + 8)
+      if (tsUsec.toString.length >= 6) tsUsec = tsUsec.toString.take(6).toLong
+      if (inclLenL < 0 || rel + 16 + inclLenL > buf.length) return out.result()
+      val inclLen = inclLenL.toInt
+      out += Frame(name, bufStartOff + rel, tsSec, tsUsec.toInt, h.dlt,
+        java.util.Arrays.copyOfRange(buf, rel + 16, rel + 16 + inclLen))
+      rel += 16 + inclLen
     }
     out.result()
   }

@@ -58,36 +58,77 @@ class PcapTable(path: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PcapScanBuilder(Option(options.get("path")).getOrElse(path))
+    new PcapScanBuilder(Option(options.get("path")).getOrElse(path),
+      Option(options.get("chunkBytes")).map(_.toLong))
 }
 
-class PcapScanBuilder(path: String) extends ScanBuilder
+class PcapScanBuilder(path: String, chunkBytes: Option[Long]) extends ScanBuilder
     with SupportsPushDownRequiredColumns {
   private var required: StructType = PcapTable.Schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PcapScan(path, required)
+  override def build(): Scan = new PcapScan(path, required, chunkBytes)
 }
 
-final case class PcapInputPartition(file: String) extends InputPartition
+/** One read task. `start < 0` = whole-file [[Pcap.decodeFile]] mode
+  * (dense 1..N frameNo). Otherwise the chunked mode: decode records
+  * whose header starts in `[start, end)` of a classic pcap whose
+  * global header is `(le, dlt, snapCap)`; frameNo = record file
+  * offset (see [[Pcap.decodeChunk]]). */
+final case class PcapInputPartition(file: String, start: Long = -1L,
+    end: Long = -1L, fileLen: Long = -1L, le: Boolean = true,
+    dlt: Int = -1, snapCap: Long = -1L) extends InputPartition
 
-class PcapScan(path: String, required: StructType) extends Scan with Batch {
+class PcapScan(path: String, required: StructType, chunkBytes: Option[Long])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val hadoopPath = new Path(path)
-    val fs = FileSystem.get(hadoopPath.toUri, new org.apache.hadoop.conf.Configuration())
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = FileSystem.get(hadoopPath.toUri, conf)
     val statuses = Option(fs.globStatus(hadoopPath))
       .map(_.toSeq)
       .getOrElse(if (fs.exists(hadoopPath)) Seq(fs.getFileStatus(hadoopPath)) else Seq.empty)
-    statuses
+    val files = statuses
       .flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s))
       .filter(_.isFile)
-      .map(s => PcapInputPartition(s.getPath.toString): InputPartition)
-      .toArray
+    chunkBytes match {
+      case None =>
+        files.map(s => PcapInputPartition(s.getPath.toString): InputPartition).toArray
+      case Some(chunk) =>
+        require(chunk >= (1L << 16),
+          s"chunkBytes must be >= 64 KiB, got $chunk")
+        files.flatMap { st =>
+          val p = st.getPath
+          val len = st.getLen
+          // classic pcap only: read the 24-byte global header at plan
+          // time; pcapng (internally block-delimited but stateful:
+          // SHB/IDB options apply forward) and unknown files keep the
+          // one-file-one-task path
+          val head = new Array[Byte](math.min(24L, len).toInt)
+          val in = fs.open(p)
+          try in.readFully(0, head) finally in.close()
+          Pcap.classicHeader(head) match {
+            case Some(h) if len > chunk =>
+              (24L until len by chunk).map { start =>
+                PcapInputPartition(p.toString, if (start == 24L) 24L else start,
+                  math.min(start + chunk, len), len, h.le, h.dlt,
+                  h.snapCap): InputPartition
+              }
+            case Some(h) =>
+              // uniform frameNo semantics across a chunked read: small
+              // classic files also emit offset-numbered frames
+              Seq(PcapInputPartition(p.toString, 24L, len, len, h.le, h.dlt,
+                h.snapCap): InputPartition)
+            case None =>
+              Seq(PcapInputPartition(p.toString): InputPartition)
+          }
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -98,25 +139,39 @@ class PcapReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[PcapInputPartition].file
     new PartitionReader[InternalRow] {
+      private val part = partition.asInstanceOf[PcapInputPartition]
       private val frames = {
         val p = new Path(file)
         val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
-        val in = fs.open(p)
-        val bytes = try {
-          val lenL = fs.getFileStatus(p).getLen
-          // Whole-file decode needs a single byte[]; JVM arrays cap at
-          // Int.MaxValue, so captures >= 2 GiB must fail loudly rather than
-          // wrap the int cast into a negative/truncated size.
-          if (lenL > Int.MaxValue - 8)
-            throw new java.io.IOException(
-              s"pcap file $file is $lenL bytes; the in-memory decoder supports " +
-              "at most 2 GiB per capture file — split the capture")
-          val len = lenL.toInt
-          val buf = new Array[Byte](len)
-          in.readFully(0, buf)
-          buf
-        } finally in.close()
-        Pcap.decodeFile(file, bytes).iterator
+        if (part.start < 0) {
+          val in = fs.open(p)
+          val bytes = try {
+            val lenL = fs.getFileStatus(p).getLen
+            // Whole-file decode needs a single byte[]; JVM arrays cap at
+            // Int.MaxValue, so captures >= 2 GiB must fail loudly rather than
+            // wrap the int cast into a negative/truncated size.
+            if (lenL > Int.MaxValue - 8)
+              throw new java.io.IOException(
+                s"pcap file $file is $lenL bytes; the in-memory decoder supports " +
+                "at most 2 GiB per capture file — split the capture, or read " +
+                "with option(\"chunkBytes\", ...) for the ranged path")
+            val len = lenL.toInt
+            val buf = new Array[Byte](len)
+            in.readFully(0, buf)
+            buf
+          } finally in.close()
+          Pcap.decodeFile(file, bytes).iterator
+        } else {
+          val h = Pcap.PcapHeader(part.le, part.dlt, part.snapCap)
+          val readEnd = math.min(part.end + Pcap.chunkOverhang(h), part.fileLen)
+          val n = (readEnd - part.start).toInt
+          val buf = new Array[Byte](math.max(n, 0))
+          if (n > 0) {
+            val in = fs.open(p)
+            try in.readFully(part.start, buf) finally in.close()
+          }
+          Pcap.decodeChunk(file, buf, part.start, part.end, part.fileLen, h).iterator
+        }
       }
       private var current: graft.sources.Frame = _
 
