@@ -262,10 +262,15 @@ object Pcap {
 
   /** Batch source: every frame of every capture file under `path`, via
     * the DataSource V2 reader (`graft.sources.v2.PcapDataSource`) — one
-    * input partition per file, column pruning pushed to the reader. */
-  def frames(spark: SparkSession, path: String): Dataset[Frame] = {
+    * input partition per file, column pruning pushed to the reader.
+    * `chunkBytes` switches classic-pcap files to ranged tasks
+    * ([[decodeChunk]] semantics: offset-valued frameNo). */
+  def frames(spark: SparkSession, path: String,
+      chunkBytes: Option[Long] = None): Dataset[Frame] = {
     import spark.implicits._
-    spark.read.format("pcap").load(path).as[Frame]
+    val r = spark.read.format("pcap")
+    chunkBytes.foreach(c => r.option("chunkBytes", c.toString))
+    r.load(path).as[Frame]
   }
 
   /** binaryFile-based fallback (kept for environments where the v2

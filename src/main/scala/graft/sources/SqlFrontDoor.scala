@@ -45,6 +45,10 @@ object SqlFrontDoor {
     def s = SparkSession.active
     Seq(
       ("pcap_frames", 1, a => Pcap.frames(s, a.head).toDF()),
+      // ranged read of huge classic pcaps (chunk_bytes >= 64 KiB;
+      // frameNo = record file offset — see Pcap.decodeChunk)
+      ("pcap_frames_chunked", 2, a =>
+        Pcap.frames(s, a.head, Some(a(1).trim.toLong)).toDF()),
       ("diameter_records", 1, a => DiameterPipeline.records(s, a.head).toDF()),
       ("http_records", 1, a => Http.records(s, a.head)),
       ("http_ss7_records", 1, a => HttpSs7.records(s, a.head)),

@@ -47,6 +47,14 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     val p = dir.toString + "/*.pcap"
 
     assert(spark.sql(s"SELECT count(*) FROM pcap_frames('$p')").collect().head.getLong(0) == 2L)
+    // chunked variant: same frames, offset-valued frameNo (first = 24)
+    val ch = spark.sql(
+      s"SELECT frameNo, md5(data) AS h FROM pcap_frames_chunked('$p', '65536') ORDER BY frameNo")
+      .collect()
+    val pl = spark.sql(
+      s"SELECT md5(data) AS h FROM pcap_frames('$p') ORDER BY frameNo").collect()
+    assert(ch.length == 2 && ch.head.getLong(0) == 24L)
+    assert(ch.map(_.getString(1)).toSeq == pl.map(_.getString(0)).toSeq)
 
     val rows = spark.sql(
       s"""SELECT sessionId, request, resultCode
