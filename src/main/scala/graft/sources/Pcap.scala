@@ -26,9 +26,11 @@ final case class Frame(
   * unit of parallelism is the file, same as the reference's queue workers
   * (`models.py:257,263`), so this layout scales linearly with executors
   * without any shuffle. For pathological single-huge-file inputs the
-  * DSv2 reader's `chunkBytes` option splits a classic pcap into ranged
-  * tasks with chain-validated boundary resync ([[decodeChunk]]) —
-  * offset-valued frameNo, exactness pinned by ChunkedPcapSpec.
+  * DSv2 reader's `chunkBytes` option splits a capture into ranged
+  * tasks with chain-validated boundary resync — classic pcap via
+  * [[decodeChunk]], prologue-state pcapng via [[decodeNgChunk]] —
+  * offset-valued frameNo, exactness pinned by ChunkedPcapSpec /
+  * ChunkedPcapNgSpec.
   *
   * Format sniffing (magic at `diameter.py:99-109`):
   *   `d4c3b2a1` little-endian pcap, `a1b2c3d4` big-endian pcap,
@@ -193,6 +195,17 @@ object Pcap {
     out.result()
   }
 
+  /** Reference EPB timestamp semantics (e.g. diameter.py:546-549):
+    * decimal-digit split of the combined 64-bit tick count — first 10
+    * digits are epoch seconds, and µs is the next 6 digits ONLY when at
+    * least 6 remain (ms-resolution captures with 11-15 digit tick counts
+    * get µs=0, not a scaled value). Shared by the whole-file and chunked
+    * pcapng walkers so the two paths cannot drift. */
+  private def epbTs(ts: Long): (Long, Int) = {
+    val s = java.lang.Long.toUnsignedString(ts)
+    (s.take(10).toLong, if (s.length - 10 >= 6) s.slice(10, 16).toLong.toInt else 0)
+  }
+
   /** S3: pcapng — SHB / IDB (DLT + `if_tsresol` option 9) / EPB walk;
     * 64-bit timestamp recombined then split into seconds + µs by decimal
     * digit slicing, preserving the reference's semantics
@@ -238,15 +251,7 @@ object Pcap {
         val tsHigh = u32(off + 12)
         val tsLow = u32(off + 16)
         val capLenL = u32(off + 20)
-        val ts = (tsHigh << 32) | tsLow
-        // reference semantics (e.g. diameter.py:546-549): decimal-digit
-        // split of the combined tick count — first 10 digits are epoch
-        // seconds, and µs is the next 6 digits ONLY when at least 6 remain
-        // (ms-resolution captures with 11-15 digit tick counts get µs=0,
-        // not a scaled value).
-        val s = java.lang.Long.toUnsignedString(ts)
-        val tsSec = s.take(10).toLong
-        val tsUsec = if (s.length - 10 >= 6) s.slice(10, 16).toLong.toInt else 0
+        val (tsSec, tsUsec) = epbTs((tsHigh << 32) | tsLow)
         val dataOff = off + 28
         if (capLenL >= 0 && dataOff + capLenL <= b.length) {
           val capLen = capLenL.toInt
@@ -260,11 +265,163 @@ object Pcap {
     out.result()
   }
 
+  /** pcapng section state a chunked read needs, captured at plan time
+    * from the file's prologue (every block before the first packet
+    * block): byte order from the SHB, link type + timestamp resolution
+    * from the IDBs (last one wins — the same single-interface semantics
+    * as the whole-file walk), and the file offset of the first packet
+    * block, where chunk ranges begin. */
+  final case class PcapNgPrologue(le: Boolean, dlt: Int, tsResol: Int,
+      dataStart: Long)
+
+  /** Largest block length the chunked pcapng path accepts — bounds the
+    * per-task overhang read and the resync plausibility window. Real
+    * EPBs are packet-sized (snaplen-capped, ≤ 64 KiB in practice);
+    * 1 MiB matches the classic path's snap cap. Over-cap blocks fail
+    * LOUDLY at read time, never silently truncate. */
+  final val NgMaxBlock: Long = 1L << 20
+
+  /** Bytes a pcapng chunk reader must read past its range end so the
+    * last block STARTING in the range is complete and a resync
+    * candidate near the end can still chain-check its successor. */
+  def ngChunkOverhang: Long = 2L * NgMaxBlock
+
+  /** Parse the pcapng prologue from the file's head bytes: walk blocks
+    * from offset 0, absorbing SHB/IDB state, until the first packet
+    * block (EPB/SPB). Returns None when `head` is not pcapng or the
+    * prologue does not complete inside the head window — callers fall
+    * back to the whole-file stateful walk (never a wrong chunked read). */
+  def ngPrologue(head: Array[Byte], fileLen: Long): Option[PcapNgPrologue] = {
+    if (!sniff(head).contains(PcapNg)) return None
+    var off = 0
+    var le = true
+    var dlt = -1
+    var tsResol = 6
+    def u32(o: Int): Long = if (le) leLong(head, o, 4) else beLong(head, o, 4)
+    def u16(o: Int): Int = (if (le) leLong(head, o, 2) else beLong(head, o, 2)).toInt
+    while (off + 12 <= head.length) {
+      if (beLong(head, off, 4) == MagicNg)
+        le = leLong(head, off + 8, 4) == 0x1a2b3c4dL
+      val blockLenL = u32(off + 4)
+      if (blockLenL < 12 || off + blockLenL > fileLen) return None // corrupt head
+      val bt = u32(off)
+      if (bt == 6L || bt == 3L) // first packet block: prologue complete
+        return Some(PcapNgPrologue(le, dlt, tsResol, off.toLong))
+      if (bt == 1L && off + blockLenL <= head.length) {
+        dlt = u16(off + 8)
+        var o = off + 16
+        var done = false
+        while (!done && o + 4 <= off + blockLenL.toInt - 4) {
+          val code = u16(o); val len = u16(o + 2)
+          if (code == 0) done = true
+          else {
+            if (code == 9 && len >= 1) tsResol = head(o + 4) & 0xff
+            o += 4 + ((len + 3) / 4) * 4
+          }
+        }
+      } else if (bt == 1L) return None // IDB extends past the head window
+      if (off + blockLenL > head.length && off + blockLenL < fileLen)
+        return None // prologue runs past the head window
+      off += blockLenL.toInt
+      if (off.toLong == fileLen) // no packet blocks at all
+        return Some(PcapNgPrologue(le, dlt, tsResol, fileLen))
+    }
+    None
+  }
+
+  /** S3 at scale: decode the EPBs of ONE BYTE RANGE of a pcapng capture
+    * — the pcapng half of the DSv2 `chunkBytes` split model. Blocks
+    * whose header STARTS in `[bufStartOff, emitEndOff)` are emitted,
+    * reading into the overhang to finish the last one. Section state
+    * (endianness, DLT, ts resolution) comes from the plan-time
+    * [[ngPrologue]]; a mid-file SHB or IDB — state this chunk's peers
+    * could not see — fails the read LOUDLY rather than decoding with
+    * stale state (every byte belongs to exactly one chunk's emit range,
+    * so the owning task always trips the guard).
+    *
+    * Mid-file chunks resync like the classic path, but pcapng's block
+    * framing is stronger: a candidate must carry a known block type, a
+    * 4-aligned length within [12, [[NgMaxBlock]]], the format's
+    * REDUNDANT trailing length equal to the leading one, and must stay
+    * structurally plausible through the entire readable lookahead
+    * (one-byte-shifted false boundaries die on the trailing-length
+    * check). `frameNo` = block file offset, the same stable
+    * capture-ordered contract as the classic chunked path. Corrupt
+    * middles cost only the damaged region: the sequential whole-file
+    * walk stops there, chunked tasks resync past it and recover the
+    * tail. */
+  def decodeNgChunk(name: String, buf: Array[Byte], bufStartOff: Long,
+      emitEndOff: Long, fileLen: Long, pro: PcapNgPrologue): Seq[Frame] = {
+    def u32(rel: Int): Long = if (pro.le) leLong(buf, rel, 4) else beLong(buf, rel, 4)
+    def typePlausible(t: Long): Boolean =
+      (t >= 1L && t <= 16L) || t == MagicNg || t == 0x0badL || t == 0x40000badL
+    def blockPlausible(rel: Int): Boolean = {
+      if (rel + 12 > buf.length) return false
+      val t = u32(rel)
+      val len = u32(rel + 4)
+      typePlausible(t) && len >= 12 && len % 4 == 0 && len <= NgMaxBlock &&
+        bufStartOff + rel + len <= fileLen &&
+        (t != 6L || len >= 32) &&
+        (rel + len > buf.length || u32(rel + len.toInt - 4) == len)
+    }
+    def chains(rel0: Int): Boolean = {
+      var r = rel0
+      while (true) {
+        if (bufStartOff + r == fileLen) return true
+        if (r + 12 > buf.length) return true // lookahead exhausted, chain held
+        if (!blockPlausible(r)) return false
+        r += u32(r + 4).toInt
+      }
+      true
+    }
+    var rel = 0
+    if (bufStartOff > pro.dataStart) { // mid-file chunk: resync
+      var found = -1
+      while (found < 0 && rel + 12 <= buf.length &&
+          bufStartOff + rel < emitEndOff) {
+        if (blockPlausible(rel) && chains(rel)) found = rel else rel += 1
+      }
+      if (found < 0) return Seq.empty
+      rel = found
+    }
+    val out = Seq.newBuilder[Frame]
+    while (rel + 12 <= buf.length && bufStartOff + rel < emitEndOff) {
+      val bt = u32(rel)
+      val blockLenL = u32(rel + 4)
+      if (blockLenL < 12 || blockLenL % 4 != 0 ||
+          bufStartOff + rel + blockLenL > fileLen) return out.result() // corrupt: stop like the whole-file walk
+      if (bt == MagicNg || bt == 1L)
+        throw new java.io.IOException(
+          s"pcapng file $name has a mid-file ${if (bt == 1L) "IDB" else "SHB"} at " +
+            s"offset ${bufStartOff + rel}; chunked reads need all section/interface " +
+            "state in the prologue — read without chunkBytes for the stateful walk")
+      if (rel + blockLenL > buf.length)
+        throw new java.io.IOException(
+          s"pcapng block of $blockLenL bytes at offset ${bufStartOff + rel} in $name " +
+            s"exceeds the chunked-read block cap ($NgMaxBlock) — read without " +
+            "chunkBytes for the whole-file walk")
+      val blockLen = blockLenL.toInt
+      if (bt == 6L && blockLen >= 32) {
+        val capLenL = u32(rel + 20)
+        val (tsSec, tsUsec) = epbTs((u32(rel + 12) << 32) | u32(rel + 16))
+        val dataOff = rel + 28
+        if (capLenL >= 0 && dataOff + capLenL <= buf.length) {
+          val capLen = capLenL.toInt
+          out += Frame(name, bufStartOff + rel, tsSec, tsUsec, pro.dlt,
+            java.util.Arrays.copyOfRange(buf, dataOff, dataOff + capLen))
+        }
+      }
+      rel += blockLen
+    }
+    out.result()
+  }
+
   /** Batch source: every frame of every capture file under `path`, via
     * the DataSource V2 reader (`graft.sources.v2.PcapDataSource`) — one
     * input partition per file, column pruning pushed to the reader.
-    * `chunkBytes` switches classic-pcap files to ranged tasks
-    * ([[decodeChunk]] semantics: offset-valued frameNo). */
+    * `chunkBytes` switches classic-pcap AND prologue-state pcapng files
+    * to ranged tasks ([[decodeChunk]]/[[decodeNgChunk]] semantics:
+    * offset-valued frameNo). */
   def frames(spark: SparkSession, path: String,
       chunkBytes: Option[Long] = None): Dataset[Frame] = {
     import spark.implicits._

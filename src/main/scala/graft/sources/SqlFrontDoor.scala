@@ -45,8 +45,9 @@ object SqlFrontDoor {
     def s = SparkSession.active
     Seq(
       ("pcap_frames", 1, a => Pcap.frames(s, a.head).toDF()),
-      // ranged read of huge classic pcaps (chunk_bytes >= 64 KiB;
-      // frameNo = record file offset — see Pcap.decodeChunk)
+      // ranged read of huge captures, classic pcap or prologue-state
+      // pcapng (chunk_bytes >= 64 KiB; frameNo = record file offset —
+      // see Pcap.decodeChunk / decodeNgChunk)
       ("pcap_frames_chunked", 2, a =>
         Pcap.frames(s, a.head, Some(a(1).trim.toLong)).toDF()),
       ("diameter_records", 1, a => DiameterPipeline.records(s, a.head).toDF()),

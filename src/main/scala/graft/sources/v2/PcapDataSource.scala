@@ -74,12 +74,15 @@ class PcapScanBuilder(path: String, chunkBytes: Option[Long]) extends ScanBuilde
 
 /** One read task. `start < 0` = whole-file [[Pcap.decodeFile]] mode
   * (dense 1..N frameNo). Otherwise the chunked mode: decode records
-  * whose header starts in `[start, end)` of a classic pcap whose
-  * global header is `(le, dlt, snapCap)`; frameNo = record file
-  * offset (see [[Pcap.decodeChunk]]). */
+  * whose header starts in `[start, end)`; frameNo = record file
+  * offset. `ngDataStart < 0` = classic pcap with global header
+  * `(le, dlt, snapCap)` ([[Pcap.decodeChunk]]); otherwise pcapng with
+  * prologue state `(le, dlt, tsResol, ngDataStart)`
+  * ([[Pcap.decodeNgChunk]]). */
 final case class PcapInputPartition(file: String, start: Long = -1L,
     end: Long = -1L, fileLen: Long = -1L, le: Boolean = true,
-    dlt: Int = -1, snapCap: Long = -1L) extends InputPartition
+    dlt: Int = -1, snapCap: Long = -1L, ngDataStart: Long = -1L,
+    tsResol: Int = 6) extends InputPartition
 
 class PcapScan(path: String, required: StructType, chunkBytes: Option[Long])
     extends Scan with Batch {
@@ -105,26 +108,35 @@ class PcapScan(path: String, required: StructType, chunkBytes: Option[Long])
         files.flatMap { st =>
           val p = st.getPath
           val len = st.getLen
-          // classic pcap only: read the 24-byte global header at plan
-          // time; pcapng (internally block-delimited but stateful:
-          // SHB/IDB options apply forward) and unknown files keep the
-          // one-file-one-task path
-          val head = new Array[Byte](math.min(24L, len).toInt)
+          // read the file head at plan time: 24 bytes decide a classic
+          // pcap; pcapng needs its prologue (SHB + IDBs before the
+          // first packet block — 64 KiB is generous; a longer prologue
+          // falls back to the stateful whole-file walk, never a wrong
+          // chunked read)
+          val head = new Array[Byte](math.min(1L << 16, len).toInt)
           val in = fs.open(p)
           try in.readFully(0, head) finally in.close()
-          Pcap.classicHeader(head) match {
-            case Some(h) if len > chunk =>
+          (Pcap.classicHeader(head), Pcap.ngPrologue(head, len)) match {
+            case (Some(h), _) if len > chunk =>
               (24L until len by chunk).map { start =>
                 PcapInputPartition(p.toString, if (start == 24L) 24L else start,
                   math.min(start + chunk, len), len, h.le, h.dlt,
                   h.snapCap): InputPartition
               }
-            case Some(h) =>
+            case (Some(h), _) =>
               // uniform frameNo semantics across a chunked read: small
               // classic files also emit offset-numbered frames
               Seq(PcapInputPartition(p.toString, 24L, len, len, h.le, h.dlt,
                 h.snapCap): InputPartition)
-            case None =>
+            case (None, Some(pro)) if pro.dataStart < len =>
+              (pro.dataStart until len by chunk).map { start =>
+                PcapInputPartition(p.toString, start,
+                  math.min(start + chunk, len), len, pro.le, pro.dlt,
+                  ngDataStart = pro.dataStart, tsResol = pro.tsResol): InputPartition
+              }
+            case (None, Some(_)) =>
+              Seq.empty // pcapng with no packet blocks: nothing to read
+            case (None, None) =>
               Seq(PcapInputPartition(p.toString): InputPartition)
           }
         }.toArray
@@ -161,6 +173,17 @@ class PcapReaderFactory(required: StructType) extends PartitionReaderFactory {
             buf
           } finally in.close()
           Pcap.decodeFile(file, bytes).iterator
+        } else if (part.ngDataStart >= 0) {
+          val pro = Pcap.PcapNgPrologue(part.le, part.dlt, part.tsResol,
+            part.ngDataStart)
+          val readEnd = math.min(part.end + Pcap.ngChunkOverhang, part.fileLen)
+          val n = (readEnd - part.start).toInt
+          val buf = new Array[Byte](math.max(n, 0))
+          if (n > 0) {
+            val in = fs.open(p)
+            try in.readFully(part.start, buf) finally in.close()
+          }
+          Pcap.decodeNgChunk(file, buf, part.start, part.end, part.fileLen, pro).iterator
         } else {
           val h = Pcap.PcapHeader(part.le, part.dlt, part.snapCap)
           val readEnd = math.min(part.end + Pcap.chunkOverhang(h), part.fileLen)
