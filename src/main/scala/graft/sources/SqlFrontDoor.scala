@@ -86,6 +86,13 @@ object SqlFrontDoor {
       // running_total(path, order_col, value_col) adds `running_total`
       ("running_total", 3, a =>
         graft.operators.Prefix.runningTotal(s.read.parquet(a.head), a(1), a(2), "running_total")),
+      // generic min-label connected components over any parquet edge
+      // list: connected_components(path, src_col, dst_col) → (node,
+      // component); the iterative star rounds run at resolution time,
+      // like dup_clusters
+      ("connected_components", 3, a =>
+        graft.operators.Components.connectedComponents(
+          s.read.parquet(a.head), a(1), a(2))),
       // round-4 corpus-curation family (same documents-shaped contract):
       // exact-substring spans (8-token windows), BM25 retrieval
       // (terms_csv, k), bigram LM scores, cluster-aware splits, and

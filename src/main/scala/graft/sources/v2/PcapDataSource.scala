@@ -108,14 +108,23 @@ class PcapScan(path: String, required: StructType, chunkBytes: Option[Long])
         files.flatMap { st =>
           val p = st.getPath
           val len = st.getLen
-          // read the file head at plan time: 24 bytes decide a classic
-          // pcap; pcapng needs its prologue (SHB + IDBs before the
-          // first packet block — 64 KiB is generous; a longer prologue
-          // falls back to the stateful whole-file walk, never a wrong
-          // chunked read)
-          val head = new Array[Byte](math.min(1L << 16, len).toInt)
+          // plan-time head read, sized by format: 24 bytes decide a
+          // classic pcap; only a pcapng magic pays for the prologue
+          // window (SHB + IDBs before the first packet block — 64 KiB
+          // is generous; a longer prologue falls back to the stateful
+          // whole-file walk, never a wrong chunked read). Keeping the
+          // classic read at 24 bytes matters at fleet scale: planning
+          // 100k files must not read gigabytes on the driver.
+          val head24 = new Array[Byte](math.min(24L, len).toInt)
           val in = fs.open(p)
-          try in.readFully(0, head) finally in.close()
+          try in.readFully(0, head24) finally in.close()
+          val head =
+            if (Pcap.sniff(head24).contains(Pcap.PcapNg) && len > 24) {
+              val h = new Array[Byte](math.min(1L << 16, len).toInt)
+              val in2 = fs.open(p)
+              try in2.readFully(0, h) finally in2.close()
+              h
+            } else head24
           (Pcap.classicHeader(head), Pcap.ngPrologue(head, len)) match {
             case (Some(h), _) if len > chunk =>
               (24L until len by chunk).map { start =>

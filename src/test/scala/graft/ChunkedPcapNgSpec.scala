@@ -155,6 +155,29 @@ class ChunkedPcapNgSpec extends AnyFunSuite {
     assert(ioFailures < 50) // guards fire on a minority of mutations, not everything
   }
 
+  test("a prologue past the plan-time head window falls back to the whole-file walk") {
+    // SHB, then a 100 KiB unknown block (> the 64 KiB head window) before
+    // the IDB: the planner must refuse to chunk (ngPrologue = None) and
+    // keep the stateful single-task path — correct frames, dense frameNo
+    val base = pcapngFile(1, Seq((1700000000000001L, Array[Byte](1, 2, 3)),
+      (1700000000000002L, Array[Byte](4, 5, 6))))
+    val bigLen = (100 << 10) + 16
+    val bigBlock = cat(le32(10L), le32(bigLen.toLong),
+      Array.fill[Byte](bigLen - 12)(0x11), le32(bigLen.toLong))
+    val bytes = cat(java.util.Arrays.copyOfRange(base, 0, 28), bigBlock,
+      java.util.Arrays.copyOfRange(base, 28, base.length))
+    assert(Pcap.ngPrologue(java.util.Arrays.copyOfRange(bytes, 0,
+      math.min(1 << 16, bytes.length)), bytes.length.toLong).isEmpty)
+    val dir = Files.createTempDirectory("graftngfall")
+    Files.write(dir.resolve("longprologue.pcapng"), bytes)
+    val df = SparkTest.spark.read.format("pcap").option("chunkBytes", "65536")
+      .load(dir.toString + "/*.pcapng")
+    assert(df.rdd.getNumPartitions === 1)
+    val rows = df.selectExpr("frameNo", "tsSec", "dlt").orderBy("frameNo").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L)) // dense whole-file numbering
+    assert(rows.map(_.getInt(2)).toSeq === Seq(1, 1))
+  }
+
   test("DSv2 chunkBytes option: ranged pcapng read matches the whole-file read") {
     val spark = SparkTest.spark
     import spark.implicits._

@@ -189,6 +189,16 @@ class SqlFrontDoorSpec extends AnyFunSuite {
          |ORDER BY doc_id DESC LIMIT 1""".stripMargin).collect().head.getLong(0)
     val n = spark.read.parquet(docs).count()
     assert(last == n * (n - 1) / 2, "running total of 0..n-1 must be n(n-1)/2")
+    // generic connected_components over an edge parquet: two known
+    // components, min-labelled
+    val edgeDir = java.nio.file.Files.createTempDirectory("graftedges").toString
+    import spark.implicits._
+    Seq((2L, 1L), (2L, 3L), (11L, 10L), (3L, 1L))
+      .toDF("src", "dst").write.mode("overwrite").parquet(edgeDir)
+    val comps = spark.sql(
+      s"SELECT node, component FROM connected_components('$edgeDir', 'src', 'dst') ORDER BY node")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
   }
 
   test("corpus-curation TVFs (span_dedup, bm25, lm, split, shard) from pure SQL") {
