@@ -84,6 +84,25 @@ class ChunkedPcapSpec extends AnyFunSuite {
     assert(parts.takeRight(1).head.tsSec === whole.last.tsSec)
   }
 
+  test("chunk decoder is total on mutated captures") {
+    for (_ <- 0 until 200) {
+      val bytes = randFile(gen(Gen.chooseNum(1, 8)))
+      val b = bytes.clone()
+      for (_ <- 0 until gen(Gen.chooseNum(1, 4))) {
+        val i = gen(Gen.chooseNum(0, b.length - 1))
+        b(i) = gen(Gen.chooseNum(-128, 127)).toByte
+      }
+      val mutated =
+        if (gen(Gen.prob(0.5)))
+          java.util.Arrays.copyOfRange(b, 0, gen(Gen.chooseNum(25, b.length)))
+        else b
+      Pcap.classicHeader(mutated).foreach { _ =>
+        val cut = gen(Gen.chooseNum(25L, mutated.length.toLong))
+        chunked(mutated, Seq(cut)).foreach(f => assert(f.data != null))
+      }
+    }
+  }
+
   test("DSv2 chunkBytes option: ranged read matches the whole-file read") {
     val spark = SparkTest.spark
     import spark.implicits._
