@@ -94,7 +94,8 @@ object Bench {
     // quality regressions show up in the round artifact, not only in
     // AnnSpec. Bounded work: each ranking is NumQueries*K rows.
     val annNames = Seq("v2_knn_lsh", "v4_knn_ivf", "v7_knn_ivf_trained",
-      "v8_knn_lsh_multiprobe", "v9_knn_pq", "v10_knn_ivf_pq", "v11_ivf_served")
+      "v8_knn_lsh_multiprobe", "v9_knn_pq", "v10_knn_ivf_pq", "v11_ivf_served",
+      "v12_ivfpq_served")
     val byName = queries.map(q => q.name -> q).toMap
     val recall: Seq[(String, Double)] =
       byName.get("v1_knn_brute").toSeq.flatMap { v1 =>

@@ -845,6 +845,163 @@ object Ann extends Serializable {
     topK(scored, k)
   }
 
+  /** The TRAIN-ONCE artifact of the IVF-PQ deployment split: every
+    * corpus vector's cell assignment plus its m residual codes — one
+    * compact (cid, cell, m-byte code) row per vector, ~32× smaller
+    * than the float vectors. Write it `partitionBy("cell")` and
+    * [[ivfPqTopKEncoded]] reads ONLY the probed cells via partition
+    * pruning — the 10⁹-vector serving layout where a query batch
+    * touches nprobe/cells of the corpus as bytes, not floats. */
+  def ivfPqEncode(corpus: DataFrame, cents: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val kc = books(0).length
+    val sub = books(0)(0).length
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcB = spark.sparkContext.broadcast(books)
+    corpus.select(col("cid"), col("cvec")).as[(Long, Array[Float])]
+      .map { case (cid, v) =>
+        val cs = bcC.value
+        val bs = bcB.value
+        val cell = nearestCell(cs, v)
+        val code = new Array[Byte](m)
+        var mi = 0
+        while (mi < m) {
+          val off = mi * sub
+          var best = 0
+          var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < kc) {
+            val c = bs(mi)(ci)
+            var dd = 0.0
+            var i = 0
+            while (i < sub) {
+              val d = (v(off + i) - cs(cell)(off + i)).toDouble - c(i)
+              dd += d * d
+              i += 1
+            }
+            if (dd < bestD) { bestD = dd; best = ci }
+            ci += 1
+          }
+          code(mi) = best.toByte
+          mi += 1
+        }
+        (cid, cell, code)
+      }
+      .toDF("cid", "cell", "code")
+  }
+
+  /** The SERVE half of the IVF-PQ deployment split: ADC over
+    * PRE-ENCODED codes ([[ivfPqEncode]]'s output, read back from a
+    * `cell=<k>/`-partitioned layout so the scan is partition-pruned to
+    * the probed cells), the standard top-`refine` cut, then an exact
+    * re-rank that fetches full vectors ONLY for the survivors — one
+    * narrow equi-join against the vector table (refine·|Q| rows). The
+    * query batch is driver-sized by contract ([[collectQueryBatch]]
+    * guards the cliff like the other serve entries). Scoring uses the
+    * same reconstruction identities as the in-line [[ivfPqTopK]]
+    * kernel, so recall matches it at equal parameters. */
+  def ivfPqTopKEncoded(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      cents: Array[Array[Float]], books: Array[Array[Array[Float]]],
+      k: Int, nprobe: Int, refine: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val kc = books(0).length
+    val sub = books(0)(0).length
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcB = spark.sparkContext.broadcast(books)
+    val qRows = collectQueryBatch(queries, MaxDriverQueryRows, "ivfPqTopKEncoded")
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    val probed = qRows.flatMap { case (_, v) => nearestCells(cents, v, nprobe) }
+      .distinct.toSeq
+    val candidates = codes
+      .filter(col("cell").isInCollection(probed))
+      .select(col("cid"), col("cell"), col("code")).as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val bs = bcB.value
+        val qs = bcQ.value
+        // query-independent tables (identical to ivfPqTopKBounded)
+        val tabN2 = Array.ofDim[Double](m, kc)
+        val tabCent = Array.ofDim[Double](cs.length, m, kc)
+        for (mi <- 0 until m; ci <- 0 until kc) {
+          val c = bs(mi)(ci)
+          var n2 = 0.0
+          var i = 0
+          while (i < sub) { n2 += c(i).toDouble * c(i); i += 1 }
+          tabN2(mi)(ci) = n2
+          for (cell <- cs.indices) {
+            var s = 0.0
+            var j = 0
+            while (j < sub) { s += cs(cell)(mi * sub + j).toDouble * c(j); j += 1 }
+            tabCent(cell)(mi)(ci) = s
+          }
+        }
+        val centN2 = cs.map(c => dotD(c, c))
+        val tabQ = Array.ofDim[Double](qs.length, m, kc)
+        val qCentDot = Array.ofDim[Double](qs.length, cs.length)
+        val probesByCell = Array.fill(cs.length)(List.newBuilder[Int])
+        for (qi <- qs.indices) {
+          val qv = qs(qi)._2
+          for (mi <- 0 until m; ci <- 0 until kc) {
+            val c = bs(mi)(ci)
+            var s = 0.0
+            var j = 0
+            while (j < sub) { s += qv(mi * sub + j).toDouble * c(j); j += 1 }
+            tabQ(qi)(mi)(ci) = s
+          }
+          for (cell <- cs.indices) qCentDot(qi)(cell) = dotD(qv, cs(cell))
+          nearestCells(cs, qv, nprobe).foreach(cell => probesByCell(cell) += qi)
+        }
+        val probing = probesByCell.map(_.result().toArray)
+        val qNorm = qs.map(q => math.sqrt(dotD(q._2, q._2)))
+        val heapOrd = Ordering.by[(Double, Long), (Double, Long)](p => (p._1, -p._2)).reverse
+        val heaps = Array.fill(qs.length)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(heapOrd))
+        it.foreach { case (cid, cell, code) =>
+          val qids = probing(cell)
+          if (qids.nonEmpty) {
+            // reconstruction norm: ‖cent‖² + 2·dot(cent, r̂) + ‖r̂‖²
+            var cr = 0.0
+            var rn2 = 0.0
+            var j = 0
+            while (j < m) {
+              val cj = code(j) & 0xff
+              cr += tabCent(cell)(j)(cj); rn2 += tabN2(j)(cj); j += 1
+            }
+            val xn2 = centN2(cell) + 2 * cr + rn2
+            var qi0 = 0
+            while (qi0 < qids.length) {
+              val qi = qids(qi0)
+              if (qs(qi)._1 != cid) {
+                var rd = 0.0
+                var jj = 0
+                while (jj < m) { rd += tabQ(qi)(jj)(code(jj) & 0xff); jj += 1 }
+                val score = (qCentDot(qi)(cell) + rd) / (qNorm(qi) * math.sqrt(xn2))
+                val h = heaps(qi)
+                if (h.size < refine) h.enqueue((score, cid))
+                else if (heapOrd.lt((score, cid), h.head)) { h.dequeue(); h.enqueue((score, cid)) }
+              }
+              qi0 += 1
+            }
+          }
+        }
+        for (qi <- qs.indices.iterator; (score, cid) <- heaps(qi).iterator)
+          yield (qs(qi)._1, cid, score)
+      }
+      .toDF("qid", "cid", "approx")
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    val cut = candidates.withColumn("r", row_number().over(w)).filter(col("r") <= refine)
+      .select(col("qid"), col("cid"))
+    val scored = cut
+      .join(corpus.select(col("cid"), col("cvec")), Seq("cid"))
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
+      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+    topK(scored, k)
+  }
+
   /** Multi-probe hyperplane LSH (Lv et al.'s perturbation idea in its
     * simplest form): each query probes its own bucket plus the buckets
     * reached by flipping its `nprobe - 1` least-confident sign bits

@@ -193,6 +193,76 @@ class AnnSpec extends AnyFunSuite {
     val ivfpq = graft.queries.Embedding.v10KnnIvfPq.run(spark, d)
     val rIvfPq = recallAt5(ivfpq, exact)
     assert(rIvfPq >= 0.9, s"IVF-PQ recall@5 = $rIvfPq")
+    // the encoded serve path shares v10's training and scoring math, so
+    // its recall must hold the same floor (kernel-level equality with
+    // the in-line plan is pinned on shared artifacts in the dedicated
+    // ivf-pq serve-split test — two independent trainings here could
+    // differ in the last float ulp)
+    val served = graft.queries.Embedding.v12IvfPqServed.run(spark, d)
+    val rServed = recallAt5(served, exact)
+    assert(rServed >= 0.9, s"IVF-PQ served recall@5 = $rServed")
+  }
+
+  test("ivf-pq serve split: encoded read-back ADC equals inline, scan prunes to probed cells") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dim = 8
+    val vecs = (0L until 64L).map { i =>
+      (i, Array.tabulate(dim)(j => math.cos(0.41 * (i * dim + j)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val init = corpus.filter($"cid" < 4).orderBy($"cid")
+      .select($"cvec").collect().map(_.getSeq[Float](0).toArray)
+    val cents = Ann.kmeansCentroids(vecs.select($"embedding"), "embedding", init, iters = 3)
+    val residuals = Ann.residualsOf(corpus, "cid", "cvec", cents)
+    val rInit = residuals.filter($"cid" < 4).orderBy($"cid")
+      .select($"cvec").collect().map(_.getSeq[Float](0).toArray)
+    val books0 = Array.tabulate(2, 4)((mi, ci) =>
+      java.util.Arrays.copyOfRange(rInit(ci), mi * 4, (mi + 1) * 4))
+    val books = Ann.pqCodebooks(residuals, "cvec", books0, iters = 2)
+    val queries = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inline = sets(Ann.ivfPqTopK(corpus, queries, cents, books,
+      k = 5, nprobe = 2, refine = 16))
+    // SAME artifacts, only the layout differs: encode once, write
+    // partitioned by cell, serve from the read-back
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_codes").toString
+    Ann.ivfPqEncode(corpus, cents, books).write.partitionBy("cell")
+      .mode("overwrite").parquet(dir)
+    val codes = spark.read.parquet(dir).withColumn("cell", $"cell".cast("int"))
+    val servedDf = Ann.ivfPqTopKEncoded(codes, corpus, queries, cents, books,
+      k = 5, nprobe = 2, refine = 16)
+    assert(sets(servedDf) === inline)
+    // the probed-cell filter must prune the partitioned code layout in
+    // BYTES (same AQE-aware scan walk as the v11 serve-split test): a
+    // one-query batch probing 2 of the 4 cells reads strictly less of
+    // the code file than its full size
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val servedOne = Ann.ivfPqTopKEncoded(codes, corpus,
+      queries.filter($"qid" === 0L), cents, books, k = 5, nprobe = 2, refine = 16)
+    servedOne.collect()
+    val codeScans = scans(servedOne.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("ivfpq_codes")))
+    assert(codeScans.nonEmpty, "no FileSourceScanExec over the code file found")
+    val scannedBytes = codeScans.map(_.metrics("filesSize").value).sum
+    val totalBytes = {
+      val root = java.nio.file.Paths.get(dir)
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally st.close()
+    }
+    assert(scannedBytes > 0 && scannedBytes < totalBytes,
+      s"served scan must prune bytes: scanned=$scannedBytes total=$totalBytes")
   }
 
   test("lshNearDupPairs agrees with exact pairs when buckets coincide") {
