@@ -88,7 +88,12 @@ object Bench {
         System.err.println(f"[bench] ${q.name}: ${times.map(t => f"$t%.2f").mkString(" ")}")
       (q.name, times(times.length / 2), ok)
     }
-    val results = measured.map { case (n, t, _) => n -> t }
+    // a crashed query's elapsed-to-crash duration reads as a fake-fast run:
+    // keep failed queries OUT of the per-query map and the total (they are
+    // still listed by name in "failed"), so a broken query can never
+    // deflate the headline metric (ADVICE r8: total_tail aggregated ~0.06s
+    // crash timings for 15 queries).
+    val results = measured.collect { case (n, t, true) => n -> t }
     val failed = measured.collect { case (n, _, false) => n }
     // recall@5 of the ANN family vs the exact v1 ranking, so ANN
     // quality regressions show up in the round artifact, not only in
