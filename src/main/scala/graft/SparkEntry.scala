@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Corpus, Embedding, Extras, Protocol, Protocol2, Protocol3, Q, Relational, Text, XmlExtract}
+import graft.queries.{Corpus, Embedding, Extras, Protocol, Protocol2, Protocol3, Protocol4, Q, Relational, Text, XmlExtract}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   /** All declared queries, in registration order. */
   def allQueries: Seq[Q] =
     Relational.all ++ Text.all ++ Corpus.all ++ Embedding.all ++ Extras.all ++ XmlExtract.all ++
-      Protocol.all ++ Protocol2.all ++ Protocol3.all
+      Protocol.all ++ Protocol2.all ++ Protocol3.all ++ Protocol4.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,183 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Stateful
+import graft.sinks.Sinks
+
+/** Fourth batch of synthesize-input oracle queries — protocol-domain
+  * flavors of the correlate/counter/dedup family (round-8 verdict #4:
+  * J1/A1/D1 leaned solely on events-based generic analogs, so driver-side
+  * testdata churn on ONE table could blank a whole §2 family), plus a
+  * driver-checked row for the chunked DSv2 capture read (verdict #5: the
+  * round-8 ranged-task resync logic was ScalaTest-only).
+  *
+  * All inputs are synthesized deterministically from `documents.doc_id`
+  * (the Protocol.scala pattern) and run the REAL operators — the same
+  * `Stateful.correlate`, `Sinks.withCounters`, and DSv2 pcap reader the
+  * pipelines use.
+  */
+object Protocol4 {
+
+  /** Correlation message for q48/q50 (top-level for kryo-free closure
+    * capture; rows are emitted as tuples, so no Encoder is needed). */
+  private final case class Msg(frame: Long, isReq: Boolean, own: String,
+      filled: String, matched: Boolean)
+
+  private def mergeMsg(req: Msg, res: Msg): (Msg, Msg) =
+    (req.copy(filled = res.own, matched = true),
+      res.copy(filled = req.own, matched = true))
+
+  // ---------------------------------------------------------------------
+  // q48: J1 request↔response correlation through the REAL slot machine
+  // (`Stateful.correlate`, ref `diameter.py:302-339,580-589`), protocol
+  // flavor of q7_correlate. Four scenarios per doc: matched pair,
+  // matched-with-retransmission (D1 drop inside J1), unmatched answer
+  // (emitted as-is), unanswered request (K3 EOF flush).
+  // ---------------------------------------------------------------------
+
+  val q48CorrelateProto: Q = Q(
+    "q48_correlate_proto",
+    """WITH d AS (SELECT doc_id, CAST(doc_id*7919 AS VARCHAR) AS dg, CAST(doc_id%4 AS INTEGER) AS m FROM documents)
+      |SELECT doc_id, CAST(1 AS BIGINT) AS frame, true AS is_request, 'R'||dg AS own_value,
+      |       CASE WHEN m<=1 THEN 'A'||dg ELSE '' END AS filled_value, m<=1 AS matched
+      |FROM d WHERE m IN (0,1,3)
+      |UNION ALL
+      |SELECT doc_id, CAST(m+2 AS BIGINT), false, 'A'||dg, 'R'||dg, true FROM d WHERE m<=1
+      |UNION ALL
+      |SELECT doc_id, CAST(1 AS BIGINT), false, 'A'||dg, '', false FROM d WHERE m=2
+      |ORDER BY doc_id, frame""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val dg = (id * 7919).toString
+        val req = Msg(1, isReq = true, "R" + dg, "", matched = false)
+        val res = (f: Long) => Msg(f, isReq = false, "A" + dg, "", matched = false)
+        val msgs = (id % 4) match {
+          case 0 => Seq(req, res(2))
+          case 1 => Seq(req, req.copy(frame = 2), res(3)) // frame-2 retrans dropped
+          case 2 => Seq(res(1)) // orphan answer
+          case _ => Seq(req) // unanswered → EOF flush
+        }
+        Stateful.correlate[Msg](msgs, _.frame, _.isReq, mergeMsg)
+          .map(m => (id, m.frame, m.isReq, m.own, m.filled, m.matched))
+      }
+      .toDF("doc_id", "frame", "is_request", "own_value", "filled_value", "matched")
+      .orderBy("doc_id", "frame")
+  }
+
+  // ---------------------------------------------------------------------
+  // q50: D1 retransmission dedup emphasized — a VARIABLE number of
+  // identical requests (doc_id%3+2 of them) must collapse to the first,
+  // and the slot must re-arm after the match (a later request becomes a
+  // fresh pending, flushed at EOF). Ref `diameter.py:307-309`.
+  // ---------------------------------------------------------------------
+
+  val q50DedupProto: Q = Q(
+    "q50_dedup_proto",
+    """WITH d AS (SELECT doc_id, CAST(doc_id*7919 AS VARCHAR) AS dg,
+      |            CAST(doc_id%3+2 AS INTEGER) AS n FROM documents)
+      |SELECT doc_id, CAST(1 AS BIGINT) AS frame, true AS is_request,
+      |       'R'||dg AS own_value, 'A'||dg AS filled_value, true AS matched FROM d
+      |UNION ALL
+      |SELECT doc_id, CAST(n+1 AS BIGINT), false, 'A'||dg, 'R'||dg, true FROM d
+      |UNION ALL
+      |SELECT doc_id, CAST(n+2 AS BIGINT), true, 'S'||dg, '', false FROM d
+      |ORDER BY doc_id, frame""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val dg = (id * 7919).toString
+        val n = (id % 3).toInt + 2
+        val retrans = (1 to n).map(f =>
+          Msg(f.toLong, isReq = true, "R" + dg, "", matched = false))
+        val answer = Msg(n + 1L, isReq = false, "A" + dg, "", matched = false)
+        val reArmed = Msg(n + 2L, isReq = true, "S" + dg, "", matched = false)
+        Stateful.correlate[Msg](retrans :+ answer :+ reArmed, _.frame, _.isReq, mergeMsg)
+          .map(m => (id, m.frame, m.isReq, m.own, m.filled, m.matched))
+      }
+      .toDF("doc_id", "frame", "is_request", "own_value", "filled_value", "matched")
+      .orderBy("doc_id", "frame")
+  }
+
+  // ---------------------------------------------------------------------
+  // q49: A1 processed/not_processed counters through the REAL single-pass
+  // `observe()` path (`Sinks.withCounters`, ref `diameter.py:454-487`,
+  // `models.py:255-258`) — protocol flavor of q12_counters. The query runs
+  // the observed action exactly like the K4 queue-update consumer does and
+  // returns the observation as a one-row frame.
+  // ---------------------------------------------------------------------
+
+  val q49CountersProto: Q = Q(
+    "q49_counters_proto",
+    """SELECT CAST(sum(CASE WHEN doc_id%7=0 THEN 0 ELSE 1 END) AS BIGINT) AS processed,
+      |  CAST(sum(CASE WHEN doc_id%7=0 THEN 1 ELSE 0 END) AS BIGINT) AS not_processed
+      |FROM documents""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val (observed, obs) = Sinks.withCounters(
+      Tables.documents(s, d).select(col("doc_id")),
+      isError = col("doc_id") % 7 === 0)
+    observed.write.format("noop").mode("overwrite").save() // the K1-shaped action
+    val m = obs.get
+    Seq((m("processed").asInstanceOf[Long], m("not_processed").asInstanceOf[Long]))
+      .toDF("processed", "not_processed")
+  }
+
+  // ---------------------------------------------------------------------
+  // q51: S2/S3 chunked capture read (round-8 ranged DSv2 tasks with
+  // prologue state + trailing-length resync, ref `sigshark.py:141-204`
+  // flatten-loop semantics) — a synthesized ~250 KiB classic pcap and
+  // ~350 KiB pcapng, each read with chunkBytes=64 KiB so the plan holds
+  // ≥3 ranged tasks per file; the require() makes a silently-unchunked
+  // read a hard failure rather than a vacuous pass.
+  // ---------------------------------------------------------------------
+
+  private val ChunkFrames = 6000
+
+  private def writeAtomic(dir: java.nio.file.Path, name: String, bytes: Array[Byte]): String = {
+    Files.createDirectories(dir)
+    val target = dir.resolve(name)
+    val tmp = dir.resolve(name + ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    target.toString
+  }
+
+  val q51PcapChunked: Q = Q(
+    "q51_pcap_chunked",
+    s"""SELECT 'le' AS fmt, i AS ts_sec, CAST(i AS INTEGER) AS ts_usec,
+      |  CAST(i%37+8 AS INTEGER) AS data_len, CAST(1 AS INTEGER) AS dlt
+      |FROM range($ChunkFrames) t(i)
+      |UNION ALL
+      |SELECT 'ng', 1600000000+i, CAST(i AS INTEGER), CAST(i%37+8 AS INTEGER), CAST(141 AS INTEGER)
+      |FROM range($ChunkFrames) t(i)
+      |ORDER BY fmt, ts_sec""".stripMargin) { (s, _) =>
+    val frames = (0 until ChunkFrames).map { i =>
+      (i.toLong, Array.fill((i % 37) + 8)((i * 31).toByte))
+    }
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-q51")
+    val lePath = writeAtomic(dir, "cap.pcap",
+      Protocol3.encPcap(le = true, 1, frames.map { case (i, b) => (i, i, b) }))
+    // 16-digit µs ticks: the decoder's decimal-digit resolution rule
+    // (F16/q39) reads shorter tick counts as ms/s resolution
+    val ngPath = writeAtomic(dir, "cap.pcapng",
+      Protocol3.encPcapNg(141, frames.map { case (i, b) =>
+        (1600000000000000L + i * 1000000L + i, b)
+      }))
+    def chunked(path: String, fmt: String) = {
+      val df = s.read.format("pcap").option("chunkBytes", (1L << 16).toString).load(path)
+      require(df.rdd.getNumPartitions >= 3,
+        s"q51: $fmt read planned ${df.rdd.getNumPartitions} tasks — chunking did not engage")
+      df.select(lit(fmt).as("fmt"), col("tsSec").as("ts_sec"),
+        col("tsUsec").as("ts_usec"), length(col("data")).as("data_len"), col("dlt"))
+    }
+    chunked(lePath, "le").unionAll(chunked(ngPath, "ng"))
+      .orderBy("fmt", "ts_sec")
+  }
+
+  val all: Seq[Q] = Seq(q48CorrelateProto, q49CountersProto, q50DedupProto,
+    q51PcapChunked)
+}

@@ -29,6 +29,20 @@ class AnnSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(2) > 0.99)
   }
 
+  test("lshNearDupPairs refuses non-integral id columns instead of lossily casting") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val vecs = Seq(("doc-a", Seq(1.0f, 2.0f)), ("doc-b", Seq(1.0f, 2.1f)))
+      .toDF("vec_id", "embedding")
+    val planes = (0 until 4).map(p => Ann.hyperplane(p, 2))
+    val e = intercept[IllegalArgumentException] {
+      Ann.lshNearDupPairs(vecs, "vec_id", "embedding", planes, 0.9)
+    }
+    // the message must carry the remedy (hash string ids to longs first)
+    assert(e.getMessage.contains("integral type"))
+    assert(e.getMessage.contains("xxhash64"))
+  }
+
   test("ivf serve split: cell-partitioned read-back search equals inline, scan prunes to probed cells") {
     val spark = SparkTest.spark
     import spark.implicits._

@@ -29,9 +29,49 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+# Schema-drift tripwire (round-8 lesson: the driver regenerated events.ts
+# under a different physical type and 15 queries silently crashed). Key
+# columns whose LOGICAL type the loaders and oracle SQL both depend on —
+# any drift fails loudly here, before a confusing hash mismatch.
+EXPECTED_TYPES = {
+    "events": {"ts": {"timestamp", "int64"}, "event_id": {"int64"},
+               "user_id": {"int64"}, "event_type": {"string", "large_string"}},
+    "documents": {"doc_id": {"int64"}, "text": {"string", "large_string"}},
+    "embeddings": {"vec_id": {"int64"}},
+    "lineitem": {"l_orderkey": {"int64"}},
+    "orders": {"o_orderkey": {"int64"}},
+}
+
+
+def check_table_schemas(sf_dir):
+    import pyarrow.parquet as pq
+    drift = []
+    for t, cols in EXPECTED_TYPES.items():
+        try:
+            schema = pq.read_schema(f"{sf_dir}/{t}.parquet")
+        except Exception as e:
+            drift.append(f"{t}: unreadable ({e})")
+            continue
+        for c, allowed in cols.items():
+            if c not in schema.names:
+                drift.append(f"{t}.{c}: column missing")
+                continue
+            base = str(schema.field(c).type).split("[")[0]
+            if base not in allowed:
+                drift.append(f"{t}.{c}: parquet type {schema.field(c).type} "
+                             f"not in expected {sorted(allowed)}")
+    if drift:
+        print("TESTDATA SCHEMA DRIFT — fix loaders/oracles before trusting "
+              "any comparison below:")
+        for d in drift:
+            print(f"  ! {d}")
+    return drift
+
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    check_table_schemas(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
