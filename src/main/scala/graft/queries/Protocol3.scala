@@ -204,7 +204,7 @@ object Protocol3 {
   private def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
   private def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
 
-  private[queries] def encPcap(le: Boolean, dlt: Int,
+  private def encPcap(le: Boolean, dlt: Int,
       frames: Seq[(Long, Long, Array[Byte])]): Array[Byte] = {
     def w32(v: Long) = if (le) le32(v) else be32(v)
     def w16(v: Int) = if (le) le16(v) else be16(v)
@@ -216,7 +216,7 @@ object Protocol3 {
     }
   }
 
-  private[queries] def encPcapNg(dlt: Int, frames: Seq[(Long, Array[Byte])]): Array[Byte] = {
+  private def encPcapNg(dlt: Int, frames: Seq[(Long, Array[Byte])]): Array[Byte] = {
     def block(btype: Long, body: Array[Byte]): Array[Byte] = {
       val len = 12 + body.length
       enc(if (btype == 0x0a0d0d0aL) be32(btype) else le32(btype),

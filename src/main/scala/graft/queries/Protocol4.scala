@@ -137,6 +137,50 @@ object Protocol4 {
 
   private val ChunkFrames = 6000
 
+  // Linear, unboxed capture builders: Protocol3's per-doc encoders fold
+  // with boxed flatten — fine for the 2-frame captures q39 builds per
+  // document, quadratic-with-boxing for one 6000-frame file (measured
+  // ~11s/run in the round-9 bench before this).
+  private def buildPcap(frames: Seq[(Long, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1 << 19)
+    def le32(v: Long): Unit = {
+      out.write(v.toInt & 0xff); out.write((v >> 8).toInt & 0xff)
+      out.write((v >> 16).toInt & 0xff); out.write((v >> 24).toInt & 0xff)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write(Array(0xd4, 0xc3, 0xb2, 0xa1).map(_.toByte)) // LE magic
+    le16(2); le16(4); le32(0); le32(0); le32(65535); le32(1) // dlt=1
+    frames.foreach { case (i, data) =>
+      le32(i); le32(i) // ts_sec = ts_usec = i
+      le32(data.length); le32(data.length)
+      out.write(data)
+    }
+    out.toByteArray
+  }
+
+  private def buildPcapNg(frames: Seq[(Long, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1 << 19)
+    def le32(v: Long): Unit = {
+      out.write(v.toInt & 0xff); out.write((v >> 8).toInt & 0xff)
+      out.write((v >> 16).toInt & 0xff); out.write((v >> 24).toInt & 0xff)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    // SHB (big-endian block type per spec, LE byte-order magic)
+    out.write(Array(0x0a, 0x0d, 0x0d, 0x0a).map(_.toByte)); le32(28)
+    le32(0x1a2b3c4dL); le16(1); le16(0); out.write(Array.fill(8)(0xff.toByte)); le32(28)
+    le32(1L); le32(20); le16(141); le16(0); le32(65535); le32(20) // IDB dlt=141
+    frames.foreach { case (ts, data) =>
+      val pad = (4 - data.length % 4) % 4
+      val len = 32 + data.length + pad
+      le32(6L); le32(len); le32(0)
+      le32(ts >>> 32); le32(ts & 0xffffffffL)
+      le32(data.length); le32(data.length)
+      out.write(data); (0 until pad).foreach(_ => out.write(0))
+      le32(len)
+    }
+    out.toByteArray
+  }
+
   private def writeAtomic(dir: java.nio.file.Path, name: String, bytes: Array[Byte]): String = {
     Files.createDirectories(dir)
     val target = dir.resolve(name)
@@ -159,12 +203,11 @@ object Protocol4 {
       (i.toLong, Array.fill((i % 37) + 8)((i * 31).toByte))
     }
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-q51")
-    val lePath = writeAtomic(dir, "cap.pcap",
-      Protocol3.encPcap(le = true, 1, frames.map { case (i, b) => (i, i, b) }))
+    val lePath = writeAtomic(dir, "cap.pcap", buildPcap(frames))
     // 16-digit µs ticks: the decoder's decimal-digit resolution rule
     // (F16/q39) reads shorter tick counts as ms/s resolution
     val ngPath = writeAtomic(dir, "cap.pcapng",
-      Protocol3.encPcapNg(141, frames.map { case (i, b) =>
+      buildPcapNg(frames.map { case (i, b) =>
         (1600000000000000L + i * 1000000L + i, b)
       }))
     def chunked(path: String, fmt: String) = {
