@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Components, Dedup, Prefix}
+import graft.operators.{Components, Dedup, Layout, Prefix}
 
 /** Text-analysis + dedup operator surface over the `documents` table —
   * the training-data-pipeline half of the engine (BASELINE.json
@@ -125,6 +125,67 @@ object Text {
           when(cnt("en") >= cnt("de") && cnt("en") >= cnt("es"), "en")
             .when(cnt("de") >= cnt("es"), "de")
             .otherwise("es").as("predicted_lang"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** End-to-end curation chain — the composed pipeline a reference user
+    * actually runs, in ONE dataflow: quality scoring (t3's exact
+    * arithmetic) → language gate (t4's argmax) → exact dedup over the
+    * SURVIVORS (same min-id keeper rule as `Dedup.exactGroups`/t2, here
+    * as a window over the content hash so the chain stays ONE scan and
+    * ONE shuffle — filters run first so that shuffle only carries kept
+    * docs, the right order at 100 TB) → stable md5 train/val/test
+    * assignment (`Layout.md5Bucket`). The oracle SQL is generated from
+    * the same constants so the stages cannot drift from their
+    * standalone rows (t2/t3/t4/t20). */
+  val t30CurateE2e: Q = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    def sqlCount(lang: String) =
+      s"len(list_filter(w, t -> t IN (${LangWords(lang).map(w => s"'$w'").mkString(", ")})))"
+    Q(
+      "t30_curate_e2e",
+      s"""WITH w AS (SELECT doc_id, text, length(text) AS n_chars,
+         |            string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |sc AS (SELECT doc_id, text, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  0.5 * (len(list_filter(w, t -> t IN ($stopList))) / len(w))
+         |    + 0.5 * least(1.0, n_chars / 500.0) AS quality_score,
+         |  CASE WHEN ${sqlCount("en")} >= ${sqlCount("de")} AND ${sqlCount("en")} >= ${sqlCount("es")} THEN 'en'
+         |       WHEN ${sqlCount("de")} >= ${sqlCount("es")} THEN 'de'
+         |       ELSE 'es' END AS lang
+         |  FROM w),
+         |kept AS (SELECT * FROM sc WHERE lang = 'en' AND quality_score >= 0.3e0),
+         |grp AS (SELECT md5(text) AS h, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
+         |        FROM kept GROUP BY 1),
+         |uniq AS (SELECT k.doc_id, k.quality_score, k.n_tokens, g.n_copies
+         |         FROM kept k JOIN grp g ON md5(k.text) = g.h AND k.doc_id = g.keeper)
+         |SELECT doc_id, quality_score, n_tokens, n_copies,
+         |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT *, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bk
+         |      FROM uniq)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = tokens(col("text"))
+      val stopRatio = wordListCount(w, Stopwords).cast("double") / size(w)
+      val quality = lit(0.5) * stopRatio +
+        lit(0.5) * least(lit(1.0), length(col("text")).cast("double") / 500.0)
+      def cnt(lang: String) = wordListCount(w, LangWords(lang))
+      val lang = when(cnt("en") >= cnt("de") && cnt("en") >= cnt("es"), "en")
+        .when(cnt("de") >= cnt("es"), "de")
+        .otherwise("es")
+      val kept = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), size(w).cast("long").as("n_tokens"),
+          quality.as("quality_score"), lang.as("lang"))
+        .filter(col("lang") === "en" && col("quality_score") >= 0.3)
+        .withColumn("text_hash", md5(col("text").cast("binary")))
+      val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("text_hash"))
+      kept
+        .withColumn("keeper_doc_id", min(col("doc_id")).over(byHash))
+        .withColumn("n_copies", count(lit(1)).over(byHash))
+        .filter(col("doc_id") === col("keeper_doc_id"))
+        .select(col("doc_id"), col("quality_score"), col("n_tokens"), col("n_copies"),
+          when(Layout.md5Bucket(col("doc_id"), 100) < 80, "train")
+            .when(Layout.md5Bucket(col("doc_id"), 100) < 90, "val")
+            .otherwise("test").as("split"))
         .orderBy(col("doc_id"))
     }
   }
@@ -589,5 +650,5 @@ object Text {
     t6MinhashLsh, t7Simhash, t8Fingerprint, t9SimhashPairs,
     t10Repetition, t11PiiRedact, t12HashSample, t13Decontaminate,
     t14DupClusters, t15SequencePack, t16Profile, t23CrossDedup,
-    t29CrossDedupServed)
+    t29CrossDedupServed, t30CurateE2e)
 }

@@ -47,6 +47,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"v6 must scan the embeddings once, got $scans:\n$plan")
   }
 
+  test("t30: the composed curation chain stays one scan, one hash exchange, no join") {
+    val plan = planOf(Text.t30CurateE2e.run(SparkTest.spark, sf))
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"curation chain must scan documents once, got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"dedup-by-window must not join:\n$plan")
+    val hashEx = plan.linesIterator.count(_.trim.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected the single text_hash exchange, got $hashEx:\n$plan")
+  }
+
   test("t5/t6 fused kernels: no nested-loop or cartesian, no self-join subtree") {
     for (q <- Seq(Text.t5NgramJaccard, Text.t6MinhashLsh)) {
       val plan = planOf(q.run(SparkTest.spark, sf))
