@@ -164,30 +164,36 @@ object Text {
          |FROM (SELECT *, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bk
          |      FROM uniq)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val w = tokens(col("text"))
-      val stopRatio = wordListCount(w, Stopwords).cast("double") / size(w)
-      val quality = lit(0.5) * stopRatio +
-        lit(0.5) * least(lit(1.0), length(col("text")).cast("double") / 500.0)
-      def cnt(lang: String) = wordListCount(w, LangWords(lang))
-      val lang = when(cnt("en") >= cnt("de") && cnt("en") >= cnt("es"), "en")
-        .when(cnt("de") >= cnt("es"), "de")
-        .otherwise("es")
-      val kept = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), size(w).cast("long").as("n_tokens"),
-          quality.as("quality_score"), lang.as("lang"))
-        .filter(col("lang") === "en" && col("quality_score") >= 0.3)
-        .withColumn("text_hash", md5(col("text").cast("binary")))
-      val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("text_hash"))
-      kept
-        .withColumn("keeper_doc_id", min(col("doc_id")).over(byHash))
-        .withColumn("n_copies", count(lit(1)).over(byHash))
-        .filter(col("doc_id") === col("keeper_doc_id"))
-        .select(col("doc_id"), col("quality_score"), col("n_tokens"), col("n_copies"),
-          when(Layout.md5Bucket(col("doc_id"), 100) < 80, "train")
-            .when(Layout.md5Bucket(col("doc_id"), 100) < 90, "val")
-            .otherwise("test").as("split"))
-        .orderBy(col("doc_id"))
+      curateChain(Tables.documents(s, d)).orderBy(col("doc_id"))
     }
+  }
+
+  /** The t30 chain as a reusable function (also the `curate` TVF):
+    * documents-shaped frame in, kept-and-split frame out. Single scan,
+    * single hash exchange — see [[t30CurateE2e]]'s scaladoc. */
+  def curateChain(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = tokens(col("text"))
+    val stopRatio = wordListCount(w, Stopwords).cast("double") / size(w)
+    val quality = lit(0.5) * stopRatio +
+      lit(0.5) * least(lit(1.0), length(col("text")).cast("double") / 500.0)
+    def cnt(lang: String) = wordListCount(w, LangWords(lang))
+    val lang = when(cnt("en") >= cnt("de") && cnt("en") >= cnt("es"), "en")
+      .when(cnt("de") >= cnt("es"), "de")
+      .otherwise("es")
+    val kept = docs
+      .select(col("doc_id"), col("text"), size(w).cast("long").as("n_tokens"),
+        quality.as("quality_score"), lang.as("lang"))
+      .filter(col("lang") === "en" && col("quality_score") >= 0.3)
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("text_hash"))
+    kept
+      .withColumn("keeper_doc_id", min(col("doc_id")).over(byHash))
+      .withColumn("n_copies", count(lit(1)).over(byHash))
+      .filter(col("doc_id") === col("keeper_doc_id"))
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"), col("n_copies"),
+        when(Layout.md5Bucket(col("doc_id"), 100) < 80, "train")
+          .when(Layout.md5Bucket(col("doc_id"), 100) < 90, "val")
+          .otherwise("test").as("split"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (the quadratic baseline that

@@ -148,6 +148,9 @@ object SqlFrontDoor {
           .toDF("bucket", "cut")
           .select(col("bucket"), col("cut"))
       }),
+      // the composed curation chain (t30): quality score → lang gate →
+      // exact dedup (window keeper) → md5 split, one scan + one exchange
+      ("curate", 1, a => graft.queries.Text.curateChain(s.read.parquet(a.head))),
       ("shard_layout", 2, a => {
         import org.apache.spark.sql.functions.{col, md5}
         val nsh = a(1).trim.toInt

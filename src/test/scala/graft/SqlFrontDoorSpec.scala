@@ -310,4 +310,20 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(shardBad == 0L)
   }
+
+  test("curate TVF: the composed chain matches the DataFrame API from pure SQL") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val sqlRows = spark.sql(
+      s"""SELECT doc_id, n_tokens, n_copies, split FROM curate('$docs')
+         |ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val apiRows = graft.queries.Text.curateChain(spark.read.parquet(docs))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    assert(sqlRows == apiRows && sqlRows.nonEmpty)
+    // the gate actually gates: kept set is a strict subset of the corpus
+    val total = spark.sql(s"SELECT count(*) FROM parquet.`$docs`").collect().head.getLong(0)
+    assert(sqlRows.length < total)
+    assert(sqlRows.map(_._4).toSet.subsetOf(Set("train", "val", "test")))
+  }
 }
