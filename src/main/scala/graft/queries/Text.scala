@@ -168,10 +168,12 @@ object Text {
     }
   }
 
-  /** The t30 chain as a reusable function (also the `curate` TVF):
-    * documents-shaped frame in, kept-and-split frame out. Single scan,
-    * single hash exchange — see [[t30CurateE2e]]'s scaladoc. */
-  def curateChain(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** The STATELESS prefix of the curation chain — quality score, lang
+    * argmax, gate, content hash — one narrow codegen'd pass, usable
+    * identically on a batch frame or a streaming micro-batch (the
+    * [[graft.streaming.CurateStream]] entry). Extra input columns (an
+    * event-time column, source tags) pass through untouched. */
+  def scoreAndGate(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = tokens(col("text"))
     val stopRatio = wordListCount(w, Stopwords).cast("double") / size(w)
     val quality = lit(0.5) * stopRatio +
@@ -180,20 +182,33 @@ object Text {
     val lang = when(cnt("en") >= cnt("de") && cnt("en") >= cnt("es"), "en")
       .when(cnt("de") >= cnt("es"), "de")
       .otherwise("es")
-    val kept = docs
-      .select(col("doc_id"), col("text"), size(w).cast("long").as("n_tokens"),
-        quality.as("quality_score"), lang.as("lang"))
+    docs
+      .withColumn("n_tokens", size(w).cast("long"))
+      .withColumn("quality_score", quality)
+      .withColumn("lang", lang)
       .filter(col("lang") === "en" && col("quality_score") >= 0.3)
       .withColumn("text_hash", md5(col("text").cast("binary")))
+  }
+
+  /** The stable train/val/test assignment shared by the batch chain and
+    * the streaming gate (hashes the doc id, so it is arrival-order and
+    * engine independent). */
+  def splitCol: org.apache.spark.sql.Column =
+    when(Layout.md5Bucket(col("doc_id"), 100) < 80, "train")
+      .when(Layout.md5Bucket(col("doc_id"), 100) < 90, "val")
+      .otherwise("test")
+
+  /** The t30 chain as a reusable function (also the `curate` TVF):
+    * documents-shaped frame in, kept-and-split frame out. Single scan,
+    * single hash exchange — see [[t30CurateE2e]]'s scaladoc. */
+  def curateChain(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("text_hash"))
-    kept
+    scoreAndGate(docs)
       .withColumn("keeper_doc_id", min(col("doc_id")).over(byHash))
       .withColumn("n_copies", count(lit(1)).over(byHash))
       .filter(col("doc_id") === col("keeper_doc_id"))
       .select(col("doc_id"), col("quality_score"), col("n_tokens"), col("n_copies"),
-        when(Layout.md5Bucket(col("doc_id"), 100) < 80, "train")
-          .when(Layout.md5Bucket(col("doc_id"), 100) < 90, "val")
-          .otherwise("test").as("split"))
+        splitCol.as("split"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (the quadratic baseline that

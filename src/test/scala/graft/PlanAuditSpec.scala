@@ -47,6 +47,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"v6 must scan the embeddings once, got $scans:\n$plan")
   }
 
+  test("bucketed fact tables: co-located join plans ZERO exchanges (the 100 TB co-location story)") {
+    val spark = SparkTest.spark
+    import org.apache.spark.sql.functions.col
+    // pre-bucketing both fact sides on the join key is the cluster-scale
+    // alternative to shuffling them at query time: a repeated join on
+    // l_orderkey/o_orderkey reads co-located buckets with no exchange at
+    // all. Broadcast is disabled for the audit so the only shuffle-free
+    // plan is genuine bucket co-location, not a small-table fallback.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS or_bucketed")
+      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+      Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("or_bucketed")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("or_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).count()
+      joined.collect() // force AQE to finalize the physical plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed co-located join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS or_bucketed")
+    }
+  }
+
   test("t30: the composed curation chain stays one scan, one hash exchange, no join") {
     val plan = planOf(Text.t30CurateE2e.run(SparkTest.spark, sf))
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
