@@ -144,4 +144,32 @@ object SpanDedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_windows"))
   }
+
+  /** Exact n-gram eval-set decontamination (the GPT-3 appendix-C /
+    * Llama-style overlap check, DISTINCT from minhash-similarity
+    * decontamination: here one shared W-token window anywhere is a hit):
+    * flags every training document containing at least one W-token
+    * window that also occurs anywhere in the eval corpus. Returns
+    * (doc_id, n_hit_windows [distinct window contents],
+    * n_hit_positions [total positions]) for contaminated docs only.
+    *
+    * Scale shape: eval sets are small by definition, so the eval side
+    * collapses to a DISTINCT window-hash frame and BROADCASTS; the
+    * train corpus pays ONE narrow window pass and a broadcast hash
+    * join — the corpus itself never shuffles, and the groupBy
+    * aggregates hit rows only (bounded by actual contamination).
+    * Window identity is [[Dedup.hash64]] like [[dupSpans]] — the
+    * oracle joins on window TEXT, so hash-collision parity failures
+    * surface as correctness mismatches. */
+  def ngramContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, w: Int): DataFrame = {
+    val trainWin = windowRows(train, idCol, textCol, w).toDF("doc_id", "pos", "h")
+    val evalHashes = windowRows(eval, idCol, textCol, w).toDF("eid", "epos", "h")
+      .select(col("h")).distinct()
+    trainWin.join(broadcast(evalHashes), "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("h")).as("n_hit_windows"),
+        count(lit(1)).as("n_hit_positions"))
+  }
 }

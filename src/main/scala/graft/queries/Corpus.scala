@@ -360,7 +360,35 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact n-gram eval-set decontamination (GPT-3 appx-C / Llama style;
+    * distinct from t13's minhash-SIMILARITY gate — here ONE shared
+    * 8-token window anywhere is a hit). Eval corpus = every 29th doc;
+    * the operator flags training docs sharing any window with it. The
+    * oracle joins raw window texts; the engine joins 64-bit hashes
+    * against a broadcast distinct-eval-hash frame — the train corpus
+    * never shuffles. */
+  val t31NgramDecontam: Q = Q(
+    "t31_ngram_decontam",
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |win AS (
+       |  SELECT doc_id, i, array_to_string(w[i:i+${WindowW - 1}], ' ') AS g
+       |  FROM w, unnest(range(1, len(w) - ${WindowW - 2})) AS u(i)),
+       |ev AS (SELECT DISTINCT g FROM win WHERE doc_id % 29 = 0),
+       |hit AS (SELECT win.doc_id, win.g FROM win JOIN ev USING (g) WHERE win.doc_id % 29 <> 0)
+       |SELECT doc_id,
+       |       CAST(count(DISTINCT g) AS BIGINT) AS n_hit_windows,
+       |       CAST(count(*) AS BIGINT) AS n_hit_positions
+       |FROM hit GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    SpanDedup.ngramContamination(
+      docs.filter(col("doc_id") % 29 =!= 0),
+      docs.filter(col("doc_id") % 29 === 0),
+      "doc_id", "text", WindowW)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
-    t27BpePairs, t28PplBuckets)
+    t27BpePairs, t28PplBuckets, t31NgramDecontam)
 }

@@ -151,6 +151,11 @@ object SqlFrontDoor {
       // the composed curation chain (t30): quality score → lang gate →
       // exact dedup (window keeper) → md5 split, one scan + one exchange
       ("curate", 1, a => graft.queries.Text.curateChain(s.read.parquet(a.head))),
+      // exact n-gram eval-set decontamination (train_path, eval_path):
+      // flags train docs sharing any 8-token window with the eval corpus
+      ("ngram_decontam", 2, a =>
+        graft.operators.SpanDedup.ngramContamination(
+          s.read.parquet(a.head), s.read.parquet(a(1)), "doc_id", "text", 8)),
       ("shard_layout", 2, a => {
         import org.apache.spark.sql.functions.{col, md5}
         val nsh = a(1).trim.toInt

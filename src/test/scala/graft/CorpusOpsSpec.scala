@@ -82,6 +82,23 @@ class CorpusOpsSpec extends AnyFunSuite {
       "ngramJaccardPairs/simhashNearStats must not register session caches")
   }
 
+  test("ngram contamination: shared window flags the train doc; counts are distinct/total") {
+    val eval = docs(100L -> "the secret eval answer is forty two exactly")
+    val train = docs(
+      // contains the eval 8-gram once → 1 window, 1 position
+      0L -> "preamble the secret eval answer is forty two exactly postamble",
+      // contains it twice → 1 distinct window, 2 positions
+      1L -> ("the secret eval answer is forty two exactly and again " +
+        "the secret eval answer is forty two exactly"),
+      // shares 7 of 8 tokens only → clean
+      2L -> "the secret eval answer is forty two roughly speaking",
+      3L -> "entirely unrelated training document text goes here now")
+    val out = SpanDedup.ngramContamination(train, eval, "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 1L, 1L), (1L, 1L, 2L)))
+  }
+
   test("bm25: scores match the formula, ranking is deterministic") {
     val d = docs(
       0L -> "spark join spark",
