@@ -145,6 +145,41 @@ object SpanDedup {
         col("n_windows"))
   }
 
+  /** Apply-side of the Lee et al. pipeline: CUT duplicated spans out of
+    * the corpus, keeping the FIRST occurrence of each window content
+    * corpus-wide ((doc_id, pos) order — deterministic, engine-
+    * independent) and removing the token ranges covered by every later
+    * occurrence. Returns one row per input document:
+    * (doc_id, clean_text [kept tokens space-joined — canonical
+    * tokenized form on both engines], n_cut_tokens).
+    *
+    * Scale shape: the window pass and the keep-first rank shuffle
+    * fixed-width hash rows on the window hash (same key as
+    * [[dupSpans]]); covered positions are bounded by actual
+    * duplication; the corpus shuffles ONCE on doc_id to meet its cut
+    * list, and the token surgery itself is a codegen'd higher-order
+    * `filter` — no typed map, no text in the dedup shuffles. */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val byH = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val cuts = windowRows(docs, idCol, textCol, w).toDF("doc_id", "pos", "h")
+      .withColumn("rn", row_number().over(byH))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("p")).as("cut_positions"))
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("cp", coalesce(col("cut_positions"), array().cast("array<int>")))
+      .select(
+        col("doc_id"),
+        array_join(
+          filter(split(trim(col("text")), "\\s+"),
+            (t, i) => !array_contains(col("cp"), i + 1)),
+          " ").as("clean_text"),
+        size(col("cp")).cast("long").as("n_cut_tokens"))
+  }
+
   /** Exact n-gram eval-set decontamination (the GPT-3 appendix-C /
     * Llama-style overlap check, DISTINCT from minhash-similarity
     * decontamination: here one shared W-token window anywhere is a hit):

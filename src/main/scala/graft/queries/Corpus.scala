@@ -388,7 +388,39 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Apply-side of Lee et al.: cut duplicated spans, keep-first
+    * corpus-wide ((doc_id, pos) order). clean_text is the kept tokens
+    * space-joined — canonical tokenized form on BOTH engines, so the
+    * hash-compare is exact even where raw text had irregular
+    * whitespace. */
+  val t32SpanCut: Q = Q(
+    "t32_span_cut",
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |win AS (
+       |  SELECT doc_id, i, array_to_string(w[i:i+${WindowW - 1}], ' ') AS g
+       |  FROM w, unnest(range(1, len(w) - ${WindowW - 2})) AS u(i)),
+       |cuts AS (SELECT doc_id, i FROM win
+       |         QUALIFY row_number() OVER (PARTITION BY g ORDER BY doc_id, i) > 1),
+       |cov AS (SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS p
+       |        FROM cuts, unnest(range(i, i + $WindowW)) AS u(p)),
+       |tok AS (SELECT doc_id, CAST(u.j AS BIGINT) AS j, w[j] AS t
+       |        FROM w, unnest(range(1, len(w) + 1)) AS u(j)),
+       |kept AS (SELECT tok.doc_id, j, t FROM tok
+       |         LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.j
+       |         WHERE cov.p IS NULL),
+       |agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY j) AS clean_text
+       |        FROM kept GROUP BY doc_id),
+       |ncut AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_tokens
+       |         FROM cov GROUP BY doc_id)
+       |SELECT w.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       |       coalesce(ncut.n_cut_tokens, 0) AS n_cut_tokens
+       |FROM w LEFT JOIN agg USING (doc_id) LEFT JOIN ncut USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    SpanDedup.cutSpans(Tables.documents(s, d), "doc_id", "text", WindowW)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
-    t27BpePairs, t28PplBuckets, t31NgramDecontam)
+    t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut)
 }

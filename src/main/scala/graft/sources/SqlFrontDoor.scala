@@ -156,6 +156,9 @@ object SqlFrontDoor {
       ("ngram_decontam", 2, a =>
         graft.operators.SpanDedup.ngramContamination(
           s.read.parquet(a.head), s.read.parquet(a(1)), "doc_id", "text", 8)),
+      // apply-side span dedup: cut duplicated 8-token spans keep-first
+      ("span_cut", 1, a =>
+        graft.operators.SpanDedup.cutSpans(s.read.parquet(a.head), "doc_id", "text", 8)),
       ("shard_layout", 2, a => {
         import org.apache.spark.sql.functions.{col, md5}
         val nsh = a(1).trim.toInt

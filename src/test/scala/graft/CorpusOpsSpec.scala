@@ -82,6 +82,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       "ngramJaccardPairs/simhashNearStats must not register session caches")
   }
 
+  test("span cut: keep-first corpus-wide, later occurrences removed, short docs untouched") {
+    val d = docs(
+      0L -> "a b c d e f g h",          // first occurrence of the window → kept whole
+      1L -> "X a b c d e f g h Y",      // repeat at pos 2..9 → cut, X Y survive
+      2L -> "a b c d e f g h",          // another full repeat → fully cut
+      3L -> "short doc")                // < w tokens → untouched
+    val out = SpanDedup.cutSpans(d, "doc_id", "text", w = 8)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, "a b c d e f g h", 0L),
+      (1L, "X Y", 8L),
+      (2L, "", 8L),
+      (3L, "short doc", 0L)))
+  }
+
   test("ngram contamination: shared window flags the train doc; counts are distinct/total") {
     val eval = docs(100L -> "the secret eval answer is forty two exactly")
     val train = docs(
