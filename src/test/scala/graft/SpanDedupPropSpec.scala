@@ -65,6 +65,80 @@ class SpanDedupPropSpec extends AnyFunSuite {
     }
   }
 
+  /** Reference for [[SpanDedup.cutSpans]]: keep the first (doc, pos)
+    * occurrence of each window content corpus-wide; every later
+    * occurrence covers positions [pos, pos+w-1]; kept tokens rejoin
+    * with single spaces. */
+  private def cutReference(docs: Seq[(Long, String)], w: Int): Seq[(Long, String, Long)] = {
+    val windows = for {
+      (id, text) <- docs
+      toks = text.trim.split("\\s+")
+      i <- 0 to toks.length - w
+    } yield (id, i + 1, toks.slice(i, i + w).mkString(" "))
+    val firstOf = windows.groupBy(_._3).view
+      .mapValues(_.map(r => (r._1, r._2)).min).toMap
+    val covered = windows
+      .filter(r => firstOf(r._3) != ((r._1, r._2)))
+      .flatMap(r => (r._2 until r._2 + w).map(p => (r._1, p)))
+      .toSet
+    docs.map { case (id, text) =>
+      val toks = text.trim.split("\\s+")
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !covered((id, i + 1)) => t
+      }
+      (id, kept.mkString(" "), covered.count(_._1 == id).toLong)
+    }
+  }
+
+  test("random corpora: cutSpans equals the keep-first reference") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val vocab = Seq("a", "b", "c")
+    var s = org.scalacheck.rng.Seed(77L)
+    def gen[A](g: Gen[A]): A = { val v = g.apply(Gen.Parameters.default, s).get; s = s.next; v }
+    for (round <- 0 until 4; w <- Seq(2, 3)) {
+      val docs = (0 until gen(Gen.chooseNum(2, 10))).map { i =>
+        val len = gen(Gen.chooseNum(0, 14))
+        (i.toLong, (0 until len).map(_ => gen(Gen.oneOf(vocab))).mkString(" "))
+      }
+      val got = SpanDedup.cutSpans(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+        .orderBy("doc_id")
+        .as[(Long, String, Long)].collect().toSeq
+      val want = cutReference(docs, w).sortBy(_._1)
+      assert(got === want, s"round $round w=$w docs=$docs")
+    }
+  }
+
+  test("random corpora: ngramContamination equals the naive overlap count") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val vocab = Seq("a", "b", "c")
+    var s = org.scalacheck.rng.Seed(99L)
+    def gen[A](g: Gen[A]): A = { val v = g.apply(Gen.Parameters.default, s).get; s = s.next; v }
+    def mkDocs(n: Int, base: Long) = (0 until n).map { i =>
+      (base + i, (0 until gen(Gen.chooseNum(0, 12))).map(_ => gen(Gen.oneOf(vocab))).mkString(" "))
+    }
+    def wins(text: String, w: Int): Seq[String] = {
+      val toks = text.trim.split("\\s+")
+      (0 to toks.length - w).map(i => toks.slice(i, i + w).mkString(" "))
+    }
+    for (round <- 0 until 4; w <- Seq(2, 3)) {
+      val train = mkDocs(gen(Gen.chooseNum(1, 8)), 0L)
+      val eval = mkDocs(gen(Gen.chooseNum(1, 3)), 100L)
+      val evalSet = eval.flatMap(d => wins(d._2, w)).toSet
+      val want = train.flatMap { case (id, text) =>
+        val hits = wins(text, w).filter(evalSet)
+        if (hits.isEmpty) None
+        else Some((id, hits.distinct.size.toLong, hits.size.toLong))
+      }.sortBy(_._1)
+      val got = SpanDedup.ngramContamination(
+          train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"), "doc_id", "text", w)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got === want, s"round $round w=$w train=$train eval=$eval")
+    }
+  }
+
   test("random corpora: 64-bit and 128-bit identities agree") {
     val spark = SparkTest.spark
     import spark.implicits._
