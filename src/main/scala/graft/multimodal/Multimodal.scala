@@ -8,13 +8,18 @@ import org.apache.spark.sql.functions._
   * the compute-heavy steps (decode, resize, frame-sample) run as
   * partition-wise batch transforms.
   *
-  * The actual codec is STUBBED (this container ships no image/audio
-  * libraries): `StubCodec` derives deterministic fake properties from the
-  * bytes. Everything around it is real and load-bearing at scale —
-  * the schema contract, the `mapPartitions` batch shape (one codec init
-  * per partition, not per row — exactly how a JNI/FFmpeg/Pillow binding
-  * must be amortized), and the repartition-by-size guard that keeps any
-  * single task from holding too many large blobs.
+  * The IMAGE leg is REAL: [[JvmImageCodec]] decodes/encodes PNG (and
+  * decodes JPEG/BMP/GIF) through the JDK's own `javax.imageio` — no
+  * external libraries needed — with integer-exact nearest-neighbor
+  * resize and luma histogram features, all oracle-checkable closed-form
+  * (PNG is lossless, the arithmetic is integral). Audio/video remain
+  * STUBBED (`StubCodec` — no FFmpeg-class binding ships in the JVM):
+  * deterministic fake properties stand in, while everything around
+  * them is real and load-bearing at scale — the schema contract, the
+  * `mapPartitions` batch shape (one codec init per partition, not per
+  * row — exactly how a JNI/FFmpeg binding must be amortized), and the
+  * repartition-by-size guard that keeps any single task from holding
+  * too many large blobs.
   */
 final case class MediaMeta(mimeType: String, width: Int, height: Int, durationMs: Long)
 final case class MediaRecord(mediaId: Long, kind: String, content: Array[Byte])
@@ -53,6 +58,66 @@ object Multimodal {
     /** Fake frame sampler: every nth 1KiB slice as a "frame". */
     def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] =
       bytes.grouped(1024).zipWithIndex.collect { case (b, i) if i % everyN == 0 => b }.toSeq
+  }
+
+  /** REAL image codec on the JDK's built-in `javax.imageio` — decodes
+    * PNG/JPEG/BMP/GIF, encodes PNG (lossless, so a synthesize→encode→
+    * decode round trip is pixel-exact and closed-form oracle-checkable).
+    * Resize is explicit integer nearest-neighbor (sx = x·srcW / dstW)
+    * rather than Graphics2D interpolation, and features are integer
+    * luma histograms — no floating point, no platform variance. */
+  object JvmImageCodec {
+
+    def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    def meta(bytes: Array[Byte]): Option[MediaMeta] =
+      decodeImage(bytes).map(img =>
+        MediaMeta(StubCodec.sniffMime(bytes), img.getWidth, img.getHeight, 0L))
+
+    /** Integer nearest-neighbor: destination (x, y) samples source
+      * (x·srcW / dstW, y·srcH / dstH) — floor division, exactly
+      * reproducible in SQL. */
+    def resizeNearest(img: java.awt.image.BufferedImage, dstW: Int, dstH: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(dstW, dstH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < dstH) {
+        var x = 0
+        while (x < dstW) {
+          out.setRGB(x, y, img.getRGB(x * img.getWidth / dstW, y * img.getHeight / dstH))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Integer luma histogram: luma = (299·R + 587·G + 114·B) / 1000
+      * (floor), bucket = luma · nBuckets / 256. */
+    def lumaHistogram(img: java.awt.image.BufferedImage, nBuckets: Int): Array[Long] = {
+      val h = new Array[Long](nBuckets)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          h(luma * nBuckets / 256) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
   }
 
   /** Decode + featurize, one codec init per partition (the batch shape a

@@ -305,7 +305,67 @@ object Extras {
       .orderBy(col("zkey"), col("event_id"))
   }
 
+  /** REAL image pipeline through the JDK's own codec (`javax.imageio` —
+    * no external libs): each doc synthesizes a small RGB image from
+    * closed-form pixel arithmetic, PNG-ENCODES it (real encoder), then
+    * runs the real decode → mime sniff → integer nearest-neighbor
+    * resize to 4×3 → 4-bucket integer luma histogram. PNG is lossless
+    * and every step is integral, so the DuckDB oracle recomputes the
+    * expected stats purely from the generating formulas — it never
+    * touches a PNG, making it fully independent of `javax.imageio`. */
+  val m2ImagePipeline: Q = Q(
+    "m2_image_pipeline",
+    """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS sw,
+      |            CAST(3 + doc_id % 4 AS BIGINT) AS sh FROM documents),
+      |px AS (
+      |  SELECT doc_id,
+      |    ((299 * ((doc_id*31 + ((dx*sw)//4)*7 + ((dy*sh)//3)*13) % 256)
+      |    + 587 * ((doc_id*17 + ((dx*sw)//4)*5 + ((dy*sh)//3)*11) % 256)
+      |    + 114 * ((doc_id*23 + ((dx*sw)//4)*3 + ((dy*sh)//3)*19) % 256)) // 1000) * 4 // 256 AS bk
+      |  FROM d, unnest(range(4)) AS ux(dx), unnest(range(3)) AS uy(dy)),
+      |agg AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+      |  CAST(sum(CASE WHEN bk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+      |  CAST(sum(CASE WHEN bk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+      |  CAST(sum(CASE WHEN bk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+      |  FROM px GROUP BY doc_id)
+      |SELECT d.doc_id AS media_id, 'image/png' AS mime,
+      |       CAST(sw AS INTEGER) AS width, CAST(sh AS INTEGER) AS height,
+      |       h0, h1, h2, h3
+      |FROM d JOIN agg USING (doc_id) ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Multimodal.JvmImageCodec
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val sw = 4 + (id % 5).toInt
+        val sh = 3 + (id % 4).toInt
+        val img = new java.awt.image.BufferedImage(sw, sh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < sh) {
+          var x = 0
+          while (x < sw) {
+            val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
+            val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val png = JvmImageCodec.encodePng(img) // real PNG encoder
+        val meta = JvmImageCodec.meta(png).get // real decode + sniff
+        val dec = JvmImageCodec.decodeImage(png).get
+        val hist = JvmImageCodec.lumaHistogram(
+          JvmImageCodec.resizeNearest(dec, 4, 3), 4)
+        (id, meta.mimeType, meta.width, meta.height,
+          hist(0), hist(1), hist(2), hist(3))
+      }
+      .toDF("media_id", "mime", "width", "height", "h0", "h1", "h2", "h3")
+      .orderBy(col("media_id"))
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
-    q19SessionWindow, q20CidrFilter, m1MediaPipeline, q44SaltedJoin, q45AsofJoin,
-    q46RangeJoin, q47ZOrderLayout)
+    q19SessionWindow, q20CidrFilter, m1MediaPipeline, m2ImagePipeline, q44SaltedJoin,
+    q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
 }

@@ -48,6 +48,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(3L).getInt(4) == 16)
   }
 
+  test("JvmImageCodec: real PNG round trip is pixel-exact; garbage decodes to None") {
+    import graft.multimodal.Multimodal.JvmImageCodec._
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, (x * 40 << 16) | (y * 90 << 8) | 7)
+    val png = encodePng(img)
+    assert(graft.multimodal.Multimodal.StubCodec.sniffMime(png) == "image/png")
+    val back = decodeImage(png).get
+    assert(back.getWidth == 3 && back.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert((back.getRGB(x, y) & 0xffffff) == ((x * 40 << 16) | (y * 90 << 8) | 7))
+    assert(decodeImage("not an image".getBytes).isEmpty)
+    assert(meta(png).contains(graft.multimodal.MediaMeta("image/png", 3, 2, 0L)))
+  }
+
+  test("JvmImageCodec: nearest-neighbor resize and luma histogram are integer-exact") {
+    import graft.multimodal.Multimodal.JvmImageCodec._
+    // 4x2 source: left half black, right half white
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+    // down to 2x1: dst x=0 samples src (0,0)=black, x=1 samples (2,0)=white
+    val half = resizeNearest(img, 2, 1)
+    assert((half.getRGB(0, 0) & 0xffffff) == 0 && (half.getRGB(1, 0) & 0xffffff) == 0xffffff)
+    // luma: black=0 → bucket 0; white=(299+587+114)*255/1000=254 → bucket 3
+    assert(lumaHistogram(half, 4).toSeq == Seq(1L, 0L, 0L, 1L))
+  }
+
   test("K5 pcap writer round-trips through the reader") {
     val frames = Pcap.decodeFile("a.pcap", TestBytes.pcapFile(Seq(
       (100L, 5, TestBytes.ether(Array[Byte](1, 2))),
