@@ -311,6 +311,26 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(shardBad == 0L)
   }
 
+  test("span_cut and ngram_decontam TVFs match the DataFrame API from pure SQL") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val sqlCut = spark.sql(
+      s"SELECT doc_id, clean_text, n_cut_tokens FROM span_cut('$docs') ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val apiCut = graft.operators.SpanDedup.cutSpans(spark.read.parquet(docs), "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(sqlCut == apiCut && sqlCut.nonEmpty)
+    // self-decontamination: every doc with >= 8 tokens shares all its
+    // windows with itself, so the gate flags every such doc
+    val selfHits = spark.sql(
+      s"SELECT count(*) FROM ngram_decontam('$docs', '$docs')").collect().head.getLong(0)
+    val longDocs = spark.sql(
+      s"""SELECT count(*) FROM parquet.`$docs`
+         |WHERE size(split(trim(text), '\\\\s+')) >= 8""".stripMargin)
+      .collect().head.getLong(0)
+    assert(selfHits == longDocs && selfHits > 0)
+  }
+
   test("curate TVF: the composed chain matches the DataFrame API from pure SQL") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val sqlRows = spark.sql(
