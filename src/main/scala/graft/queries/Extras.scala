@@ -354,11 +354,13 @@ object Extras {
           y += 1
         }
         val png = JvmImageCodec.encodePng(img) // real PNG encoder
-        val meta = JvmImageCodec.meta(png).get // real decode + sniff
+        // decode ONCE and derive meta + pixels from the same raster
+        // (a second full decode measured ~1/3 of this query's cost)
         val dec = JvmImageCodec.decodeImage(png).get
+        val mime = graft.multimodal.Multimodal.StubCodec.sniffMime(png)
         val hist = JvmImageCodec.lumaHistogram(
           JvmImageCodec.resizeNearest(dec, 4, 3), 4)
-        (id, meta.mimeType, meta.width, meta.height,
+        (id, mime, dec.getWidth, dec.getHeight,
           hist(0), hist(1), hist(2), hist(3))
       }
       .toDF("media_id", "mime", "width", "height", "h0", "h1", "h2", "h3")

@@ -75,6 +75,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(lumaHistogram(half, 4).toSeq == Seq(1L, 0L, 0L, 1L))
   }
 
+  test("JvmImageCodec: JPEG decodes to the right shape (lossy — pixels not compared)") {
+    import graft.multimodal.Multimodal.JvmImageCodec._
+    val img = new java.awt.image.BufferedImage(5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 5) img.setRGB(x, y, (x * 50 << 16) | (y * 60 << 8))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val jpeg = out.toByteArray
+    assert(graft.multimodal.Multimodal.StubCodec.sniffMime(jpeg) == "image/jpeg")
+    val back = decodeImage(jpeg).get
+    assert(back.getWidth == 5 && back.getHeight == 4)
+    assert(meta(jpeg).contains(graft.multimodal.MediaMeta("image/jpeg", 5, 4, 0L)))
+  }
+
   test("K5 pcap writer round-trips through the reader") {
     val frames = Pcap.decodeFile("a.pcap", TestBytes.pcapFile(Seq(
       (100L, 5, TestBytes.ether(Array[Byte](1, 2))),
