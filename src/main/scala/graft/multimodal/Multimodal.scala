@@ -120,6 +120,65 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec on the JDK's built-in `javax.sound.sampled` —
+    * parses WAV/AIFF/AU headers and PCM frames without external
+    * libraries. Features are integer (sum of |sample|, peak), so a
+    * synthesize→encode→decode round trip is closed-form
+    * oracle-checkable like the image leg. */
+  object JvmAudioCodec {
+
+    final case class AudioMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+        nFrames: Long, durationMs: Long)
+
+    /** Little-endian s16 PCM mono → a complete RIFF/WAVE blob (the
+      * encoder side; deterministic byte-for-byte). */
+    def encodeWavS16Mono(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+      def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("RIFF".getBytes); le32(36 + dataLen); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); le32(16); le16(1) // PCM
+      le16(1); le32(sampleRate); le32(sampleRate * 2); le16(2); le16(16)
+      out.write("data".getBytes); le32(dataLen)
+      samples.foreach(s => le16(s & 0xffff))
+      out.toByteArray
+    }
+
+    /** REAL decode through AudioSystem: header → format + frame count,
+      * stream → PCM bytes. None on non-audio bytes. */
+    def decode(bytes: Array[Byte]): Option[(AudioMeta, Array[Byte])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          val pcm = in.readAllBytes()
+          val frames = in.getFrameLength
+          Some((AudioMeta(f.getSampleRate.toInt, f.getChannels,
+            f.getSampleSizeInBits, frames,
+            frames * 1000L / f.getSampleRate.toInt), pcm))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Integer features over little-endian s16 mono PCM: (Σ|sample|,
+      * max |sample|) — closed-form reproducible in SQL. */
+    def s16Features(pcm: Array[Byte]): (Long, Long) = {
+      var sum = 0L
+      var peak = 0L
+      var i = 0
+      while (i + 1 < pcm.length) {
+        val s = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toInt
+        val a = math.abs(s.toLong)
+        sum += a
+        if (a > peak) peak = a
+        i += 2
+      }
+      (sum, peak)
+    }
+  }
+
   /** Decode + featurize, one codec init per partition (the batch shape a
     * real binding needs). */
   def decode(ds: Dataset[MediaRecord])(implicit e: org.apache.spark.sql.Encoder[DecodedMedia]): Dataset[DecodedMedia] =

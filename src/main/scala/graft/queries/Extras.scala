@@ -367,7 +367,41 @@ object Extras {
       .orderBy(col("media_id"))
   }
 
+  /** REAL audio pipeline through the JDK's `javax.sound.sampled`: each
+    * doc synthesizes closed-form s16 mono PCM, WAV-encodes it, then
+    * runs the REAL header+frame decode (AudioSystem) and integer
+    * features (Σ|sample|, peak). Like m2, the oracle recomputes
+    * everything from the generating formulas and never parses a WAV. */
+  val m3AudioPipeline: Q = Q(
+    "m3_audio_pipeline",
+    """WITH d AS (SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n FROM documents),
+      |s AS (SELECT doc_id, (doc_id*31 + i*97) % 4001 - 2000 AS v
+      |      FROM d, unnest(range(n)) AS u(i))
+      |SELECT d.doc_id AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+      |       CAST(1 AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+      |       n AS n_frames, n * 1000 // 8000 AS duration_ms,
+      |       CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+      |       CAST(max(abs(v)) AS BIGINT) AS peak
+      |FROM d JOIN s USING (doc_id)
+      |GROUP BY d.doc_id, n ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Multimodal.JvmAudioCodec
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = 64 + (id % 64).toInt
+        val samples = Array.tabulate(n)(i => ((id * 31 + i * 97) % 4001 - 2000).toShort)
+        val wav = JvmAudioCodec.encodeWavS16Mono(samples, 8000)
+        val (meta, pcm) = JvmAudioCodec.decode(wav).get // REAL AudioSystem parse
+        val (absSum, peak) = JvmAudioCodec.s16Features(pcm)
+        (id, meta.sampleRate, meta.channels, meta.bitsPerSample,
+          meta.nFrames, meta.durationMs, absSum, peak)
+      }
+      .toDF("media_id", "sample_rate", "channels", "bits", "n_frames",
+        "duration_ms", "abs_sum", "peak")
+      .orderBy(col("media_id"))
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
-    q19SessionWindow, q20CidrFilter, m1MediaPipeline, m2ImagePipeline, q44SaltedJoin,
-    q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
+    q19SessionWindow, q20CidrFilter, m1MediaPipeline, m2ImagePipeline, m3AudioPipeline,
+    q44SaltedJoin, q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
 }

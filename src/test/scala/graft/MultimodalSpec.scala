@@ -88,6 +88,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta(jpeg).contains(graft.multimodal.MediaMeta("image/jpeg", 5, 4, 0L)))
   }
 
+  test("JvmAudioCodec: WAV round trip is sample-exact; garbage decodes to None") {
+    import graft.multimodal.Multimodal.JvmAudioCodec._
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
+    val wav = encodeWavS16Mono(samples, 8000)
+    val (meta, pcm) = decode(wav).get
+    assert(meta == AudioMeta(8000, 1, 16, 6L, 0L)) // 6 frames / 8000 Hz → 0 ms
+    assert(pcm.length == 12)
+    assert(s16Features(pcm) == (0L + 100 + 100 + 32767 + 32768 + 7, 32768L))
+    // reconstruct each sample to prove byte-exact PCM round trip
+    val back = pcm.grouped(2).map(p => ((p(0) & 0xff) | (p(1) << 8)).toShort).toSeq
+    assert(back == samples.toSeq)
+    assert(decode("not audio".getBytes).isEmpty)
+  }
+
   test("K5 pcap writer round-trips through the reader") {
     val frames = Pcap.decodeFile("a.pcap", TestBytes.pcapFile(Seq(
       (100L, 5, TestBytes.ether(Array[Byte](1, 2))),
