@@ -34,6 +34,7 @@ object Multimodal {
     def sniffMime(bytes: Array[Byte]): String =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "image/jpeg"
       else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "image/png"
+      else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') "image/gif"
       else "application/octet-stream"
 
     def decodeMeta(bytes: Array[Byte]): MediaMeta = {
@@ -177,6 +178,48 @@ object Multimodal {
       }
       (sum, peak)
     }
+  }
+
+  /** REAL multi-frame (animation) codec on `javax.imageio`'s GIF
+    * sequence writer/reader — the frame-enumeration and frame-sampling
+    * leg of the video story on a format the JDK genuinely ships.
+    * Caveat, measured: GIF palette quantization is pixel-exact for
+    * frames of uniform (or few) colors but NOT for arbitrary
+    * multi-color rasters — so pipelines oracle frame counts, dims and
+    * uniform-frame stats, and real video codecs (H.264-class) remain
+    * the declared stub. */
+  object JvmGifCodec {
+
+    def encodeAnimatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      out.toByteArray
+    }
+
+    /** All frames of a multi-frame GIF, in order; None on non-GIF. */
+    def decodeFrames(bytes: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
+      try {
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        try {
+          val n = reader.getNumImages(true)
+          if (n <= 0) None else Some((0 until n).map(reader.read))
+        } finally reader.dispose()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Every `everyN`-th frame starting at 0 — the frame-sampling
+      * primitive a video pipeline runs before feature extraction. */
+    def sampleFrames[A](frames: Seq[A], everyN: Int): Seq[A] =
+      frames.zipWithIndex.collect { case (f, i) if i % everyN == 0 => f }
   }
 
   /** Decode + featurize, one codec init per partition (the batch shape a

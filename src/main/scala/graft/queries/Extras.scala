@@ -401,7 +401,59 @@ object Extras {
       .orderBy(col("media_id"))
   }
 
+  /** REAL frame-sampling pipeline over a multi-frame animation: each
+    * doc synthesizes an animated GIF (uniform gray value per frame —
+    * the regime where GIF palette round-trip is pixel-exact, measured),
+    * encodes it with the JDK's real GIF sequence writer, then runs the
+    * real multi-frame decode (frame count, dims), samples every 2nd
+    * frame, and sums the sampled frames' uniform luma. The oracle
+    * recomputes everything from the generating formulas and never
+    * parses a GIF. */
+  val m4VideoPipeline: Q = Q(
+    "m4_video_pipeline",
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INTEGER) AS nf,
+      |            CAST(5 + doc_id % 3 AS INTEGER) AS w, CAST(4 + doc_id % 2 AS INTEGER) AS h
+      |     FROM documents),
+      |f AS (SELECT doc_id, fi, (doc_id*37 + fi*53) % 256 AS v
+      |      FROM d, unnest(range(nf)) AS u(fi)),
+      |sampled AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+      |                   CAST(sum(v) AS BIGINT) AS sampled_luma_sum
+      |            FROM f WHERE fi % 2 = 0 GROUP BY doc_id)
+      |SELECT d.doc_id AS media_id, 'image/gif' AS mime, CAST(nf AS BIGINT) AS n_frames,
+      |       w AS width, h AS height, n_sampled, sampled_luma_sum
+      |FROM d JOIN sampled USING (doc_id) ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Multimodal.{JvmGifCodec, StubCodec}
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val nf = 2 + (id % 4).toInt
+        val w = 5 + (id % 3).toInt
+        val h = 4 + (id % 2).toInt
+        val frames = (0 until nf).map { fi =>
+          val v = ((id * 37 + fi * 53) % 256).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+            y += 1
+          }
+          img
+        }
+        val gif = JvmGifCodec.encodeAnimatedGif(frames) // real sequence writer
+        val dec = JvmGifCodec.decodeFrames(gif).get // real multi-frame decode
+        val sampled = JvmGifCodec.sampleFrames(dec, 2)
+        val lumaSum = sampled.map(f => (f.getRGB(0, 0) & 0xff).toLong).sum
+        (id, StubCodec.sniffMime(gif), dec.length.toLong,
+          dec.head.getWidth, dec.head.getHeight, sampled.length.toLong, lumaSum)
+      }
+      .toDF("media_id", "mime", "n_frames", "width", "height", "n_sampled",
+        "sampled_luma_sum")
+      .orderBy(col("media_id"))
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
     q19SessionWindow, q20CidrFilter, m1MediaPipeline, m2ImagePipeline, m3AudioPipeline,
-    q44SaltedJoin, q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
+    m4VideoPipeline, q44SaltedJoin, q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
 }

@@ -102,6 +102,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decode("not audio".getBytes).isEmpty)
   }
 
+  test("JvmGifCodec: animated GIF frame enumeration + sampling; uniform frames exact") {
+    import graft.multimodal.Multimodal.{JvmGifCodec, StubCodec}
+    val vals = Seq(13, 77, 200, 255, 0)
+    val frames = vals.map { v =>
+      val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      img
+    }
+    val gif = JvmGifCodec.encodeAnimatedGif(frames)
+    assert(StubCodec.sniffMime(gif) == "image/gif")
+    val dec = JvmGifCodec.decodeFrames(gif).get
+    assert(dec.length == 5 && dec.head.getWidth == 6 && dec.head.getHeight == 4)
+    // uniform-value frames round-trip pixel-exact through the palette
+    for ((img, v) <- dec.zip(vals); y <- 0 until 4; x <- 0 until 6)
+      assert((img.getRGB(x, y) & 0xff) == v)
+    assert(JvmGifCodec.sampleFrames(dec, 2).length == 3) // indices 0, 2, 4
+    assert(JvmGifCodec.decodeFrames("not a gif".getBytes).isEmpty)
+  }
+
   test("K5 pcap writer round-trips through the reader") {
     val frames = Pcap.decodeFile("a.pcap", TestBytes.pcapFile(Seq(
       (100L, 5, TestBytes.ether(Array[Byte](1, 2))),
