@@ -159,6 +159,27 @@ object SqlFrontDoor {
       // apply-side span dedup: cut duplicated 8-token spans keep-first
       ("span_cut", 1, a =>
         graft.operators.SpanDedup.cutSpans(s.read.parquet(a.head), "doc_id", "text", 8)),
+      // as_of_join(fact_path, dim_path, part_cols_csv, ts_col, dim_val_cols_csv):
+      // each fact row gains the latest dim values at-or-before its ts
+      ("as_of_join", 5, a =>
+        graft.operators.AsOf.joinLeft(
+          s.read.parquet(a.head), s.read.parquet(a(1)),
+          a(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty), a(3).trim,
+          a(4).split(",").toSeq.map(_.trim).filter(_.nonEmpty))),
+      // range_join(fact_path, dim_path, part_cols_csv, ts_col, start_col,
+      // end_col, bucket_width): interval containment via bucketed equi-join
+      ("range_join", 7, a =>
+        graft.operators.RangeJoin.join(
+          s.read.parquet(a.head), s.read.parquet(a(1)),
+          a(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty), a(3).trim,
+          a(4).trim, a(5).trim, a(6).trim.toLong)),
+      // zorder_key(path, col_a, col_b): adds the bit-interleaved `zkey`
+      ("zorder_key", 3, a => {
+        import org.apache.spark.sql.functions.col
+        val df = s.read.parquet(a.head)
+        df.withColumn("zkey",
+          graft.operators.ZOrder.interleave2(col(a(1).trim), col(a(2).trim)))
+      }),
       ("shard_layout", 2, a => {
         import org.apache.spark.sql.functions.{col, md5}
         val nsh = a(1).trim.toInt

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestBytes._
@@ -329,6 +330,39 @@ class SqlFrontDoorSpec extends AnyFunSuite {
          |WHERE size(split(trim(text), '\\\\s+')) >= 8""".stripMargin)
       .collect().head.getLong(0)
     assert(selfHits == longDocs && selfHits > 0)
+  }
+
+  test("as_of_join / range_join / zorder_key TVFs match the DataFrame API from pure SQL") {
+    import SparkTest.spark.implicits._
+    val dir = Files.createTempDirectory("graft_sql_joins")
+    val factP = dir.resolve("fact").toString
+    val dimP = dir.resolve("dim").toString
+    Seq((1L, 10L), (1L, 25L), (2L, 5L), (2L, 40L))
+      .toDF("k", "ts").write.mode("overwrite").parquet(factP)
+    Seq((1L, 8L, 20L, "a"), (1L, 22L, 30L, "b"), (2L, 35L, 50L, "c"))
+      .toDF("k", "lo", "hi", "tag").write.mode("overwrite").parquet(dimP)
+    // range containment: fact ts within [lo, hi] per k
+    val ranged = spark.sql(
+      s"SELECT k, ts, tag FROM range_join('$factP', '$dimP', 'k', 'ts', 'lo', 'hi', '16') ORDER BY k, ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(ranged == Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 40L, "c")))
+    // as-of: latest dim value at-or-before ts (dim keyed on lo here)
+    val dimAsof = dir.resolve("dim_asof").toString
+    Seq((1L, 8L, "a"), (1L, 22L, "b"), (2L, 35L, "c"))
+      .toDF("k", "ts", "tag").write.mode("overwrite").parquet(dimAsof)
+    val asof = spark.sql(
+      s"SELECT k, ts, tag FROM as_of_join('$factP', '$dimAsof', 'k', 'ts', 'tag') ORDER BY k, ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(asof == Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, null), (2L, 40L, "c")))
+    // zorder_key: matches the codegen'd interleave expression
+    val z = spark.sql(
+      s"SELECT k, ts, zkey FROM zorder_key('$factP', 'k', 'ts') ORDER BY k, ts")
+      .collect().map(_.getLong(2)).toSeq
+    val zApi = spark.read.parquet(factP)
+      .select(graft.operators.ZOrder.interleave2(col("k"), col("ts")).as("z"),
+        col("k"), col("ts"))
+      .orderBy("k", "ts").collect().map(_.getLong(0)).toSeq
+    assert(z == zApi)
   }
 
   test("curate TVF: the composed chain matches the DataFrame API from pure SQL") {
