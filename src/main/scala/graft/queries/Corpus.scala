@@ -420,7 +420,48 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-point integer PageRank over a synthesized doc link graph
+    * (3 out-links per doc by closed-form modulus) — the crawl-graph
+    * quality weight, 3 message-passing rounds. Integer arithmetic at
+    * every step, so the DuckDB oracle (the 3 rounds unrolled as CTEs)
+    * matches bit-for-bit. */
+  val t33PageRank: Q = Q(
+    "t33_pagerank",
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |e0 AS (SELECT doc_id AS src, (doc_id*7+1) % n AS dst FROM documents, nn
+      |       UNION SELECT doc_id, (doc_id*13+2) % n FROM documents, nn
+      |       UNION SELECT doc_id, (doc_id*19+3) % n FROM documents, nn),
+      |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      |od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      |r0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS r FROM documents),
+      |c1 AS (SELECT e.dst AS v, sum(r0.r // od.d) AS s FROM e JOIN od USING (src)
+      |       JOIN r0 ON r0.v = e.src GROUP BY e.dst),
+      |r1 AS (SELECT r0.v, CAST(150000 + 85 * coalesce(c1.s, 0) // 100 AS BIGINT) AS r
+      |       FROM r0 LEFT JOIN c1 USING (v)),
+      |c2 AS (SELECT e.dst AS v, sum(r1.r // od.d) AS s FROM e JOIN od USING (src)
+      |       JOIN r1 ON r1.v = e.src GROUP BY e.dst),
+      |r2 AS (SELECT r1.v, CAST(150000 + 85 * coalesce(c2.s, 0) // 100 AS BIGINT) AS r
+      |       FROM r1 LEFT JOIN c2 USING (v)),
+      |c3 AS (SELECT e.dst AS v, sum(r2.r // od.d) AS s FROM e JOIN od USING (src)
+      |       JOIN r2 ON r2.v = e.src GROUP BY e.dst),
+      |r3 AS (SELECT r2.v, CAST(150000 + 85 * coalesce(c3.s, 0) // 100 AS BIGINT) AS r
+      |       FROM r2 LEFT JOIN c3 USING (v))
+      |SELECT v AS doc_id, r AS pagerank FROM r3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val ids = docs.select(col("doc_id"))
+    val edges = Seq((7L, 1L), (13L, 2L), (19L, 3L))
+      .map { case (a, b) =>
+        ids.select(col("doc_id").as("src"),
+          ((col("doc_id") * a + b) % n).as("dst"))
+      }
+      .reduce(_ unionAll _)
+    graft.operators.PageRank.run(edges, "src", "dst", ids, "doc_id", iters = 3)
+      .select(col("node").as("doc_id"), col("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
-    t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut)
+    t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank)
 }

@@ -173,6 +173,16 @@ object SqlFrontDoor {
           s.read.parquet(a.head), s.read.parquet(a(1)),
           a(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty), a(3).trim,
           a(4).trim, a(5).trim, a(6).trim.toLong)),
+      // page_rank(edges_path, src_col, dst_col, iters): fixed-point
+      // integer PageRank over a parquet edge list (nodes = src ∪ dst)
+      ("page_rank", 4, a => {
+        import org.apache.spark.sql.functions.col
+        val e = s.read.parquet(a.head)
+        val nodes = e.select(col(a(1).trim).as("n"))
+          .unionAll(e.select(col(a(2).trim).as("n"))).distinct()
+        graft.operators.PageRank.run(e, a(1).trim, a(2).trim, nodes, "n",
+          a(3).trim.toInt)
+      }),
       // zorder_key(path, col_a, col_b): adds the bit-interleaved `zkey`
       ("zorder_key", 3, a => {
         import org.apache.spark.sql.functions.col

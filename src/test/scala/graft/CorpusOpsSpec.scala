@@ -115,6 +115,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out === Seq((0L, 1L, 1L), (1L, 1L, 2L)))
   }
 
+  test("pagerank: hand-computed two rounds on a 3-node graph; dups and self-loops dropped") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 2L), (2L, 2L))
+      .toDF("src", "dst") // duplicate 1->2 and self-loop 2->2 must drop
+    val nodes = Seq(0L, 1L, 2L).toDF("node_id")
+    val got = graft.operators.PageRank.run(edges, "src", "dst", nodes, "node_id", iters = 2)
+      .orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    // r1: 0 -> 150000 (no in-links); 1 -> 150000 + 85%*(1e6/2) = 575000;
+    //     2 -> 150000 + 85%*(1e6/2 + 1e6) = 1425000
+    // r2: 1 -> 150000 + 85%*(150000/2) = 213750;
+    //     2 -> 150000 + 85%*(75000 + 575000) = 702500
+    assert(got === Seq((0L, 150000L), (1L, 213750L), (2L, 702500L)))
+  }
+
   test("bm25: scores match the formula, ranking is deterministic") {
     val d = docs(
       0L -> "spark join spark",
