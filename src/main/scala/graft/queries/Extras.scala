@@ -316,7 +316,8 @@ object Extras {
   val m2ImagePipeline: Q = Q(
     "m2_image_pipeline",
     """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS sw,
-      |            CAST(3 + doc_id % 4 AS BIGINT) AS sh FROM documents),
+      |            CAST(3 + doc_id % 4 AS BIGINT) AS sh
+      |     FROM documents WHERE doc_id % 7 = 0),
       |px AS (
       |  SELECT doc_id,
       |    ((299 * ((doc_id*31 + ((dx*sw)//4)*7 + ((dy*sh)//3)*13) % 256)
@@ -335,7 +336,11 @@ object Extras {
       |FROM d JOIN agg USING (doc_id) ORDER BY media_id""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.multimodal.Multimodal.JvmImageCodec
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    // only the media subset pays the codec (a real pipeline decodes
+    // media docs, not the whole corpus); the subset is closed-form so
+    // the oracle applies the same gate
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % 7 === 0).as[Long]
       .map { id =>
         val sw = 4 + (id % 5).toInt
         val sh = 3 + (id % 4).toInt
@@ -413,7 +418,7 @@ object Extras {
     "m4_video_pipeline",
     """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INTEGER) AS nf,
       |            CAST(5 + doc_id % 3 AS INTEGER) AS w, CAST(4 + doc_id % 2 AS INTEGER) AS h
-      |     FROM documents),
+      |     FROM documents WHERE doc_id % 7 = 0),
       |f AS (SELECT doc_id, fi, (doc_id*37 + fi*53) % 256 AS v
       |      FROM d, unnest(range(nf)) AS u(fi)),
       |sampled AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
@@ -424,7 +429,9 @@ object Extras {
       |FROM d JOIN sampled USING (doc_id) ORDER BY media_id""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.multimodal.Multimodal.{JvmGifCodec, StubCodec}
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    // media-subset gate, mirrored in the oracle (see m2)
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % 7 === 0).as[Long]
       .map { id =>
         val nf = 2 + (id % 4).toInt
         val w = 5 + (id % 3).toInt
