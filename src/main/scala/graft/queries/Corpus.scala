@@ -461,7 +461,30 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Broadcast multi-phrase tagging (blocklist / topic-lexicon pass) —
+    * one narrow scan tags every doc against a driver-sized phrase
+    * list; non-overlapping left-to-right counts, which is exactly
+    * SQL's replace-length formula, so the oracle is independent. */
+  val t34PhraseTags: Q = {
+    val phrases = Seq("table table", "fast scan", "agg row", "the line sort")
+    val sqlRows = phrases.map { p =>
+      s"""SELECT doc_id, '$p' AS phrase,
+         |  CAST((length(text) - length(replace(text, '$p', ''))) // ${p.length} AS BIGINT) AS n_hits
+         |FROM documents""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    Q(
+      "t34_phrase_tags",
+      s"""WITH hits AS (
+         |  $sqlRows)
+         |SELECT doc_id, phrase, n_hits FROM hits WHERE n_hits > 0
+         |ORDER BY doc_id, phrase""".stripMargin) { (s, d) =>
+      graft.operators.Phrases.tag(Tables.documents(s, d), "doc_id", "text", phrases)
+        .orderBy(col("doc_id"), col("phrase"))
+    }
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
-    t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank)
+    t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
+    t34PhraseTags)
 }

@@ -173,6 +173,10 @@ object SqlFrontDoor {
           s.read.parquet(a.head), s.read.parquet(a(1)),
           a(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty), a(3).trim,
           a(4).trim, a(5).trim, a(6).trim.toLong)),
+      // phrase_tags(path, phrases_csv): broadcast blocklist/lexicon scan
+      ("phrase_tags", 2, a =>
+        graft.operators.Phrases.tag(s.read.parquet(a.head), "doc_id", "text",
+          a(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty))),
       // page_rank(edges_path, src_col, dst_col, iters): fixed-point
       // integer PageRank over a parquet edge list (nodes = src ∪ dst)
       ("page_rank", 4, a => {

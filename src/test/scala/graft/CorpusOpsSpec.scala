@@ -115,6 +115,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out === Seq((0L, 1L, 1L), (1L, 1L, 2L)))
   }
 
+  test("phrase tagging: non-overlapping left-to-right counts, no-hit docs emit nothing") {
+    val d = docs(
+      0L -> "aba ababa abab",     // "aba": pos 0, then in "ababa" pos 4 only (non-overlap), "abab" pos 10 → 3
+      1L -> "no matches here",
+      2L -> "xx yy xx")
+    val out = graft.operators.Phrases.tag(d, "doc_id", "text", Seq("aba", "xx"))
+      .orderBy("doc_id", "phrase")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((0L, "aba", 3L), (2L, "xx", 2L)))
+    // the exact same semantics as SQL's replace-length formula
+    assert(graft.operators.Phrases.tag(d, "doc_id", "text", Seq("aba"))
+      .collect().head.getLong(2) ==
+      ("aba ababa abab".length - "aba ababa abab".replace("aba", "").length) / 3)
+  }
+
   test("pagerank: hand-computed two rounds on a 3-node graph; dups and self-loops dropped") {
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 2L), (2L, 2L))
       .toDF("src", "dst") // duplicate 1->2 and self-loop 2->2 must drop
