@@ -40,7 +40,11 @@ object Phrases {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(phrases.toArray)
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // NULL text yields no hits (matches the oracle, where LIKE/replace
+    // over NULL is NULL): filter before the typed pass — this is a
+    // user-facing TVF over arbitrary parquet, so nulls are expected.
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
         bc.value.iterator.flatMap { p =>
           val n = countOccurrences(text, p)

@@ -158,10 +158,35 @@ object SpanDedup {
     * [[dupSpans]]); covered positions are bounded by actual
     * duplication; the corpus shuffles ONCE on doc_id to meet its cut
     * list, and the token surgery itself is a codegen'd higher-order
-    * `filter` — no typed map, no text in the dedup shuffles. */
-  def cutSpans(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val byH = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
-    val cuts = windowRows(docs, idCol, textCol, w).toDF("doc_id", "pos", "h")
+    * `filter` — no typed map, no text in the dedup shuffles.
+    *
+    * The apply-side tokenization strips edge-empty tokens
+    * (`array_remove(split(trim(text), "\\s+"), "")`) so it indexes
+    * EXACTLY like [[Dedup.wsTokens]], which computed the cut positions:
+    * Spark's `trim` strips spaces only and its `split` keeps trailing
+    * empties, so a document with a leading tab or trailing newline
+    * would otherwise shift every index by one and cut the wrong tokens
+    * (`\\s+` splitting yields empty tokens only at the edges, so the
+    * remove is a complete reconciliation, not a heuristic).
+    *
+    * `wideHash = true` widens the keep-first identity to 128 bits (two
+    * independent xxHash seeds) like [[dupSpans]] — worth it here
+    * because a collision is DESTRUCTIVE (it deletes a non-duplicate
+    * span rather than merely widening a span boundary). */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String, w: Int,
+      wideHash: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (win, keyCols) =
+      if (wideHash) {
+        val f = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+          .flatMap { case (id, text) => windowOccsWide(id, text, w) }
+          .toDF("doc_id", "pos", "h", "h2")
+        (f, Seq("h", "h2"))
+      } else
+        (windowRows(docs, idCol, textCol, w).toDF("doc_id", "pos", "h"), Seq("h"))
+    val byH = Window.partitionBy(keyCols.map(col): _*).orderBy(col("doc_id"), col("pos"))
+    val cuts = win
       .withColumn("rn", row_number().over(byH))
       .filter(col("rn") > 1)
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
@@ -174,7 +199,7 @@ object SpanDedup {
       .select(
         col("doc_id"),
         array_join(
-          filter(split(trim(col("text")), "\\s+"),
+          filter(array_remove(split(trim(col("text")), "\\s+"), ""),
             (t, i) => !array_contains(col("cp"), i + 1)),
           " ").as("clean_text"),
         size(col("cp")).cast("long").as("n_cut_tokens"))
@@ -195,16 +220,28 @@ object SpanDedup {
     * aggregates hit rows only (bounded by actual contamination).
     * Window identity is [[Dedup.hash64]] like [[dupSpans]] — the
     * oracle joins on window TEXT, so hash-collision parity failures
-    * surface as correctness mismatches. */
+    * surface as correctness mismatches; `wideHash = true` widens the
+    * identity to 128 bits (a collision here falsely flags a clean
+    * training document) with the same broadcast shape, +8 bytes per
+    * broadcast row. */
   def ngramContamination(train: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String, w: Int): DataFrame = {
-    val trainWin = windowRows(train, idCol, textCol, w).toDF("doc_id", "pos", "h")
-    val evalHashes = windowRows(eval, idCol, textCol, w).toDF("eid", "epos", "h")
-      .select(col("h")).distinct()
-    trainWin.join(broadcast(evalHashes), "h")
+      idCol: String, textCol: String, w: Int, wideHash: Boolean = false): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    def wins(df: DataFrame, a: String, b: String, c: String, d: String) =
+      if (wideHash)
+        df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+          .flatMap { case (id, text) => windowOccsWide(id, text, w) }
+          .toDF(a, b, c, d)
+      else windowRows(df, idCol, textCol, w).toDF(a, b, c)
+    val keyCols = if (wideHash) Seq("h", "h2") else Seq("h")
+    val trainWin = wins(train, "doc_id", "pos", "h", "h2")
+    val evalHashes = wins(eval, "eid", "epos", "h", "h2")
+      .select(keyCols.map(col): _*).distinct()
+    trainWin.join(broadcast(evalHashes), keyCols)
       .groupBy(col("doc_id"))
       .agg(
-        countDistinct(col("h")).as("n_hit_windows"),
+        countDistinct(col(keyCols.head), keyCols.tail.map(col): _*).as("n_hit_windows"),
         count(lit(1)).as("n_hit_positions"))
   }
 }

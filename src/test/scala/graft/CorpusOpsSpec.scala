@@ -128,6 +128,10 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(graft.operators.Phrases.tag(d, "doc_id", "text", Seq("aba"))
       .collect().head.getLong(2) ==
       ("aba ababa abab".length - "aba ababa abab".replace("aba", "").length) / 3)
+    // NULL text yields no hits (no NPE) — arbitrary-parquet TVF surface
+    val withNull = Seq((0L, "xx here"), (1L, null)).toDF("doc_id", "text")
+    assert(graft.operators.Phrases.tag(withNull, "doc_id", "text", Seq("xx"))
+      .as[(Long, String, Long)].collect().toSeq === Seq((0L, "xx", 1L)))
   }
 
   test("pagerank: hand-computed two rounds on a 3-node graph; dups and self-loops dropped") {

@@ -90,23 +90,43 @@ class SpanDedupPropSpec extends AnyFunSuite {
     }
   }
 
-  test("random corpora: cutSpans equals the keep-first reference") {
+  test("random corpora: cutSpans equals the keep-first reference, both hash widths") {
     val spark = SparkTest.spark
     import spark.implicits._
     val vocab = Seq("a", "b", "c")
+    // Separators include tabs, newlines and runs of spaces, and docs may
+    // carry leading/trailing irregular whitespace: the apply-side
+    // tokenization must index exactly like Dedup.wsTokens (the round-9
+    // ADVICE bug — a leading tab shifted every cut index by one).
+    val seps = Seq(" ", "  ", "\t", "\n", " \t ")
     var s = org.scalacheck.rng.Seed(77L)
     def gen[A](g: Gen[A]): A = { val v = g.apply(Gen.Parameters.default, s).get; s = s.next; v }
-    for (round <- 0 until 4; w <- Seq(2, 3)) {
+    for (round <- 0 until 6; w <- Seq(2, 3)) {
       val docs = (0 until gen(Gen.chooseNum(2, 10))).map { i =>
         val len = gen(Gen.chooseNum(0, 14))
-        (i.toLong, (0 until len).map(_ => gen(Gen.oneOf(vocab))).mkString(" "))
+        val toks = (0 until len).map(_ => gen(Gen.oneOf(vocab)))
+        val body = if (toks.isEmpty) "" else
+          toks.tail.foldLeft(new StringBuilder(toks.head)) { (sb, t) =>
+            sb.append(gen(Gen.oneOf(seps))).append(t)
+          }.toString
+        val lead = gen(Gen.oneOf("", "\t", " ", "\n "))
+        val tail = gen(Gen.oneOf("", "\n", " ", " \t"))
+        (i.toLong, lead + body + tail)
       }
-      val got = SpanDedup.cutSpans(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+      val wide = round % 2 == 1
+      val got = SpanDedup.cutSpans(docs.toDF("doc_id", "text"), "doc_id", "text", w,
+          wideHash = wide)
         .orderBy("doc_id")
         .as[(Long, String, Long)].collect().toSeq
       val want = cutReference(docs, w).sortBy(_._1)
-      assert(got === want, s"round $round w=$w docs=$docs")
+      assert(got === want, s"round $round w=$w wide=$wide docs=$docs")
     }
+    // The exact ADVICE reproduction: [(1,'a b'), (2,'\ta b x\n')], w=2 —
+    // doc 2's 'a b' is the later occurrence, so 'a b' is cut and 'x' kept.
+    val fixed = Seq((1L, "a b"), (2L, "\ta b x\n"))
+    val got = SpanDedup.cutSpans(fixed.toDF("doc_id", "text"), "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "a b", 0L), (2L, "x", 2L)))
   }
 
   test("random corpora: ngramContamination equals the naive overlap count") {
@@ -131,11 +151,13 @@ class SpanDedupPropSpec extends AnyFunSuite {
         if (hits.isEmpty) None
         else Some((id, hits.distinct.size.toLong, hits.size.toLong))
       }.sortBy(_._1)
+      val wide = round % 2 == 1
       val got = SpanDedup.ngramContamination(
-          train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"), "doc_id", "text", w)
+          train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"), "doc_id", "text", w,
+          wideHash = wide)
         .orderBy("doc_id")
         .as[(Long, Long, Long)].collect().toSeq
-      assert(got === want, s"round $round w=$w train=$train eval=$eval")
+      assert(got === want, s"round $round w=$w wide=$wide train=$train eval=$eval")
     }
   }
 
