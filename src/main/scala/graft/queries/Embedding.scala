@@ -29,6 +29,215 @@ object Embedding {
   private def sqlCosine(a: String, b: String): String =
     s"(${sqlDot(a, b)}) / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
+  // ───────────────────────────── trained-serve oracles ──────────────────────
+  // The iterative float TRAINING of the IVF/PQ family has no SQL oracle,
+  // but the SERVE math is a chain of sequential double folds the oracle
+  // CAN replay bit-identically (the same discipline as v1/v4). So each
+  // trained query persists its driver-sized artifacts — centroids and/or
+  // codebooks, a few KB — to a fixed path during the run, and its oracle
+  // replays assignment, probing, PQ encoding, ADC scoring, the refine
+  // cut and the exact re-rank from those artifacts. That turns the five
+  // former rows-only checks into full rows+schema+hash rows: a serve
+  // regression (or artifact drift) now fails CORRECTNESS, not just the
+  // bench's recall gate. Contract: run the oracle compare for an SF
+  // right after Verify for that SF (the fixed path holds one run's
+  // artifacts; a later Verify at another SF overwrites them — any
+  // mismatch is loud, never silently green).
+
+  private val ArtifactRoot = "/tmp/graft_ann_oracle"
+
+  private def writeCentroids(s: org.apache.spark.sql.SparkSession, name: String,
+      cents: Array[Array[Float]]): Unit = {
+    import s.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cent_id", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$ArtifactRoot/$name")
+  }
+
+  private def writeBooks(s: org.apache.spark.sql.SparkSession, name: String,
+      books: Array[Array[Array[Float]]]): Unit = {
+    import s.implicits._
+    (for (mi <- books.indices; ci <- books(mi).indices)
+      yield (mi, ci, books(mi)(ci))).toDF("mi", "ci", "bvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$ArtifactRoot/$name")
+  }
+
+  private def artifact(name: String): String =
+    s"read_parquet('$ArtifactRoot/$name/*.parquet')"
+
+  /** Sequential fold Σ (aᵢ − bᵢ)² with per-element DOUBLE promotion —
+    * the DuckDB counterpart of [[Ann]]'s `l2sub` (PQ code assignment). */
+  private def sqlL2(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), (acc, v) -> acc + v)""".stripMargin
+
+  /** Residual-code distance Σ ((vᵢ − cᵢ)_f32 − bᵢ)²: the inner
+    * subtraction rounds to FLOAT first (Spark subtracts the raw float
+    * arrays before promoting), then promotes to DOUBLE — matches the
+    * IVF-PQ encode kernel exactly. */
+  private def sqlResidL2(v: String, c: String, b: String): String = {
+    val d = "(CAST(CAST(x[1] - x[2] AS FLOAT) AS DOUBLE) - CAST(x[3] AS DOUBLE))"
+    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($v, $c, $b),
+       |      x -> $d * $d)), (acc, v) -> acc + v)""".stripMargin
+  }
+
+  /** Subspace `mi` (0-based column expr) of a flat vector, `sub` wide. */
+  private def sqlSub(vec: String, mi: String, sub: Int): String =
+    s"list_slice($vec, $mi*$sub+1, $mi*$sub+$sub)"
+
+  /** Order-pinned aggregate sum — `SUM()` has no accumulation order, so
+    * every ADC fold sums via an ORDER BY'd list_reduce instead (matches
+    * the kernels' ascending-subspace loops). */
+  private def sqlOrderedSum(expr: String, orderBy: String): String =
+    s"list_reduce(list_prepend(0.0, list($expr ORDER BY $orderBy)), (acc, v) -> acc + v)"
+
+  /** Shared serve-oracle tail: rank scored (qid, cid, cosine) rows. */
+  private def sqlTopK: String =
+    s"""SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine FROM (
+       |  SELECT qid, cid, cosine,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K
+       |ORDER BY qid, rank""".stripMargin
+
+  /** IVF serve replay from persisted centroids: assign every vector to
+    * its max-cosine centroid (index tie-break), probe each query's top
+    * `nprobe` cells, exact cosine rank within the probed cells. */
+  private def ivfServeSql(centArtifact: String, nprobe: Int): String =
+    s"""WITH cent AS (SELECT cent_id, cvec FROM ${artifact(centArtifact)}),
+       |assign AS (
+       |  SELECT vec_id, embedding, cent_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM embeddings e, cent c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < $NumQueries),
+       |probe AS (
+       |  SELECT qid, cent_id FROM (
+       |    SELECT q.qid, c.cent_id,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY ${sqlCosine("q.qvec", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM q, cent c)
+       |  WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id AS cid, ${sqlCosine("q.qvec", "a.embedding")} AS cosine
+       |  FROM probe p JOIN q USING (qid) JOIN assign a USING (cent_id)
+       |  WHERE a.vec_id <> p.qid)
+       |$sqlTopK""".stripMargin
+
+  /** PQ serve replay from persisted codebooks: encode every vector
+    * (per-subspace argmin-L2, index tie-break), ADC-score via ordered
+    * lookup folds, cut to the top-`refine` candidates, exact re-rank. */
+  private def pqServeSql(bookArtifact: String, m: Int, sub: Int, refine: Int): String =
+    s"""WITH books AS (SELECT mi, ci, bvec FROM ${artifact(bookArtifact)}),
+       |c AS (SELECT vec_id AS cid, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < $NumQueries),
+       |enc AS (
+       |  SELECT cid, mi, ci AS code FROM (
+       |    SELECT c.cid, b.mi, b.ci,
+       |           row_number() OVER (PARTITION BY c.cid, b.mi
+       |             ORDER BY ${sqlL2(sqlSub("c.embedding", "b.mi", sub), "b.bvec")} ASC, b.ci) AS rn
+       |    FROM c, books b)
+       |  WHERE rn = 1),
+       |tn AS (SELECT mi, ci, ${sqlDot("bvec", "bvec")} AS n2 FROM books),
+       |tq AS (SELECT q.qid, b.mi, b.ci,
+       |         ${sqlDot(sqlSub("q.qvec", "b.mi", sub), "b.bvec")} AS d FROM q, books b),
+       |qn AS (SELECT qid, sqrt(${sqlDot("qvec", "qvec")}) AS qnorm FROM q),
+       |adc AS (
+       |  SELECT t.qid, e.cid,
+       |         ${sqlOrderedSum("t.d", "e.mi")} AS ad,
+       |         ${sqlOrderedSum("n.n2", "e.mi")} AS an2
+       |  FROM enc e
+       |  JOIN tn n ON n.mi = e.mi AND n.ci = e.code
+       |  JOIN tq t ON t.mi = e.mi AND t.ci = e.code
+       |  WHERE t.qid <> e.cid
+       |  GROUP BY t.qid, e.cid),
+       |cand AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT a.qid, a.cid,
+       |           row_number() OVER (PARTITION BY a.qid
+       |             ORDER BY a.ad / (qn.qnorm * sqrt(a.an2)) DESC, a.cid) AS r
+       |    FROM adc a JOIN qn USING (qid))
+       |  WHERE r <= $refine),
+       |scored AS (
+       |  SELECT cand.qid, cand.cid, ${sqlCosine("q.qvec", "c.embedding")} AS cosine
+       |  FROM cand JOIN q USING (qid) JOIN c USING (cid))
+       |$sqlTopK""".stripMargin
+
+  /** IVF-PQ serve replay from persisted centroids + residual codebooks:
+    * cell assignment, per-query probe set, residual encoding (FLOAT
+    * subtraction first — see [[sqlResidL2]]), reconstruction-identity
+    * ADC (`dot(q,x̂) = dot(q,cent) + Σ tabQ`, `‖x̂‖² = ‖cent‖² + 2·cr +
+    * rn2`), refine cut, exact re-rank. */
+  private def ivfPqServeSql(centArtifact: String, bookArtifact: String,
+      m: Int, sub: Int, nprobe: Int, refine: Int): String =
+    s"""WITH cent AS (SELECT cent_id, cvec FROM ${artifact(centArtifact)}),
+       |books AS (SELECT mi, ci, bvec FROM ${artifact(bookArtifact)}),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < $NumQueries),
+       |assign AS (
+       |  SELECT vec_id, embedding, cent_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM embeddings e, cent c)
+       |  WHERE rn = 1),
+       |probe AS (
+       |  SELECT qid, cent_id FROM (
+       |    SELECT q.qid, c.cent_id,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY ${sqlCosine("q.qvec", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM q, cent c)
+       |  WHERE rn <= $nprobe),
+       |enc AS (
+       |  SELECT vec_id AS cid, cent_id, mi, ci AS code FROM (
+       |    SELECT a.vec_id, a.cent_id, b.mi, b.ci,
+       |           row_number() OVER (PARTITION BY a.vec_id, b.mi
+       |             ORDER BY ${sqlResidL2(
+                       sqlSub("a.embedding", "b.mi", sub),
+                       sqlSub("ct.cvec", "b.mi", sub), "b.bvec")} ASC, b.ci) AS rn
+       |    FROM assign a JOIN cent ct USING (cent_id), books b)
+       |  WHERE rn = 1),
+       |tn AS (SELECT mi, ci, ${sqlDot("bvec", "bvec")} AS n2 FROM books),
+       |tcent AS (SELECT c.cent_id, b.mi, b.ci,
+       |            ${sqlDot(sqlSub("c.cvec", "b.mi", sub), "b.bvec")} AS d FROM cent c, books b),
+       |centn2 AS (SELECT cent_id, ${sqlDot("cvec", "cvec")} AS n2 FROM cent),
+       |tq AS (SELECT q.qid, b.mi, b.ci,
+       |         ${sqlDot(sqlSub("q.qvec", "b.mi", sub), "b.bvec")} AS d FROM q, books b),
+       |qcent AS (SELECT q.qid, c.cent_id, ${sqlDot("q.qvec", "c.cvec")} AS d FROM q, cent c),
+       |qn AS (SELECT qid, sqrt(${sqlDot("qvec", "qvec")}) AS qnorm FROM q),
+       |vstat AS (
+       |  SELECT e.cid, e.cent_id,
+       |         ${sqlOrderedSum("tc.d", "e.mi")} AS cr,
+       |         ${sqlOrderedSum("n.n2", "e.mi")} AS rn2
+       |  FROM enc e
+       |  JOIN tcent tc ON tc.cent_id = e.cent_id AND tc.mi = e.mi AND tc.ci = e.code
+       |  JOIN tn n ON n.mi = e.mi AND n.ci = e.code
+       |  GROUP BY e.cid, e.cent_id),
+       |xn AS (SELECT v.cid, v.cent_id, cn.n2 + 2*v.cr + v.rn2 AS xn2
+       |       FROM vstat v JOIN centn2 cn USING (cent_id)),
+       |rd AS (
+       |  SELECT t.qid, e.cid, e.cent_id, ${sqlOrderedSum("t.d", "e.mi")} AS rd
+       |  FROM enc e
+       |  JOIN probe p ON p.cent_id = e.cent_id
+       |  JOIN tq t ON t.qid = p.qid AND t.mi = e.mi AND t.ci = e.code
+       |  WHERE t.qid <> e.cid
+       |  GROUP BY t.qid, e.cid, e.cent_id),
+       |cand AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT r.qid, r.cid,
+       |           row_number() OVER (PARTITION BY r.qid ORDER BY
+       |             (qc.d + r.rd) / (qn.qnorm * sqrt(x.xn2)) DESC, r.cid) AS rk
+       |    FROM rd r
+       |    JOIN xn x ON x.cid = r.cid
+       |    JOIN qcent qc ON qc.qid = r.qid AND qc.cent_id = r.cent_id
+       |    JOIN qn ON qn.qid = r.qid)
+       |  WHERE rk <= $refine),
+       |scored AS (
+       |  SELECT cand.qid, cand.cid, ${sqlCosine("q.qvec", "e.embedding")} AS cosine
+       |  FROM cand JOIN q USING (qid) JOIN embeddings e ON e.vec_id = cand.cid)
+       |$sqlTopK""".stripMargin
+
   /** Exact brute-force cosine top-k: correctness baseline for ANN. */
   val v1KnnBrute: Q = Q(
     "v1_knn_brute",
@@ -207,9 +416,10 @@ object Embedding {
     * Bahmani et al.) — the production seeding a 10⁹-vector corpus
     * needs, wired into the benched query per the round-4 verdict.
     * K-means training is an iterative float reduction — not
-    * SQL-expressible bit-identically — so this query declares no SQL
-    * oracle (driver records the rows-only check); `AnnSpec` gates its
-    * recall@5 against the exact v1 ranking at ≥ 0.9 instead.
+    * SQL-expressible bit-identically — so the query persists its
+    * trained centroids and the oracle replays the SERVE half from them
+    * ([[ivfServeSql]]); `AnnSpec` additionally gates recall@5 against
+    * the exact v1 ranking at ≥ 0.9.
     *
     * nprobe, measured honestly: the earlier nprobe=4 ≥0.9 recall was a
     * SEED-COINCIDENCE artifact — with first-k init the 10 query vectors
@@ -223,18 +433,18 @@ object Embedding {
     * with real cluster structure nprobe≈k/4 is the working ratio. */
   val v7KnnIvfTrained: Q = Q(
     "v7_knn_ivf_trained",
-    (s, d) => {
-      val e = Tables.embeddings(s, d)
-      val numCells = 16
-      val init = Ann.kmeansParallelInit(e, "vec_id", "embedding", numCells)
-      val cents = Ann.kmeansCentroids(e, "embedding", init, iters = 5)
-      val queries = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Ann.ivfTopK(corpus, queries, cents, K, nprobe = 12)
-        .orderBy(col("qid"), col("rank"))
-    },
-    None)
+    ivfServeSql("v7_centroids", nprobe = 12)) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val numCells = 16
+    val init = Ann.kmeansParallelInit(e, "vec_id", "embedding", numCells)
+    val cents = Ann.kmeansCentroids(e, "embedding", init, iters = 5)
+    writeCentroids(s, "v7_centroids", cents)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Ann.ivfTopK(corpus, queries, cents, K, nprobe = 12)
+      .orderBy(col("qid"), col("rank"))
+  }
 
   /** Product-quantized ANN (the compression leg of the 10⁹-vector story:
     * the scan reads 4-bit codes — 64 bits/vector vs 2048 for float32,
@@ -244,29 +454,30 @@ object Embedding {
     * a bounded per-query heap; exact cosine re-rank of the top-128
     * candidates (refine=64 measured 0.84 recall@5 at sf0.1 via the
     * bench's recall artifact — 4-bit ADC on isotropic vectors needs the
-    * wider re-rank cut). Iterative float training → no SQL oracle
-    * (rows-only check); `AnnSpec` gates recall@5 vs the exact v1
-    * ranking. */
+    * wider re-rank cut). Iterative float training → the query persists
+    * its trained codebooks and the oracle replays encode + ADC +
+    * refine + re-rank from them ([[pqServeSql]]); `AnnSpec` gates
+    * recall@5 vs the exact v1 ranking. */
   val v9KnnPq: Q = Q(
     "v9_knn_pq",
-    (s, d) => {
-      val e = Tables.embeddings(s, d)
-      val m = 16
-      val kc = 16
-      val sub = Dim / m
-      val init = e.filter(col("vec_id") < kc).orderBy(col("vec_id"))
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).toArray)
-      val books = Array.tabulate(m, kc)((mi, ci) =>
-        java.util.Arrays.copyOfRange(init(ci), mi * sub, (mi + 1) * sub))
-      val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val trained = Ann.pqCodebooks(corpus, "cvec", books, iters = 3)
-      val queries = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Ann.pqTopK(corpus, queries, trained, K, refine = 128)
-        .orderBy(col("qid"), col("rank"))
-    },
-    None)
+    pqServeSql("v9_books", m = 16, sub = Dim / 16, refine = 128)) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val m = 16
+    val kc = 16
+    val sub = Dim / m
+    val init = e.filter(col("vec_id") < kc).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val books = Array.tabulate(m, kc)((mi, ci) =>
+      java.util.Arrays.copyOfRange(init(ci), mi * sub, (mi + 1) * sub))
+    val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val trained = Ann.pqCodebooks(corpus, "cvec", books, iters = 3)
+    writeBooks(s, "v9_books", trained)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.pqTopK(corpus, queries, trained, K, refine = 128)
+      .orderBy(col("qid"), col("rank"))
+  }
 
   /** Full IVF-PQ composition (faiss-style): Lloyd's-trained cells bound
     * which vectors each query scans (nprobe=4 of 16), shared codebooks
@@ -276,32 +487,36 @@ object Embedding {
     * stays the deterministic first-kc residual slices. nprobe=12 and
     * refine=128 for the same honest-isotropy reason documented on v7
     * (measured 0.66 @ nprobe=4 → 0.94 @ nprobe=12/refine=128).
-    * Iterative float training → no SQL oracle (rows-only check);
-    * `AnnSpec` gates recall@5 vs the exact v1 ranking. */
+    * Iterative float training → the query persists centroids +
+    * codebooks and the oracle replays the full serve path from them
+    * ([[ivfPqServeSql]]); `AnnSpec` gates recall@5 vs the exact v1
+    * ranking. */
   val v10KnnIvfPq: Q = Q(
     "v10_knn_ivf_pq",
-    (s, d) => {
-      val e = Tables.embeddings(s, d)
-      val numCells = 16
-      val m = 16
-      val kc = 16
-      val sub = Dim / m
-      val init = Ann.kmeansParallelInit(e, "vec_id", "embedding", numCells)
-      val cents = Ann.kmeansCentroids(e, "embedding", init, iters = 5)
-      val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val residuals = Ann.residualsOf(corpus, "cid", "cvec", cents)
-      // codebook init from the first kc vectors' residuals (deterministic)
-      val rInit = residuals.filter(col("cid") < kc).orderBy(col("cid"))
-        .select(col("cvec")).collect().map(_.getSeq[Float](0).toArray)
-      val books0 = Array.tabulate(m, kc)((mi, ci) =>
-        java.util.Arrays.copyOfRange(rInit(ci % rInit.length), mi * sub, (mi + 1) * sub))
-      val books = Ann.pqCodebooks(residuals, "cvec", books0, iters = 3)
-      val queries = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Ann.ivfPqTopK(corpus, queries, cents, books, K, nprobe = 12, refine = 128)
-        .orderBy(col("qid"), col("rank"))
-    },
-    None)
+    ivfPqServeSql("v10_centroids", "v10_books",
+      m = 16, sub = Dim / 16, nprobe = 12, refine = 128)) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val numCells = 16
+    val m = 16
+    val kc = 16
+    val sub = Dim / m
+    val init = Ann.kmeansParallelInit(e, "vec_id", "embedding", numCells)
+    val cents = Ann.kmeansCentroids(e, "embedding", init, iters = 5)
+    val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val residuals = Ann.residualsOf(corpus, "cid", "cvec", cents)
+    // codebook init from the first kc vectors' residuals (deterministic)
+    val rInit = residuals.filter(col("cid") < kc).orderBy(col("cid"))
+      .select(col("cvec")).collect().map(_.getSeq[Float](0).toArray)
+    val books0 = Array.tabulate(m, kc)((mi, ci) =>
+      java.util.Arrays.copyOfRange(rInit(ci % rInit.length), mi * sub, (mi + 1) * sub))
+    val books = Ann.pqCodebooks(residuals, "cvec", books0, iters = 3)
+    writeCentroids(s, "v10_centroids", cents)
+    writeBooks(s, "v10_books", books)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.ivfPqTopK(corpus, queries, cents, books, K, nprobe = 12, refine = 128)
+      .orderBy(col("qid"), col("rank"))
+  }
 
   /** Multi-probe hyperplane LSH (nprobe = 2): the query also probes the
     * bucket reached by flipping its least-confident sign bit. The probe
@@ -388,21 +603,21 @@ object Embedding {
     * measured run pays them and the median lands on a pure serve run;
     * with SPARK_GRAFT_BENCH_RUNS=1 the one number would include
     * training). Same parameters as v7 (16 cells, nprobe=12, k=5) so
-    * the bench's recall@5 column is directly comparable. Iterative
-    * float training → no SQL oracle (rows-only check), like v7. */
+    * the bench's recall@5 column is directly comparable. The oracle
+    * replays the serve from the persisted centroids, like v7. */
   val v11IvfServed: Q = Q(
     "v11_ivf_served",
-    (s, d) => {
-      val (dir, cents) = ivfServedIndex(s, d)
-      val index = s.read.parquet(dir)
-        .withColumn("cell", col("cell").cast("int"))
-      val e = Tables.embeddings(s, d)
-      val queries = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Ann.ivfTopKAssigned(index, queries, cents, K, nprobe = 12)
-        .orderBy(col("qid"), col("rank"))
-    },
-    None)
+    ivfServeSql("v11_centroids", nprobe = 12)) { (s, d) =>
+    val (dir, cents) = ivfServedIndex(s, d)
+    writeCentroids(s, "v11_centroids", cents)
+    val index = s.read.parquet(dir)
+      .withColumn("cell", col("cell").cast("int"))
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.ivfTopKAssigned(index, queries, cents, K, nprobe = 12)
+      .orderBy(col("qid"), col("rank"))
+  }
 
   /** Train-once cache backing [[v12IvfPqServed]]: (codes dir,
     * centroids, codebooks) per SF dir — v10's exact training, run once
@@ -443,23 +658,25 @@ object Embedding {
     * fetches full vectors only for the top-`refine` survivors
     * ([[graft.operators.Ann.ivfPqTopKEncoded]]). Same parameters as
     * v10 (16 cells, m=16, nprobe=12, refine=128, k=5) so the bench's
-    * recall@5 column is directly comparable. Iterative float training
-    * → no SQL oracle (rows-only check), like v10/v11. */
+    * recall@5 column is directly comparable. The oracle replays the
+    * serve from the persisted centroids + codebooks, like v10. */
   val v12IvfPqServed: Q = Q(
     "v12_ivfpq_served",
-    (s, d) => {
-      val (dir, cents, books) = ivfPqServedIndex(s, d)
-      val codes = s.read.parquet(dir)
-        .withColumn("cell", col("cell").cast("int"))
-      val e = Tables.embeddings(s, d)
-      val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val queries = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Ann.ivfPqTopKEncoded(codes, corpus, queries, cents, books, K,
-        nprobe = 12, refine = 128)
-        .orderBy(col("qid"), col("rank"))
-    },
-    None)
+    ivfPqServeSql("v12_centroids", "v12_books",
+      m = 16, sub = Dim / 16, nprobe = 12, refine = 128)) { (s, d) =>
+    val (dir, cents, books) = ivfPqServedIndex(s, d)
+    writeCentroids(s, "v12_centroids", cents)
+    writeBooks(s, "v12_books", books)
+    val codes = s.read.parquet(dir)
+      .withColumn("cell", col("cell").cast("int"))
+    val e = Tables.embeddings(s, d)
+    val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.ivfPqTopKEncoded(codes, corpus, queries, cents, books, K,
+      nprobe = 12, refine = 128)
+      .orderBy(col("qid"), col("rank"))
+  }
 
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,
     v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
