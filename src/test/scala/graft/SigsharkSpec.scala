@@ -125,4 +125,61 @@ class SigsharkSpec extends AnyFunSuite {
     assert(Sigshark.diameterTransactions(SparkTest.spark, path).isEmpty)
     assert(Sigshark.diameterTransactions(SparkTest.spark, path, keepPartial = true).count() == 1)
   }
+
+  test("streamed tool write is byte-identical to the in-memory path (separators on)") {
+    // many interleaved transactions so the output order has real gaps —
+    // the bounded-memory join+sort+toLocalIterator path (round-9 verdict
+    // item: no frames.collect()) must produce EXACTLY the bytes of the
+    // in-memory transactionSortedPcap, separator records included
+    val a = Array[Byte](10, 0, 0, 1)
+    val b = Array[Byte](10, 0, 0, 2)
+    def sctpFrame(src: Array[Byte], dst: Array[Byte], ssn: Int, payload: Array[Byte]) =
+      ether(ipv4(132, src, dst, sctpData(3868, 3868, 1, ssn, 46L, payload)))
+    def req(hbh: Long) = diameterMsg(request = true, 316, hbh, hbh, strAvp(263, s"s$hbh"))
+    def ans(hbh: Long) = diameterMsg(request = false, 316, hbh, hbh, strAvp(263, s"s$hbh"))
+    val n = 20
+    // frames 1..n are requests 1..n, frames n+1..2n answers in REVERSE →
+    // transaction i owns frames (i, 2n+1-i): maximally non-contiguous
+    val recs = (1 to n).map(i => (1000L + i, 0, sctpFrame(a, b, i, req(i.toLong)))) ++
+      (1 to n).map(i => (2000L + i, 0, sctpFrame(b, a, i, ans((n + 1 - i).toLong))))
+    val pcap = pcapFile(recs)
+    val dir = Files.createTempDirectory("graftsigstream")
+    Files.write(dir.resolve("in.pcap"), pcap)
+    val path = dir.toString + "/in.pcap"
+
+    val txs = Sigshark.diameterTransactions(SparkTest.spark, path).collect().toSeq
+    assert(txs.size == n)
+    val frames = Pcap.frames(SparkTest.spark, path).collect().toSeq
+    val out = dir.resolve("out.pcap")
+    Sigshark.run(SparkTest.spark, path, out)
+    val inMemory = Sigshark.transactionSortedPcap(frames, txs, frames.head.dlt)
+    assert(java.util.Arrays.equals(Files.readAllBytes(out), inMemory))
+
+    // separator records through the distributed path: a TCAP capture
+    // with interleaved transactions → runTcap(separators = true)
+    val gtA = sccpAddrGt(8, Array(0x21, 0x43).map(_.toByte))
+    val gtB = sccpAddrGt(6, Array(0x65, 0x87).map(_.toByte))
+    val gtC = sccpAddrGt(8, Array(0x99, 0x09).map(_.toByte))
+    def tcapOverM3ua(src: Array[Byte], dst: Array[Byte], calling: Array[Byte],
+        called: Array[Byte], tcap: Array[Byte]) =
+      ether(ipv4(132, src, dst, sctpData(2905, 2905, 0, 0, 3L,
+        m3uaTransfer(101, 202, sccpUdt(called, calling, tcap)))))
+    val tpcap = pcapFile(Seq(
+      (2000L, 0, tcapOverM3ua(a, b, gtA, gtB, ber(0x62, ber(0x48, Array[Byte](0x11))))),
+      (2001L, 0, tcapOverM3ua(a, b, gtC, gtB, ber(0x62, ber(0x48, Array[Byte](0x33))))),
+      (2002L, 0, tcapOverM3ua(b, a, gtB, gtA, ber(0x64, ber(0x49, Array[Byte](0x11))))),
+      (2003L, 0, tcapOverM3ua(b, a, gtB, gtC, ber(0x64, ber(0x49, Array[Byte](0x33)))))))
+    Files.write(dir.resolve("t.pcap"), tpcap)
+    val tpath = dir.toString + "/t.pcap"
+    val tout = dir.resolve("tout.pcap")
+    val ttxs = Sigshark.runTcap(SparkTest.spark, tpath, tout, separators = true)
+    assert(ttxs.size == 2)
+    val tframes = Pcap.frames(SparkTest.spark, tpath).collect().toSeq
+    val tInMemory = Sigshark.transactionSortedPcap(tframes, ttxs, tframes.head.dlt,
+      separators = true)
+    // interleaved txs → frame order (1,3),(2,4): a real gap, so the
+    // in-memory bytes DO contain separator records the A/B must match
+    assert(tInMemory.length > tframes.map(_.data.length + 16).sum + 24)
+    assert(java.util.Arrays.equals(Files.readAllBytes(tout), tInMemory))
+  }
 }
