@@ -142,7 +142,14 @@ object Components {
     * [[connectedComponents]]. Returns (doc_id, cluster,
     * keeper_doc_id). */
   def dupClusters(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int): DataFrame =
+    dupClustersBounded(docs, idCol, textCol, maxDist, MaxDriverEdges)
+
+  /** [[dupClusters]] with an injectable driver-edge bound — specs force
+    * the distributed [[connectedComponents]] fallback on small corpora
+    * through it and hash-match it against the driver union-find path. */
+  private[graft] def dupClustersBounded(docs: DataFrame, idCol: String,
+      textCol: String, maxDist: Int, maxDriverEdges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = Dedup.simhashSignatures(docs, idCol, textCol)
@@ -153,7 +160,7 @@ object Components {
     // count-limited probe: decides the path without shipping 80 MB of
     // over-bound edges to the driver just to discard them; the persist
     // keeps the pair kernel from running twice on either path
-    val overBound = edges.limit(MaxDriverEdges + 1).count() > MaxDriverEdges
+    val overBound = edges.limit(maxDriverEdges + 1).count() > maxDriverEdges
     val comp =
       if (!overBound)
         unionFindComponents(edges.collect()).toDF("simhash", "component")

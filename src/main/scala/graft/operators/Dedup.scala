@@ -181,7 +181,17 @@ object Dedup {
     * can't). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxBucket: Int = Int.MaxValue,
-      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    ngramJaccardPairsBounded(docs, idCol, textCol, n, threshold, maxBucket,
+      skippedAcc, MaxDfBroadcastEntries)
+
+  /** [[ngramJaccardPairs]] with an injectable broadcast bound — specs
+    * force the equi-join + groupByKey degrade path on small corpora
+    * through it and hash-match the two regimes against each other. */
+  private[graft] def ngramJaccardPairsBounded(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double, maxBucket: Int,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator],
+      maxDfBroadcast: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val skipped = skippedAcc.getOrElse(spark.sparkContext.longAccumulator(SkippedBucketsAcc))
@@ -192,7 +202,7 @@ object Dedup {
     // lambda path pays an object ser/deser per shingle)
     val dft = ds.select(explode(col("_2")).as("g")).groupBy(col("g")).agg(count(lit(1)).as("df"))
     val matchable = dft.filter(col("df") >= 2)
-    val probe = matchable.limit(MaxDfBroadcastEntries + 1).collect()
+    val probe = matchable.limit(maxDfBroadcast + 1).collect()
 
     def prefixBound(sz: Int): Int =
       // clamp: τ = 0 makes ceil(τ·sz) = 0 and the prefix bound sz + 1,
@@ -208,7 +218,7 @@ object Dedup {
     // extra payload is the ~(1-τ)·|set| prefix slice on rows that
     // already carry the full set.
     val prefix: Dataset[(Long, Long, Int, Int, Array[Long], Array[Long])] =
-      if (probe.length <= MaxDfBroadcastEntries) {
+      if (probe.length <= maxDfBroadcast) {
         val dfm = new scala.collection.mutable.LongMap[Long](math.max(probe.length * 2, 16))
         probe.foreach(r => dfm.update(r.getLong(0), r.getLong(1)))
         val bc = spark.sparkContext.broadcast(dfm)
@@ -271,7 +281,7 @@ object Dedup {
     // from the truncated count capped the most skew-sensitive stage at
     // ~41 tasks no matter the session width)
     val kernelParts =
-      if (probe.length > MaxDfBroadcastEntries)
+      if (probe.length > maxDfBroadcast)
         spark.sessionState.conf.numShufflePartitions
       else math.max(1, math.min(
         spark.sessionState.conf.numShufflePartitions,
