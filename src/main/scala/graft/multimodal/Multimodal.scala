@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * decodes JPEG/BMP/GIF) through the JDK's own `javax.imageio` — no
   * external libraries needed — with integer-exact nearest-neighbor
   * resize and luma histogram features, all oracle-checkable closed-form
-  * (PNG is lossless, the arithmetic is integral). Audio/video remain
-  * STUBBED (`StubCodec` — no FFmpeg-class binding ships in the JVM):
+  * (PNG is lossless, the arithmetic is integral). AUDIO is real too
+  * ([[JvmAudioCodec]]: WAV/AIFF/AU via `javax.sound.sampled`), and the
+  * VIDEO story now has two real legs: multi-frame GIF animation
+  * ([[JvmGifCodec]]) and MJPEG-in-AVI ([[JvmAviCodec]] — hand-written
+  * RIFF container walk + per-frame JDK JPEG decode). Only inter-frame-
+  * predicted codecs (H.264-class) remain the declared [[StubCodec]]:
   * deterministic fake properties stand in, while everything around
   * them is real and load-bearing at scale — the schema contract, the
   * `mapPartitions` batch shape (one codec init per partition, not per
@@ -220,6 +224,175 @@ object Multimodal {
       * primitive a video pipeline runs before feature extraction. */
     def sampleFrames[A](frames: Seq[A], everyN: Int): Seq[A] =
       frames.zipWithIndex.collect { case (f, i) if i % everyN == 0 => f }
+  }
+
+  final case class AviMeta(width: Int, height: Int, nFrames: Long,
+      usecPerFrame: Long, durationMs: Long)
+
+  /** REAL video-container codec: MJPEG-in-AVI, parseable with pure JVM
+    * — the RIFF walk is hand-written against the public AVI layout
+    * (RIFF('AVI ' LIST(hdrl avih LIST(strl strh strf)) LIST(movi 00dc…)
+    * idx1)) and each frame payload is a genuine JPEG decoded by
+    * `javax.imageio`. This retires the former video `StubCodec` leg for
+    * the container + per-frame-decode half of the story; only
+    * inter-frame-predicted codecs (H.264-class) remain out of JVM
+    * reach. Measured: the JDK JPEG round-trips UNIFORM-gray frames
+    * pixel-exactly at every value 0..255 and at non-multiple-of-8
+    * dims — the regime m5's closed-form oracle uses (arbitrary rasters
+    * are lossy, like any JPEG). */
+  object JvmAviCodec {
+
+    private def fourCC(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    private def le32(v: Long): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+    private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+
+    private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length % 2 // RIFF chunks are word-aligned
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(fourCC(id)); out.write(le32(body.length.toLong))
+      out.write(body); if (pad == 1) out.write(0)
+      out.toByteArray
+    }
+
+    private def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(fourCC("LIST")); out.write(le32(body.length.toLong + 4))
+      out.write(fourCC(kind)); out.write(body)
+      out.toByteArray
+    }
+
+    /** Encode frames as an MJPEG AVI: each frame JPEG-compressed by the
+      * JDK encoder into a `00dc` chunk, plus a standard idx1 index. */
+    def encodeMjpegAvi(frames: Seq[java.awt.image.BufferedImage], fps: Int): Array[Byte] = {
+      require(frames.nonEmpty && fps > 0, "need at least one frame and fps > 0")
+      val w = frames.head.getWidth
+      val h = frames.head.getHeight
+      val jpegs = frames.map { f =>
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(f, "jpg", out)
+        out.toByteArray
+      }
+      val usecPerFrame = 1000000L / fps
+      val maxJpeg = jpegs.map(_.length).max.toLong
+      val avih = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(le32(usecPerFrame)); b.write(le32(maxJpeg * fps))
+        b.write(le32(0)); b.write(le32(0x10)) // AVIF_HASINDEX
+        b.write(le32(jpegs.length.toLong)); b.write(le32(0))
+        b.write(le32(1)); b.write(le32(maxJpeg))
+        b.write(le32(w.toLong)); b.write(le32(h.toLong))
+        (0 until 4).foreach(_ => b.write(le32(0)))
+        b.toByteArray
+      }
+      val strh = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(fourCC("vids")); b.write(fourCC("MJPG"))
+        b.write(le32(0)); b.write(le16(0)); b.write(le16(0))
+        b.write(le32(0)); b.write(le32(1)); b.write(le32(fps.toLong)) // scale=1, rate=fps
+        b.write(le32(0)); b.write(le32(jpegs.length.toLong))
+        b.write(le32(maxJpeg)); b.write(le32(0xffffffffL)) // quality = default
+        b.write(le32(0))
+        b.write(le16(0)); b.write(le16(0)); b.write(le16(w)); b.write(le16(h))
+        b.toByteArray
+      }
+      val strf = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(le32(40)); b.write(le32(w.toLong)); b.write(le32(h.toLong))
+        b.write(le16(1)); b.write(le16(24)); b.write(fourCC("MJPG"))
+        b.write(le32((w * h * 3).toLong)); b.write(le32(0)); b.write(le32(0))
+        b.write(le32(0)); b.write(le32(0))
+        b.toByteArray
+      }
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val moviBody = new java.io.ByteArrayOutputStream()
+      val offsets = jpegs.map { j =>
+        val off = moviBody.size() + 4 // offsets count from the 'movi' fourCC
+        moviBody.write(chunk("00dc", j))
+        off
+      }
+      val movi = list("movi", moviBody.toByteArray)
+      val idx1 = {
+        val b = new java.io.ByteArrayOutputStream()
+        jpegs.zip(offsets).foreach { case (j, off) =>
+          b.write(fourCC("00dc")); b.write(le32(0x10)) // AVIIF_KEYFRAME
+          b.write(le32(off.toLong)); b.write(le32(j.length.toLong))
+        }
+        b.toByteArray
+      }
+      val riffBody = fourCC("AVI ") ++ hdrl ++ movi ++ chunk("idx1", idx1)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(fourCC("RIFF")); out.write(le32(riffBody.length.toLong))
+      out.write(riffBody)
+      out.toByteArray
+    }
+
+    private def rdLe32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def cc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** RIFF walk + per-frame JPEG decode. Returns None on anything that
+      * is not a well-formed AVI (truncated chunks included) — decoder
+      * totality like the pcap readers, never an exception. */
+    def decodeMjpegAvi(bytes: Array[Byte]): Option[(AviMeta, Seq[java.awt.image.BufferedImage])] =
+      try {
+        if (bytes.length < 12 || cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ") return None
+        val end = math.min(bytes.length.toLong, 8 + rdLe32(bytes, 4))
+        var meta: Option[AviMeta] = None
+        val frames = Seq.newBuilder[java.awt.image.BufferedImage]
+        var pos = 12L
+        // top-level chunk walk; LIST(hdrl) is scanned for avih, and
+        // LIST(movi)'s sub-walk decodes every 00dc/00db payload
+        while (pos + 8 <= end) {
+          val id = cc(bytes, pos.toInt)
+          val sz = rdLe32(bytes, pos.toInt + 4)
+          val body = pos + 8
+          if (body + sz > end) return None // truncated chunk
+          if (id == "LIST" && sz >= 4) {
+            val kind = cc(bytes, body.toInt)
+            if (kind == "hdrl") {
+              // scan hdrl's immediate chunks for avih
+              var p = body + 4
+              val hEnd = body + sz
+              while (p + 8 <= hEnd && meta.isEmpty) {
+                val cid = cc(bytes, p.toInt)
+                val csz = rdLe32(bytes, p.toInt + 4)
+                if (cid == "avih" && csz >= 40 && p + 8 + csz <= hEnd) {
+                  val a = p.toInt + 8
+                  val usec = rdLe32(bytes, a)
+                  val nf = rdLe32(bytes, a + 16)
+                  meta = Some(AviMeta(rdLe32(bytes, a + 32).toInt,
+                    rdLe32(bytes, a + 36).toInt, nf, usec, nf * usec / 1000))
+                }
+                p += 8 + csz + (csz % 2)
+              }
+            } else if (kind == "movi") {
+              var p = body + 4
+              val mEnd = body + sz
+              while (p + 8 <= mEnd) {
+                val cid = cc(bytes, p.toInt)
+                val csz = rdLe32(bytes, p.toInt + 4)
+                if (p + 8 + csz > mEnd) return None
+                if (cid.endsWith("dc") || cid.endsWith("db")) {
+                  val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+                    bytes, p.toInt + 8, csz.toInt))
+                  if (img == null) return None
+                  frames += img
+                }
+                p += 8 + csz + (csz % 2)
+              }
+            }
+          }
+          pos = body + sz + (sz % 2)
+        }
+        meta.map(m => (m, frames.result())).filter(_._2.nonEmpty)
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Decode + featurize, one codec init per partition (the batch shape a

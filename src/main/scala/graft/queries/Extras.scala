@@ -460,7 +460,62 @@ object Extras {
       .orderBy(col("media_id"))
   }
 
+  /** REAL video-container pipeline: each doc synthesizes uniform-gray
+    * frames, encodes a genuine MJPEG AVI (hand-written RIFF layout),
+    * then runs the REAL container walk (avih meta, movi chunk
+    * enumeration) and the REAL per-frame JDK JPEG decode, samples every
+    * 2nd frame and sums the decoded luma. Uniform-gray JPEG round-trips
+    * pixel-exactly (measured over all 256 values and odd dims), so the
+    * oracle recomputes everything from the generating formulas and
+    * never parses an AVI. */
+  val m5MjpegAviPipeline: Q = Q(
+    "m5_mjpeg_avi_pipeline",
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INTEGER) AS nf,
+      |            CAST(8 + doc_id % 5 AS INTEGER) AS w, CAST(6 + doc_id % 3 AS INTEGER) AS h
+      |     FROM documents WHERE doc_id % 11 = 0),
+      |f AS (SELECT doc_id, fi, (doc_id*41 + fi*59) % 256 AS v
+      |      FROM d, unnest(range(nf)) AS u(fi)),
+      |sampled AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+      |                   CAST(sum(v) AS BIGINT) AS sampled_luma_sum
+      |            FROM f WHERE fi % 2 = 0 GROUP BY doc_id)
+      |SELECT d.doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+      |       w AS width, h AS height, CAST(nf AS BIGINT) * 100 AS duration_ms,
+      |       n_sampled, sampled_luma_sum
+      |FROM d JOIN sampled USING (doc_id) ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Multimodal.{JvmAviCodec, JvmGifCodec}
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % 11 === 0).as[Long]
+      .map { id =>
+        val nf = 2 + (id % 4).toInt
+        val w = 8 + (id % 5).toInt
+        val h = 6 + (id % 3).toInt
+        val frames = (0 until nf).map { fi =>
+          val v = ((id * 41 + fi * 59) % 256).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+            y += 1
+          }
+          img
+        }
+        val avi = JvmAviCodec.encodeMjpegAvi(frames, fps = 10)
+        val (meta, dec) = JvmAviCodec.decodeMjpegAvi(avi).get // real RIFF + JPEG decode
+        val sampled = JvmGifCodec.sampleFrames(dec, 2)
+        val lumaSum = sampled.map(f => (f.getRGB(0, 0) & 0xff).toLong).sum
+        (id, meta.nFrames, meta.width, meta.height, meta.durationMs,
+          sampled.length.toLong, lumaSum)
+      }
+      .toDF("media_id", "n_frames", "width", "height", "duration_ms",
+        "n_sampled", "sampled_luma_sum")
+      .orderBy(col("media_id"))
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
     q19SessionWindow, q20CidrFilter, m1MediaPipeline, m2ImagePipeline, m3AudioPipeline,
-    m4VideoPipeline, q44SaltedJoin, q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
+    m4VideoPipeline, m5MjpegAviPipeline, q44SaltedJoin, q45AsofJoin, q46RangeJoin,
+    q47ZOrderLayout)
 }

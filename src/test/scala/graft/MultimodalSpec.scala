@@ -121,6 +121,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(JvmGifCodec.decodeFrames("not a gif".getBytes).isEmpty)
   }
 
+  test("JvmAviCodec: MJPEG AVI round trip — container meta, frame decode, uniform-exact") {
+    import graft.multimodal.Multimodal.JvmAviCodec
+    def gray(w: Int, h: Int, v: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      img
+    }
+    val vals = Seq(0, 7, 128, 200, 255)
+    val frames = vals.map(v => gray(9, 7, v)) // odd dims on purpose
+    val avi = JvmAviCodec.encodeMjpegAvi(frames, fps = 25)
+    // RIFF magic
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val (meta, dec) = JvmAviCodec.decodeMjpegAvi(avi).get
+    assert(meta.width == 9 && meta.height == 7)
+    assert(meta.nFrames == 5 && meta.usecPerFrame == 40000 && meta.durationMs == 200)
+    assert(dec.length == 5)
+    // uniform-gray JPEG round trip is pixel-exact (the measured regime)
+    assert(dec.map(f => f.getRGB(3, 4) & 0xff) == vals)
+    assert(dec.forall(f => f.getWidth == 9 && f.getHeight == 7))
+  }
+
+  test("JvmAviCodec: decoder totality — garbage, truncation, wrong magic all None") {
+    import graft.multimodal.Multimodal.JvmAviCodec
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val good = JvmAviCodec.encodeMjpegAvi(Seq(img), fps = 10)
+    assert(JvmAviCodec.decodeMjpegAvi(Array.empty[Byte]).isEmpty)
+    assert(JvmAviCodec.decodeMjpegAvi("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(JvmAviCodec.decodeMjpegAvi(java.util.Arrays.copyOfRange(good, 0, 40)).isEmpty)
+    // every truncation point decodes to None or a valid prefix — never throws
+    (0 until good.length by 7).foreach { cut =>
+      JvmAviCodec.decodeMjpegAvi(java.util.Arrays.copyOfRange(good, 0, cut))
+    }
+    assert(JvmAviCodec.decodeMjpegAvi(good).nonEmpty)
+  }
+
   test("K5 pcap writer round-trips through the reader") {
     val frames = Pcap.decodeFile("a.pcap", TestBytes.pcapFile(Seq(
       (100L, 5, TestBytes.ether(Array[Byte](1, 2))),
