@@ -24,8 +24,14 @@ object Sinks {
       .jdbc(url, table, props)
 
   /** K7: DDL bootstrap statement from a Spark schema (the
-    * `Base.metadata.create_all` analog, `diameter.py:608`). */
-  def ddlFor(table: String, schema: StructType): String = {
+    * `Base.metadata.create_all` analog, `diameter.py:608`). Default
+    * flavor is PostgreSQL (the reference's engine); `dialect = "derby"`
+    * maps the engine-specific pieces (no IF NOT EXISTS, VARCHAR/BLOB
+    * instead of TEXT/BYTEA) so the statement runs on an embedded Derby
+    * — which is how `JdbcSinkIntegrationSpec` executes this DDL against
+    * a real database end-to-end. */
+  def ddlFor(table: String, schema: StructType, dialect: String = "postgres"): String = {
+    val derby = dialect == "derby"
     def sqlType(dt: DataType): String = dt match {
       case LongType => "BIGINT"
       case IntegerType => "INTEGER"
@@ -33,13 +39,14 @@ object Sinks {
       case TimestampType => "TIMESTAMP"
       case DoubleType => "DOUBLE PRECISION"
       case _: DecimalType => dt.asInstanceOf[DecimalType].sql
-      case BinaryType => "BYTEA"
-      case _ => "TEXT"
+      case BinaryType => if (derby) "BLOB" else "BYTEA"
+      case _ => if (derby) "VARCHAR(4000)" else "TEXT"
     }
     val cols = schema.fields
       .map(f => s"${f.name} ${sqlType(f.dataType)}${if (f.nullable) "" else " NOT NULL"}")
       .mkString(", ")
-    s"CREATE TABLE IF NOT EXISTS $table ($cols)"
+    val ifNotExists = if (derby) "" else "IF NOT EXISTS "
+    s"CREATE TABLE $ifNotExists$table ($cols)"
   }
 
   /** K4: work-queue update statement (`diameter.py:625-629`) — executed
