@@ -100,7 +100,7 @@ object Bench {
     // AnnSpec. Bounded work: each ranking is NumQueries*K rows.
     val annNames = Seq("v2_knn_lsh", "v4_knn_ivf", "v7_knn_ivf_trained",
       "v8_knn_lsh_multiprobe", "v9_knn_pq", "v10_knn_ivf_pq", "v11_ivf_served",
-      "v12_ivfpq_served")
+      "v12_ivfpq_served", "v13_knn_lsh_amplified")
     val byName = queries.map(q => q.name -> q).toMap
     val recall: Seq[(String, Double)] =
       byName.get("v1_knn_brute").toSeq.flatMap { v1 =>
@@ -139,10 +139,10 @@ object Bench {
     // regression
     val notes = Seq(
       "v2_knn_lsh" -> ("bucket-coverage floor by construction (sign-LSH, 1 of 64 buckets " +
-        "probed); pedagogical baseline — serve with IVF/PQ (measured ceiling 0.28 at ALL " +
-        "single-bit flips)"),
+        "probed); pedagogical baseline — serve with IVF/PQ or the OR-amplified LSH (v13, " +
+        "recall 0.56) (measured ceiling 0.28 at ALL single-bit flips)"),
       "v8_knn_lsh_multiprobe" -> ("bucket-coverage floor by construction (sign-LSH, 2 of 64 " +
-        "buckets probed); pedagogical baseline — serve with IVF/PQ"))
+        "buckets probed); pedagogical baseline — serve with IVF/PQ or v13"))
       .filter { case (k, _) => recall.exists(_._1 == k) }
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")

@@ -159,6 +159,23 @@ object SqlFrontDoor {
       // apply-side span dedup: cut duplicated 8-token spans keep-first
       ("span_cut", 1, a =>
         graft.operators.SpanDedup.cutSpans(s.read.parquet(a.head), "doc_id", "text", 8)),
+      // knn_lsh_amplified(corpus_path, queries_path, k, n_tables): the
+      // SERVING-grade LSH config (OR-amplified multi-table; recall@5
+      // 0.56 at 16 tables on the isotropic benchmark corpus, vs 0.10
+      // for a single-table baseline). Both inputs need
+      // (vec_id BIGINT, embedding ARRAY<FLOAT>).
+      ("knn_lsh_amplified", 4, a => {
+        val l = a(3).trim.toInt
+        val tables = (0 until l).map(t =>
+          (0 until 6).map(p => graft.operators.Ann.hyperplane(t * 6 + p, 64)))
+        import org.apache.spark.sql.functions.col
+        graft.operators.Ann.lshTopKAmplified(
+          s.read.parquet(a.head)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          s.read.parquet(a(1))
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          tables, a(2).trim.toInt)
+      }),
       // as_of_join(fact_path, dim_path, part_cols_csv, ts_col, dim_val_cols_csv):
       // each fact row gains the latest dim values at-or-before its ts
       ("as_of_join", 5, a =>
