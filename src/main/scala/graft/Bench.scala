@@ -66,6 +66,21 @@ object Bench {
     // the heavy queries vs solo)
     val measured = queries.map { q =>
       var ok = true
+      // one UNCHARGED warm run at the target SF immediately before the
+      // timed runs: the round-9 closing window recorded q6_sessionize
+      // at 12.27s — reproducible ONLY as "first job of a cold JVM"
+      // (Q6Ab: cold 11.7-13.6s, steady-state 0.53s, 32-thread
+      // contention only 1.8x, AQE coalesce no effect). The global
+      // sf0.001 warmup above is the intended cold-cost absorber, but
+      // if it is ineffective in a given window this per-query warm run
+      // still guarantees the medians measure steady-state throughput —
+      // the stated semantics of this bench. Its failure is loud but
+      // not recorded; the timed runs will fail identically.
+      try { q.run(spark, sfDir).count() }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] target-SF warm ${q.name} failed: $e")
+      }
       val times = (1 to runs).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         System.gc()
@@ -86,15 +101,25 @@ object Bench {
       }.sorted
       if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
         System.err.println(f"[bench] ${q.name}: ${times.map(t => f"$t%.2f").mkString(" ")}")
-      (q.name, times(times.length / 2), ok)
+      // a window stall must be self-documenting in the artifact, not
+      // only divinable from a suspicious median: flag queries whose
+      // fastest-to-slowest spread exceeds 5x within their own runs
+      (q.name, times(times.length / 2), ok, times)
     }
     // a crashed query's elapsed-to-crash duration reads as a fake-fast run:
     // keep failed queries OUT of the per-query map and the total (they are
     // still listed by name in "failed"), so a broken query can never
     // deflate the headline metric (ADVICE r8: total_tail aggregated ~0.06s
     // crash timings for 15 queries).
-    val results = measured.collect { case (n, t, true) => n -> t }
-    val failed = measured.collect { case (n, _, false) => n }
+    val results = measured.collect { case (n, t, true, _) => n -> t }
+    val failed = measured.collect { case (n, _, false, _) => n }
+    // raw runs of any query whose in-window spread exceeded 5x — the
+    // forensic record for swings like round-9's q6 (runs ≥0.05s only,
+    // so micro-queries' scheduling jitter doesn't spam the field)
+    val outliers = measured.collect {
+      case (n, _, true, ts) if ts.last > 0.25 && ts.last / math.max(ts.head, 0.05) > 5.0 =>
+        n -> ts
+    }
     // recall@5 of the ANN family vs the exact v1 ranking, so ANN
     // quality regressions show up in the round artifact, not only in
     // AnnSpec. Bounded work: each ranking is NumQueries*K rows.
@@ -147,7 +172,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_5":$rc,"recall_floor_notes":$notes,"failed":$fl,"sf":"$sfDir"}""")
+    val ol = outliers.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_5":$rc,"recall_floor_notes":$notes,"failed":$fl,"run_outliers":$ol,"sf":"$sfDir"}""")
     // the driver's artifact keeps the TAIL of the output: the FINAL
     // line must carry the complete record, not just the headline —
     // round-6's artifact kept only 46 of 86 per-query timings because
@@ -155,7 +183,7 @@ object Bench {
     // tail line repeats the whole per-query map, recall, and failures.
     // Distinct metric name — two lines sharing "total" would
     // double-count for a per-metric consumer.
-    val tailLine = s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"recall_at_5":$rc,"recall_floor_notes":$notes,"failed":$fl,"sf":"$sfDir"}"""
+    val tailLine = s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"recall_at_5":$rc,"recall_floor_notes":$notes,"failed":$fl,"run_outliers":$ol,"sf":"$sfDir"}"""
     println(tailLine)
     // belt-and-braces: also persist the full record into the repo so the
     // per-query history survives any driver-side truncation; committed
