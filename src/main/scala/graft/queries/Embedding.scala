@@ -722,7 +722,54 @@ object Embedding {
     }
   }
 
+  /** Semantic dedup, the SemDeDup pipeline stage (Abbas et al. 2023) —
+    * see [[graft.operators.SemDedup]]. Deterministic seed centroids (16
+    * lowest-id vectors) so the oracle replays the whole pass: nearest-
+    * centroid assignment (max cosine, ties to the lowest centroid id),
+    * in-cluster rank by centroid-cosine ASC, drop anything within τ of
+    * a better-ranked neighbor. Emits every vector with its cluster and
+    * keep flag, so the hash pins assignment AND the drop rule. */
+  val v14SemDedup: Q = {
+    val numClusters = 16
+    // ε tuned per-corpus like the paper's: on these isotropic synthetic
+    // vectors in-cluster cosines top out just under 0.5, so 0.35 gives a
+    // real dropped population (66 in-cluster pairs ≥ τ at sf0.01) while
+    // staying far above the ~0.12 background
+    val tau = 0.35
+    Q(
+      "v14_semdedup",
+      s"""WITH cent AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $numClusters)),
+         |assign AS (
+         |  SELECT vec_id, v, cent_id, cent_cos FROM (
+         |    SELECT e.vec_id, e.embedding AS v, c.cent_id,
+         |           ${sqlCosine("e.embedding", "c.cvec")} AS cent_cos,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cent_id) AS rn
+         |    FROM embeddings e, cent c)
+         |  WHERE rn = 1),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cent_id
+         |            ORDER BY cent_cos ASC, vec_id) AS rk
+         |  FROM assign),
+         |dom AS (
+         |  SELECT DISTINCT i.vec_id
+         |  FROM ranked i JOIN ranked j
+         |    ON i.cent_id = j.cent_id AND j.rk < i.rk
+         |   AND ${sqlCosine("i.v", "j.v")} >= $tau)
+         |SELECT r.vec_id, CAST(r.cent_id AS BIGINT) AS cluster_id, r.cent_cos,
+         |       (d.vec_id IS NULL) AS kept
+         |FROM ranked r LEFT JOIN dom d USING (vec_id)
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      graft.operators.SemDedup.dedup(
+        Tables.embeddings(s, d), "vec_id", "embedding", numClusters, tau)
+        .orderBy(col("vec_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,
     v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
-    v9KnnPq, v10KnnIvfPq, v11IvfServed, v12IvfPqServed, v13KnnLshAmplified)
+    v9KnnPq, v10KnnIvfPq, v11IvfServed, v12IvfPqServed, v13KnnLshAmplified,
+    v14SemDedup)
 }

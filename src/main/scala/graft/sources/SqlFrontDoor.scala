@@ -204,6 +204,13 @@ object SqlFrontDoor {
         graft.operators.PageRank.run(e, a(1).trim, a(2).trim, nodes, "n",
           a(3).trim.toInt)
       }),
+      // semdedup(path, n_clusters, tau): semantic dedup (SemDeDup,
+      // Abbas et al. 2023) with deterministic lowest-id seed centroids;
+      // input needs (vec_id BIGINT, embedding ARRAY<FLOAT>); emits
+      // (vec_id, cluster_id, cent_cos, kept)
+      ("semdedup", 3, a =>
+        graft.operators.SemDedup.dedup(s.read.parquet(a.head), "vec_id",
+          "embedding", a(1).trim.toInt, a(2).trim.toDouble)),
       // zorder_key(path, col_a, col_b): adds the bit-interleaved `zkey`
       ("zorder_key", 3, a => {
         import org.apache.spark.sql.functions.col

@@ -332,6 +332,17 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(selfHits == longDocs && selfHits > 0)
   }
 
+  test("semdedup TVF matches the DataFrame API from pure SQL") {
+    val embs = "/root/testdata/sf0.001/embeddings.parquet"
+    val sql = spark.sql(
+      s"SELECT vec_id, cluster_id, cent_cos, kept FROM semdedup('$embs', '8', '0.35') ORDER BY vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    val api = graft.operators.SemDedup.dedup(spark.read.parquet(embs), "vec_id", "embedding", 8, 0.35)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(sql == api && sql.nonEmpty)
+  }
+
   test("as_of_join / range_join / zorder_key TVFs match the DataFrame API from pure SQL") {
     import SparkTest.spark.implicits._
     val dir = Files.createTempDirectory("graft_sql_joins")
