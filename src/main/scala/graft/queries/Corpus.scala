@@ -483,8 +483,48 @@ object Corpus {
     }
   }
 
+  /** Frequency-based boilerplate removal (the C4 "line occurred three
+    * or more times" rule generalised to k-token chunks): every
+    * occurrence of a chunk found in ≥ 3 distinct documents is cut —
+    * dedup keeps one copy, boilerplate removal keeps NONE. See
+    * [[graft.operators.Boilerplate]]; the 2-token guard protects
+    * single-word tail chunks (vocabulary, not boilerplate). */
+  val t35Boilerplate: Q = {
+    val k = 8
+    val maxDf = 3
+    val minTok = 2
+    Q(
+      "t35_boilerplate",
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |chun AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS idx,
+         |         array_to_string(w[u.i*$k+1:u.i*$k+$k], ' ') AS chunk,
+         |         least(len(w) - u.i*$k, $k) AS chunk_len
+         |  FROM w, unnest(range(0, (len(w) + ${k - 1}) // $k)) AS u(i)),
+         |bad AS (SELECT chunk FROM chun GROUP BY chunk
+         |        HAVING count(DISTINCT doc_id) >= $maxDf),
+         |cut AS (SELECT c.doc_id, c.idx FROM chun c JOIN bad USING (chunk)
+         |        WHERE c.chunk_len >= $minTok),
+         |keptc AS (SELECT c.doc_id, c.idx, c.chunk FROM chun c
+         |          LEFT JOIN cut ON cut.doc_id = c.doc_id AND cut.idx = c.idx
+         |          WHERE cut.idx IS NULL),
+         |agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+         |        FROM keptc GROUP BY doc_id),
+         |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
+         |       FROM cut GROUP BY doc_id)
+         |SELECT w.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |       CAST((len(w) + ${k - 1}) // $k AS BIGINT) AS n_chunks,
+         |       coalesce(nd.n_dropped, 0) AS n_dropped
+         |FROM w LEFT JOIN agg USING (doc_id) LEFT JOIN nd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Boilerplate.remove(Tables.documents(s, d), "doc_id", "text",
+        k, maxDf, minTok)
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
     t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
-    t34PhraseTags)
+    t34PhraseTags, t35Boilerplate)
 }

@@ -204,6 +204,14 @@ object SqlFrontDoor {
         graft.operators.PageRank.run(e, a(1).trim, a(2).trim, nodes, "n",
           a(3).trim.toInt)
       }),
+      // boilerplate(path, k, max_df): C4-style frequency-based
+      // boilerplate removal — every occurrence of any k-token chunk
+      // found in >= max_df distinct documents is cut (2-token
+      // short-tail guard); emits (doc_id, clean_text, n_chunks,
+      // n_dropped)
+      ("boilerplate", 3, a =>
+        graft.operators.Boilerplate.remove(s.read.parquet(a.head), "doc_id",
+          "text", a(1).trim.toInt, a(2).trim.toLong)),
       // semdedup(path, n_clusters, tau): semantic dedup (SemDeDup,
       // Abbas et al. 2023) with deterministic lowest-id seed centroids;
       // input needs (vec_id BIGINT, embedding ARRAY<FLOAT>); emits

@@ -332,6 +332,17 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(selfHits == longDocs && selfHits > 0)
   }
 
+  test("boilerplate TVF matches the DataFrame API from pure SQL") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val sql = spark.sql(
+      s"SELECT doc_id, clean_text, n_chunks, n_dropped FROM boilerplate('$docs', '8', '3') ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val api = graft.operators.Boilerplate.remove(spark.read.parquet(docs), "doc_id", "text", 8, 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(sql == api && sql.nonEmpty)
+  }
+
   test("semdedup TVF matches the DataFrame API from pure SQL") {
     val embs = "/root/testdata/sf0.001/embeddings.parquet"
     val sql = spark.sql(
