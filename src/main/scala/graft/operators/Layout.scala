@@ -238,4 +238,37 @@ object Layout {
     groupRunningTotals(tok, "source", Seq("k", "doc_id"), "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= tokenBudget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+
+  /** Epoch-based source re-weighting — the data-budget mix step of a
+    * training run (the Llama-style "Wikipedia 2.45 epochs, CommonCrawl
+    * 0.64 epochs" table): each document is emitted `floor(e)` times
+    * plus one more with probability `frac(e)`, where `e` is its
+    * source's epoch weight. Weights are integer PERCENT (245 = 2.45
+    * epochs; < 100 down-samples; 0 excludes the source) so the
+    * arithmetic is exact on both engines. The fractional copy is gated
+    * by a salted [[md5Bucket]] of the doc id — deterministic across
+    * runs, partitionings and engines, and independent of the t12
+    * sample gate (different salt).
+    *
+    * Emits (doc_id, source, copy_no) REFERENCES, not copied text — at
+    * 100 TB the whole pass is a narrow map-side explode with no
+    * shuffle, and the trainer's shard writer materialises bytes once
+    * per copy downstream. A missing source takes `defaultPct`. */
+  def epochUpsample(docs: DataFrame, idCol: String, sourceCol: String,
+      pctBySource: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require((pctBySource.values ++ Seq(defaultPct)).forall(_ >= 0), "epoch pcts must be >= 0")
+    val pct = coalesce(
+      element_at(typedLit(pctBySource), col(sourceCol)),
+      lit(defaultPct)).cast("long")
+    val gate = conv(
+      substring(md5(concat(lit("ep:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 100
+    val nCopies = (floor(pct / 100) + when(gate < pct % 100, 1).otherwise(0)).cast("long")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(sourceCol).as("source"),
+        nCopies.as("n_copies"))
+      .select(col("doc_id"), col("source"),
+        explode(when(col("n_copies") >= 1, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<bigint>"))).as("copy_no"))
+  }
 }

@@ -523,8 +523,36 @@ object Corpus {
     }
   }
 
+  /** Epoch-based source re-weighting (the Llama-style data-budget
+    * table): src0 runs 2.75 epochs, src1 1.5, src2 is down-sampled to
+    * 0.6, src3 excluded, everything else 1 epoch. Fractional epochs
+    * gate on a salted md5 of the doc id — exact integer arithmetic on
+    * both engines. See [[graft.operators.Layout.epochUpsample]]. */
+  val t36EpochUpsample: Q = {
+    val pcts = Map("src0" -> 275, "src1" -> 150, "src2" -> 60, "src3" -> 0)
+    val cases = pcts.toSeq.sortBy(_._1)
+      .map { case (s, p) => s"WHEN '$s' THEN $p" }.mkString(" ")
+    Q(
+      "t36_epoch_upsample",
+      s"""WITH p AS (
+         |  SELECT doc_id, source,
+         |         CAST(CASE source $cases ELSE 100 END AS BIGINT) AS pct,
+         |         CAST('0x' || substring(md5('ep:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS g
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, source,
+         |         pct // 100 + CASE WHEN g < pct % 100 THEN 1 ELSE 0 END AS n_copies
+         |  FROM p)
+         |SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy_no
+         |FROM n, unnest(range(1, n_copies + 1)) AS u(c)
+         |ORDER BY doc_id, copy_no""".stripMargin) { (s, d) =>
+      graft.operators.Layout.epochUpsample(Tables.documents(s, d), "doc_id", "source", pcts)
+        .orderBy(col("doc_id"), col("copy_no"))
+    }
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
     t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
-    t34PhraseTags, t35Boilerplate)
+    t34PhraseTags, t35Boilerplate, t36EpochUpsample)
 }

@@ -204,6 +204,18 @@ object SqlFrontDoor {
         graft.operators.PageRank.run(e, a(1).trim, a(2).trim, nodes, "n",
           a(3).trim.toInt)
       }),
+      // epoch_upsample(path, weights_csv, default_pct): data-budget
+      // source re-weighting — weights like 'src0:275,src1:150' in
+      // integer percent epochs; emits (doc_id, source, copy_no)
+      // references, no copied text
+      ("epoch_upsample", 3, a =>
+        graft.operators.Layout.epochUpsample(s.read.parquet(a.head), "doc_id",
+          "source",
+          a(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+            val Array(src, p) = kv.split(":")
+            src.trim -> p.trim.toInt
+          }.toMap,
+          a(2).trim.toInt)),
       // boilerplate(path, k, max_df): C4-style frequency-based
       // boilerplate removal — every occurrence of any k-token chunk
       // found in >= max_df distinct documents is cut (2-token

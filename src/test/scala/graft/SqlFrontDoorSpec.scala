@@ -332,6 +332,18 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(selfHits == longDocs && selfHits > 0)
   }
 
+  test("epoch_upsample TVF matches the DataFrame API from pure SQL") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val sql = spark.sql(
+      s"SELECT doc_id, source, copy_no FROM epoch_upsample('$docs', 'src0:275,src1:0', '100') ORDER BY doc_id, copy_no")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val api = graft.operators.Layout.epochUpsample(spark.read.parquet(docs), "doc_id", "source",
+      Map("src0" -> 275, "src1" -> 0), 100)
+      .orderBy("doc_id", "copy_no")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(sql == api && sql.nonEmpty)
+  }
+
   test("boilerplate TVF matches the DataFrame API from pure SQL") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val sql = spark.sql(
