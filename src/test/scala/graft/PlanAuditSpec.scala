@@ -252,6 +252,44 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t28 must not plan any rank window (shuffle-free phase 3):\n$plan")
   }
 
+  test("v14: semdedup assignment is narrow; dominance is an equi join on the cluster id") {
+    val plan = planOf(Embedding.v14SemDedup.run(SparkTest.spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the in-cluster pair check must stay an equi join:\n$plan")
+    // both windows and the pair join key on cluster_id — never on the
+    // vector or the raw pairs
+    assert(plan.contains("windowspecdefinition(cluster_id"),
+      s"rank must partition by cluster:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("cluster_id")),
+      s"dominance join must key on cluster_id:\n$plan")
+  }
+
+  test("t35: boilerplate shuffles hash rows only — text stays out of every exchange") {
+    val plan = planOf(graft.queries.Corpus.t35Boilerplate.run(SparkTest.spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // doc frequency is exact and keyed on the 64-bit chunk hash
+    assert(plan.contains("count(distinct doc_id"),
+      s"doc frequency must be exact count-distinct:\n$plan")
+    // the typed chunk kernel projects (doc_id, idx, h) BEFORE any
+    // exchange: no serialized string column may feed a shuffle
+    val serialized = plan.linesIterator.filter(_.contains("SerializeFromObject")).toSeq
+    assert(serialized.nonEmpty && serialized.forall(!_.contains("toString")),
+      s"chunk text must not serialize into the dedup shuffles:\n$plan")
+  }
+
+  test("t36: epoch upsample is one narrow scan + explode — no join, no hash exchange") {
+    val plan = planOf(graft.queries.Corpus.t36EpochUpsample.run(SparkTest.spark, sf))
+    assert(!plan.contains("Join"), s"t36 must not join:\n$plan")
+    val hashEx = plan.linesIterator.count(_.trim.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0, s"t36's only exchange is the final ORDER BY:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"t36 must scan documents once:\n$plan")
+    // column pruning: text never read
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"t36 must not read text: $readSchema")
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(
