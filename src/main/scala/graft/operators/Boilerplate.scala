@@ -51,6 +51,49 @@ object Boilerplate {
     }
   }
 
+  /** Scala-side single-document surgery sharing the kernel's hashes and
+    * guard arithmetic — the streaming gate's apply step
+    * ([[graft.streaming.BoilerplateStream]]). `bad` answers "is this
+    * 64-bit chunk hash boilerplate". */
+  private[graft] def cleanDoc(text: String, k: Int, minTok: Int,
+      bad: Long => Boolean): (String, Long, Long) = {
+    val toks = Dedup.wsTokens(text)
+    if (toks.length == 0 || toks(0).isEmpty) ("", 0L, 0L)
+    else {
+      val n = (toks.length + k - 1) / k
+      val sb = new java.lang.StringBuilder
+      var dropped = 0L
+      var i = 0
+      while (i < n) {
+        val end = math.min((i + 1) * k, toks.length)
+        val s = toks.slice(i * k, end).mkString(" ")
+        if (bad(Dedup.hash64(s)) && (end - i * k) >= minTok) dropped += 1
+        else {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(s)
+        }
+        i += 1
+      }
+      (sb.toString, n.toLong, dropped)
+    }
+  }
+
+  /** The corpus-wide bad-chunk identity frame (one `h` column): chunks
+    * whose document frequency reaches `maxDocFreq`. Shared by
+    * [[remove]]'s join-back and the streaming gate's offline training. */
+  def badChunkHashes(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDocFreq: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) => chunkOccs(id, text, k, wide = false) }
+      .toDF("doc_id", "idx", "h", "h2")
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .filter(col("doc_freq") >= maxDocFreq)
+      .select(col("h"))
+  }
+
   def remove(docs: DataFrame, idCol: String, textCol: String, k: Int,
       maxDocFreq: Long, minChunkTokens: Int = 2, wideHash: Boolean = false): DataFrame = {
     require(k > 0 && maxDocFreq > 0, "k and maxDocFreq must be positive")
