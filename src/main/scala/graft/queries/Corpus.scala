@@ -551,8 +551,61 @@ object Corpus {
     }
   }
 
+  /** DSIR-style domain selection (Xie et al. 2023) in the fixed-point
+    * deterministic form — see [[graft.operators.Dsir]]. Docs with
+    * doc_id % 17 == 0 stand in for the target-domain sample (the t13
+    * convention); every other document is scored by the integer-mean
+    * hashed-unigram+bigram importance ratio and selected against the
+    * pool's global mean. The oracle counts by raw feature text; the
+    * engine by 64-bit hashes. */
+  val t37DsirSelect: Q = {
+    val s = BigramLm.Scale
+    Q(
+      "t37_dsir_select",
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |tokall AS (
+         |  SELECT doc_id, w[i] AS t,
+         |         CASE WHEN i < len(w) THEN w[i] || ' ' || w[i+1] END AS g
+         |  FROM w, unnest(range(1, len(w) + 1)) AS u(i)),
+         |feat AS (SELECT doc_id, t AS f FROM tokall WHERE t <> ''
+         |         UNION ALL SELECT doc_id, g FROM tokall WHERE g IS NOT NULL),
+         |tcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS ct FROM feat
+         |         WHERE doc_id % 17 = 0 GROUP BY f),
+         |rcnt AS (SELECT f, CAST(count(*) AS BIGINT) AS cr FROM feat
+         |         WHERE doc_id % 17 <> 0 GROUP BY f),
+         |tstat AS (SELECT greatest(CAST(coalesce(sum(ct), 0) AS BIGINT)
+         |                 + CAST(count(*) AS BIGINT), 1) AS dt FROM tcnt),
+         |rstat AS (SELECT greatest(CAST(coalesce(sum(cr), 0) AS BIGINT)
+         |                 + CAST(count(*) AS BIGINT), 1) AS dr FROM rcnt),
+         |sc AS (
+         |  SELECT feat.doc_id,
+         |         (((coalesce(ct, 0) + 1) * $s) // dt * $s)
+         |           // greatest(((cr + 1) * $s) // dr, 1) AS r
+         |  FROM feat
+         |  LEFT JOIN tcnt USING (f)
+         |  JOIN rcnt USING (f)
+         |  CROSS JOIN tstat CROSS JOIN rstat
+         |  WHERE feat.doc_id % 17 <> 0),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |         CAST(sum(r) AS BIGINT) AS w_sum,
+         |         CAST(sum(r) // count(*) AS BIGINT) AS w_mean
+         |  FROM sc GROUP BY doc_id),
+         |gstat AS (SELECT CAST(sum(w_mean) // count(*) AS BIGINT) AS gmean FROM agg)
+         |SELECT doc_id, n_feats, w_sum, w_mean, (w_mean > gmean) AS selected
+         |FROM agg CROSS JOIN gstat
+         |ORDER BY doc_id""".stripMargin) { (sp, d) =>
+      val docs = Tables.documents(sp, d)
+      graft.operators.Dsir.select(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
     t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
-    t34PhraseTags, t35Boilerplate, t36EpochUpsample)
+    t34PhraseTags, t35Boilerplate, t36EpochUpsample, t37DsirSelect)
 }

@@ -204,6 +204,12 @@ object SqlFrontDoor {
         graft.operators.PageRank.run(e, a(1).trim, a(2).trim, nodes, "n",
           a(3).trim.toInt)
       }),
+      // dsir_select(raw_path, target_path): DSIR-style domain selection
+      // (fixed-point hashed-ngram importance vs the target corpus,
+      // selected = above the raw pool's global mean importance)
+      ("dsir_select", 2, a =>
+        graft.operators.Dsir.select(s.read.parquet(a.head),
+          s.read.parquet(a(1)), "doc_id", "text")),
       // epoch_upsample(path, weights_csv, default_pct): data-budget
       // source re-weighting — weights like 'src0:275,src1:150' in
       // integer percent epochs; emits (doc_id, source, copy_no)

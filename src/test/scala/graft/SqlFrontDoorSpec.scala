@@ -332,6 +332,18 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(selfHits == longDocs && selfHits > 0)
   }
 
+  test("dsir_select TVF matches the DataFrame API from pure SQL") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val sql = spark.sql(
+      s"SELECT doc_id, w_mean, selected FROM dsir_select('$docs', '$docs') ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val df = spark.read.parquet(docs)
+    val api = graft.operators.Dsir.select(df, df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSeq
+    assert(sql == api && sql.nonEmpty)
+  }
+
   test("epoch_upsample TVF matches the DataFrame API from pure SQL") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val sql = spark.sql(
