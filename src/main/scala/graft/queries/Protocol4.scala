@@ -221,6 +221,84 @@ object Protocol4 {
       .orderBy("fmt", "ts_sec")
   }
 
+  // ───────────────────────── q52: WARC ingest ─────────────────────────
+
+  private val WarcPages = 120
+
+  private def warcHtml(i: Int): String =
+    s"""<html><head><style>h1 {color: red}</style><script type="text/js">var x = $i; if (x<2) x++;</script></head><body><h1>Title $i</h1>  <p>word$i alpha &amp; beta &lt;tag&gt;</p></body></html>"""
+
+  private def warcRecord(recType: String, uri: String, httpBody: String): Array[Byte] = {
+    val body = httpBody.getBytes("UTF-8")
+    val hdr = (s"WARC/1.0\r\n" +
+      s"WARC-Type: $recType\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$recType-$uri>\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"Content-Type: application/http; msgtype=$recType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+    hdr ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  /** S-family: WARC ingest — the CommonCrawl front door. Synthesizes a
+    * capture of closed-form pages (one response per page; every 5th
+    * page also a request record, which the pipeline must skip), stores
+    * it BOTH as plain `.warc` and as per-record-gzip-member `.warc.gz`,
+    * reads both through [[graft.sources.Warc.records]], splits the HTTP
+    * payload and runs the C4-style [[graft.sources.Warc.htmlToText]]
+    * chain. The oracle recomputes record numbers, content lengths and
+    * the FINAL extracted text purely from the generating formulas (the
+    * m2/m3 closed-form discipline — it never parses WARC or HTML), so
+    * the hash pins parsing, member-concatenated gunzip, payload split,
+    * script/style removal, tag strip, entity unescape and whitespace
+    * collapse at once. */
+  val q52WarcIngest: Q = Q(
+    "q52_warc_ingest",
+    s"""WITH r AS (SELECT i FROM range($WarcPages) t(i)),
+       |h AS (SELECT i,
+       |  '<html><head><style>h1 {color: red}</style><script type="text/js">var x = ' || i ||
+       |  '; if (x<2) x++;</script></head><body><h1>Title ' || i ||
+       |  '</h1>  <p>word' || i || ' alpha &amp; beta &lt;tag&gt;</p></body></html>' AS html
+       |  FROM r),
+       |f AS (SELECT 'plain' AS fmt UNION ALL SELECT 'gz')
+       |SELECT fmt, CAST(i + i // 5 + 1 AS BIGINT) AS rec_no,
+       |       'http://ex.com/page' || i AS target_uri,
+       |       CAST(44 + length(html) AS BIGINT) AS content_length,
+       |       'Title ' || i || ' word' || i || ' alpha & beta <tag>' AS text
+       |FROM h CROSS JOIN f
+       |ORDER BY fmt, rec_no""".stripMargin) { (s, _) =>
+    val records: Seq[Array[Byte]] = (0 until WarcPages).flatMap { i =>
+      val uri = s"http://ex.com/page$i"
+      val req =
+        if (i % 5 == 0)
+          Seq(warcRecord("request", uri, s"GET /page$i HTTP/1.1\r\nHost: ex.com\r\n\r\n"))
+        else Seq.empty
+      req :+ warcRecord("response", uri,
+        s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n${warcHtml(i)}")
+    }
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-q52")
+    val plainPath = writeAtomic(dir, "cap.warc", records.reduce(_ ++ _))
+    val gzBytes = {
+      val out = new java.io.ByteArrayOutputStream(1 << 19)
+      records.foreach { r => // one gzip MEMBER per record, the .warc.gz layout
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(r); g.finish()
+      }
+      out.toByteArray
+    }
+    val gzPath = writeAtomic(dir, "cap.warc.gz", gzBytes)
+    def side(path: String, fmt: String) =
+      graft.sources.Warc.records(s, path)
+        .filter(col("recType") === "response")
+        .select(lit(fmt).as("fmt"), col("recNo").as("rec_no"),
+          col("targetUri").as("target_uri"),
+          col("contentLength").as("content_length"),
+          graft.sources.Warc.htmlToText(
+            graft.sources.Warc.httpPayload(col("body").cast("string"))).as("text"))
+    side(plainPath, "plain").unionAll(side(gzPath, "gz"))
+      .orderBy(col("fmt"), col("rec_no"))
+  }
+
   val all: Seq[Q] = Seq(q48CorrelateProto, q49CountersProto, q50DedupProto,
-    q51PcapChunked)
+    q51PcapChunked, q52WarcIngest)
 }

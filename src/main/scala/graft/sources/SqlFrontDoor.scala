@@ -204,6 +204,21 @@ object SqlFrontDoor {
         graft.operators.PageRank.run(e, a(1).trim, a(2).trim, nodes, "n",
           a(3).trim.toInt)
       }),
+      // warc_records(path): every record of the WARC file(s) —
+      // plain .warc or per-record-gzip .warc.gz (sniffed); one task
+      // per file, streamed parse
+      ("warc_records", 1, a => Warc.records(s, a.head)),
+      // warc_text(path): the C4 ingest front door — response records'
+      // HTTP payloads through the html->text chain, as
+      // (warc_file, rec_no, target_uri, text)
+      ("warc_text", 1, a => {
+        import org.apache.spark.sql.functions.col
+        Warc.records(s, a.head)
+          .filter(col("recType") === "response")
+          .select(col("warcFile").as("warc_file"), col("recNo").as("rec_no"),
+            col("targetUri").as("target_uri"),
+            Warc.htmlToText(Warc.httpPayload(col("body").cast("string"))).as("text"))
+      }),
       // dsir_select(raw_path, target_path): DSIR-style domain selection
       // (fixed-point hashed-ngram importance vs the target corpus,
       // selected = above the raw pool's global mean importance)

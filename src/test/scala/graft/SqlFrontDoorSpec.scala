@@ -332,6 +332,18 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(selfHits == longDocs && selfHits > 0)
   }
 
+  test("warc_records / warc_text TVFs read a synthesized capture from pure SQL") {
+    val body = "HTTP/1.1 200 OK\r\n\r\n<p>Hello &amp; <b>world</b></p>"
+    val recBytes = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://t/1\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n").getBytes("UTF-8")
+    val p = java.nio.file.Files.createTempDirectory("warctvf").resolve("t.warc")
+    java.nio.file.Files.write(p, recBytes)
+    val n = spark.sql(s"SELECT count(*) FROM warc_records('$p')").collect().head.getLong(0)
+    assert(n === 1L)
+    val text = spark.sql(s"SELECT text FROM warc_text('$p')").collect().head.getString(0)
+    assert(text === "Hello & world")
+  }
+
   test("dsir_select TVF matches the DataFrame API from pure SQL") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val sql = spark.sql(

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Warc
+
+/** WARC reader totality and the HTML→text chain. */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  private def rec(recType: String, uri: String, body: String): Array[Byte] =
+    (s"WARC/1.0\r\nWARC-Type: $recType\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n").getBytes("UTF-8")
+
+  private def write(name: String, bytes: Array[Byte]): String = {
+    val p = java.nio.file.Files.createTempDirectory("warc").resolve(name)
+    java.nio.file.Files.write(p, bytes)
+    p.toString
+  }
+
+  test("parses records in order with headers and exact body bytes") {
+    val path = write("a.warc", rec("response", "http://a/1", "hello world") ++
+      rec("metadata", "http://a/2", "k: v"))
+    val rows = Warc.records(spark, path).orderBy("recNo").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("recType") === "response")
+    assert(new String(rows(0).getAs[Array[Byte]]("body"), "UTF-8") === "hello world")
+    assert(rows(1).getAs[String]("targetUri") === "http://a/2")
+    assert(rows(1).getAs[Long]("contentLength") === 4L)
+  }
+
+  test("truncated tail ends the file instead of failing the job") {
+    val good = rec("response", "http://a/1", "complete")
+    val bad = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort".getBytes("UTF-8")
+    val path = write("b.warc", good ++ bad)
+    val rows = Warc.records(spark, path).collect()
+    assert(rows.length === 1)
+    assert(new String(rows(0).getAs[Array[Byte]]("body"), "UTF-8") === "complete")
+  }
+
+  test("garbage and empty files parse to zero records") {
+    assert(Warc.records(spark, write("c.warc", Array[Byte](1, 2, 3, 4))).count() === 0)
+    assert(Warc.records(spark, write("d.warc", Array.empty[Byte])).count() === 0)
+    assert(Warc.records(spark, write("e.warc",
+      "NOTWARC/9 nonsense\r\n\r\n".getBytes("UTF-8"))).count() === 0)
+  }
+
+  test("multi-member gzip reads every member; single-member whole-file gzip too") {
+    val out = new java.io.ByteArrayOutputStream()
+    Seq(rec("response", "http://g/1", "one"), rec("response", "http://g/2", "two"))
+      .foreach { r =>
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(r); g.finish()
+      }
+    assert(Warc.records(spark, write("f.warc.gz", out.toByteArray)).count() === 2)
+    val whole = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(whole)
+    g.write(rec("response", "http://g/3", "three") ++ rec("response", "http://g/4", "four"))
+    g.close()
+    assert(Warc.records(spark, write("g.warc.gz", whole.toByteArray)).count() === 2)
+  }
+
+  test("htmlToText strips script/style/tags, unescapes entities, collapses whitespace") {
+    import spark.implicits._
+    val html = """<html><head><style>p {x:1}</style><script>if (a<b) f();</script></head>
+      |<body><p>A &amp;  B</p><div>&lt;kept&gt;   C&nbsp;D</div></body></html>""".stripMargin
+    val got = Seq(html).toDF("h").select(Warc.htmlToText(org.apache.spark.sql.functions.col("h")))
+      .collect().head.getString(0)
+    assert(got === "A & B <kept> C D")
+  }
+}
