@@ -67,6 +67,21 @@ object Ann extends Serializable {
     topK(scored, k)
   }
 
+  /** Hard-negative mining for embedding-model training (the DPR/SBERT
+    * contrastive step): for each query, the top-k most similar corpus
+    * vectors from a DIFFERENT class — maximally confusing negatives.
+    * Same broadcast-scan shape as [[bruteForceTopK]] with the label
+    * inequality fused into the join; swap the scorer for an IVF/LSH
+    * candidate pass at corpus scales where Q·N is unpayable. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .join(broadcast(queries.as("q")),
+        col("q.qid") =!= col("c.cid") && col("q.qlabel") =!= col("c.clabel"))
+      .select(col("q.qid"), col("c.cid"),
+        cosine(col("q.qvec"), col("c.cvec")).as("cosine"))
+    topK(scored, k)
+  }
+
   /** ANN via single-probe hyperplane-LSH bucket join, then exact cosine
     * rank within the bucket. May return < k neighbors per query. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, planes: Seq[Seq[Float]], k: Int): DataFrame = {

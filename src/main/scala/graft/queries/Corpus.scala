@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -604,8 +605,37 @@ object Corpus {
     }
   }
 
+  /** Stratified eval-set construction: a fixed per-stratum quota (5
+    * docs per source) drawn by deterministic salted-md5 order — every
+    * stratum is represented in the held-out set regardless of its
+    * corpus share, and the draw is reproducible across runs, engines
+    * and partitionings. One window exchange on the stratum key. */
+  val t38StratifiedEval: Q = {
+    val quota = 5
+    Q(
+      "t38_stratified_eval",
+      s"""SELECT doc_id, source, CAST(stratum_rank AS BIGINT) AS stratum_rank,
+         |       (stratum_rank <= $quota) AS is_eval
+         |FROM (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY md5('ev:' || CAST(doc_id AS VARCHAR)), doc_id) AS stratum_rank
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val key = md5(concat(lit("ev:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("source")).orderBy(key, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          row_number().over(w).cast("long").as("stratum_rank"))
+        .select(col("doc_id"), col("source"), col("stratum_rank"),
+          (col("stratum_rank") <= quota).as("is_eval"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
     t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
-    t34PhraseTags, t35Boilerplate, t36EpochUpsample, t37DsirSelect)
+    t34PhraseTags, t35Boilerplate, t36EpochUpsample, t37DsirSelect,
+    t38StratifiedEval)
 }

@@ -768,8 +768,28 @@ object Embedding {
     }
   }
 
+  /** Hard-negative mining (the DPR/SBERT contrastive-training step):
+    * per query, the top-k most similar vectors of a DIFFERENT label —
+    * see [[graft.operators.Ann.hardNegatives]]. */
+  val v15HardNegatives: Q = Q(
+    "v15_hard_negatives",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS ql
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS cid, embedding AS cvec, label AS cl FROM embeddings),
+       |scored AS (
+       |  SELECT qid, cid, ${sqlCosine("qvec", "cvec")} AS cosine
+       |  FROM q JOIN c ON qid <> cid AND ql <> cl)
+       |$sqlTopK""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("label").as("qlabel"))
+    val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+      col("label").as("clabel"))
+    Ann.hardNegatives(corpus, queries, K).orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,
     v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
     v9KnnPq, v10KnnIvfPq, v11IvfServed, v12IvfPqServed, v13KnnLshAmplified,
-    v14SemDedup)
+    v14SemDedup, v15HardNegatives)
 }

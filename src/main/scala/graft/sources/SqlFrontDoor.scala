@@ -219,6 +219,18 @@ object SqlFrontDoor {
             col("targetUri").as("target_uri"),
             Warc.htmlToText(Warc.httpPayload(col("body").cast("string"))).as("text"))
       }),
+      // hard_negatives(corpus_path, queries_path, k): contrastive-
+      // training negative mining — top-k most similar DIFFERENT-label
+      // vectors per query; inputs need (vec_id, embedding, label)
+      ("hard_negatives", 3, a => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Ann.hardNegatives(
+          s.read.parquet(a.head).select(col("vec_id").as("cid"),
+            col("embedding").as("cvec"), col("label").as("clabel")),
+          s.read.parquet(a(1)).select(col("vec_id").as("qid"),
+            col("embedding").as("qvec"), col("label").as("qlabel")),
+          a(2).trim.toInt)
+      }),
       // dsir_select(raw_path, target_path): DSIR-style domain selection
       // (fixed-point hashed-ngram importance vs the target corpus,
       // selected = above the raw pool's global mean importance)
