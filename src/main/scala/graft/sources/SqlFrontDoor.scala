@@ -208,6 +208,11 @@ object SqlFrontDoor {
       // plain .warc or per-record-gzip .warc.gz (sniffed); one task
       // per file, streamed parse
       ("warc_records", 1, a => Warc.records(s, a.head)),
+      // warc_records_chunked(path, chunk_bytes): ranged-task read of
+      // huge WARC files — CRC-verified gzip-member / record-boundary
+      // resync; recNo = absolute byte offset
+      ("warc_records_chunked", 2, a =>
+        Warc.recordsChunked(s, a.head, a(1).trim.toLong)),
       // warc_text(path): the C4 ingest front door — response records'
       // HTTP payloads through the html->text chain, as
       // (warc_file, rec_no, target_uri, text)

@@ -37,9 +37,9 @@ final case class WarcRec(
   * never the whole file in memory) and parses with a total,
   * stop-on-malformed parser (truncated tails end the file's iteration
   * rather than failing the job — the tool convention of every decoder
-  * in this engine). Record-level parallelism inside one file would
-  * need gzip-member resync like the pcap `chunkBytes` path; at the
-  * standard file sizes file-parallelism saturates any cluster first.
+  * in this engine). For ONE oversized file, [[recordsChunked]] is the
+  * ranged-task path: gzip-member (CRC-verified) / record-boundary
+  * resync with chunk ownership, the pcap `chunkBytes` discipline.
   *
   * [[htmlToText]] is the C4-style extraction step: drop script/style
   * subtrees, strip tags, unescape the core entities, collapse
@@ -52,7 +52,7 @@ object Warc {
   /** Parse one WARC stream (plain or multi-member gzip already
     * unwrapped by the caller) into records; stops at EOF or the first
     * malformed header block. */
-  private[sources] def parseStream(in: InputStream, fileName: String): Iterator[WarcRec] =
+  private[graft] def parseStream(in: InputStream, fileName: String): Iterator[WarcRec] =
     new Iterator[WarcRec] {
       private var nextRec: WarcRec = _
       private var recNo = 0L
@@ -138,6 +138,179 @@ object Warc {
         val in: InputStream =
           if (m0 == 0x1f && m1 == 0x8b) new GZIPInputStream(raw) else raw
         parseStream(in, file)
+      }
+      .toDF()
+  }
+
+  // ─────────────────────────── chunked read ───────────────────────────
+
+  /** Parse one gzip MEMBER starting at `off` in `buf`: returns the
+    * decompressed bytes and the member's total compressed length, or
+    * None when `off` does not start a valid member fully contained in
+    * `buf` (CRC32 and ISIZE are verified, so resync false positives on
+    * random 1f 8b 08 bytes are rejected). */
+  private[graft] def gzipMember(buf: Array[Byte], off: Int): Option[(Array[Byte], Int)] = {
+    try {
+      if (off + 18 > buf.length || (buf(off) & 0xff) != 0x1f
+        || (buf(off + 1) & 0xff) != 0x8b || buf(off + 2) != 8) return None
+      val flg = buf(off + 3) & 0xff
+      var p = off + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > buf.length) return None
+        val xlen = (buf(p) & 0xff) | ((buf(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (p < buf.length && buf(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 16) != 0) { while (p < buf.length && buf(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      if (p >= buf.length) return None
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(buf, p, buf.length - p)
+      val out = new java.io.ByteArrayOutputStream(1 << 16)
+      val tmp = new Array[Byte](1 << 16)
+      while (!inf.finished()) {
+        val n = inf.inflate(tmp)
+        if (n == 0 && inf.needsInput()) { inf.end(); return None } // truncated
+        out.write(tmp, 0, n)
+      }
+      val consumed = inf.getBytesRead.toInt
+      inf.end()
+      val tail = p + consumed
+      if (tail + 8 > buf.length) return None
+      val data = out.toByteArray
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      def le32(i: Int): Long =
+        (buf(i) & 0xffL) | ((buf(i + 1) & 0xffL) << 8) |
+          ((buf(i + 2) & 0xffL) << 16) | ((buf(i + 3) & 0xffL) << 24)
+      if (le32(tail) != crc.getValue || le32(tail + 4) != (data.length & 0xffffffffL)) return None
+      Some((data, tail + 8 - off))
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Records of the raw byte window `buf` (absolute file offset
+    * `bufStart`) whose START offset falls in [bufStart, end): the
+    * chunk-ownership rule. `gz` = per-record-gzip-member layout. */
+  private[graft] def chunkRecords(buf: Array[Byte], bufStart: Long, end: Long,
+      gz: Boolean, fileName: String): Iterator[WarcRec] = {
+    val out = Seq.newBuilder[WarcRec]
+    var p = 0
+    val limit = (end - bufStart).toInt
+    def rest(q: Int) = new java.io.ByteArrayInputStream(buf, q, buf.length - q)
+    if (gz) {
+      // scan: every verified member starting in-range is owned; a
+      // random 1f 8b 08 in compressed bytes fails CRC/ISIZE and the
+      // scan advances one byte — the deep-chain resync rule
+      while (p < limit) {
+        gzipMember(buf, p) match {
+          case Some((data, clen)) =>
+            val decoded = parseStream(new java.io.ByteArrayInputStream(data), fileName).toSeq
+            if (decoded.nonEmpty) {
+              val base = bufStart + p
+              // recNo = member byte offset (+ordinal inside a
+              // multi-record member): globally ordered without a
+              // serial pre-scan, the chunked-pcap convention
+              out ++= decoded.map(r => r.copy(recNo = base + r.recNo))
+              p += clen
+            } else p += 1
+          case None => p += 1
+        }
+      }
+    } else {
+      // plain text resync: a "WARC/1" at chunk start or after \n,
+      // validated by a full record parse from that point
+      if (bufStart != 0) {
+        var q = 0
+        var found = -1
+        while (found < 0 && q < limit) {
+          if (buf(q) == 'W' && (q == 0 || buf(q - 1) == '\n')
+            && new String(buf, q, math.min(7, buf.length - q), StandardCharsets.US_ASCII)
+              .startsWith("WARC/1")
+            && parseStream(rest(q), fileName).hasNext)
+            found = q
+          else q += 1
+        }
+        if (found < 0) return Iterator.empty
+        p = found
+      }
+      // sequential parse with offset tracking: one record at a time so
+      // each record's absolute offset is exact
+      var cont = true
+      while (cont && p < limit) {
+        val it = parseStream(rest(p), fileName)
+        if (it.hasNext) {
+          val r = it.next()
+          val headEnd = indexOfDoubleCrlf(buf, p)
+          if (headEnd < 0) cont = false
+          else {
+            out += r.copy(recNo = bufStart + p)
+            var next = headEnd + 4 + r.contentLength.toInt
+            // skip the inter-record blank lines
+            while (next < buf.length && (buf(next) == '\r' || buf(next) == '\n')) next += 1
+            if (next <= p) cont = false else p = next
+          }
+        } else cont = false
+      }
+    }
+    out.result().iterator
+  }
+
+  private def indexOfDoubleCrlf(buf: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < buf.length) {
+      if (buf(i) == '\r' && buf(i + 1) == '\n' && buf(i + 2) == '\r' && buf(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Ranged read of huge WARC files — the `chunkBytes` scale path (the
+    * pcap `decodeChunk` discipline): the file splits into byte ranges,
+    * one task each; a task resyncs to the first VERIFIED record
+    * boundary at-or-after its range start (gzip members must pass
+    * CRC32+ISIZE and contain parseable WARC; plain text must parse a
+    * full record from the candidate) and owns exactly the records that
+    * START inside its range, reading up to one extra chunk of overhang
+    * for a record that crosses the boundary. Contract: `chunkBytes`
+    * must exceed the largest single record (CommonCrawl truncates
+    * records at 1 MiB; the 64 KiB floor below is for tests). `recNo`
+    * carries the record's absolute BYTE OFFSET — globally ordered and
+    * stable without a serial pre-scan, the chunked-pcap frameNo
+    * convention. */
+  def recordsChunked(spark: SparkSession, path: String, chunkBytes: Long): DataFrame = {
+    import spark.implicits._
+    require(chunkBytes >= (1L << 16), s"chunkBytes must be >= 64 KiB, got $chunkBytes")
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = org.apache.hadoop.fs.FileSystem.get(hadoopPath.toUri, conf)
+    val statuses = Option(fs.globStatus(hadoopPath)).map(_.toSeq)
+      .getOrElse(if (fs.exists(hadoopPath)) Seq(fs.getFileStatus(hadoopPath)) else Seq.empty)
+    val ranges = statuses.filter(_.isFile).flatMap { st =>
+      val len = st.getLen
+      val head = new Array[Byte](math.min(2L, len).toInt)
+      val in = fs.open(st.getPath)
+      try { if (len >= 2) in.readFully(0, head) } finally in.close()
+      val gz = len >= 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b
+      (0L until len by chunkBytes).map { start =>
+        (st.getPath.toString, start, math.min(start + chunkBytes, len), len, gz)
+      }
+    }
+    spark.sparkContext.parallelize(ranges, math.max(ranges.size, 1))
+      .flatMap { case (file, start, end, len, gz) =>
+        val p = new org.apache.hadoop.fs.Path(file)
+        val fsx = org.apache.hadoop.fs.FileSystem.get(p.toUri,
+          new org.apache.hadoop.conf.Configuration())
+        // the window: this chunk plus one chunk of overhang for the
+        // record that starts before `end` and finishes after it
+        val winEnd = math.min(end + (end - start), len)
+        val buf = new Array[Byte]((winEnd - start).toInt)
+        val in = fsx.open(p)
+        try in.readFully(start, buf) finally in.close()
+        chunkRecords(buf, start, end, gz, file)
       }
       .toDF()
   }
