@@ -290,6 +290,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readSchema.contains("text"), s"t36 must not read text: $readSchema")
   }
 
+  test("t37: DSIR data joins stay equi on the feature hash; only stat frames nested-loop") {
+    val plan = planOf(graft.queries.Corpus.t37DsirSelect.run(SparkTest.spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"t37 must not plan a cartesian product:\n$plan")
+    // scalar attaches by construction: target + raw denominators (the
+    // scoring subtree appears twice — once under the global-mean
+    // aggregate, once in the output side, the t28 recompute-the-
+    // narrow-scan discipline) and the global-mean cut — each a
+    // broadcast 1-row frame, scale-safe
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 5, s"t37: only the 1-row stat attaches may nested-loop, got $bnlj:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(
