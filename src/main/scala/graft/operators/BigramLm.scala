@@ -54,7 +54,12 @@ object BigramLm {
   private[graft] def tokenRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // user-facing TVFs (bigram_lm_scores, dsir_select, …) run this over
+    // arbitrary parquet, so null ids/text are expected — they carry no
+    // tokens (the Phrases.tag convention)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = Dedup.wsTokens(text)
         Iterator.tabulate(toks.length) { i =>

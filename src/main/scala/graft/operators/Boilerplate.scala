@@ -40,6 +40,7 @@ object Boilerplate {
     * [[Dedup.wsTokens]] — the parity-critical kernel. */
   private def chunkOccs(id: Long, text: String, k: Int, wide: Boolean)
       : Iterator[(Long, Int, Long, Long)] = {
+    if (text == null) return Iterator.empty // user-facing TVF input
     val toks = Dedup.wsTokens(text)
     if (toks.length == 0 || toks(0).isEmpty) Iterator.empty
     else {
@@ -57,6 +58,7 @@ object Boilerplate {
     * 64-bit chunk hash boilerplate". */
   private[graft] def cleanDoc(text: String, k: Int, minTok: Int,
       bad: Long => Boolean): (String, Long, Long) = {
+    if (text == null) return ("", 0L, 0L)
     val toks = Dedup.wsTokens(text)
     if (toks.length == 0 || toks(0).isEmpty) ("", 0L, 0L)
     else {
@@ -116,7 +118,10 @@ object Boilerplate {
     val dropIdx = chunks.join(badIds, keyCols)
       .groupBy(col("doc_id"))
       .agg(collect_list(col("idx")).as("drop_idx"))
-    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    // null text reads as empty on the apply side, matching the kernel's
+    // no-chunks treatment (user-facing TVF input)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      coalesce(col(textCol), lit("")).as("text"))
       .join(dropIdx, Seq("doc_id"), "left")
       .withColumn("toks", array_remove(split(trim(col("text")), "\\s+"), ""))
       .withColumn("n_chunks", ((size(col("toks")) + (k - 1)) / k).cast("long"))

@@ -58,6 +58,9 @@ object SemDedup {
     require(cents.nonEmpty, "at least one centroid")
     val assigned = vecs
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      // user-facing TVF over arbitrary parquet: null ids/vectors carry
+      // nothing to assign (the Phrases.tag convention)
+      .filter(col("vec_id").isNotNull && col("v").isNotNull)
       .withColumn("best", bestCentroid(col("v"), cents))
       .select(col("vec_id"), col("v"),
         (-col("best").getField("nid")).cast("long").as("cluster_id"),
@@ -91,6 +94,7 @@ object SemDedup {
       s"numClusters must be in (0, 4096], got $numClusters (driver holds the seed array)")
     val seeds = vecs
       .select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .orderBy(col(idCol))
       .limit(numClusters)
       .collect()

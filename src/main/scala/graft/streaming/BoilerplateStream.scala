@@ -54,7 +54,9 @@ object BoilerplateStream {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val bc = spark.sparkContext.broadcast(badChunks)
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull)
+      .as[(Long, String)]
       .map { case (id, text) =>
         val (clean, n, dropped) = Boilerplate.cleanDoc(text, k, minChunkTokens,
           h => java.util.Arrays.binarySearch(bc.value, h) >= 0)

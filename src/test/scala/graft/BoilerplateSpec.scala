@@ -68,11 +68,13 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(out(3L) === (("gamma", 2L, 1L)))
   }
 
-  test("empty and whitespace-only docs come back with zero chunks") {
-    val out = run(Seq((1L, ""), (2L, "   \t"), (3L, "one two three four")), k = 2, maxDf = 2)
+  test("empty, whitespace-only and NULL docs come back with zero chunks") {
+    val out = run(Seq((1L, ""), (2L, "   \t"), (3L, "one two three four"),
+      (4L, null.asInstanceOf[String])), k = 2, maxDf = 2)
     assert(out(1L) === (("", 0L, 0L)))
     assert(out(2L) === (("", 0L, 0L)))
     assert(out(3L) === (("one two three four", 2L, 0L)))
+    assert(out(4L) === (("", 0L, 0L)))
   }
 
   test("wideHash path returns identical output") {

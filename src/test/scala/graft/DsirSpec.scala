@@ -36,13 +36,14 @@ class DsirSpec extends AnyFunSuite {
     val spark = SparkTest.spark
     import spark.implicits._
     val target = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
-    val raw = Seq((1L, "alpha beta"), (2L, ""), (3L, "delta")).toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha beta"), (2L, ""), (3L, "delta"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
     def run() = Dsir.select(raw, target, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
       .sortBy(_._1).toSeq
     val a = run()
     assert(a === run())
-    assert(a.map(_._1) === Seq(1L, 3L)) // the empty doc has no features
+    assert(a.map(_._1) === Seq(1L, 3L)) // empty and null docs have no features
     // doc 1: features alpha, beta, "alpha beta" (3 occurrences)
     assert(a.head._2 === 3L)
   }

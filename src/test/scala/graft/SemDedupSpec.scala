@@ -95,6 +95,16 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out === ref)
   }
 
+  test("null vectors are skipped, not NPE'd (user-facing TVF input)") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val rows = Seq((0L, Option(vec(0).toSeq)), (1L, Option(vec(1).toSeq)),
+      (2L, None: Option[Seq[Float]]))
+    val out = SemDedup.dedup(rows.toDF("vec_id", "embedding"), "vec_id", "embedding", 2, 0.9)
+      .collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L))
+  }
+
   test("dedupWithCentroids accepts caller-trained centroids") {
     val spark = SparkTest.spark
     val cents = Array(vec(0), vec(3)) // 2 coarse cells
