@@ -299,6 +299,82 @@ object Protocol4 {
       .orderBy(col("fmt"), col("rec_no"))
   }
 
+  // ─────────────────── q53: WARC → curation end-to-end ───────────────────
+
+  private val CuratePages = 200
+
+  /** Page text by closed form: duplicated English pairs (the dedup
+    * case), a German page (lang-gated), a junk page (quality-gated),
+    * and unique English pages (kept). */
+  private def curateText(i: Int): String = i % 10 match {
+    case 0 | 1 => "the duplicated copy of the page and it is one of a kind in the set"
+    case 5 => s"der die das und zu seite nummer $i der die das und zu"
+    case 6 => s"word$i x"
+    case _ => s"the quick data of the day and it is page $i with the best of words in it"
+  }
+
+  /** The full ingest→curate dataflow in ONE query: a synthesized
+    * `.warc.gz` (per-record gzip members) → [[graft.sources.Warc]]
+    * parse → HTTP payload split → C4 html→text → the t30 curation
+    * chain (quality score → language gate → exact dedup keep-min →
+    * md5 split). The oracle rebuilds each page's text from the
+    * generating formula and replays the t30 SQL chain over it — so one
+    * hash pins the whole path from archive bytes to curated training
+    * rows. */
+  val q53WarcCurate: Q = Q(
+    "q53_warc_curate",
+    s"""WITH r AS (SELECT i FROM range($CuratePages) t(i)),
+       |d0 AS (SELECT CAST(i AS BIGINT) AS doc_id,
+       |  CASE
+       |    WHEN i % 10 IN (0, 1) THEN 'the duplicated copy of the page and it is one of a kind in the set'
+       |    WHEN i % 10 = 5 THEN 'der die das und zu seite nummer ' || i || ' der die das und zu'
+       |    WHEN i % 10 = 6 THEN 'word' || i || ' x'
+       |    ELSE 'the quick data of the day and it is page ' || i || ' with the best of words in it'
+       |  END AS text FROM r),
+       |w AS (SELECT doc_id, text, length(text) AS n_chars,
+       |       string_split_regex(trim(text), '\\s+') AS w FROM d0),
+       |sc AS (SELECT doc_id, text, CAST(len(w) AS BIGINT) AS n_tokens,
+       |  0.5 * (len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'))) / len(w))
+       |    + 0.5 * least(1.0, n_chars / 500.0) AS quality_score,
+       |  CASE WHEN len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to')))
+       |         >= len(list_filter(w, t -> t IN ('der', 'die', 'das', 'und', 'zu')))
+       |        AND len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to')))
+       |         >= len(list_filter(w, t -> t IN ('el', 'la', 'de', 'y', 'que'))) THEN 'en'
+       |       WHEN len(list_filter(w, t -> t IN ('der', 'die', 'das', 'und', 'zu')))
+       |         >= len(list_filter(w, t -> t IN ('el', 'la', 'de', 'y', 'que'))) THEN 'de'
+       |       ELSE 'es' END AS lang
+       |  FROM w),
+       |kept AS (SELECT * FROM sc WHERE lang = 'en' AND quality_score >= 0.3e0),
+       |grp AS (SELECT md5(text) AS h, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
+       |        FROM kept GROUP BY 1),
+       |uniq AS (SELECT k.doc_id, k.quality_score, k.n_tokens, g.n_copies
+       |         FROM kept k JOIN grp g ON md5(k.text) = g.h AND k.doc_id = g.keeper)
+       |SELECT doc_id, quality_score, n_tokens, n_copies,
+       |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT *, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bk
+       |      FROM uniq)
+       |ORDER BY doc_id""".stripMargin) { (s, _) =>
+    val gzBytes = {
+      val out = new java.io.ByteArrayOutputStream(1 << 19)
+      (0 until CuratePages).foreach { i =>
+        val html = s"<html><body><p>${curateText(i)}</p></body></html>"
+        val rec = warcRecord("response", s"http://ex.com/c$i",
+          s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html")
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(rec); g.finish()
+      }
+      out.toByteArray
+    }
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-q53")
+    val path = writeAtomic(dir, "curate.warc.gz", gzBytes)
+    val docs = graft.sources.Warc.records(s, path)
+      .filter(col("recType") === "response")
+      .select(col("recNo").as("doc_id"),
+        graft.sources.Warc.htmlToText(
+          graft.sources.Warc.httpPayload(col("body").cast("string"))).as("text"))
+    graft.queries.Text.curateChain(docs).orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q48CorrelateProto, q49CountersProto, q50DedupProto,
-    q51PcapChunked, q52WarcIngest)
+    q51PcapChunked, q52WarcIngest, q53WarcCurate)
 }
