@@ -105,6 +105,31 @@ object Multimodal {
       out
     }
 
+    /** 64-bit difference hash (dHash, the standard perceptual image
+      * fingerprint): nearest-neighbor resize to 9×8, integer luma, bit
+      * Y·8+X set iff luma(X+1,Y) > luma(X,Y). Every step is integral
+      * (the [[resizeNearest]]/luma kernels), so the hash is bit-stable
+      * across platforms and closed-form-predictable for synthesized
+      * rasters. */
+    def dHash(img: java.awt.image.BufferedImage): Long = {
+      val g = resizeNearest(img, 9, 8)
+      def luma(x: Int, y: Int): Int = {
+        val rgb = g.getRGB(x, y)
+        (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+      }
+      var h = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (luma(x + 1, y) > luma(x, y)) h |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+
     /** Integer luma histogram: luma = (299·R + 587·G + 114·B) / 1000
       * (floor), bucket = luma · nBuckets / 256. */
     def lumaHistogram(img: java.awt.image.BufferedImage, nBuckets: Int): Array[Long] = {

@@ -514,8 +514,84 @@ object Extras {
       .orderBy(col("media_id"))
   }
 
+  /** Perceptual image near-dup (the LAION-style multimodal dedup step):
+    * synthesize groups of 4 perceptually-near images from a closed-form
+    * 64-bit bit pattern (each group member flips 0/1/2/3 chosen bits of
+    * the group's base pattern; the luma grid walks ±10 per step so the
+    * comparison direction IS the bit), PNG-encode with the real
+    * encoder, then run the REAL decode → 9×8 resize → dHash →
+    * pigeonhole pair search at Hamming ≤ 3. Every step is integral, so
+    * the oracle computes each image's dHash and the pair set purely
+    * from the bit formulas — it never touches a pixel. */
+  val m6ImageNearDup: Q = {
+    val n = 96
+    Q(
+      "m6_image_neardup",
+      s"""WITH img AS (SELECT i FROM range($n) t(i)),
+         |bits AS (
+         |  SELECT i, k,
+         |    xor(CASE WHEN k < 63 AND ((i // 4) * 2654435761 + k * 40503) % 97 < 48
+         |             THEN 1 ELSE 0 END,
+         |        CASE WHEN i % 4 = 1 AND k = 1 THEN 1
+         |             WHEN i % 4 = 2 AND k IN (2, 3) THEN 1
+         |             WHEN i % 4 = 3 AND k IN (4, 5, 6) THEN 1
+         |             ELSE 0 END) AS b
+         |  FROM img, unnest(range(63)) u(k)), -- bit 63 is 0 by construction (shift-safe)
+         |sig AS (SELECT i, CAST(sum(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
+         |        FROM bits GROUP BY i)
+         |SELECT a.i AS da, b.i AS db,
+         |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.i < b.i
+         |WHERE bit_count(xor(a.h, b.h)) <= 3
+         |ORDER BY da, db""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.multimodal.Multimodal.JvmImageCodec
+      def bit(i: Long, k: Int): Boolean = {
+        val base = k < 63 && ((i / 4) * 2654435761L + k * 40503L) % 97 < 48
+        val flip = (i % 4, k) match {
+          case (1, 1) => true
+          case (2, 2) | (2, 3) => true
+          case (3, kk) if kk >= 4 && kk <= 6 => true
+          case _ => false
+        }
+        base ^ flip
+      }
+      val media = s.range(n).as[Long].map { i =>
+        // luma walk per 9-pixel row of the 9x8 target grid; the 18x16
+        // source is uniform 2x2 blocks so the nearest resize recovers it
+        val l = Array.ofDim[Int](8, 9)
+        var y = 0
+        while (y < 8) {
+          l(y)(0) = 128
+          var x = 0
+          while (x < 8) {
+            l(y)(x + 1) = l(y)(x) + (if (bit(i, y * 8 + x)) 10 else -10)
+            x += 1
+          }
+          y += 1
+        }
+        val img = new java.awt.image.BufferedImage(18, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var py = 0
+        while (py < 16) {
+          var px = 0
+          while (px < 18) {
+            val g = l(py / 2)(px / 2)
+            img.setRGB(px, py, (g << 16) | (g << 8) | g)
+            px += 1
+          }
+          py += 1
+        }
+        (i, JvmImageCodec.encodePng(img))
+      }.toDF("img_id", "png")
+      val sigs = graft.operators.ImageDedup.dhashSignatures(media, "img_id", "png")
+      graft.operators.ImageDedup.nearPairs(sigs, maxDist = 3)
+        .orderBy(col("da"), col("db"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
     q19SessionWindow, q20CidrFilter, m1MediaPipeline, m2ImagePipeline, m3AudioPipeline,
-    m4VideoPipeline, m5MjpegAviPipeline, q44SaltedJoin, q45AsofJoin, q46RangeJoin,
-    q47ZOrderLayout)
+    m4VideoPipeline, m5MjpegAviPipeline, m6ImageNearDup, q44SaltedJoin, q45AsofJoin,
+    q46RangeJoin, q47ZOrderLayout)
 }

@@ -204,6 +204,14 @@ object SqlFrontDoor {
         graft.operators.PageRank.run(e, a(1).trim, a(2).trim, nodes, "n",
           a(3).trim.toInt)
       }),
+      // image_neardup(path, max_dist): perceptual image near-dup pairs
+      // — dHash inside the decode task, pigeonhole pair search at
+      // Hamming <= max_dist; input needs (img_id BIGINT, png BINARY)
+      ("image_neardup", 2, a =>
+        graft.operators.ImageDedup.nearPairs(
+          graft.operators.ImageDedup.dhashSignatures(
+            s.read.parquet(a.head), "img_id", "png"),
+          a(1).trim.toInt)),
       // warc_records(path): every record of the WARC file(s) —
       // plain .warc or per-record-gzip .warc.gz (sniffed); one task
       // per file, streamed parse
