@@ -38,7 +38,8 @@ object ImageDedup {
     * signatures: chunk the hash into maxDist+1 bit-ranges (widths as
     * even as 64 allows), bucket-join on each chunk value, verify with
     * one popcount, emit once at the first agreeing chunk. */
-  def nearPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
+  def nearPairs(sigs: DataFrame, maxDist: Int,
+      idCol: String = "img_id", sigCol: String = "dhash"): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
     val spark = sigs.sparkSession
     import spark.implicits._
@@ -49,7 +50,7 @@ object ImageDedup {
       if (width >= 64) sig
       else (sig >>> bounds(c)) & ((1L << width) - 1)
     }
-    sigs.select(col("img_id").cast("long"), col("dhash").cast("long"))
+    sigs.select(col(idCol).cast("long"), col(sigCol).cast("long"))
       .as[(Long, Long)]
       .flatMap { case (id, sig) =>
         (0 until chunks).map(c => (c, chunkVal(sig, c), id, sig))

@@ -590,8 +590,68 @@ object Extras {
     }
   }
 
+  /** Perceptual AUDIO near-dup (the m6 discipline on the time axis):
+    * groups of 4 clips share a closed-form 63-bit energy-contour
+    * pattern with planted bit flips; each clip synthesizes s16 PCM
+    * whose per-window mean walks ±50 by the bit, WAV-encodes with the
+    * real encoder, decodes through the real AudioSystem and
+    * fingerprints the energy contour; pairs at Hamming ≤ 3 via the
+    * shared 64-bit pigeonhole. The oracle computes fingerprints and
+    * pairs purely from the bit formulas — it never parses a WAV. */
+  val m7AudioNearDup: Q = {
+    val n = 96
+    Q(
+      "m7_audio_neardup",
+      s"""WITH clip AS (SELECT i FROM range($n) t(i)),
+         |bits AS (
+         |  SELECT i, k,
+         |    xor(CASE WHEN ((i // 4) * 40503 + k * 2654435761) % 89 < 44
+         |             THEN 1 ELSE 0 END,
+         |        CASE WHEN i % 4 = 1 AND k = 1 THEN 1
+         |             WHEN i % 4 = 2 AND k IN (2, 3) THEN 1
+         |             WHEN i % 4 = 3 AND k IN (4, 5, 6) THEN 1
+         |             ELSE 0 END) AS b
+         |  FROM clip, unnest(range(63)) u(k)),
+         |sig AS (SELECT i, CAST(sum(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
+         |        FROM bits GROUP BY i)
+         |SELECT a.i AS da, b.i AS db,
+         |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.i < b.i
+         |WHERE bit_count(xor(a.h, b.h)) <= 3
+         |ORDER BY da, db""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.multimodal.Multimodal.JvmAudioCodec
+      def bit(i: Long, k: Int): Boolean = {
+        val base = ((i / 4) * 40503L + k * 2654435761L) % 89 < 44
+        val flip = (i % 4, k) match {
+          case (1, 1) => true
+          case (2, 2) | (2, 3) => true
+          case (3, kk) if kk >= 4 && kk <= 6 => true
+          case _ => false
+        }
+        base ^ flip
+      }
+      val media = s.range(n).as[Long].map { i =>
+        val m = new Array[Int](64)
+        m(0) = 5000
+        var w = 0
+        while (w < 63) {
+          m(w + 1) = m(w) + (if (bit(i, w)) 50 else -50)
+          w += 1
+        }
+        val samples = new Array[Short](256) // 4 samples per window
+        var t = 0
+        while (t < 256) { samples(t) = m(t / 4).toShort; t += 1 }
+        (i, JvmAudioCodec.encodeWavS16Mono(samples, 8000))
+      }.toDF("clip_id", "wav")
+      val sigs = graft.operators.AudioDedup.signatures(media, "clip_id", "wav")
+      graft.operators.ImageDedup.nearPairs(sigs, maxDist = 3)
+        .orderBy(col("da"), col("db"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
     q19SessionWindow, q20CidrFilter, m1MediaPipeline, m2ImagePipeline, m3AudioPipeline,
-    m4VideoPipeline, m5MjpegAviPipeline, m6ImageNearDup, q44SaltedJoin, q45AsofJoin,
-    q46RangeJoin, q47ZOrderLayout)
+    m4VideoPipeline, m5MjpegAviPipeline, m6ImageNearDup, m7AudioNearDup, q44SaltedJoin,
+    q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
 }

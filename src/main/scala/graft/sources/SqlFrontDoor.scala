@@ -204,6 +204,15 @@ object SqlFrontDoor {
         graft.operators.PageRank.run(e, a(1).trim, a(2).trim, nodes, "n",
           a(3).trim.toInt)
       }),
+      // audio_neardup(path, max_dist): perceptual audio near-dup pairs
+      // — 64-window energy-contour fingerprint inside the decode task,
+      // shared pigeonhole pair search; input needs
+      // (clip_id BIGINT, wav BINARY)
+      ("audio_neardup", 2, a =>
+        graft.operators.ImageDedup.nearPairs(
+          graft.operators.AudioDedup.signatures(
+            s.read.parquet(a.head), "clip_id", "wav"),
+          a(1).trim.toInt)),
       // image_neardup(path, max_dist): perceptual image near-dup pairs
       // — dHash inside the decode task, pigeonhole pair search at
       // Hamming <= max_dist; input needs (img_id BIGINT, png BINARY)
