@@ -650,8 +650,74 @@ object Extras {
     }
   }
 
+  /** Perceptual VIDEO near-dup: the m6/m7 discipline on the frame
+    * axis. Groups of 4 clips share a closed-form 63-bit temporal
+    * pattern with planted flips; each clip is 64 uniform-gray frames
+    * whose gray walks ±1 by the bit (uniform-gray MJPEG round-trips
+    * pixel-exact — the m5-measured regime), encoded as real
+    * MJPEG-in-AVI, decoded through the real RIFF walk + JPEG decode,
+    * fingerprinted by mean-luma contour, and paired at Hamming ≤ 3 via
+    * the shared 64-bit pigeonhole. Oracle = the bit formulas alone. */
+  val m8VideoNearDup: Q = {
+    val n = 64 // clips
+    Q(
+      "m8_video_neardup",
+      s"""WITH clip AS (SELECT i FROM range($n) t(i)),
+         |bits AS (
+         |  SELECT i, k,
+         |    xor(CASE WHEN ((i // 4) * 2654435761 + k * 48271) % 83 < 41
+         |             THEN 1 ELSE 0 END,
+         |        CASE WHEN i % 4 = 1 AND k = 1 THEN 1
+         |             WHEN i % 4 = 2 AND k IN (2, 3) THEN 1
+         |             WHEN i % 4 = 3 AND k IN (4, 5, 6) THEN 1
+         |             ELSE 0 END) AS b
+         |  FROM clip, unnest(range(63)) u(k)),
+         |sig AS (SELECT i, CAST(sum(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
+         |        FROM bits GROUP BY i)
+         |SELECT a.i AS da, b.i AS db,
+         |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.i < b.i
+         |WHERE bit_count(xor(a.h, b.h)) <= 3
+         |ORDER BY da, db""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.multimodal.Multimodal.JvmAviCodec
+      def bit(i: Long, k: Int): Boolean = {
+        val base = ((i / 4) * 2654435761L + k * 48271L) % 83 < 41
+        val flip = (i % 4, k) match {
+          case (1, 1) => true
+          case (2, 2) | (2, 3) => true
+          case (3, kk) if kk >= 4 && kk <= 6 => true
+          case _ => false
+        }
+        base ^ flip
+      }
+      val media = s.range(n).as[Long].map { i =>
+        val g = new Array[Int](64)
+        g(0) = 128
+        var w = 0
+        while (w < 63) { g(w + 1) = g(w) + (if (bit(i, w)) 1 else -1); w += 1 }
+        val frames = (0 until 64).map { f =>
+          val img = new java.awt.image.BufferedImage(8, 6,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val v = g(f)
+          var y = 0
+          while (y < 6) {
+            var x = 0
+            while (x < 8) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+            y += 1
+          }
+          img
+        }
+        (i, JvmAviCodec.encodeMjpegAvi(frames, 10))
+      }.toDF("clip_id", "avi")
+      val sigs = graft.operators.VideoDedup.signatures(media, "clip_id", "avi")
+      graft.operators.ImageDedup.nearPairs(sigs, maxDist = 3)
+        .orderBy(col("da"), col("db"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
     q19SessionWindow, q20CidrFilter, m1MediaPipeline, m2ImagePipeline, m3AudioPipeline,
-    m4VideoPipeline, m5MjpegAviPipeline, m6ImageNearDup, m7AudioNearDup, q44SaltedJoin,
-    q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
+    m4VideoPipeline, m5MjpegAviPipeline, m6ImageNearDup, m7AudioNearDup, m8VideoNearDup,
+    q44SaltedJoin, q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
 }

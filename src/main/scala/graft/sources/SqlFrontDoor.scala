@@ -204,6 +204,14 @@ object SqlFrontDoor {
         graft.operators.PageRank.run(e, a(1).trim, a(2).trim, nodes, "n",
           a(3).trim.toInt)
       }),
+      // video_neardup(path, max_dist): perceptual video near-dup pairs
+      // — temporal mean-luma contour over MJPEG-in-AVI frames, shared
+      // pigeonhole; input needs (clip_id BIGINT, avi BINARY)
+      ("video_neardup", 2, a =>
+        graft.operators.ImageDedup.nearPairs(
+          graft.operators.VideoDedup.signatures(
+            s.read.parquet(a.head), "clip_id", "avi"),
+          a(1).trim.toInt)),
       // audio_neardup(path, max_dist): perceptual audio near-dup pairs
       // — 64-window energy-contour fingerprint inside the decode task,
       // shared pigeonhole pair search; input needs
