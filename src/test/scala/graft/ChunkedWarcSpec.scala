@@ -78,6 +78,23 @@ class ChunkedWarcSpec extends AnyFunSuite {
     assert(got.size >= N - 2 && got.size < N, s"expected ~1 lost record, got ${got.size}")
   }
 
+  test("chunk parser is total on random and mutated bytes (both layouts)") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 0 until 30) {
+      val len = 1 + rnd.nextInt(8192)
+      val junk = Array.fill[Byte](len)(rnd.nextInt().toByte)
+      for (gz <- Seq(true, false)) {
+        val got = Warc.chunkRecords(junk, if (round % 2 == 0) 0L else 4096L,
+          math.min(len, 4096), gz, "fuzz")
+        got.foreach(r => assert(r.contentLength >= 0)) // just drain safely
+      }
+    }
+    // mutated real capture: flip bytes across the plain layout
+    val bytes = plainBytes.clone()
+    (0 until 200).foreach(_ => bytes(rnd.nextInt(bytes.length)) = rnd.nextInt().toByte)
+    Warc.chunkRecords(bytes, 0L, bytes.length.toLong, gz = false, "mut").size
+  }
+
   test("a record spanning a chunk boundary is owned by exactly one task") {
     val path = write("d.warc", plainBytes)
     // many different cut positions → every boundary lands mid-record
