@@ -46,9 +46,10 @@ object VideoDedup {
     h
   }
 
-  /** One container-decode pass over MJPEG-in-AVI clips: (img_id, dhash)
-    * — named to feed [[ImageDedup.nearPairs]] directly. Undecodable or
-    * null blobs emit nothing. */
+  /** One container-decode pass per clip: (img_id, dhash) — named to
+    * feed [[ImageDedup.nearPairs]] directly. MJPEG-in-AVI first,
+    * animated GIF as the fallback (both real JDK decoders); blobs
+    * neither can read, and null blobs, emit nothing. */
   def signatures(media: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -57,7 +58,9 @@ object VideoDedup {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         graft.multimodal.Multimodal.JvmAviCodec.decodeMjpegAvi(bytes)
-          .map { case (_, frames) => (id, fingerprint(frames)) }
+          .map(_._2)
+          .orElse(graft.multimodal.Multimodal.JvmGifCodec.decodeFrames(bytes))
+          .map(frames => (id, fingerprint(frames)))
       }
       .toDF("img_id", "dhash")
   }
