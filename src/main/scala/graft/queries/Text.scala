@@ -666,10 +666,69 @@ object Text {
     }
   }
 
+  /** The Gopher rule battery (Rae et al. 2021 §A1.1, the standard
+    * heuristic-filter set) in integer-exact form: word-count range,
+    * mean word length (tenths, integer division), stopword presence,
+    * and duplicate-bigram repetition (percent, integer division) — one
+    * narrow codegen'd scan emitting each rule's verdict plus the
+    * composed keep. Thresholds are tuned to this corpus's synthetic
+    * shape so every rule actually fires on some documents. */
+  val t39GopherGates: Q = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    Q(
+      "t39_gopher_gates",
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g FROM w, unnest(range(1, len(w))) AS u(i)),
+         |rep AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+         |               CAST(count(DISTINCT g) AS BIGINT) AS nd FROM g GROUP BY 1),
+         |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST((10 * list_reduce(list_prepend(0, list_transform(w, t -> len(t))), (a, x) -> a + x))
+         |       // greatest(len(w), 1) AS BIGINT) AS mwl10,
+         |  CAST(len(list_filter(w, t -> t IN ($stopList))) AS BIGINT) AS n_stop
+         |  FROM w)
+         |SELECT b.doc_id, n_tokens, mwl10, n_stop,
+         |  CAST(100 * (coalesce(nb, 0) - coalesce(nd, 0)) // greatest(coalesce(nb, 0), 1) AS BIGINT) AS rep_pct,
+         |  (n_tokens BETWEEN 5 AND 60) AS r_wordcount,
+         |  (mwl10 BETWEEN 38 AND 49) AS r_meanlen,
+         |  (n_stop >= 2) AS r_stopwords,
+         |  (100 * (coalesce(nb, 0) - coalesce(nd, 0)) // greatest(coalesce(nb, 0), 1) < 5) AS r_repetition,
+         |  ((n_tokens BETWEEN 5 AND 60) AND (mwl10 BETWEEN 38 AND 49) AND (n_stop >= 2)
+         |   AND (100 * (coalesce(nb, 0) - coalesce(nd, 0)) // greatest(coalesce(nb, 0), 1) < 5)) AS keep
+         |FROM b LEFT JOIN rep USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = tokens(col("text"))
+      val n = size(w).cast("long")
+      val sumChars = aggregate(transform(w, t => length(t)), lit(0), (a, x) => a + x)
+      val bigrams = zip_with(slice(w, lit(1), (size(w) - 1)),
+        slice(w, lit(2), (size(w) - 1)), (a, b) => concat(a, lit(" "), b))
+      val nb = (size(w) - 1).cast("long")
+      val nd = size(array_distinct(bigrams)).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          n.as("n_tokens"),
+          expr("CAST(10 AS BIGINT)").as("ten"),
+          sumChars.cast("long").as("sum_chars"),
+          graft.functions.TextFunctions.wordListCount(w, Stopwords).cast("long").as("n_stop"),
+          greatest(nb, lit(0L)).as("nb"),
+          greatest(nd, lit(0L)).as("nd"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(ten * sum_chars) div greatest(n_tokens, 1)").as("mwl10"),
+          col("n_stop"),
+          expr("100 * (nb - nd) div greatest(nb, 1)").as("rep_pct"))
+        .withColumn("r_wordcount", col("n_tokens").between(5, 60))
+        .withColumn("r_meanlen", col("mwl10").between(38, 49))
+        .withColumn("r_stopwords", col("n_stop") >= 2)
+        .withColumn("r_repetition", col("rep_pct") < 5)
+        .withColumn("keep",
+          col("r_wordcount") && col("r_meanlen") && col("r_stopwords") && col("r_repetition"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     t1TokenStats, t2ExactDedup, t3Quality, t4LangId, t5NgramJaccard,
     t6MinhashLsh, t7Simhash, t8Fingerprint, t9SimhashPairs,
     t10Repetition, t11PiiRedact, t12HashSample, t13Decontaminate,
     t14DupClusters, t15SequencePack, t16Profile, t23CrossDedup,
-    t29CrossDedupServed, t30CurateE2e)
+    t29CrossDedupServed, t30CurateE2e, t39GopherGates)
 }
