@@ -78,6 +78,32 @@ class TsharkCsvSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("flatten")))
   }
 
+  test("random CSV garbage parses to empty or fails only through the loud guards") {
+    val spark = SparkTest.spark
+    val rnd = new scala.util.Random(13)
+    for (round <- 0 until 8) {
+      val lines = (0 until 20).map { _ =>
+        (0 until 21).map(_ =>
+          rnd.nextInt(4) match {
+            case 0 => ""
+            case 1 => rnd.nextInt(100).toString
+            case 2 => rnd.alphanumeric.take(rnd.nextInt(6)).mkString
+            case _ => f"${rnd.nextInt(1 << 16)}%x"
+          }).mkString(",")
+      }
+      val csv = writeCsv(lines)
+      try TsharkCsv.tcapTransactions(spark, csv).collect()
+      catch {
+        // only the documented failure modes may surface: the
+        // multi-chunk --flatten guard and unparseable numeric fields
+        case e: org.apache.spark.SparkException =>
+          val msg = e.getMessage + Option(e.getCause).map(_.toString).getOrElse("")
+          assert(msg.contains("flatten") || msg.contains("NumberFormat"),
+            s"unexpected failure class: $e")
+      }
+    }
+  }
+
   test("colon-separated hex tids and missing fraction parse") {
     val spark = SparkTest.spark
     val csv = writeCsv(Seq(
