@@ -332,6 +332,50 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(selfHits == longDocs && selfHits > 0)
   }
 
+  test("media near-dup TVFs (image/audio/video) run end-to-end from pure SQL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mediatvf")
+    // two identical images + one different
+    val mk = (up: Boolean) => {
+      val img = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(y => (0 until 9).foreach(x => {
+        val v = if (up) 40 + x * 11 + y * 7 else 160 - x * 11 - y * 7
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }))
+      graft.multimodal.Multimodal.JvmImageCodec.encodePng(img)
+    }
+    Seq((1L, mk(true)), (2L, mk(true)), (3L, mk(false))).toDF("img_id", "png")
+      .write.parquet(s"$dir/imgs")
+    val imgPairs = spark.sql(s"SELECT da, db, hamming FROM image_neardup('$dir/imgs', '0')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(imgPairs.toSeq === Seq((1L, 2L, 0L)))
+    // two identical clips' WAVs + one different contour
+    val wav = (up: Boolean) => {
+      val s0 = Array.tabulate[Short](256)(t => (5000 + (if (up) t else -t) * 10).toShort)
+      graft.multimodal.Multimodal.JvmAudioCodec.encodeWavS16Mono(s0, 8000)
+    }
+    Seq((1L, wav(true)), (2L, wav(true)), (3L, wav(false))).toDF("clip_id", "wav")
+      .write.parquet(s"$dir/clips")
+    val audPairs = spark.sql(s"SELECT da, db FROM audio_neardup('$dir/clips', '0')")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(audPairs.toSeq === Seq((1L, 2L)))
+    // video: one AVI clip pair sharing a contour
+    val avi = {
+      val frames = (0 until 64).map { f =>
+        val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val v = 100 + f
+        (0 until 6).foreach(y => (0 until 8).foreach(x =>
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)))
+        img
+      }
+      graft.multimodal.Multimodal.JvmAviCodec.encodeMjpegAvi(frames, 10)
+    }
+    Seq((1L, avi), (2L, avi)).toDF("clip_id", "avi").write.parquet(s"$dir/vids")
+    val vidPairs = spark.sql(s"SELECT da, db FROM video_neardup('$dir/vids', '0')")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(vidPairs.toSeq === Seq((1L, 2L)))
+  }
+
   test("warc_records / warc_text TVFs read a synthesized capture from pure SQL") {
     val body = "HTTP/1.1 200 OK\r\n\r\n<p>Hello &amp; <b>world</b></p>"
     val recBytes = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://t/1\r\n" +
