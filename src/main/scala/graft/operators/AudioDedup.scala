@@ -22,10 +22,13 @@ object AudioDedup {
     * are [w·n/64, (w+1)·n/64) over the n samples; bit k (k ≤ 62) set
     * iff Σ|sample| of window k+1 exceeds window k's. Bit 63 is always
     * clear (63 comparisons), which also keeps the oracle's shift
-    * arithmetic inside BIGINT. Fewer than 64 samples → fingerprint 0. */
-  def fingerprint(pcm: Array[Byte]): Long = {
+    * arithmetic inside BIGINT. Fewer than 64 samples → None: a clip too
+    * short to carry a contour has no fingerprint (the decoder-totality
+    * convention), because a shared sentinel would collapse every short
+    * clip into one Hamming-0 mega-family of false near-dup pairs. */
+  def fingerprint(pcm: Array[Byte]): Option[Long] = {
     val n = pcm.length / 2
-    if (n < 64) return 0L
+    if (n < 64) return None
     val e = new Array[Long](64)
     var w = 0
     while (w < 64) {
@@ -47,12 +50,13 @@ object AudioDedup {
       if (e(k + 1) > e(k)) h |= 1L << k
       k += 1
     }
-    h
+    Some(h)
   }
 
   /** One narrow decode pass: (img_id, dhash) — the column names feed
-    * the shared pigeonhole kernel directly. Undecodable or null blobs
-    * emit nothing (decoder-totality convention). */
+    * the shared pigeonhole kernel directly. Undecodable or null blobs,
+    * and clips shorter than 64 samples, emit nothing (decoder-totality
+    * convention). */
   def signatures(media: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -61,7 +65,7 @@ object AudioDedup {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         graft.multimodal.Multimodal.JvmAudioCodec.decode(bytes)
-          .map { case (_, pcm) => (id, fingerprint(pcm)) }
+          .flatMap { case (_, pcm) => fingerprint(pcm).map(h => (id, h)) }
       }
       .toDF("img_id", "dhash")
   }

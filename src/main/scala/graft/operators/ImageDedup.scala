@@ -37,12 +37,38 @@ object ImageDedup {
   /** All (da < db) pairs within `maxDist` Hamming distance over 64-bit
     * signatures: chunk the hash into maxDist+1 bit-ranges (widths as
     * even as 64 allows), bucket-join on each chunk value, verify with
-    * one popcount, emit once at the first agreeing chunk. */
+    * one popcount, emit once at the first agreeing chunk.
+    *
+    * Skew discipline (the [[Dedup.simhashSigPairs]] t9 shape): the
+    * pigeonhole buckets hold DISTINCT signatures only, so in-bucket
+    * quadratic work is bounded by signature diversity, never by corpus
+    * size — the single most common crawl-scale case, millions of
+    * byte-identical images (blank thumbnails, logos, tracking pixels)
+    * sharing one dHash, contributes ONE row to the kernel. Member id
+    * pairs come back via equi-joins on the signature (distributed join
+    * output, not one task's nested loop); same-signature families emit
+    * their Hamming-0 member pairs from a streamed group iterator whose
+    * memory is O(family ids), never O(pairs). `maxBucket` (default
+    * uncapped; the oracle queries run uncapped) additionally skips —
+    * and counts in [[Dedup.SkippedBucketsAcc]] — any pigeonhole bucket
+    * of distinct signatures, and any single-signature family, larger
+    * than the cap: the pairs a family cap drops are exact-duplicate
+    * near-dups, exactly what a content-hash exact-dedup lane (run
+    * first — see [[MediaDedup]]) collapses more cheaply.
+    *
+    * The (sig, id) table is localCheckpoint-pinned because it is
+    * consumed three times (distinct kernel, family lane, member-join
+    * back) and recomputing it would re-run the upstream media decode
+    * pass per consumer — the [[Dedup.simhashNearStats]] discipline. */
   def nearPairs(sigs: DataFrame, maxDist: Int,
-      idCol: String = "img_id", sigCol: String = "dhash"): DataFrame = {
+      idCol: String = "img_id", sigCol: String = "dhash",
+      maxBucket: Int = Int.MaxValue,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
     val spark = sigs.sparkSession
     import spark.implicits._
+    val skipped = skippedAcc.getOrElse(
+      spark.sparkContext.longAccumulator(Dedup.SkippedBucketsAcc))
     val chunks = maxDist + 1
     val bounds = (0 to chunks).map(c => c * 64 / chunks).toArray
     def chunkVal(sig: Long, c: Int): Long = {
@@ -50,35 +76,65 @@ object ImageDedup {
       if (width >= 64) sig
       else (sig >>> bounds(c)) & ((1L << width) - 1)
     }
-    sigs.select(col(idCol).cast("long"), col(sigCol).cast("long"))
-      .as[(Long, Long)]
-      .flatMap { case (id, sig) =>
-        (0 until chunks).map(c => (c, chunkVal(sig, c), id, sig))
-      }
+    val members = sigs.select(col(sigCol).cast("long").as("sig"),
+      col(idCol).cast("long").as("id")).localCheckpoint()
+    // distinct-signature pigeonhole: (sa < sb by signature value, ham >= 1)
+    val sigPairs = members.select(col("sig")).distinct().as[Long]
+      .flatMap(sig => (0 until chunks).map(c => (c, chunkVal(sig, c), sig)))
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key, it) =>
         val c = key._1
-        val rows = it.map(r => (r._3, r._4)).toArray.sortBy(_._1)
-        def firstSharedChunk(a: Long, b: Long): Int = {
-          var k = 0
-          while (chunkVal(a, k) != chunkVal(b, k)) k += 1
-          k
-        }
-        val out = Iterator.newBuilder[(Long, Long, Long)]
-        var i = 0
-        while (i < rows.length) {
-          var j = i + 1
-          while (j < rows.length) {
-            val ham = java.lang.Long.bitCount(rows(i)._2 ^ rows(j)._2)
-            if (ham <= maxDist && rows(i)._1 != rows(j)._1
-              && firstSharedChunk(rows(i)._2, rows(j)._2) == c)
-              out += ((rows(i)._1, rows(j)._1, ham.toLong))
-            j += 1
+        val capped = Dedup.cappedBucket(it.map(_._3), maxBucket, skipped)
+        if (capped == null) Iterator.empty
+        else {
+          val ss = capped.sorted
+          def firstSharedChunk(a: Long, b: Long): Int = {
+            var k = 0
+            while (chunkVal(a, k) != chunkVal(b, k)) k += 1
+            k
           }
-          i += 1
+          val out = Iterator.newBuilder[(Long, Long, Long)]
+          var i = 0
+          while (i < ss.length) {
+            var j = i + 1
+            while (j < ss.length) {
+              val ham = java.lang.Long.bitCount(ss(i) ^ ss(j))
+              if (ham <= maxDist && firstSharedChunk(ss(i), ss(j)) == c)
+                out += ((ss(i), ss(j), ham.toLong))
+              j += 1
+            }
+            i += 1
+          }
+          out.result()
         }
-        out.result()
+      }
+      .toDF("sa", "sb", "hamming")
+    // cross-signature member pairs: two equi-joins fan the distinct-sig
+    // pairs back out to ids — the quadratic family product is join
+    // output, produced streaming, never a buffered in-task array
+    val cross = sigPairs
+      .join(members.select(col("sig").as("sa"), col("id").as("ia")), "sa")
+      .join(members.select(col("sig").as("sb"), col("id").as("ib")), "sb")
+      .filter(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("da"),
+        greatest(col("ia"), col("ib")).as("db"), col("hamming"))
+    // same-signature families: Hamming-0 pairs among the ids sharing
+    // one signature, streamed from the sorted id array (O(k) memory)
+    val sameSig = members.as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val capped = Dedup.cappedBucket(it.map(_._2), maxBucket, skipped)
+        if (capped == null || capped.length < 2) Iterator.empty
+        else {
+          val ids = capped.sorted
+          ids.indices.iterator.flatMap { i =>
+            (i + 1 until ids.length).iterator
+              .filter(j => ids(j) != ids(i))
+              .map(j => (ids(i), ids(j), 0L))
+          }
+        }
       }
       .toDF("da", "db", "hamming")
+    cross.unionAll(sameSig)
   }
 }

@@ -33,9 +33,13 @@ object VideoDedup {
 
   /** Temporal contour over the first 64 frames: bit k (k ≤ 62) set iff
     * meanLuma(frame k+1) > meanLuma(frame k); bit 63 always clear.
-    * Fewer than 64 frames → fingerprint 0. */
-  def fingerprint(frames: Seq[java.awt.image.BufferedImage]): Long = {
-    if (frames.length < 64) return 0L
+    * Fewer than 64 frames → None: a clip too short to carry a contour
+    * (< ~2.5 s at 24 fps — a common input class) has no fingerprint
+    * (the decoder-totality convention), because a shared sentinel would
+    * collapse every short clip into one Hamming-0 mega-family of false
+    * near-dup pairs. */
+  def fingerprint(frames: Seq[java.awt.image.BufferedImage]): Option[Long] = {
+    if (frames.length < 64) return None
     val l = frames.take(64).map(meanLuma).toArray
     var h = 0L
     var k = 0
@@ -43,13 +47,14 @@ object VideoDedup {
       if (l(k + 1) > l(k)) h |= 1L << k
       k += 1
     }
-    h
+    Some(h)
   }
 
   /** One container-decode pass per clip: (img_id, dhash) — named to
     * feed [[ImageDedup.nearPairs]] directly. MJPEG-in-AVI first,
     * animated GIF as the fallback (both real JDK decoders); blobs
-    * neither can read, and null blobs, emit nothing. */
+    * neither can read, null blobs, and clips shorter than 64 frames
+    * emit nothing. */
   def signatures(media: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -60,7 +65,7 @@ object VideoDedup {
         graft.multimodal.Multimodal.JvmAviCodec.decodeMjpegAvi(bytes)
           .map(_._2)
           .orElse(graft.multimodal.Multimodal.JvmGifCodec.decodeFrames(bytes))
-          .map(frames => (id, fingerprint(frames)))
+          .flatMap(frames => fingerprint(frames).map(h => (id, h)))
       }
       .toDF("img_id", "dhash")
   }

@@ -25,8 +25,10 @@ class ImageDedupSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(7)
     // clustered signatures: bases plus few-bit mutations → real pairs
     val bases = Seq.fill(8)(rnd.nextLong())
+    // duplicate signatures included: the kernel must emit the ham-0
+    // member pairs (family lane) AND their cross pairs to near sigs
     val sigs = bases.flatMap { b =>
-      Seq(b, b ^ 1L, b ^ (1L << 17), b ^ (1L << 17) ^ (1L << 49), rnd.nextLong())
+      Seq(b, b, b ^ 1L, b ^ (1L << 17), b ^ (1L << 17) ^ (1L << 49), rnd.nextLong())
     }
     for (d <- Seq(0, 1, 3, 5)) {
       val got = ImageDedup.nearPairs(sigRows(spark, sigs), d)

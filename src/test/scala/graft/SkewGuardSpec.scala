@@ -54,6 +54,25 @@ class SkewGuardSpec extends AnyFunSuite {
     assert(acc.value > 0)
   }
 
+  test("ImageDedup.nearPairs: 10k identical images cost one distinct-sig row; cap skips the family") {
+    import graft.operators.ImageDedup
+    // 10,000 byte-identical images collapse to ONE dHash — the crawl-scale
+    // mega-family (blank thumbnails, logos). The pigeonhole kernel pairs
+    // DISTINCT signatures, so in-bucket work is 3 rows here, never 10k²;
+    // the family's own ham-0 pairs are governed by the family cap.
+    val mega = spark.range(10000L).select(col("id").as("img_id"), lit(42L).as("dhash"))
+    val near = Seq((20001L, 1024L), (20002L, 1025L)).toDF("img_id", "dhash") // ham 1
+    val acc = spark.sparkContext.longAccumulator(Dedup.SkippedBucketsAcc)
+    val capped = ImageDedup.nearPairs(mega.unionAll(near), maxDist = 3,
+      maxBucket = 100, skippedAcc = Some(acc))
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === Set((20001L, 20002L, 1L)))
+    assert(acc.value === 1) // exactly the over-cap family; all sig buckets tiny
+    // uncapped, a family yields exactly C(k,2) streamed ham-0 pairs
+    val fam = spark.range(300L).select(col("id").as("img_id"), lit(7L).as("dhash"))
+    assert(ImageDedup.nearPairs(fam, maxDist = 3).count() === 300L * 299 / 2)
+  }
+
   test("lshNearDupPairs: cap applies to the vector kernel; small buckets pass") {
     val planes = Seq.tabulate(4)(p => Seq.tabulate(4)(d => if (d == p) 1f else 0f))
     // 30 identical vectors land in one bucket; 2 distinct ones elsewhere

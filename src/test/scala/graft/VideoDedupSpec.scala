@@ -39,4 +39,20 @@ class VideoDedupSpec extends AnyFunSuite {
       "clip_id", "clip").collect().head.getLong(1)
     assert(down === 0L)
   }
+
+  test("clips shorter than 64 frames emit NO signature (no 0L sentinel family)") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    assert(VideoDedup.fingerprint(frames(walkUp = true).take(10)) === None)
+    // two different short clips: with the old 0L sentinel these were a
+    // false Hamming-0 near-dup pair; now neither fingerprints
+    val media = Seq(
+      (1L, JvmAviCodec.encodeMjpegAvi(frames(walkUp = true).take(10), 10)),
+      (2L, JvmAviCodec.encodeMjpegAvi(frames(walkUp = false).take(20), 10)),
+      (3L, JvmAviCodec.encodeMjpegAvi(frames(walkUp = true), 10)))
+      .toDF("clip_id", "clip")
+    val sigs = VideoDedup.signatures(media, "clip_id", "clip")
+    assert(sigs.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(graft.operators.ImageDedup.nearPairs(sigs, 3).count() === 0L)
+  }
 }
