@@ -716,8 +716,91 @@ object Extras {
     }
   }
 
+  /** Composed media dedup — the crawl-scale front door: an EXACT
+    * content-hash lane (byte-identical copies collapse on md5, keeper
+    * = min id — at crawl scale MOST image dups are byte-identical, so
+    * this lane also shrinks the perceptual decode pass itself) feeding
+    * the perceptual lane (dHash + pigeonhole over exact keepers only,
+    * SemDeDup keep-first dominance). Fixture: 96 images over 24
+    * distinct contents (i % 24 — four byte-identical copies each);
+    * contents follow the m6 closed-form bit pattern in groups of 4
+    * near variants. The oracle replays the exact families from the
+    * modulus and the perceptual verdicts from the bit formulas — it
+    * never touches a pixel. */
+  val m9MediaDedup: Q = {
+    val n = 96
+    Q(
+      "m9_media_dedup",
+      s"""WITH img AS (SELECT i FROM range($n) t(i)),
+         |ex AS (SELECT i, i % 24 AS c FROM img),
+         |bits AS (
+         |  SELECT c, k,
+         |    xor(CASE WHEN k < 63 AND ((c // 4) * 2654435761 + k * 40503) % 97 < 48
+         |             THEN 1 ELSE 0 END,
+         |        CASE WHEN c % 4 = 1 AND k = 1 THEN 1
+         |             WHEN c % 4 = 2 AND k IN (2, 3) THEN 1
+         |             WHEN c % 4 = 3 AND k IN (4, 5, 6) THEN 1
+         |             ELSE 0 END) AS b
+         |  FROM (SELECT DISTINCT i % 24 AS c FROM img), unnest(range(63)) u(k)),
+         |sig AS (SELECT c, CAST(sum(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
+         |        FROM bits GROUP BY c),
+         |np AS (SELECT b.c AS c, min(a.c) AS near_of
+         |       FROM sig a JOIN sig b ON a.c < b.c
+         |       WHERE bit_count(xor(a.h, b.h)) <= 3
+         |       GROUP BY b.c)
+         |SELECT e.i AS media_id,
+         |  CASE WHEN e.i != e.c THEN 'exact_dup'
+         |       WHEN np.near_of IS NOT NULL THEN 'near_dup'
+         |       ELSE 'keep' END AS action,
+         |  CAST(CASE WHEN e.i != e.c THEN e.c ELSE np.near_of END AS BIGINT) AS dup_of
+         |FROM ex e LEFT JOIN np ON e.c = np.c
+         |ORDER BY media_id""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.multimodal.Multimodal.JvmImageCodec
+      def bit(c: Long, k: Int): Boolean = {
+        val base = k < 63 && ((c / 4) * 2654435761L + k * 40503L) % 97 < 48
+        val flip = (c % 4, k) match {
+          case (1, 1) => true
+          case (2, 2) | (2, 3) => true
+          case (3, kk) if kk >= 4 && kk <= 6 => true
+          case _ => false
+        }
+        base ^ flip
+      }
+      val media = s.range(n).as[Long].map { i =>
+        val c = i % 24 // the content key: same c → byte-identical PNG
+        val l = Array.ofDim[Int](8, 9)
+        var y = 0
+        while (y < 8) {
+          l(y)(0) = 128
+          var x = 0
+          while (x < 8) {
+            l(y)(x + 1) = l(y)(x) + (if (bit(c, y * 8 + x)) 10 else -10)
+            x += 1
+          }
+          y += 1
+        }
+        val img = new java.awt.image.BufferedImage(18, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var py = 0
+        while (py < 16) {
+          var px = 0
+          while (px < 18) {
+            val g = l(py / 2)(px / 2)
+            img.setRGB(px, py, (g << 16) | (g << 8) | g)
+            px += 1
+          }
+          py += 1
+        }
+        (i, JvmImageCodec.encodePng(img))
+      }.toDF("img_id", "png")
+      graft.operators.MediaDedup.imageDedup(media, "img_id", "png", maxDist = 3)
+        .orderBy(col("media_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
     q19SessionWindow, q20CidrFilter, m1MediaPipeline, m2ImagePipeline, m3AudioPipeline,
     m4VideoPipeline, m5MjpegAviPipeline, m6ImageNearDup, m7AudioNearDup, m8VideoNearDup,
-    q44SaltedJoin, q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
+    m9MediaDedup, q44SaltedJoin, q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
 }

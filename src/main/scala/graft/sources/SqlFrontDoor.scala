@@ -229,6 +229,40 @@ object SqlFrontDoor {
           graft.operators.ImageDedup.dhashSignatures(
             s.read.parquet(a.head), "img_id", "png"),
           a(1).trim.toInt)),
+      // media_dedup(path, max_dist): the composed media-dedup front
+      // door — EXACT content-hash lane first (byte-identical copies
+      // collapse on md5, keeper = min id; also shrinks the perceptual
+      // decode pass by the duplication factor), then the perceptual
+      // dHash + pigeonhole lane over exact keepers with keep-first
+      // dominance; input needs (img_id BIGINT, png BINARY); emits
+      // (media_id, action keep|exact_dup|near_dup, dup_of)
+      ("media_dedup", 2, a =>
+        graft.operators.MediaDedup.imageDedup(s.read.parquet(a.head),
+          "img_id", "png", a(1).trim.toInt)),
+      // cosine_neardup_exact(path, tau): BASELINE, NOT SERVING — the
+      // exact all-pairs O(N^2) cosine scan (the v5 correctness oracle;
+      // BroadcastNestedLoopJoin by construction). Never the production
+      // path: use vec_neardup_lsh (bucketed, narrow) or semdedup for
+      // real corpora; this TVF exists to validate those on samples.
+      // Input needs (vec_id BIGINT, embedding ARRAY<FLOAT>).
+      ("cosine_neardup_exact", 2, a => {
+        import org.apache.spark.sql.functions.col
+        val e = s.read.parquet(a.head)
+        e.select(col("vec_id").as("da"), col("embedding").as("va"))
+          .join(e.select(col("vec_id").as("db"), col("embedding").as("vb")),
+            col("da") < col("db"))
+          .select(col("da"), col("db"),
+            graft.operators.Ann.cosine(col("va"), col("vb")).as("cosine"))
+          .filter(col("cosine") >= a(1).trim.toDouble)
+      }),
+      // vec_neardup_lsh(path, tau): the SERVING-shape embedding
+      // near-dup — random-hyperplane LSH buckets + in-bucket cosine
+      // verify (the v6 kernel: one narrow pass + one groupByKey)
+      ("vec_neardup_lsh", 2, a => {
+        val planes = (0 until 6).map(p => graft.operators.Ann.hyperplane(p, 64))
+        graft.operators.Ann.lshNearDupPairs(s.read.parquet(a.head),
+          "vec_id", "embedding", planes, a(1).trim.toDouble)
+      }),
       // warc_records(path): every record of the WARC file(s) —
       // plain .warc or per-record-gzip .warc.gz (sniffed); one task
       // per file, streamed parse
@@ -327,8 +361,28 @@ object SqlFrontDoor {
     }
   }
 
+  /** Usage labels surfaced through `ExpressionInfo` (DESCRIBE FUNCTION
+    * on the extension-injected path): quadratic correctness baselines
+    * must carry their warning AT the registration, not only in
+    * Scaladoc, so a user reaching for the SQL surface is pointed at
+    * the serving-shape kernel before running an O(N^2) scan. */
+  private[graft] val tvfUsage: Map[String, String] = Map(
+    "cosine_neardup_exact" ->
+      ("BASELINE, NOT SERVING: exact all-pairs O(N^2) cosine pair scan " +
+        "(BroadcastNestedLoopJoin) kept as the correctness oracle for the " +
+        "bucketed kernels. For production corpora use vec_neardup_lsh or " +
+        "semdedup; validate them against this TVF on samples only."),
+    "vec_neardup_lsh" ->
+      ("Serving-shape embedding near-dup: hyperplane LSH buckets + " +
+        "in-bucket cosine verify; one narrow pass + one groupByKey."))
+
   private[sources] def info(name: String): ExpressionInfo =
-    new ExpressionInfo(SqlFrontDoor.getClass.getCanonicalName, name)
+    tvfUsage.get(name) match {
+      case Some(usage) =>
+        new ExpressionInfo(SqlFrontDoor.getClass.getCanonicalName, null, name,
+          usage, "")
+      case None => new ExpressionInfo(SqlFrontDoor.getClass.getCanonicalName, name)
+    }
 
   private[sources] def scalarInjections
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -339,7 +393,7 @@ object SqlFrontDoor {
     (FunctionIdentifier("fvec_dot"), info("fvec_dot"),
       exprs => FloatVecDot(exprs.head, exprs(1))))
 
-  private[sources] def tableInjections
+  private[graft] def tableInjections
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     tvfs.map { case (name, n, build) =>
       (FunctionIdentifier(name), info(name), tvfBuilder(name, n, build))

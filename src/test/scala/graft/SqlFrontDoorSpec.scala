@@ -376,6 +376,60 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(vidPairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("media_dedup TVF: exact lane + perceptual lane verdicts from pure SQL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mediadeduptvf")
+    val mk = (shade: Int) => {
+      val img = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(y => (0 until 9).foreach(x => {
+        val v = shade + x * 11 + y * 7
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }))
+      graft.multimodal.Multimodal.JvmImageCodec.encodePng(img)
+    }
+    // 1 and 2 byte-identical; 3 same gradient shifted (same dHash, near
+    // at ham 0 but different bytes); 4 reversed gradient (far)
+    val rev = {
+      val img = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(y => (0 until 9).foreach(x => {
+        val v = 200 - x * 11 - y * 7
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }))
+      graft.multimodal.Multimodal.JvmImageCodec.encodePng(img)
+    }
+    Seq((1L, mk(40)), (2L, mk(40)), (3L, mk(50)), (4L, rev)).toDF("img_id", "png")
+      .write.parquet(s"$dir/imgs")
+    val got = spark.sql(
+      s"SELECT media_id, action, dup_of FROM media_dedup('$dir/imgs', '0') ORDER BY media_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got === Seq((1L, "keep", -1L), (2L, "exact_dup", 1L),
+      (3L, "near_dup", 1L), (4L, "keep", -1L)))
+  }
+
+  test("cosine_neardup_exact carries the BASELINE warning; vec_neardup_lsh is the pointer target") {
+    // the registration itself must label the O(N^2) scan — not only the
+    // Scaladoc — so DESCRIBE FUNCTION warns before a user runs it
+    val usage = SqlFrontDoor.tvfUsage("cosine_neardup_exact")
+    assert(usage.contains("BASELINE, NOT SERVING"))
+    assert(usage.contains("vec_neardup_lsh"))
+    val injected = graft.sources.SqlFrontDoor.tableInjections
+      .find(_._1.funcName == "cosine_neardup_exact")
+    assert(injected.nonEmpty)
+    assert(injected.get._2.getUsage.contains("BASELINE, NOT SERVING"))
+    // both TVFs run from pure SQL and the baseline validates the serving
+    // kernel: every LSH pair is an exact pair (same-bucket subset)
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val exact = spark.sql(
+      s"SELECT da, db FROM cosine_neardup_exact('$emb', '0.2')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = spark.sql(
+      s"SELECT da, db FROM vec_neardup_lsh('$emb', '0.2')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty)
+  }
+
   test("warc_records / warc_text TVFs read a synthesized capture from pure SQL") {
     val body = "HTTP/1.1 200 OK\r\n\r\n<p>Hello &amp; <b>world</b></p>"
     val recBytes = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://t/1\r\n" +
