@@ -15,7 +15,12 @@ import graft.sources.Pcap
 final case class SegKey(file: String, srcIp: String, dstIp: String, ref: Long)
 
 /** One TCAP packet with the sigshark transaction-key fields
-  * (`sigshark.py` tshark columns CGSSN/CGPA/OTID, CDSSN/CDPA/DTID). */
+  * (`sigshark.py` tshark columns CGSSN/CGPA/OTID, CDSSN/CDPA/DTID).
+  * `frameNos` (default empty) OVERRIDES `frameNo` when non-empty: a
+  * reassembled message contributes its fragment frames instead of its
+  * own — the tool's sccp.msg.fragment / sctp.fragment expansion
+  * (`sigshark.py:460-466`); the native pipeline reassembles upstream
+  * and leaves it empty. */
 final case class TcapPkt(
     pcapFilename: String,
     frameNo: Long,
@@ -27,7 +32,8 @@ final case class TcapPkt(
     cgSsn: Int,
     cgGt: String,
     cdSsn: Int,
-    cdGt: String)
+    cdGt: String,
+    frameNos: Seq[Long] = Seq.empty)
 
 object GsmMapPipeline {
 

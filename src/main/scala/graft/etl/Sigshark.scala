@@ -114,41 +114,46 @@ object Sigshark {
     val alias = mutable.HashMap.empty[String, String]
     alias ++= prior.alias
     val done = mutable.ArrayBuffer.empty[Transaction]
-    def close(key: String, tx: Open, closingFrame: Option[Long]): Unit = {
-      tx.frames ++= closingFrame
+    def close(key: String, tx: Open, closingFrames: Seq[Long]): Unit = {
+      tx.frames ++= closingFrames
       done += Transaction(key, tx.startTsSec, tx.startUsec, tx.frames.toSeq)
     }
     def linkAlias(okey: String, dkey: String): Unit =
       if (!alias.contains(okey)) { alias(okey) = dkey; alias(dkey) = okey }
+    // the tool's fragment expansion (`sigshark.py:460-466`): a
+    // reassembled message contributes its fragment frame list, not its
+    // own frame number
+    def framesOf(p: TcapPkt): Seq[Long] =
+      if (p.frameNos.nonEmpty) p.frameNos else Seq(p.frameNo)
     for (p <- pkts) {
       val okey = s"${p.cgSsn}_${p.cgGt}_${p.otid}"
       val dkey = s"${p.cdSsn}_${p.cdGt}_${p.dtid}"
       p.messType match {
         case "begin" =>
-          tas(okey) = Open(p.tsSec, p.tsUsec, mutable.ArrayBuffer(p.frameNo))
+          tas(okey) = Open(p.tsSec, p.tsUsec, mutable.ArrayBuffer(framesOf(p): _*))
         case "continue" =>
           if (tas.contains(okey)) {
-            tas(okey).frames += p.frameNo
+            tas(okey).frames ++= framesOf(p)
             linkAlias(okey, dkey)
           } else if (tas.contains(dkey)) {
-            tas(dkey).frames += p.frameNo
+            tas(dkey).frames ++= framesOf(p)
             linkAlias(okey, dkey)
           } else if (keepPartial) {
-            tas(okey) = Open(p.tsSec, p.tsUsec, mutable.ArrayBuffer(p.frameNo))
+            tas(okey) = Open(p.tsSec, p.tsUsec, mutable.ArrayBuffer(framesOf(p): _*))
             alias(okey) = dkey
             alias(dkey) = okey
           } // else: missing begin — drop (`sigshark.py:495-498`)
         case "end" | "abort" =>
           if (tas.contains(dkey)) {
-            close(dkey, tas.remove(dkey).get, Some(p.frameNo))
+            close(dkey, tas.remove(dkey).get, framesOf(p))
             alias.remove(dkey).foreach(alias.remove)
           } else if (alias.contains(dkey)) {
             val okey2 = alias(dkey)
-            tas.remove(okey2).foreach(close(okey2, _, Some(p.frameNo)))
+            tas.remove(okey2).foreach(close(okey2, _, framesOf(p)))
             alias.remove(dkey)
             alias.remove(okey2)
           } else if (keepPartial) {
-            done += Transaction(dkey, p.tsSec, p.tsUsec, Seq(p.frameNo))
+            done += Transaction(dkey, p.tsSec, p.tsUsec, framesOf(p))
           } // else: missing begin — drop
         case _ => ()
       }
@@ -174,7 +179,15 @@ object Sigshark {
 
   /** End-to-end TCAP tool run (`diameter.sh` sigshark parity): read
     * capture, track TCAP transactions, write the transaction-sorted pcap
-    * (optionally with O3 separators). */
+    * (optionally with O3 separators).
+    *
+    * DRIVER CONTRACT (by design, tool parity — one output pcap per
+    * run): the returned `Seq[Transaction]` is transaction METADATA
+    * collected to the driver; frame PAYLOADS stream in bounded memory
+    * ([[streamTransactionSorted]]). Do NOT lift this method into a
+    * pipeline over many captures — pipelines should use the
+    * distributed Datasets [[tcapTransactions]] /
+    * [[diameterTransactions]] and keep everything on executors. */
   def runTcap(spark: SparkSession, inPath: String, outPath: java.nio.file.Path,
       keepPartial: Boolean = false, separators: Boolean = false,
       excludeCidrs: Seq[String] = Nil,
@@ -229,7 +242,10 @@ object Sigshark {
     txs.flatMap(_.frames).sorted
 
   /** End-to-end tool run: read capture, track transactions, write the
-    * transaction-sorted capture. */
+    * transaction-sorted capture. Same DRIVER CONTRACT as [[runTcap]]:
+    * the returned transaction metadata is driver-resident by API
+    * contract (tool parity); pipeline users take
+    * [[diameterTransactions]] instead. */
   def run(spark: SparkSession, inPath: String, outPath: java.nio.file.Path,
       keepPartial: Boolean = false): Seq[Transaction] = {
     val txs = diameterTransactions(spark, inPath, keepPartial).collect().toSeq

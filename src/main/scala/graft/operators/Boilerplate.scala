@@ -87,7 +87,9 @@ object Boilerplate {
       k: Int, maxDocFreq: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull) // user-facing TVF input (the Phrases convention)
+      .as[(Long, String)]
       .flatMap { case (id, text) => chunkOccs(id, text, k, wide = false) }
       .toDF("doc_id", "idx", "h", "h2")
       .groupBy(col("h"))
@@ -103,7 +105,9 @@ object Boilerplate {
     import spark.implicits._
     val keyCols = if (wideHash) Seq("h", "h2") else Seq("h")
     require(minChunkTokens <= k, "minChunkTokens cannot exceed the chunk size")
-    val chunks = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    val chunks = docs.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(idCol).isNotNull) // user-facing TVF input (the Phrases convention)
+      .as[(Long, String)]
       .flatMap { case (id, text) => chunkOccs(id, text, k, wideHash) }
       .toDF("doc_id", "idx", "h", "h2")
     // doc frequency per chunk identity: fixed-width rows, map-side
@@ -122,6 +126,7 @@ object Boilerplate {
     // no-chunks treatment (user-facing TVF input)
     docs.select(col(idCol).cast("long").as("doc_id"),
       coalesce(col(textCol), lit("")).as("text"))
+      .filter(col("doc_id").isNotNull)
       .join(dropIdx, Seq("doc_id"), "left")
       .withColumn("toks", array_remove(split(trim(col("text")), "\\s+"), ""))
       .withColumn("n_chunks", ((size(col("toks")) + (k - 1)) / k).cast("long"))

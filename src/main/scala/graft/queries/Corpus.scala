@@ -496,12 +496,21 @@ object Corpus {
     val minTok = 2
     Q(
       "t35_boilerplate",
-      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+      // nw mirrors the ENGINE's empty/whitespace-only guard: DuckDB's
+      // string_split_regex yields [''] on empty text, which would count
+      // one chunk and let '' join bad-chunk doc frequency; the engine
+      // (array_remove of '' / the chunkOccs empty-token guard) yields
+      // zero chunks — the oracle must agree on ANY corpus, not only
+      // ones with no empty documents
+      s"""WITH w0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |w AS (SELECT doc_id, w,
+         |        CASE WHEN len(w) = 1 AND w[1] = '' THEN 0 ELSE len(w) END AS nw
+         |      FROM w0),
          |chun AS (
          |  SELECT doc_id, CAST(u.i AS BIGINT) AS idx,
          |         array_to_string(w[u.i*$k+1:u.i*$k+$k], ' ') AS chunk,
-         |         least(len(w) - u.i*$k, $k) AS chunk_len
-         |  FROM w, unnest(range(0, (len(w) + ${k - 1}) // $k)) AS u(i)),
+         |         least(nw - u.i*$k, $k) AS chunk_len
+         |  FROM w, unnest(range(0, (nw + ${k - 1}) // $k)) AS u(i)),
          |bad AS (SELECT chunk FROM chun GROUP BY chunk
          |        HAVING count(DISTINCT doc_id) >= $maxDf),
          |cut AS (SELECT c.doc_id, c.idx FROM chun c JOIN bad USING (chunk)
@@ -514,7 +523,7 @@ object Corpus {
          |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
          |       FROM cut GROUP BY doc_id)
          |SELECT w.doc_id, coalesce(agg.clean_text, '') AS clean_text,
-         |       CAST((len(w) + ${k - 1}) // $k AS BIGINT) AS n_chunks,
+         |       CAST((nw + ${k - 1}) // $k AS BIGINT) AS n_chunks,
          |       coalesce(nd.n_dropped, 0) AS n_dropped
          |FROM w LEFT JOIN agg USING (doc_id) LEFT JOIN nd USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>

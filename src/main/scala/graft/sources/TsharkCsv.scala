@@ -19,12 +19,10 @@ import graft.etl.{Sigshark, TcapPkt}
   *     tool's own "--flatten" remedy);
   *   - frame numbers are converted to the tool's 0-based convention
   *     (`int(frame) - 1`);
-  *   - rows with sccp segment / sctp fragment lists carry their OWN
-  *     frame number into the transaction, matching the native path's
-  *     convention (it reassembles upstream and gates on
-  *     `segmentation.isEmpty`); captures relying on multi-frame
-  *     expansion should be pre-flattened — the same prerequisite the
-  *     tool itself imposes for multi-chunk packets.
+  *   - rows carrying sccp segment / sctp fragment lists expand them
+  *     into the transaction's frame list exactly like the tool
+  *     (`sigshark.py:460-466`: segs then frags, each `int(f) - 1`,
+  *     replacing the row's own frame number).
   */
 object TsharkCsv {
 
@@ -60,8 +58,8 @@ object TsharkCsv {
       .na.fill("")
       .as[(String, String, String, String, String, String, String, String, String, String,
         String, String, String, String, String, String, String, String, String, String, String)]
-      .flatMap { case (encap, frame, epoch, _, _, cgSsn, cgDigits, cdSsn, cdDigits, _,
-        otid, dtid, beginE, contE, endE, abortE, diaReq, _, _, _, sctp) =>
+      .flatMap { case (encap, frame, epoch, _, _, cgSsn, cgDigits, cdSsn, cdDigits, sccpSegs,
+        otid, dtid, beginE, contE, endE, abortE, diaReq, _, _, sctpFrags, sctp) =>
         // the tool's transport gate (`sigshark.py:431`)
         if (sctp.isEmpty && !SupportedEncaps.contains(encap.trim)) None
         else {
@@ -85,9 +83,17 @@ object TsharkCsv {
               else (e.substring(0, dot).toLong,
                 (e.substring(dot + 1) + "000000").substring(0, 6).toInt)
             }
+            // the tool's fragment expansion (`sigshark.py:460-466`): a
+            // reassembled row contributes its '-'-joined sccp segment /
+            // sctp fragment frame lists (each int(f)-1) INSTEAD of its
+            // own frame number; segs first, then frags, tool order
+            val fragFrames: Seq[Long] =
+              (sccpSegs.trim.split('-').toSeq ++ sctpFrags.trim.split('-').toSeq)
+                .filter(_.nonEmpty).map(_.trim.toLong - 1)
             Some(TcapPkt(name, frame.trim.toLong - 1, sec, usec, messType,
               hexTid(otid), hexTid(dtid),
-              intOr0(cgSsn), cgDigits.trim, intOr0(cdSsn), cdDigits.trim))
+              intOr0(cgSsn), cgDigits.trim, intOr0(cdSsn), cdDigits.trim,
+              frameNos = fragFrames))
           }
         }
       }

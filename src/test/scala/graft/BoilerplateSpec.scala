@@ -77,6 +77,22 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(out(4L) === (("", 0L, 0L)))
   }
 
+  test("null doc_id rows are filtered, not a crash (user-facing TVF convention)") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val docs = Seq((Option(1L), "common chunk words here today extra"),
+      (Option(2L), "common chunk words here today extra"),
+      (Option(3L), "common chunk words here today extra"),
+      (None: Option[Long], "common chunk words here today extra"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Boilerplate.remove(docs, "doc_id", "text", 3, 3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(1L, 2L, 3L))
+    val bad = graft.operators.Boilerplate
+      .badChunkHashes(docs, "doc_id", "text", 3, 3).count()
+    assert(bad === 2L) // both 3-token chunks reach df 3 without the null row
+  }
+
   test("wideHash path returns identical output") {
     val rows = (0L until 30L).map { i =>
       val base = if (i % 3 == 0) "common footer text block here today" else s"unique body $i with words ${i * 7}"

@@ -14,13 +14,14 @@ class TsharkCsvSpec extends AnyFunSuite {
   // abort, dia_request, dia_hbh, dia_e2e, sctp_frags, sctp
   private def row(frame: Int, epoch: String, messCol: Int, otid: String, dtid: String,
       cgSsn: String = "6", cgGt: String = "491710001", cdSsn: String = "8",
-      cdGt: String = "491710002", encap: String = "", sctp: String = "1"): String = {
+      cdGt: String = "491710002", encap: String = "", sctp: String = "1",
+      segs: String = "", frags: String = ""): String = {
     val f = Array.fill(21)("")
     f(0) = encap; f(1) = frame.toString; f(2) = epoch
     f(5) = cgSsn; f(6) = cgGt; f(7) = cdSsn; f(8) = cdGt
-    f(10) = otid; f(11) = dtid
+    f(9) = segs; f(10) = otid; f(11) = dtid
     if (messCol >= 0) f(messCol) = "1"
-    f(20) = sctp
+    f(19) = frags; f(20) = sctp
     f.mkString(",")
   }
 
@@ -102,6 +103,19 @@ class TsharkCsvSpec extends AnyFunSuite {
             s"unexpected failure class: $e")
       }
     }
+  }
+
+  test("sccp segment / sctp fragment lists expand into the frame list like the tool") {
+    val spark = SparkTest.spark
+    val csv = writeCsv(Seq(
+      row(1, "100.0", 12, "aa", ""), // begin, frame 0
+      // reassembled end: the row is frame 5 but sigshark.py:460-466
+      // replaces it with the segs+frags lists, each int(f)-1
+      row(5, "101.0", 14, "", "aa", cgSsn = "8", cgGt = "491710002",
+        cdSsn = "6", cdGt = "491710001", segs = "3-4", frags = "5")))
+    val txs = TsharkCsv.tcapTransactions(spark, csv).collect()
+    assert(txs.length === 1)
+    assert(txs.head.frames === Seq(0L, 2L, 3L, 4L))
   }
 
   test("colon-separated hex tids and missing fraction parse") {
