@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * (id, hash) rows; the pair search buckets by chunk value, compares
   * full hashes in-bucket only, and emits each pair once via the
   * canonical-chunk rule (no output distinct exchange). */
-object ImageDedup {
+object ImageDedup extends Serializable {
 
   /** One narrow decode pass: (img_id, dhash). Undecodable or null
     * blobs emit nothing (decoder-totality convention). */
@@ -60,22 +60,41 @@ object ImageDedup {
     * consumed three times (distinct kernel, family lane, member-join
     * back) and recomputing it would re-run the upstream media decode
     * pass per consumer — the [[Dedup.simhashNearStats]] discipline. */
+  /** Pigeonhole chunk boundaries: maxDist+1 bit-ranges covering the
+    * 64-bit signature, widths as even as 64 allows. Shared by the batch
+    * kernel and [[graft.streaming.MediaNearDupStream]] so batch and
+    * stream agree on bucketing by construction. */
+  private[graft] def chunkBoundsFor(maxDist: Int): Array[Int] = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
+    (0 to maxDist + 1).map(c => c * 64 / (maxDist + 1)).toArray
+  }
+
+  private[graft] def chunkValAt(sig: Long, c: Int, bounds: Array[Int]): Long = {
+    val width = bounds(c + 1) - bounds(c)
+    if (width >= 64) sig
+    else (sig >>> bounds(c)) & ((1L << width) - 1)
+  }
+
+  /** First chunk index two signatures agree on — the canonical chunk
+    * owning a pair's single emission (callers only reach it for pairs
+    * meeting in SOME bucket, so a match exists). */
+  private[graft] def firstSharedChunkOf(a: Long, b: Long, bounds: Array[Int]): Int = {
+    var k = 0
+    while (chunkValAt(a, k, bounds) != chunkValAt(b, k, bounds)) k += 1
+    k
+  }
+
   def nearPairs(sigs: DataFrame, maxDist: Int,
       idCol: String = "img_id", sigCol: String = "dhash",
       maxBucket: Int = Int.MaxValue,
       skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
     val spark = sigs.sparkSession
     import spark.implicits._
     val skipped = skippedAcc.getOrElse(
       spark.sparkContext.longAccumulator(Dedup.SkippedBucketsAcc))
     val chunks = maxDist + 1
-    val bounds = (0 to chunks).map(c => c * 64 / chunks).toArray
-    def chunkVal(sig: Long, c: Int): Long = {
-      val width = bounds(c + 1) - bounds(c)
-      if (width >= 64) sig
-      else (sig >>> bounds(c)) & ((1L << width) - 1)
-    }
+    val bounds = chunkBoundsFor(maxDist)
+    def chunkVal(sig: Long, c: Int): Long = chunkValAt(sig, c, bounds)
     val members = sigs.select(col(sigCol).cast("long").as("sig"),
       col(idCol).cast("long").as("id")).localCheckpoint()
     // distinct-signature pigeonhole: (sa < sb by signature value, ham >= 1)
@@ -88,11 +107,7 @@ object ImageDedup {
         if (capped == null) Iterator.empty
         else {
           val ss = capped.sorted
-          def firstSharedChunk(a: Long, b: Long): Int = {
-            var k = 0
-            while (chunkVal(a, k) != chunkVal(b, k)) k += 1
-            k
-          }
+          def firstSharedChunk(a: Long, b: Long): Int = firstSharedChunkOf(a, b, bounds)
           val out = Iterator.newBuilder[(Long, Long, Long)]
           var i = 0
           while (i < ss.length) {
