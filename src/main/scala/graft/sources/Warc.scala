@@ -126,10 +126,23 @@ object Warc {
     }
 
   /** Read every record of the matched WARC file(s), one task per file;
-    * `.warc.gz` (per-record gzip members) is sniffed by magic. */
-  def records(spark: SparkSession, path: String): DataFrame = {
+    * `.warc.gz` (per-record gzip members) is sniffed by magic.
+    *
+    * Parallelism (WarcScaleSpec receipt): `binaryFiles` sizes combined
+    * splits at min(128 MB, max(4 MB open-cost, totalBytes/parallelism))
+    * and never splits one file, so real segment files (CommonCrawl's
+    * ~1 GB layout) fan out one-file-per-task on any real cluster, and
+    * small-file batches pack to ~one split per core. `minPartitions`
+    * (default: Spark's own heuristic) is the explicit override for
+    * low-parallelism contexts — it feeds the same split-size formula,
+    * so e.g. 8 segment files read with >= 8 tasks regardless of core
+    * count. For ONE oversized file, [[recordsChunked]] is the
+    * ranged-task path. */
+  def records(spark: SparkSession, path: String, minPartitions: Int = 0): DataFrame = {
     import spark.implicits._
-    spark.sparkContext.binaryFiles(path)
+    spark.sparkContext.binaryFiles(path,
+      if (minPartitions > 0) minPartitions
+      else spark.sparkContext.defaultMinPartitions)
       .flatMap { case (file, pds) =>
         val raw = new BufferedInputStream(pds.open())
         raw.mark(2)
