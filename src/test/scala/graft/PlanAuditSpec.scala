@@ -303,6 +303,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bnlj <= 5, s"t37: only the 1-row stat attaches may nested-loop, got $bnlj:\n$plan")
   }
 
+  test("m9: media bytes never cross an exchange in the media_dedup verdict flow") {
+    import SparkTest.spark.implicits._
+    val media = SparkTest.spark.range(12).as[Long]
+      .map { i =>
+        val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 8).foreach(y => (0 until 9).foreach(x =>
+          img.setRGB(x, y, ((40 + (i * 13).toInt % 60) << 16) | 0x2020)))
+        (i, graft.multimodal.Multimodal.JvmImageCodec.encodePng(img))
+      }.toDF("img_id", "png")
+    val df = graft.operators.MediaDedup.imageDedup(media, "img_id", "png", maxDist = 3)
+    val plan = planOf(df)
+    // the blob scan lives BEFORE the localCheckpoint pin; the verdict
+    // dataflow (family agg, signature rollup, pair joins, verdict join)
+    // must carry hashes/ids only — no binary column, no all-pairs join
+    assert(!plan.contains("png") && !plan.toLowerCase.contains("binary"),
+      s"media bytes leaked into the verdict plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"media_dedup must stay equi-shaped:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(
