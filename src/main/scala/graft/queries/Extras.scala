@@ -799,8 +799,131 @@ object Extras {
     }
   }
 
+  /** Media quality gates (the LAION/DataComp curation step): integer
+    * size / uniform-luma / aspect rules over one decode pass — the
+    * Gopher-gates discipline on images. Fixture: 96 images whose
+    * dimensions and luma field follow closed-form formulas planting
+    * every rule (tracking-pixel-small i%7, banner-aspect i%13,
+    * solid-placeholder i%11); the oracle replays dimensions, the
+    * max-min luma spread over the pixel grid, and the verdicts purely
+    * from the formulas — it never touches a pixel. */
+  val m10MediaQuality: Q = {
+    val n = 96
+    Q(
+      "m10_media_quality",
+      s"""WITH img AS (SELECT i FROM range($n) t(i)),
+         |dim AS (SELECT i,
+         |  CASE WHEN i % 7 = 0 THEN 4 WHEN i % 13 = 0 THEN 48
+         |       ELSE 8 + (i % 5) * 4 END AS w,
+         |  CASE WHEN i % 13 = 0 THEN 8 ELSE 8 + ((i // 5) % 4) * 4 END AS h
+         |  FROM img),
+         |gx AS (SELECT i, w, h, unnest(range(w)) AS x FROM dim),
+         |gxy AS (SELECT i, w, h, x, unnest(range(h)) AS y FROM gx),
+         |sp0 AS (SELECT i, max((x * 7 + y * 5 + i) % 150)
+         |               - min((x * 7 + y * 5 + i) % 150) AS s
+         |        FROM gxy GROUP BY i),
+         |st AS (SELECT d.i, d.w, d.h,
+         |       CASE WHEN d.i % 11 = 0 THEN 0 ELSE sp0.s END AS spread
+         |       FROM dim d JOIN sp0 USING (i)),
+         |v AS (SELECT i, w, h, spread,
+         |      (w < 8 OR h < 8) AS small,
+         |      (spread < 10) AS uniform,
+         |      (greatest(w, h) > 4 * least(w, h)) AS aspect
+         |      FROM st)
+         |SELECT i AS media_id, CAST(w AS INTEGER) AS width,
+         |       CAST(h AS INTEGER) AS height,
+         |       CAST(spread AS INTEGER) AS luma_spread,
+         |       (NOT small AND NOT uniform AND NOT aspect) AS keep,
+         |       concat_ws(',',
+         |         CASE WHEN aspect THEN 'aspect' END,
+         |         CASE WHEN small THEN 'small' END,
+         |         CASE WHEN uniform THEN 'uniform' END) AS reasons
+         |FROM v ORDER BY media_id""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.multimodal.Multimodal.JvmImageCodec
+      val media = s.range(n).as[Long].map { i =>
+        val w = if (i % 7 == 0) 4 else if (i % 13 == 0) 48 else 8 + (i % 5).toInt * 4
+        val h = if (i % 13 == 0) 8 else 8 + ((i / 5) % 4).toInt * 4
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = if (i % 11 == 0) 100
+              else 30 + ((x * 7 + y * 5 + i) % 150).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        (i, JvmImageCodec.encodePng(img))
+      }.toDF("img_id", "png")
+      graft.operators.MediaQuality.imageGates(media, "img_id", "png",
+        minW = 8, minH = 8, minSpread = 10, maxAspect = 4)
+        .orderBy(col("media_id"))
+    }
+  }
+
+  /** Audio quality gates — the speech-corpus curation rules in the m10
+    * discipline: duration / silence-ratio / clipping-ratio verdicts,
+    * all integer-exact over real WAV encode→decode. Fixture: 96 clips
+    * whose sample streams follow closed-form formulas planting every
+    * rule (too-short i%7, silence-heavy i%11, clipped i%13); the
+    * oracle replays sample values, integer percents and verdicts
+    * purely from the formulas — it never parses a WAV. */
+  val m11AudioQuality: Q = {
+    val n = 96
+    Q(
+      "m11_audio_quality",
+      s"""WITH clip AS (SELECT i FROM range($n) t(i)),
+         |nn AS (SELECT i, CASE WHEN i % 7 = 0 THEN 32 ELSE 256 END AS ns FROM clip),
+         |smp AS (SELECT i, ns, unnest(range(ns)) AS t FROM nn),
+         |sv AS (SELECT i, ns, t,
+         |  CASE WHEN i % 11 = 0 THEN CASE WHEN t % 4 = 0 THEN 5000 ELSE 10 END
+         |       WHEN i % 13 = 0 THEN CASE WHEN t % 3 = 0 THEN 32760 ELSE 1000 END
+         |       ELSE 1000 + (t * 37 + i) % 2000 END AS s
+         |  FROM smp),
+         |agg AS (SELECT i, ns,
+         |  CAST(sum(CASE WHEN abs(s) < 328 THEN 1 ELSE 0 END) AS BIGINT) AS n_sil,
+         |  CAST(sum(CASE WHEN abs(s) >= 32700 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip
+         |  FROM sv GROUP BY i, ns),
+         |v AS (SELECT i, ns,
+         |      (n_sil * 100) // ns AS sil_pct, (n_clip * 100) // ns AS cl_pct,
+         |      (ns < 64) AS short,
+         |      ((n_sil * 100) // ns > 50) AS silent,
+         |      ((n_clip * 100) // ns > 10) AS clipped
+         |      FROM agg)
+         |SELECT i AS media_id, CAST(ns AS BIGINT) AS n_samples,
+         |       CAST(sil_pct AS BIGINT) AS silence_pct,
+         |       CAST(cl_pct AS BIGINT) AS clip_pct,
+         |       (NOT short AND NOT silent AND NOT clipped) AS keep,
+         |       concat_ws(',',
+         |         CASE WHEN clipped THEN 'clipped' END,
+         |         CASE WHEN short THEN 'short' END,
+         |         CASE WHEN silent THEN 'silent' END) AS reasons
+         |FROM v ORDER BY media_id""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.multimodal.Multimodal.JvmAudioCodec
+      val media = s.range(n).as[Long].map { i =>
+        val ns = if (i % 7 == 0) 32 else 256
+        val samples = Array.tabulate[Short](ns) { t =>
+          (if (i % 11 == 0) { if (t % 4 == 0) 5000 else 10 }
+          else if (i % 13 == 0) { if (t % 3 == 0) 32760 else 1000 }
+          else 1000 + ((t * 37 + i) % 2000).toInt).toShort
+        }
+        (i, JvmAudioCodec.encodeWavS16Mono(samples, 8000))
+      }.toDF("clip_id", "wav")
+      graft.operators.MediaQuality.audioGates(media, "clip_id", "wav",
+        minSamples = 64, silenceAbs = 328, maxSilencePct = 50,
+        clipAbs = 32700, maxClipPct = 10)
+        .orderBy(col("media_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
     q19SessionWindow, q20CidrFilter, m1MediaPipeline, m2ImagePipeline, m3AudioPipeline,
     m4VideoPipeline, m5MjpegAviPipeline, m6ImageNearDup, m7AudioNearDup, m8VideoNearDup,
-    m9MediaDedup, q44SaltedJoin, q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
+    m9MediaDedup, m10MediaQuality, m11AudioQuality, q44SaltedJoin, q45AsofJoin,
+    q46RangeJoin, q47ZOrderLayout)
 }

@@ -229,6 +229,24 @@ object SqlFrontDoor {
           graft.operators.ImageDedup.dhashSignatures(
             s.read.parquet(a.head), "img_id", "png"),
           a(1).trim.toInt)),
+      // image_quality(path, min_w, min_h, min_spread, max_aspect):
+      // LAION/DataComp-style curation gates — size / uniform-luma /
+      // aspect / undecodable verdicts in one decode pass; input needs
+      // (img_id BIGINT, png BINARY); emits (media_id, width, height,
+      // luma_spread, keep, reasons)
+      ("image_quality", 5, a =>
+        graft.operators.MediaQuality.imageGates(s.read.parquet(a.head),
+          "img_id", "png", a(1).trim.toInt, a(2).trim.toInt,
+          a(3).trim.toInt, a(4).trim.toInt)),
+      // audio_quality(path, min_samples, silence_abs, max_silence_pct,
+      // clip_abs, max_clip_pct): speech-corpus curation gates —
+      // duration / silence-ratio / clipping-ratio / undecodable
+      // verdicts in one decode pass; input needs (clip_id BIGINT,
+      // wav BINARY)
+      ("audio_quality", 6, a =>
+        graft.operators.MediaQuality.audioGates(s.read.parquet(a.head),
+          "clip_id", "wav", a(1).trim.toInt, a(2).trim.toInt,
+          a(3).trim.toInt, a(4).trim.toInt, a(5).trim.toInt)),
       // media_dedup(path, max_dist): the composed media-dedup front
       // door — EXACT content-hash lane first (byte-identical copies
       // collapse on md5, keeper = min id; also shrinks the perceptual

@@ -407,6 +407,25 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       (3L, "near_dup", 1L), (4L, "keep", -1L)))
   }
 
+  test("image_quality TVF gates from pure SQL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("imgqualtvf")
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        val v = f(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      graft.multimodal.Multimodal.JvmImageCodec.encodePng(img)
+    }
+    Seq((1L, png(16, 16, (x, _) => 30 + x * 8)), (2L, png(16, 16, (_, _) => 90)))
+      .toDF("img_id", "png").write.parquet(s"$dir/imgs")
+    val got = spark.sql(
+      s"SELECT media_id, keep, reasons FROM image_quality('$dir/imgs', '8', '8', '10', '4') ORDER BY media_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(got === Seq((1L, true, ""), (2L, false, "uniform")))
+  }
+
   test("cosine_neardup_exact carries the BASELINE warning; vec_neardup_lsh is the pointer target") {
     // the registration itself must label the O(N^2) scan — not only the
     // Scaladoc — so DESCRIBE FUNCTION warns before a user runs it
