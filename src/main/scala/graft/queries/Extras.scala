@@ -921,9 +921,110 @@ object Extras {
     }
   }
 
+  /** The composed MEDIA curation chain (the t30/q53 discipline):
+    * quality gates → exact dedup → perceptual near-dup in ONE decode
+    * pass ([[graft.operators.MediaCurate]]). Fixture: the m9 corpus
+    * (96 images, 24 contents, 4 byte-identical copies each, m6-style
+    * near groups) with contents c%11==0 replaced by UNIFORM 128
+    * placeholders — the blank-thumbnail class that must gate out
+    * before ever reaching the pair search. Oracle: m9's formulas plus
+    * the gate rule; every non-uniform walk image has luma spread ≥ 10
+    * by construction (adjacent cells differ by exactly 10), so the
+    * gate reduces to the uniform test and the oracle never touches a
+    * pixel. */
+  val m12MediaCurate: Q = {
+    val n = 96
+    Q(
+      "m12_media_curate",
+      s"""WITH img AS (SELECT i FROM range($n) t(i)),
+         |ex AS (SELECT i, i % 24 AS c FROM img),
+         |q AS (SELECT c, (c % 11 = 0) AS gated
+         |      FROM (SELECT DISTINCT i % 24 AS c FROM img)),
+         |bits AS (
+         |  SELECT c, k,
+         |    xor(CASE WHEN k < 63 AND ((c // 4) * 2654435761 + k * 40503) % 97 < 48
+         |             THEN 1 ELSE 0 END,
+         |        CASE WHEN c % 4 = 1 AND k = 1 THEN 1
+         |             WHEN c % 4 = 2 AND k IN (2, 3) THEN 1
+         |             WHEN c % 4 = 3 AND k IN (4, 5, 6) THEN 1
+         |             ELSE 0 END) AS b
+         |  FROM (SELECT DISTINCT i % 24 AS c FROM img), unnest(range(63)) u(k)),
+         |sig AS (SELECT c, CAST(sum(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
+         |        FROM bits GROUP BY c),
+         |np AS (SELECT b.c AS c, min(a.c) AS near_of
+         |       FROM sig a JOIN sig b ON a.c < b.c
+         |       JOIN q qa ON qa.c = a.c AND NOT qa.gated
+         |       JOIN q qb ON qb.c = b.c AND NOT qb.gated
+         |       WHERE bit_count(xor(a.h, b.h)) <= 3
+         |       GROUP BY b.c)
+         |SELECT e.i AS media_id,
+         |  CASE WHEN q.gated THEN 'gated'
+         |       WHEN e.i != e.c THEN 'exact_dup'
+         |       WHEN np.near_of IS NOT NULL THEN 'near_dup'
+         |       ELSE 'keep' END AS action,
+         |  CAST(CASE WHEN q.gated THEN NULL
+         |            WHEN e.i != e.c THEN e.c
+         |            ELSE np.near_of END AS BIGINT) AS dup_of
+         |FROM ex e JOIN q ON q.c = e.c LEFT JOIN np ON np.c = e.c
+         |ORDER BY media_id""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.multimodal.Multimodal.JvmImageCodec
+      def bit(c: Long, k: Int): Boolean = {
+        val base = k < 63 && ((c / 4) * 2654435761L + k * 40503L) % 97 < 48
+        val flip = (c % 4, k) match {
+          case (1, 1) => true
+          case (2, 2) | (2, 3) => true
+          case (3, kk) if kk >= 4 && kk <= 6 => true
+          case _ => false
+        }
+        base ^ flip
+      }
+      val media = s.range(n).as[Long].map { i =>
+        val c = i % 24
+        val img = new java.awt.image.BufferedImage(18, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        if (c % 11 == 0) {
+          // the blank-placeholder class: uniform 128, spread 0
+          var py = 0
+          while (py < 16) {
+            var px = 0
+            while (px < 18) { img.setRGB(px, py, (128 << 16) | (128 << 8) | 128); px += 1 }
+            py += 1
+          }
+        } else {
+          val l = Array.ofDim[Int](8, 9)
+          var y = 0
+          while (y < 8) {
+            l(y)(0) = 128
+            var x = 0
+            while (x < 8) {
+              l(y)(x + 1) = l(y)(x) + (if (bit(c, y * 8 + x)) 10 else -10)
+              x += 1
+            }
+            y += 1
+          }
+          var py = 0
+          while (py < 16) {
+            var px = 0
+            while (px < 18) {
+              val g = l(py / 2)(px / 2)
+              img.setRGB(px, py, (g << 16) | (g << 8) | g)
+              px += 1
+            }
+            py += 1
+          }
+        }
+        (i, JvmImageCodec.encodePng(img))
+      }.toDF("img_id", "png")
+      graft.operators.MediaCurate.imageCurate(media, "img_id", "png",
+        minW = 8, minH = 8, minSpread = 10, maxAspect = 4, maxDist = 3)
+        .orderBy(col("media_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
     q19SessionWindow, q20CidrFilter, m1MediaPipeline, m2ImagePipeline, m3AudioPipeline,
     m4VideoPipeline, m5MjpegAviPipeline, m6ImageNearDup, m7AudioNearDup, m8VideoNearDup,
-    m9MediaDedup, m10MediaQuality, m11AudioQuality, q44SaltedJoin, q45AsofJoin,
-    q46RangeJoin, q47ZOrderLayout)
+    m9MediaDedup, m10MediaQuality, m11AudioQuality, m12MediaCurate, q44SaltedJoin,
+    q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
 }

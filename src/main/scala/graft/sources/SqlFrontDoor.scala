@@ -247,6 +247,15 @@ object SqlFrontDoor {
         graft.operators.MediaQuality.audioGates(s.read.parquet(a.head),
           "clip_id", "wav", a(1).trim.toInt, a(2).trim.toInt,
           a(3).trim.toInt, a(4).trim.toInt, a(5).trim.toInt)),
+      // media_curate(path, min_w, min_h, min_spread, max_aspect,
+      // max_dist): the FULL media curation chain — quality gates →
+      // exact dedup → perceptual near-dup in ONE decode pass; input
+      // needs (img_id BIGINT, png BINARY); emits (media_id,
+      // action gated|keep|exact_dup|near_dup, dup_of)
+      ("media_curate", 6, a =>
+        graft.operators.MediaCurate.imageCurate(s.read.parquet(a.head),
+          "img_id", "png", a(1).trim.toInt, a(2).trim.toInt, a(3).trim.toInt,
+          a(4).trim.toInt, a(5).trim.toInt)),
       // media_dedup(path, max_dist): the composed media-dedup front
       // door — EXACT content-hash lane first (byte-identical copies
       // collapse on md5, keeper = min id; also shrinks the perceptual

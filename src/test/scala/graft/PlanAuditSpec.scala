@@ -313,15 +313,19 @@ class PlanAuditSpec extends AnyFunSuite {
           img.setRGB(x, y, ((40 + (i * 13).toInt % 60) << 16) | 0x2020)))
         (i, graft.multimodal.Multimodal.JvmImageCodec.encodePng(img))
       }.toDF("img_id", "png")
-    val df = graft.operators.MediaDedup.imageDedup(media, "img_id", "png", maxDist = 3)
-    val plan = planOf(df)
     // the blob scan lives BEFORE the localCheckpoint pin; the verdict
     // dataflow (family agg, signature rollup, pair joins, verdict join)
     // must carry hashes/ids only — no binary column, no all-pairs join
-    assert(!plan.contains("png") && !plan.toLowerCase.contains("binary"),
-      s"media bytes leaked into the verdict plan:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"media_dedup must stay equi-shaped:\n$plan")
+    for (df <- Seq(
+        graft.operators.MediaDedup.imageDedup(media, "img_id", "png", maxDist = 3),
+        graft.operators.MediaCurate.imageCurate(media, "img_id", "png",
+          8, 8, 10, 4, 3))) {
+      val plan = planOf(df)
+      assert(!plan.contains("png") && !plan.toLowerCase.contains("binary"),
+        s"media bytes leaked into the verdict plan:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"media verdict flow must stay equi-shaped:\n$plan")
+    }
   }
 
   test("whole-stage codegen covers the scalar query") {

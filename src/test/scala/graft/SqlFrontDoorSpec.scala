@@ -424,6 +424,11 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       s"SELECT media_id, keep, reasons FROM image_quality('$dir/imgs', '8', '8', '10', '4') ORDER BY media_id")
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
     assert(got === Seq((1L, true, ""), (2L, false, "uniform")))
+    // the composed chain from pure SQL: the uniform image gates out
+    val curated = spark.sql(
+      s"SELECT media_id, action FROM media_curate('$dir/imgs', '8', '8', '10', '4', '3') ORDER BY media_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(curated === Seq((1L, "keep"), (2L, "gated")))
   }
 
   test("cosine_neardup_exact carries the BASELINE warning; vec_neardup_lsh is the pointer target") {
