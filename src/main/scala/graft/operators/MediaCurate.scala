@@ -34,6 +34,40 @@ object MediaCurate {
     sb.toString
   }
 
+  /** One-decode stats+signature kernel SHARED by the batch chain and
+    * [[graft.streaming.MediaCurateStream]] (so stream and batch agree
+    * on gates and signatures by construction): (width, height,
+    * luma_spread, dhash); (-1, -1, -1, 0) for undecodable bytes. */
+  private[graft] def statsSigOf(bytes: Array[Byte]): (Int, Int, Int, Long) =
+    graft.multimodal.Multimodal.JvmImageCodec.decodeImage(bytes) match {
+      case None => (-1, -1, -1, 0L)
+      case Some(im) =>
+        var mn = 255; var mx = 0
+        var y = 0
+        while (y < im.getHeight) {
+          var x = 0
+          while (x < im.getWidth) {
+            val rgb = im.getRGB(x, y)
+            val l = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+              + 114 * (rgb & 0xff)) / 1000
+            if (l < mn) mn = l
+            if (l > mx) mx = l
+            x += 1
+          }
+          y += 1
+        }
+        (im.getWidth, im.getHeight, mx - mn,
+          graft.multimodal.Multimodal.JvmImageCodec.dHash(im))
+    }
+
+  /** The gate predicate over (w, h, spread) stat columns — shared with
+    * the streaming front so thresholds mean the same thing there. */
+  private[graft] def gatedCol(minW: Int, minH: Int, minSpread: Int,
+      maxAspect: Int): org.apache.spark.sql.Column =
+    col("w") < 0 || col("w") < minW || col("h") < minH ||
+      col("spread") < minSpread ||
+      greatest(col("w"), col("h")) > lit(maxAspect) * least(col("w"), col("h"))
+
   def imageCurate(media: DataFrame, idCol: String, bytesCol: String,
       minW: Int, minH: Int, minSpread: Int, maxAspect: Int, maxDist: Int,
       maxBucket: Int = Int.MaxValue,
@@ -53,29 +87,7 @@ object MediaCurate {
         rows.map { case (id, bytes) =>
           val ch = hex(md.digest(bytes))
           if (!seen.add(ch)) (id, ch, None: Option[(Int, Int, Int, Long)])
-          else {
-            val stats = graft.multimodal.Multimodal.JvmImageCodec.decodeImage(bytes) match {
-              case None => Some((-1, -1, -1, 0L)) // undecodable sentinel
-              case Some(im) =>
-                var mn = 255; var mx = 0
-                var y = 0
-                while (y < im.getHeight) {
-                  var x = 0
-                  while (x < im.getWidth) {
-                    val rgb = im.getRGB(x, y)
-                    val l = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
-                      + 114 * (rgb & 0xff)) / 1000
-                    if (l < mn) mn = l
-                    if (l > mx) mx = l
-                    x += 1
-                  }
-                  y += 1
-                }
-                Some((im.getWidth, im.getHeight, mx - mn,
-                  graft.multimodal.Multimodal.JvmImageCodec.dHash(im)))
-            }
-            (id, ch, stats)
-          }
+          else (id, ch, Some(statsSigOf(bytes)))
         }
       }
       .map { case (id, ch, st) =>
@@ -87,10 +99,8 @@ object MediaCurate {
     val content = scanned.groupBy("chash").agg(
       min("id").as("keeper"), max("w").as("w"), max("h").as("h"),
       max("spread").as("spread"), max("dhash").as("dhash"))
-    val gated = col("w") < 0 || col("w") < minW || col("h") < minH ||
-      col("spread") < minSpread ||
-      greatest(col("w"), col("h")) > lit(maxAspect) * least(col("w"), col("h"))
-    val qual = content.select(col("chash"), col("keeper"), gated.as("gated"), col("dhash"))
+    val qual = content.select(col("chash"), col("keeper"),
+      gatedCol(minW, minH, minSpread, maxAspect).as("gated"), col("dhash"))
     val keeperSigs = qual.filter(!col("gated")).select(col("keeper"), col("dhash"))
     val pairs = ImageDedup.nearPairs(keeperSigs, maxDist,
       idCol = "keeper", sigCol = "dhash", maxBucket = maxBucket,
