@@ -128,6 +128,59 @@ object MediaQuality {
         when(undecodable, lit("undecodable"))).as("reasons"))
   }
 
+  /** Integer per-clip VIDEO stats in one container-decode pass:
+    * (media_id, n_frames, width, height, luma_spread) — spread is the
+    * max-min of per-frame integer mean luma ([[VideoDedup.meanLuma]]),
+    * the still-image-as-video detector. MJPEG-in-AVI first, animated
+    * GIF fallback; undecodable rows emit n_frames -1. */
+  def videoStats(media: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .filter(col(idCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val frames = if (bytes == null) None
+          else graft.multimodal.Multimodal.JvmAviCodec.decodeMjpegAvi(bytes).map(_._2)
+            .orElse(graft.multimodal.Multimodal.JvmGifCodec.decodeFrames(bytes))
+        frames match {
+          case None => (id, -1L, -1, -1, -1L)
+          case Some(fs) if fs.isEmpty => (id, 0L, -1, -1, 0L)
+          case Some(fs) =>
+            val lumas = fs.map(VideoDedup.meanLuma)
+            (id, fs.length.toLong, fs.head.getWidth, fs.head.getHeight,
+              lumas.max - lumas.min)
+        }
+      }
+      .toDF("media_id", "n_frames", "width", "height", "luma_spread")
+  }
+
+  /** Per-clip VIDEO gate verdicts — `short` (fewer than minFrames),
+    * `small` (frame dims below minimums), `static` (temporal mean-luma
+    * spread below the minimum: a still image shipped as video),
+    * `undecodable`. Output: (media_id, n_frames, width, height,
+    * luma_spread, keep, reasons), reasons the comma-joined alphabetical
+    * subset of failing rules. */
+  def videoGates(media: DataFrame, idCol: String, bytesCol: String,
+      minFrames: Int, minW: Int, minH: Int, minSpread: Int): DataFrame = {
+    require(minFrames > 0 && minW > 0 && minH > 0 && minSpread >= 0,
+      "gate thresholds must be positive")
+    val stats = videoStats(media, idCol, bytesCol)
+    val undecodable = col("n_frames") < 0
+    val short = !undecodable && col("n_frames") < minFrames
+    val small = !undecodable && (col("width") < minW || col("height") < minH)
+    val static0 = !undecodable && col("luma_spread") < minSpread
+    stats.select(
+      col("media_id"), col("n_frames"), col("width"), col("height"),
+      col("luma_spread"),
+      (!undecodable && !short && !small && !static0).as("keep"),
+      concat_ws(",",
+        when(short, lit("short")),
+        when(small, lit("small")),
+        when(static0, lit("static")),
+        when(undecodable, lit("undecodable"))).as("reasons"))
+  }
+
   /** Per-image gate verdicts: (media_id, width, height, luma_spread,
     * keep, reasons). `reasons` is the comma-joined ordered subset of
     * failing rules (aspect,small,undecodable,uniform — alphabetical so

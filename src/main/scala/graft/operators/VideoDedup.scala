@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object VideoDedup {
 
   /** Integer mean luma of a frame (BT.601 integer weights, floor). */
-  private def meanLuma(img: java.awt.image.BufferedImage): Long = {
+  private[operators] def meanLuma(img: java.awt.image.BufferedImage): Long = {
     var sum = 0L
     var y = 0
     while (y < img.getHeight) {

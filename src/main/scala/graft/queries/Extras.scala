@@ -1022,9 +1022,69 @@ object Extras {
     }
   }
 
+  /** Video quality gates — completing the m10/m11 symmetry: frame
+    * count / frame size / static-clip rules over real MJPEG-in-AVI
+    * decode, integer-exact in the m5 uniform-gray regime. Fixture: 96
+    * clips planting every rule from closed-form formulas (too-short
+    * i%7, static i%11, tiny-frame i%13); the oracle replays frame
+    * counts, dims and the temporal mean-luma spread purely from the
+    * formulas — it never decodes a container. */
+  val m13VideoQuality: Q = {
+    val n = 96
+    Q(
+      "m13_video_quality",
+      s"""WITH clip AS (SELECT i FROM range($n) t(i)),
+         |cfg AS (SELECT i,
+         |  CASE WHEN i % 7 = 0 THEN 4 ELSE 16 END AS nf,
+         |  CASE WHEN i % 13 = 0 THEN 2 ELSE 8 END AS w,
+         |  CASE WHEN i % 13 = 0 THEN 2 ELSE 6 END AS h
+         |  FROM clip),
+         |fr AS (SELECT i, nf, w, h, unnest(range(nf)) AS f FROM cfg),
+         |lum AS (SELECT i, nf, w, h,
+         |  CASE WHEN i % 11 = 0 THEN 100 ELSE 100 + (f * 7 + i) % 40 END AS v
+         |  FROM fr),
+         |agg AS (SELECT i, nf, w, h, max(v) - min(v) AS spread
+         |        FROM lum GROUP BY i, nf, w, h),
+         |v AS (SELECT i, nf, w, h, spread,
+         |      (nf < 8) AS short, (w < 4 OR h < 4) AS small,
+         |      (spread < 5) AS static FROM agg)
+         |SELECT i AS media_id, CAST(nf AS BIGINT) AS n_frames,
+         |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |       CAST(spread AS BIGINT) AS luma_spread,
+         |       (NOT short AND NOT small AND NOT static) AS keep,
+         |       concat_ws(',',
+         |         CASE WHEN short THEN 'short' END,
+         |         CASE WHEN small THEN 'small' END,
+         |         CASE WHEN static THEN 'static' END) AS reasons
+         |FROM v ORDER BY media_id""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.multimodal.Multimodal.JvmAviCodec
+      val media = s.range(n).as[Long].map { i =>
+        val nf = if (i % 7 == 0) 4 else 16
+        val (w, h) = if (i % 13 == 0) (2, 2) else (8, 6)
+        val frames = (0 until nf).map { f =>
+          val v = if (i % 11 == 0) 100 else 100 + ((f * 7 + i) % 40).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+            y += 1
+          }
+          img
+        }
+        (i, JvmAviCodec.encodeMjpegAvi(frames, 10))
+      }.toDF("clip_id", "avi")
+      graft.operators.MediaQuality.videoGates(media, "clip_id", "avi",
+        minFrames = 8, minW = 4, minH = 4, minSpread = 5)
+        .orderBy(col("media_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
     q19SessionWindow, q20CidrFilter, m1MediaPipeline, m2ImagePipeline, m3AudioPipeline,
     m4VideoPipeline, m5MjpegAviPipeline, m6ImageNearDup, m7AudioNearDup, m8VideoNearDup,
-    m9MediaDedup, m10MediaQuality, m11AudioQuality, m12MediaCurate, q44SaltedJoin,
-    q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
+    m9MediaDedup, m10MediaQuality, m11AudioQuality, m12MediaCurate, m13VideoQuality,
+    q44SaltedJoin, q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
 }

@@ -247,6 +247,14 @@ object SqlFrontDoor {
         graft.operators.MediaQuality.audioGates(s.read.parquet(a.head),
           "clip_id", "wav", a(1).trim.toInt, a(2).trim.toInt,
           a(3).trim.toInt, a(4).trim.toInt, a(5).trim.toInt)),
+      // video_quality(path, min_frames, min_w, min_h, min_spread):
+      // frame-count / frame-size / static-clip / undecodable verdicts
+      // over real AVI/GIF container decode; input needs
+      // (clip_id BIGINT, avi BINARY)
+      ("video_quality", 5, a =>
+        graft.operators.MediaQuality.videoGates(s.read.parquet(a.head),
+          "clip_id", "avi", a(1).trim.toInt, a(2).trim.toInt,
+          a(3).trim.toInt, a(4).trim.toInt)),
       // media_curate(path, min_w, min_h, min_spread, max_aspect,
       // max_dist): the FULL media curation chain — quality gates →
       // exact dedup → perceptual near-dup in ONE decode pass; input

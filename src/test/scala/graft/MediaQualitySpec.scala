@@ -71,6 +71,36 @@ class MediaQualitySpec extends AnyFunSuite {
     assert(got(5L) === ((-1L, -1L, -1L, false, "undecodable")))
   }
 
+  test("video gates: every rule fires; AVI and GIF containers agree") {
+    import graft.multimodal.Multimodal.{JvmAviCodec, JvmGifCodec}
+    def frames(nf: Int, w: Int, h: Int, luma: Int => Int) = (0 until nf).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = luma(f)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)))
+      img
+    }
+    val walk = (f: Int) => 100 + f * 3
+    val media = Seq(
+      (1L, JvmAviCodec.encodeMjpegAvi(frames(16, 8, 6, walk), 10)), // good
+      (2L, JvmAviCodec.encodeMjpegAvi(frames(4, 8, 6, walk), 10)), // short
+      (3L, JvmAviCodec.encodeMjpegAvi(frames(16, 8, 6, _ => 100), 10)), // static
+      (4L, JvmAviCodec.encodeMjpegAvi(frames(16, 2, 2, walk), 10)), // small
+      (5L, Array[Byte](4, 4, 4)), // undecodable
+      (6L, JvmGifCodec.encodeAnimatedGif(frames(16, 8, 6, walk)))) // GIF route
+      .toDF("clip_id", "avi")
+    val got = graft.operators.MediaQuality.videoGates(media, "clip_id", "avi",
+      minFrames = 8, minW = 4, minH = 4, minSpread = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(5), r.getString(6)))).toMap
+    assert(got(1L) === ((true, "")))
+    assert(got(2L) === ((false, "short")))
+    assert(got(3L) === ((false, "static")))
+    assert(got(4L) === ((false, "small")))
+    assert(got(5L) === ((false, "undecodable")))
+    assert(got(6L) === ((true, ""))) // same frames via GIF: same verdict
+  }
+
   test("null ids are filtered; null bytes verdict as undecodable") {
     val media = Seq(
       (Option(1L), Option(png(16, 16, (x, _) => 30 + x * 8))),
