@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -89,5 +90,155 @@ object Bm25 {
         total.as("score"): _*)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
+  }
+
+  /** Stopword-prune rule shared by every batch path: a term present in
+    * ≥ 80 % of documents carries near-zero idf and a corpus-sized
+    * postings row-count — the single biggest skew key in a term-
+    * partitioned shuffle. `5*df >= 4*n` (integer arithmetic, engine-
+    * identical) drops it from scoring, the same pruning a Lucene
+    * stop-filter applies at index time. */
+  val PruneDfNum = 4
+  val PruneDfDen = 5
+
+  /** Partition count of the standing index — bucket = pmod(xxhash64(t), 16). */
+  val IndexBuckets = 16
+
+  /** Per-query-term score, spelled once so the batch, served and
+    * streaming paths compute bit-identical doubles (operation order
+    * fixed; every literal written as a single double constant). */
+  private def termScore(tf: Column, df: Column, n: Column, dl: Column,
+      avgdl: Column): Column =
+    ((n - df + lit(0.5)) / (df + lit(0.5))) * (tf * lit(K1Plus1)) /
+      (tf + lit(K1) * (lit(OneMinusB) + lit(B) * (dl.cast("double") / avgdl)))
+
+  /** Deterministic per-(qid, doc) total: per-term scores are collected,
+    * sorted by term, and folded left in that order — never a float
+    * `sum()` whose accumulation order is engine-defined. `scored` has
+    * columns (qid, doc_id, t, s). */
+  private def foldScores(scored: DataFrame): DataFrame =
+    scored.groupBy(col("qid"), col("doc_id"))
+      .agg(aggregate(sort_array(collect_list(struct(col("t"), col("s")))),
+        lit(0.0), (a, x) => a + x.getField("s")).as("score"))
+
+  private def rankTopK(totals: DataFrame, k: Int): DataFrame =
+    totals.withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+
+  /** Batch multi-query BM25 top-k: `queries` is a (qid, term) frame —
+    * one row per query term; duplicate terms within a query are
+    * collapsed. Returns (qid, doc_id, score, rank) with rank ≤ `k` per
+    * query, ranked by (score desc, doc_id).
+    *
+    * Scale shape: the query batch is dimension-sized and rides a
+    * broadcast into the postings build, so only rows for queried terms
+    * ever shuffle; df/stats are broadcast; the per-(qid, doc) fold is
+    * one hash aggregation; ranking partitions by qid (no global sort).
+    * ≥ 80 %-df terms are pruned (see [[PruneDfNum]]) — both the
+    * standard stopword rule and the defense against the one term that
+    * would otherwise put a corpus-sized posting list in a single
+    * shuffle partition. */
+  def batchTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      col("term").as("t")).distinct()
+    val dl = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .select(col("n"), (col("sdl").cast("double") / col("n")).as("avgdl"))
+    val terms = q.select(col("t")).distinct()
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("t"))
+      .join(broadcast(terms), "t")
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val kept = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats.select(col("n"))))
+      .filter(col("df") * PruneDfDen < col("n") * PruneDfNum)
+      .select(col("t"), col("df"))
+    val scored = tf
+      .join(broadcast(kept), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(q), "t")
+      .select(col("qid"), col("doc_id"), col("t"),
+        termScore(col("tf"), col("df"), col("n"), col("dl"), col("avgdl")).as("s"))
+    rankTopK(foldScores(scored), k)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Build the standing inverted index at `dir`: FULL postings — one
+    * row per (term, doc) with tf, the doc's length and the term's df
+    * denormalized onto the row (the Lucene norms/term-dictionary data,
+    * flattened) — written `partitionBy(bucket)` where
+    * bucket = pmod(xxhash64(t), [[IndexBuckets]]), plus a 1-row
+    * `stats` table (n docs, total token count). Serving reads ONLY the
+    * buckets of the query's terms: the scan's PartitionFilters prune
+    * the rest of the corpus unread, the same layout discipline as the
+    * IVF cell index (Ann.ivfServedIndex). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+    val dl = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "t").join(dl, "doc_id")
+      .withColumn("bucket", pmod(xxhash64(col("t")), lit(IndexBuckets)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/postings")
+    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** How many distinct terms a serve batch may carry: terms are
+    * collected to plan the bucket pruning and broadcast back — past
+    * this bound the batch is corpus-shaped and belongs on
+    * [[batchTopK]]'s distributed path. Fails loudly, never OOMs. */
+  val MaxServeTerms = 100000
+
+  /** Serve a query batch from a persisted [[buildIndex]] index.
+    * Matches [[batchTopK]] bit-exactly on the same corpus: same
+    * pruning, same score arithmetic, same fold order. The postings
+    * scan carries TWO pushed predicates — `bucket isin (...)` becomes
+    * a PartitionFilter (whole directories skipped) and `t isin (...)`
+    * a parquet row-group filter inside the surviving buckets. */
+  def serveTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      col("term").as("t")).distinct()
+    val termRows = q.select(col("t")).distinct()
+      .limit(MaxServeTerms + 1).collect().map(_.getString(0))
+    require(termRows.length <= MaxServeTerms,
+      s"bm25 serve: query batch exceeds $MaxServeTerms distinct terms — " +
+        "bucket planning collects the term set to the driver; batch the " +
+        "queries or run batchTopK against the corpus directly")
+    // bucket ids via Spark's own xxhash64 (a driver-side reimplementation
+    // could drift from the function that laid the partitions out)
+    val bucketIds = {
+      import spark.implicits._
+      termRows.toIndexedSeq.toDF("t")
+        .select(pmod(xxhash64(col("t")), lit(IndexBuckets)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0))
+    }
+    val stats0 = spark.read.parquet(s"$indexDir/stats")
+    val stats = stats0.select(col("n"),
+      (col("sdl").cast("double") / col("n")).as("avgdl"))
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isin(bucketIds.map(_.asInstanceOf[Any]): _*) &&
+        col("t").isin(termRows.map(_.asInstanceOf[Any]): _*))
+    val kept = post
+      .crossJoin(broadcast(stats.select(col("n"))))
+      .filter(col("df") * PruneDfDen < col("n") * PruneDfNum)
+      .drop("n")
+    val scored = kept
+      .crossJoin(broadcast(stats))
+      .join(broadcast(q), "t")
+      .select(col("qid"), col("doc_id"), col("t"),
+        termScore(col("tf"), col("df"), col("n"), col("dl"), col("avgdl")).as("s"))
+    rankTopK(foldScores(scored), k)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank"))
   }
 }

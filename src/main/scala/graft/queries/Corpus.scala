@@ -642,9 +642,92 @@ object Corpus {
     }
   }
 
+  /** Shared closed-form oracle for the batch/served BM25 paths: the
+    * query set is synthesized from the corpus itself (docs with
+    * doc_id ≡ `rem` (mod `mod`); the distinct tokens at 1-based
+    * `positions` — min corpus doc length is 10, so the positions always
+    * exist), and the score replays [[Bm25]]'s exact arithmetic: rational
+    * idf, e0-suffixed double literals, ≥ 80 %-df stopword prune, and a
+    * term-sorted sequential fold in place of an order-undefined float
+    * sum. */
+  private def bm25BatchSql(mod: Int, rem: Int, positions: Seq[Int], k: Int): String =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |q AS (SELECT DISTINCT doc_id AS qid, t FROM (
+       |  SELECT doc_id, unnest([${positions.map(p => s"w[$p]").mkString(", ")}]) AS t
+       |  FROM w WHERE doc_id % $mod = $rem)),
+       |qt AS (SELECT DISTINCT t FROM q),
+       |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, unnest(w) AS t FROM w) JOIN qt USING (t)
+       |       GROUP BY doc_id, t),
+       |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+       |kept AS (SELECT t, df FROM dfreq CROSS JOIN st
+       |         WHERE df * ${Bm25.PruneDfDen} < n * ${Bm25.PruneDfNum}),
+       |sc AS (SELECT q.qid, tf.doc_id, tf.t,
+       |        ((n - df + 0.5e0) / (df + 0.5e0)) * (tf * ${Bm25.K1Plus1}e0) /
+       |          (tf + ${Bm25.K1}e0 * (${Bm25.OneMinusB}e0 + ${Bm25.B}e0 * (dl / avgdl))) AS s
+       |       FROM tf JOIN kept USING (t) JOIN dl USING (doc_id) CROSS JOIN st JOIN q USING (t)),
+       |agg AS (SELECT qid, doc_id,
+       |          list_reduce(list_prepend(0.0e0, list(s ORDER BY t)), (a, x) -> a + x) AS score
+       |        FROM sc GROUP BY qid, doc_id),
+       |rk AS (SELECT qid, doc_id, score,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |       FROM agg)
+       |SELECT qid, doc_id, score, rank FROM rk WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** The corpus-derived (qid, term) query frame matching [[bm25BatchSql]]. */
+  private def bm25Queries(docs: org.apache.spark.sql.DataFrame,
+      mod: Int, rem: Int, positions: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    val w = graft.functions.TextFunctions.tokens(col("text"))
+    docs.filter(col("doc_id") % mod === rem)
+      .select(col("doc_id").as("qid"),
+        explode(array(positions.map(p => element_at(w, p)): _*)).as("term"))
+  }
+
+  /** Batch multi-query BM25 retrieval — the engine's sparse-retrieval
+    * analog of the v4/v7 ANN batch paths: a dimension-sized query batch
+    * rides broadcasts, only queried-term postings shuffle, per-query
+    * top-k ranks without a global sort. See [[Bm25.batchTopK]]. */
+  val t40Bm25Batch: Q = Q(
+    "t40_bm25_batch",
+    bm25BatchSql(mod = 50, rem = 0, positions = Seq(1, 3, 5, 7), k = 5)) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Bm25.batchTopK(docs, "doc_id", "text",
+        bm25Queries(docs, 50, 0, Seq(1, 3, 5, 7)), k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Standing-index cache per SF dir: postings written once per JVM,
+    * partitioned by term bucket (the IVF-cell layout discipline). */
+  private val bm25IndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[queries] def bm25Index(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25IndexCache.getOrElseUpdate(d, {
+      val dir = s"/tmp/graft_bm25_index_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Bm25.buildIndex(Tables.documents(s, d), "doc_id", "text", dir)
+      dir
+    })
+
+  /** Served BM25: the deployment shape — build the inverted index once
+    * (term-bucketed postings + 1-row stats), serve query batches with
+    * partition-pruned reads that never touch buckets outside the
+    * query's terms. Oracle is closed-form over the corpus (the index is
+    * a deterministic function of it). See [[Bm25.serveTopK]]. */
+  val t41Bm25Served: Q = Q(
+    "t41_bm25_served",
+    bm25BatchSql(mod = 100, rem = 7, positions = Seq(2, 4, 6, 8), k = 7)) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Bm25.serveTopK(s, bm25Index(s, d),
+        bm25Queries(docs, 100, 7, Seq(2, 4, 6, 8)), k = 7)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
     t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
     t34PhraseTags, t35Boilerplate, t36EpochUpsample, t37DsirSelect,
-    t38StratifiedEval)
+    t38StratifiedEval, t40Bm25Batch, t41Bm25Served)
 }

@@ -102,6 +102,21 @@ object SqlFrontDoor {
       ("bm25_topk", 3, a =>
         graft.operators.Bm25.topK(s.read.parquet(a.head), "doc_id", "text",
           a(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty), a(2).trim.toInt)),
+      // batch multi-query BM25: queries_path is a (qid, term) parquet —
+      // one row per query term; returns (qid, doc_id, score, rank<=k)
+      ("bm25_batch_topk", 3, a =>
+        graft.operators.Bm25.batchTopK(s.read.parquet(a.head), "doc_id", "text",
+          s.read.parquet(a(1)), a(2).trim.toInt)),
+      // the standing-index deployment split: build term-bucketed
+      // postings once (bm25_index writes corpus_path's index under
+      // index_dir and returns the 1-row stats), then serve every query
+      // batch with partition-pruned reads
+      ("bm25_index", 2, a => {
+        graft.operators.Bm25.buildIndex(s.read.parquet(a.head), "doc_id", "text", a(1))
+        s.read.parquet(s"${a(1)}/stats")
+      }),
+      ("bm25_serve", 3, a =>
+        graft.operators.Bm25.serveTopK(s, a.head, s.read.parquet(a(1)), a(2).trim.toInt)),
       ("bigram_lm_scores", 1, a =>
         graft.operators.BigramLm.scores(s.read.parquet(a.head), "doc_id", "text")),
       ("leak_free_split", 1, a =>

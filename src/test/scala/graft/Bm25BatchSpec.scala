@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bm25
+
+/** Batch + served BM25 beyond the t40/t41 oracles: exact parity with a
+  * naive driver-side scorer (same arithmetic, same fold order) over
+  * seeded random corpora, serve==batch equivalence from a persisted
+  * index with real partition pruning, and the ≥80%-df stopword prune
+  * firing (the skew defense for term-partitioned postings).
+  */
+class Bm25BatchSpec extends AnyFunSuite {
+
+  /** Driver-side reference: textbook loops, the operator's exact
+    * arithmetic (rational idf, fixed literal order), term-sorted
+    * sequential fold, (score desc, doc_id) ranking. */
+  private def naiveTopK(docs: Seq[(Long, String)], queries: Seq[(Long, Seq[String])],
+      k: Int): Seq[(Long, Long, Double, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val n = docs.size.toLong
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+    val df = toks.values.flatMap(_.distinct).groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    queries.flatMap { case (qid, terms0) =>
+      val terms = terms0.distinct.filter(t =>
+        df.get(t).exists(d => d * Bm25.PruneDfDen < n * Bm25.PruneDfNum))
+      val scores = toks.toSeq.flatMap { case (docId, w) =>
+        val perTerm = terms.filter(w.contains).sorted.map { t =>
+          val tf = w.count(_ == t).toLong
+          val d = df(t)
+          ((n - d + 0.5) / (d + 0.5)) * (tf * Bm25.K1Plus1) /
+            (tf + Bm25.K1 * (Bm25.OneMinusB + Bm25.B * (w.size.toLong.toDouble / avgdl)))
+        }
+        if (perTerm.isEmpty) None
+        else Some(docId -> perTerm.foldLeft(0.0)(_ + _))
+      }
+      scores.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((docId, s), i) => (qid, docId, s, (i + 1).toLong) }
+    }
+  }
+
+  private def runBatch(docs: Seq[(Long, String)], queries: Seq[(Long, Seq[String])],
+      k: Int): Seq[(Long, Long, Double, Long)] = {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val d = docs.toDF("doc_id", "text")
+    val q = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }.toDF("qid", "term")
+    Bm25.batchTopK(d, "doc_id", "text", q, k)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+  }
+
+  test("batchTopK matches the naive scorer bit-exactly on seeded random corpora") {
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen", "ibis", "jay")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 40L).map { id =>
+        id -> Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val queries = (0L until 5L).map { qid =>
+        qid -> Seq.fill(3)(vocab(rnd.nextInt(vocab.size)))
+      }
+      assert(runBatch(docs, queries, 4) === naiveTopK(docs, queries, 4),
+        s"seed $seed diverged from the naive reference")
+    }
+  }
+
+  test("serveTopK from a persisted index equals batchTopK and prunes partitions") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    val docs = (0L until 60L).map { id =>
+      id -> Seq.fill(8 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val queries = Seq(0L -> Seq("ant", "cat"), 1L -> Seq("fox", "hen", "bee"))
+    val d = docs.toDF("doc_id", "text")
+    val q = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }.toDF("qid", "term")
+
+    val dir = java.nio.file.Files.createTempDirectory("bm25_index").toString
+    Bm25.buildIndex(d, "doc_id", "text", dir)
+    val served = Bm25.serveTopK(spark, dir, q, k = 5)
+
+    val batch = Bm25.batchTopK(d, "doc_id", "text", q, k = 5)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(served.orderBy("qid", "rank").collect().map(_.toSeq).toSeq === batch)
+
+    // the bucket filter must reach the partitioned postings scan
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
+      s"expected partition pruning on bucket:\n$plan")
+  }
+
+  test("a >=80%-df term is pruned from scoring (stopword/skew rule fires)") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    // "stop" in 9 of 10 docs (90% >= 80% -> pruned); "rare" in 2
+    val docs = (0L until 10L).map { id =>
+      val rare = if (id < 2) " rare" else ""
+      val stop = if (id < 9) "stop " else ""
+      id -> s"${stop}filler one two$rare"
+    }
+    val d = docs.toDF("doc_id", "text")
+    val q = Seq((0L, "stop"), (1L, "stop"), (1L, "rare")).toDF("qid", "term")
+    val out = Bm25.batchTopK(d, "doc_id", "text", q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // qid 0 queried ONLY the pruned term: no rows at all
+    assert(!out.exists(_._1 == 0L), s"pruned-term query still retrieved: $out")
+    // qid 1 retrieves exactly the docs containing "rare"
+    assert(out.filter(_._1 == 1L).map(_._2).sorted === Seq(0L, 1L))
+  }
+}
