@@ -50,18 +50,56 @@ case class BcdSwapDecode(child: Expression) extends BinaryToStringExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Static backing for [[NfcNormalize]] — must be an `object` method so
+  * codegen can emit a direct static call. The `isNormalized` fast path
+  * matters at corpus scale: crawl text is overwhelmingly already-NFC
+  * ASCII, and the check is a scan with zero allocation, so the common
+  * row costs one pass and returns the input UTF8String unchanged. */
+object TextCodecs {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** `nfc_normalize(string) -> string`: Unicode NFC canonical composition —
+  * the first step of a text-normalization pipeline (Spark has no
+  * builtin; DuckDB's `nfc_normalize` is the cross-engine oracle).
+  * Codegen-native so it stays inside whole-stage codegen like the BCD
+  * family. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "nfc_normalize"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    TextCodecs.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextCodecs.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object CodecExpressions {
   import org.apache.spark.sql.GraftBridge
 
   def tbcd_decode(c: Column): Column = GraftBridge.column(TbcdDecode(GraftBridge.expression(c)))
   def bcd_swap(c: Column): Column = GraftBridge.column(BcdSwapDecode(GraftBridge.expression(c)))
+  def nfc_normalize(c: Column): Column = GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
 
-  /** Register both under their SQL names so `spark.sql("SELECT
+  /** Register all under their SQL names so `spark.sql("SELECT
     * tbcd_decode(...)")` works (FunctionRegistry path from SURVEY §2.11). */
   def register(spark: SparkSession): Unit = {
     GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
       "tbcd_decode", exprs => TbcdDecode(exprs.head), "scala_udf")
     GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
       "bcd_swap", exprs => BcdSwapDecode(exprs.head), "scala_udf")
+    GraftBridge.functionRegistry(spark).createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
   }
 }

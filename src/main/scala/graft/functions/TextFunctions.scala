@@ -21,6 +21,17 @@ object TextFunctions {
   /** Distinct-token array (set semantics for Jaccard/minhash). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** Text-normalization chain (the step every crawl pipeline runs before
+    * hashing or tokenizing): Unicode NFC canonical composition (custom
+    * codegen expression — Spark has no builtin), strip C0/DEL control
+    * characters, collapse whitespace runs, trim. One narrow codegen'd
+    * pass; the NFC fast path returns already-normalized (i.e. nearly
+    * all) rows without allocation. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(CodecExpressions.nfc_normalize(c), "[\\x00-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+
   /** Word n-gram shingles: `"a b c d"` → `["a b c", "b c d"]` for n=3.
     * Empty array when the document has fewer than n tokens (Spark's
     * `sequence(1, 0)` would count *down*, so the guard is load-bearing). */

@@ -725,10 +725,46 @@ object Text {
     }
   }
 
+  /** Unicode text normalization (NFC + control-strip + whitespace
+    * collapse) — the pre-tokenization cleanup step. The corpus is ASCII,
+    * so the NFC leg is exercised by deterministically planted dirt: a
+    * DECOMPOSED e+U+0301 (must compose to U+00E9), an already-composed
+    * U+00E9 (must survive), and a C0 control + ragged spacing (must
+    * strip/collapse). The oracle runs DuckDB's own `nfc_normalize`
+    * against the engine's custom codegen expression — a cross-library
+    * check of the actual composition, not a replay. */
+  val t42TextNormalize: Q = Q(
+    "t42_text_normalize",
+    """WITH dirty AS (SELECT doc_id,
+      |  text || CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 0 THEN '  ' || chr(101) || chr(769)
+      |    WHEN 1 THEN ' ' || chr(233)
+      |    ELSE chr(7) || ' x ' END AS raw
+      |  FROM documents),
+      |n AS (SELECT doc_id, raw,
+      |  trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+      |    '[\x00-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+      |  FROM dirty)
+      |SELECT doc_id, CAST(len(raw) AS BIGINT) AS n_raw,
+      |       CAST(len(norm_text) AS BIGINT) AS n_norm, norm_text
+      |FROM n ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val raw = concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit("  e\u0301"))   // decomposed e + combining acute
+        .when(col("doc_id") % 3 === 1, lit(" \u00e9"))    // precomposed e-acute
+        .otherwise(lit("\u0007 x ")))  // BEL control + ragged spacing
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), col("raw"),
+        graft.functions.TextFunctions.normalizeText(col("raw")).as("norm_text"))
+      .select(col("doc_id"), length(col("raw")).cast("long").as("n_raw"),
+        length(col("norm_text")).cast("long").as("n_norm"), col("norm_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     t1TokenStats, t2ExactDedup, t3Quality, t4LangId, t5NgramJaccard,
     t6MinhashLsh, t7Simhash, t8Fingerprint, t9SimhashPairs,
     t10Repetition, t11PiiRedact, t12HashSample, t13Decontaminate,
     t14DupClusters, t15SequencePack, t16Profile, t23CrossDedup,
-    t29CrossDedupServed, t30CurateE2e, t39GopherGates)
+    t29CrossDedupServed, t30CurateE2e, t39GopherGates, t42TextNormalize)
 }

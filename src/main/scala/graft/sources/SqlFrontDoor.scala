@@ -117,6 +117,13 @@ object SqlFrontDoor {
       }),
       ("bm25_serve", 3, a =>
         graft.operators.Bm25.serveTopK(s, a.head, s.read.parquet(a(1)), a(2).trim.toInt)),
+      // pre-tokenization cleanup: NFC + control-strip + whitespace
+      // collapse over the documents contract; one narrow codegen'd pass
+      ("text_normalize", 1, a => {
+        import org.apache.spark.sql.functions.col
+        s.read.parquet(a.head).select(col("doc_id"),
+          graft.functions.TextFunctions.normalizeText(col("text")).as("text"))
+      }),
       ("bigram_lm_scores", 1, a =>
         graft.operators.BigramLm.scores(s.read.parquet(a.head), "doc_id", "text")),
       ("leak_free_split", 1, a =>
