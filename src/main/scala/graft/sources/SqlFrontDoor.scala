@@ -117,6 +117,16 @@ object SqlFrontDoor {
       }),
       ("bm25_serve", 3, a =>
         graft.operators.Bm25.serveTopK(s, a.head, s.read.parquet(a(1)), a(2).trim.toInt)),
+      // retrieval-based decontamination, deployment split: train the
+      // frozen scoring model on ref_path + queries_path offline, gate
+      // docs_path statelessly (the Bm25Stream shape from SQL) —
+      // (docId, qid, score >= threshold)
+      ("bm25_decontam_gate", 4, a => {
+        val model = graft.streaming.Bm25Stream.train(
+          s.read.parquet(a.head), "doc_id", "text", s.read.parquet(a(1)))
+        graft.streaming.Bm25Stream.decontaminate(
+          s.read.parquet(a(2)), "doc_id", "text", model, a(3).trim.toDouble).toDF()
+      }),
       // pre-tokenization cleanup: NFC + control-strip + whitespace
       // collapse over the documents contract; one narrow codegen'd pass
       ("text_normalize", 1, a => {
