@@ -125,7 +125,7 @@ object Bench {
     // AnnSpec. Bounded work: each ranking is NumQueries*K rows.
     val annNames = Seq("v2_knn_lsh", "v4_knn_ivf", "v7_knn_ivf_trained",
       "v8_knn_lsh_multiprobe", "v9_knn_pq", "v10_knn_ivf_pq", "v11_ivf_served",
-      "v12_ivfpq_served", "v13_knn_lsh_amplified")
+      "v12_ivfpq_served", "v13_knn_lsh_amplified", "v16_knn_sq8")
     val byName = queries.map(q => q.name -> q).toMap
     val recall: Seq[(String, Double)] =
       byName.get("v1_knn_brute").toSeq.flatMap { v1 =>

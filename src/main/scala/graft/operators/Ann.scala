@@ -1080,4 +1080,68 @@ object Ann extends Serializable {
       .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
     topK(scored, k)
   }
+
+  // ─────────────────────────── scalar quantization (SQ8) ───────────────────
+
+  /** Per-vector 8-bit scalar quantization (the faiss SQ8 idea with
+    * per-vector ranges, which makes it training-free and therefore
+    * fully oracle-able): code_i = ⌊(x_i − mn)·255/(mx − mn) + 0.5⌋ with
+    * the vector's own min/max as the range (codes 0 when the vector is
+    * constant). `floor(+0.5)` instead of round: IEEE round-half-even vs
+    * half-up differs between engines; floor is exact everywhere. All
+    * arithmetic in doubles after an exact float→double widening.
+    *
+    * Scale rationale: 4 bytes/dim → 1 byte/dim + 2 doubles per vector —
+    * the corpus-resident scan state shrinks ~4× while, unlike PQ,
+    * decode is two flops with no codebook lookups and no training to
+    * drift. The standard middle rung between full floats and PQ. */
+  def sq8Encode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val mn = array_min(vd)
+    val mx = array_max(vd)
+    corpus.select(col(idCol).cast("long").as("cid"),
+      mn.as("mn"), mx.as("mx"),
+      when(mx === mn, transform(vd, _ => lit(0L)))
+        .otherwise(transform(vd, x =>
+          floor((x - mn) * lit(255.0) / (mx - mn) + lit(0.5)).cast("long")))
+        .as("codes"))
+  }
+
+  /** Dequantized vector as a double array column: mn + code·((mx−mn)/255). */
+  private def sq8Decode(mn: Column, mx: Column, codes: Column): Column =
+    transform(codes, c => mn + c * ((mx - mn) / lit(255.0)))
+
+  /** SQ8 asymmetric top-k: full-precision queries scored against the
+    * dequantized 8-bit corpus (one narrow pass over codes — the 4×
+    * memory win is the point), cut to the top-`refine` candidates per
+    * query, then exact-cosine re-rank of the survivors only (full
+    * vectors joined back for candidates, never the corpus). Same
+    * (cosine desc, cid) ranking contract as every other ANN path. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int, refine: Int): DataFrame = {
+    require(refine >= k, s"refine=$refine must be >= k=$k")
+    val codes = sq8Encode(corpus, "cid", "cvec")
+    val dq = sq8Decode(col("mn"), col("mx"), col("codes"))
+    val approx = codes.as("c")
+      .join(broadcast(queries.as("q")), col("q.qid") =!= col("c.cid"))
+      .select(col("q.qid"), col("c.cid"),
+        cosineArr(transform(col("q.qvec"), x => x.cast("double")), dq).as("approx"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    val cands = approx.withColumn("arn", row_number().over(w))
+      .filter(col("arn") <= refine)
+      .select(col("qid"), col("cid"))
+    val scored = cands
+      .join(corpus, "cid")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+    topK(scored, k)
+  }
+
+  /** Sequential-fold cosine over two DOUBLE-array columns (the generic
+    * `aggregate(zip_with(...))` form — [[cosine]]'s codegen'd FloatVecDot
+    * is float-input only, and SQ8's dequantized values are doubles). */
+  private def cosineArr(a: Column, b: Column): Column = {
+    def dotA(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dotA(a, b) / (sqrt(dotA(a, a)) * sqrt(dotA(b, b)))
+  }
 }

@@ -788,8 +788,51 @@ object Embedding {
     Ann.hardNegatives(corpus, queries, K).orderBy(col("qid"), col("rank"))
   }
 
+  /** 8-bit scalar quantization (SQ8) — the training-free middle rung
+    * between full floats and PQ: per-vector min/max ranges make the
+    * encode a pure function of the corpus, so unlike v9/v10 the WHOLE
+    * path (encode → asymmetric approx scan over dequantized codes →
+    * refine cut → exact re-rank) is closed-form oracle-able with no
+    * persisted artifact. See [[graft.operators.Ann.sq8TopK]]. */
+  val v16KnnSq8: Q = {
+    val refine = 32
+    Q(
+      "v16_knn_sq8",
+      s"""WITH c AS (SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+         |enc AS (SELECT cid, vd, list_min(vd) AS mn, list_max(vd) AS mx FROM c),
+         |codes AS (SELECT cid, mn, mx,
+         |    CASE WHEN mx = mn THEN list_transform(vd, x -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(vd, x ->
+         |           CAST(floor((x - mn) * 255.0e0 / (mx - mn) + 0.5e0) AS BIGINT)) END AS codes
+         |  FROM enc),
+         |dq AS (SELECT cid, list_transform(codes, cc -> mn + cc * ((mx - mn) / 255.0e0)) AS dv
+         |       FROM codes),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd
+         |      FROM embeddings WHERE vec_id < $NumQueries),
+         |ap AS (SELECT q.qid, dq.cid, ${sqlCosine("q.qd", "dq.dv")} AS approx
+         |       FROM q, dq WHERE dq.cid <> q.qid),
+         |cand AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS arn
+         |    FROM ap)
+         |  WHERE arn <= $refine),
+         |scored AS (
+         |  SELECT cand.qid, cand.cid, ${sqlCosine("q.qvec", "e.embedding")} AS cosine
+         |  FROM cand JOIN q USING (qid) JOIN embeddings e ON e.vec_id = cand.cid)
+         |$sqlTopK""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Ann.sq8TopK(corpus, queries, K, refine)
+        .orderBy(col("qid"), col("rank"))
+    }
+  }
+
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,
     v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
     v9KnnPq, v10KnnIvfPq, v11IvfServed, v12IvfPqServed, v13KnnLshAmplified,
-    v14SemDedup, v15HardNegatives)
+    v14SemDedup, v15HardNegatives, v16KnnSq8)
 }

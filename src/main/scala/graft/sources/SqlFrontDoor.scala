@@ -322,6 +322,14 @@ object SqlFrontDoor {
             graft.operators.Ann.cosine(col("va"), col("vb")).as("cosine"))
           .filter(col("cosine") >= a(1).trim.toDouble)
       }),
+      // knn_sq8(corpus_path, queries_path, k): 8-bit scalar-quantized
+      // ANN — training-free per-vector SQ8 codes, asymmetric approx
+      // scan, refine cut, exact re-rank (the v16 kernel); corpus needs
+      // (cid, cvec), queries (qid, qvec), both ARRAY<FLOAT>
+      ("knn_sq8", 3, a =>
+        graft.operators.Ann.sq8TopK(s.read.parquet(a.head),
+          s.read.parquet(a(1)), a(2).trim.toInt,
+          refine = math.max(32, a(2).trim.toInt))),
       // vec_neardup_lsh(path, tau): the SERVING-shape embedding
       // near-dup — random-hyperplane LSH buckets + in-bucket cosine
       // verify (the v6 kernel: one narrow pass + one groupByKey)
