@@ -761,10 +761,60 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-Min frequency sketch (Cormode–Muthukrishnan) with
+    * deterministic md5-derived rows — constant-size (4×16) mergeable
+    * counter state however large the corpus, estimates = min over
+    * rows, and `overestimate ≥ 0` is the CMS guarantee made a checked
+    * column. See [[graft.operators.Sketches.cmsEstimates]]. */
+  val t43CmsCounts: Q = Q(
+    "t43_cms_counts",
+    """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS true_count FROM tok GROUP BY t),
+      |cells AS (SELECT t, true_count, r,
+      |            CAST('0x' || substring(md5('cms' || CAST(r AS VARCHAR) || '#' || t), 1, 15) AS BIGINT) % 16 AS cell
+      |          FROM tc, range(0, 4) u(r)),
+      |grid AS (SELECT r, cell, CAST(sum(true_count) AS BIGINT) AS cnt FROM cells GROUP BY r, cell),
+      |est AS (SELECT t, true_count, min(cnt) AS cms_estimate
+      |        FROM cells JOIN grid USING (r, cell) GROUP BY t, true_count)
+      |SELECT t AS term, true_count, cms_estimate, cms_estimate - true_count AS overestimate
+      |FROM est ORDER BY term""".stripMargin) { (s, d) =>
+    graft.operators.Sketches.cmsEstimates(Tables.documents(s, d), "text",
+        depth = 4, width = 16)
+      .orderBy(col("term"))
+  }
+
+  /** HyperLogLog cardinality registers + raw Flajolet estimate with a
+    * single md5-derived hash (register = low 4 bits, ρ from the 56-bit
+    * remainder via `bin()` length — no transcendentals anywhere; the
+    * range corrections that need `ln` are the documented deviation).
+    * See [[graft.operators.Sketches.hllRegisters]]. */
+  val t44HllDistinct: Q = Q(
+    "t44_hll_distinct",
+    """WITH tok AS (SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      |h AS (SELECT CAST('0x' || substring(md5('hll#' || t), 1, 15) AS BIGINT) AS w FROM tok),
+      |hr AS (SELECT w % 16 AS bucket,
+      |         CAST(CASE WHEN (w >> 4) = 0 THEN 57 ELSE 57 - length(bin(w >> 4)) END AS BIGINT) AS rho
+      |       FROM h),
+      |reg AS (SELECT bucket, max(rho) AS register FROM hr GROUP BY bucket),
+      |fullb AS (SELECT r.r AS bucket, coalesce(register, CAST(0 AS BIGINT)) AS register
+      |          FROM range(0, 16) r(r) LEFT JOIN reg ON reg.bucket = r.r),
+      |den AS (SELECT list_reduce(list_prepend(0.0e0,
+      |          list(1.0e0 / (CAST(1 AS BIGINT) << register) ORDER BY bucket)), (a, x) -> a + x) AS s
+      |        FROM fullb),
+      |est AS (SELECT 0.673e0 * 256.0e0 / s AS hll_estimate FROM den),
+      |td AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS true_distinct
+      |       FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents))
+      |SELECT bucket, register, hll_estimate, true_distinct
+      |FROM fullb CROSS JOIN est CROSS JOIN td ORDER BY bucket""".stripMargin) { (s, d) =>
+    graft.operators.Sketches.hllRegisters(Tables.documents(s, d), "text")
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(
     t1TokenStats, t2ExactDedup, t3Quality, t4LangId, t5NgramJaccard,
     t6MinhashLsh, t7Simhash, t8Fingerprint, t9SimhashPairs,
     t10Repetition, t11PiiRedact, t12HashSample, t13Decontaminate,
     t14DupClusters, t15SequencePack, t16Profile, t23CrossDedup,
-    t29CrossDedupServed, t30CurateE2e, t39GopherGates, t42TextNormalize)
+    t29CrossDedupServed, t30CurateE2e, t39GopherGates, t42TextNormalize,
+    t43CmsCounts, t44HllDistinct)
 }

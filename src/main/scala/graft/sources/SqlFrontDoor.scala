@@ -127,6 +127,15 @@ object SqlFrontDoor {
         graft.streaming.Bm25Stream.decontaminate(
           s.read.parquet(a(2)), "doc_id", "text", model, a(3).trim.toDouble).toDF()
       }),
+      // deterministic md5-derived sketches (constant-size mergeable
+      // state however large the corpus): Count-Min term-frequency
+      // estimates with the true count + overestimate alongside, and
+      // HyperLogLog registers + raw distinct estimate
+      ("cms_counts", 3, a =>
+        graft.operators.Sketches.cmsEstimates(s.read.parquet(a.head), "text",
+          a(1).trim.toInt, a(2).trim.toInt)),
+      ("hll_distinct", 1, a =>
+        graft.operators.Sketches.hllRegisters(s.read.parquet(a.head), "text")),
       // pre-tokenization cleanup: NFC + control-strip + whitespace
       // collapse over the documents contract; one narrow codegen'd pass
       ("text_normalize", 1, a => {
