@@ -149,18 +149,21 @@ object Bm25 {
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
       .select(col("n"), (col("sdl").cast("double") / col("n")).as("avgdl"))
     val terms = q.select(col("t")).distinct()
+    // dl rides the postings rows (constant per doc, one extra long per
+    // shuffled row) so scoring never joins two corpus-sized frames —
+    // the serve path gets the same for free from the denormalized index
     val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("dl"),
         explode(tokens(col(textCol))).as("t"))
       .join(broadcast(terms), "t")
       .groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val kept = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats.select(col("n"))))
       .filter(col("df") * PruneDfDen < col("n") * PruneDfNum)
       .select(col("t"), col("df"))
     val scored = tf
       .join(broadcast(kept), "t")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .join(broadcast(q), "t")
       .select(col("qid"), col("doc_id"), col("t"),

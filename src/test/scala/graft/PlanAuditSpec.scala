@@ -328,6 +328,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("t40: BM25 batch joins are all broadcast — no corpus-sized join anywhere") {
+    val plan = planOf(graft.queries.Corpus.t40Bm25Batch.run(SparkTest.spark, sf))
+    // dl rides the postings rows, stats/df/queries broadcast: the only
+    // permitted non-broadcast operators are hash aggregations + windows
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"BM25 batch must not shuffle-join corpus frames:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("t43/t44: sketches are one documents scan feeding constant-size aggregation state") {
+    for (q <- Seq(Text.t43CmsCounts, Text.t44HllDistinct)) {
+      val plan = planOf(q.run(SparkTest.spark, sf))
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"${q.name} must stay broadcast-shaped:\n$plan")
+      // text never shuffles: every hash exchange carries tokens/hashes
+      val badEx = plan.linesIterator.filter(_.trim.startsWith("+- Exchange"))
+        .filter(_.contains("text"))
+      assert(badEx.isEmpty, s"${q.name}: text column crossed an exchange:\n$plan")
+    }
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(
