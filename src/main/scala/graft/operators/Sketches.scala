@@ -32,6 +32,31 @@ object Sketches {
   def cmsCell(term: Column, row: Int, width: Int): Column =
     md5Long(concat(lit(s"cms$row#"), term)) % width
 
+  /** Occurrence-level CMS counter grid (row, cell, cnt) — each token
+    * occurrence increments one cell per sketch row. Works identically
+    * on a batch or STREAMING frame: the streaming deployment is this
+    * exact groupBy under complete/update mode, counters merging by
+    * addition across micro-batches. */
+  def cmsGrid(docs: DataFrame, textCol: String, depth: Int, width: Int): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("t"))
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsCell(col("t"), r, width).as("cell"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Occupied HLL register rows (bucket, register) — max-merged, so the
+    * same groupBy accumulates across micro-batches on a streaming
+    * frame. Buckets no token has hit are absent (fill with 0 at
+    * read-out, as [[hllRegisters]] does). */
+  def hllRegisterRows(docs: DataFrame, textCol: String): DataFrame = {
+    val h = docs.select(explode(tokens(col(textCol))).as("t"))
+      .select(md5Long(concat(lit("hll#"), col("t"))).as("w"))
+    h.select((col("w") % 16).as("bucket"),
+        when(shiftright(col("w"), 4) === 0, lit(57))
+          .otherwise(lit(57) - length(bin(shiftright(col("w"), 4)))).cast("long").as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("register"))
+  }
+
   /** Count-Min estimates for every distinct term, with the true count
     * alongside: the d×w counter grid is built from the exact term
     * counts (one narrow pass + one tiny groupBy — the grid is d·w
@@ -67,12 +92,7 @@ object Sketches {
     * corrections are a driver-side cosmetic on top of them). */
   def hllRegisters(docs: DataFrame, textCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val h = docs.select(explode(tokens(col(textCol))).as("t")).distinct()
-      .select(md5Long(concat(lit("hll#"), col("t"))).as("w"))
-    val hr = h.select((col("w") % 16).as("bucket"),
-      when(shiftright(col("w"), 4) === 0, lit(57))
-        .otherwise(lit(57) - length(bin(shiftright(col("w"), 4)))).cast("long").as("rho"))
-    val reg = hr.groupBy(col("bucket")).agg(max(col("rho")).as("register"))
+    val reg = hllRegisterRows(docs, textCol)
     val allBuckets = spark.range(0, 16).select(col("id").as("bucket"))
     val full = allBuckets.join(reg, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("register"), lit(0L)).as("register"))
