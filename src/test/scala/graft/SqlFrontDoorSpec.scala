@@ -560,4 +560,64 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(sqlRows.length < total)
     assert(sqlRows.map(_._4).toSet.subsetOf(Set("train", "val", "test")))
   }
+
+  test("round-11 TVFs (bm25 batch/serve/gate, sketches, normalize, sq8) from pure SQL") {
+    import spark.implicits._
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val dir = Files.createTempDirectory("graftsql11")
+    val qP = dir.resolve("q").toString
+    Seq((1L, "spark"), (1L, "join"), (2L, "window")).toDF("qid", "term")
+      .write.mode("overwrite").parquet(qP)
+
+    // batch topk == DataFrame API
+    val sqlTop = spark.sql(
+      s"SELECT qid, doc_id, score, rank FROM bm25_batch_topk('$docs', '$qP', '5') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq
+    val apiTop = graft.operators.Bm25.batchTopK(spark.read.parquet(docs), "doc_id", "text",
+        spark.read.parquet(qP), 5)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(sqlTop == apiTop && sqlTop.nonEmpty)
+
+    // index build + serve == batch
+    val idx = dir.resolve("bm25idx").toString
+    assert(spark.sql(s"SELECT n FROM bm25_index('$docs', '$idx')")
+      .collect().head.getLong(0) > 0)
+    val served = spark.sql(
+      s"SELECT qid, doc_id, score, rank FROM bm25_serve('$idx', '$qP', '5') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq
+    assert(served == sqlTop)
+
+    // decontamination gate: scoring the corpus against its own queries
+    // emits a hit for every (doc, query) sharing an unpruned term
+    val hits = spark.sql(
+      s"SELECT count(*) FROM bm25_decontam_gate('$docs', '$qP', '$docs', '0.0')")
+      .collect().head.getLong(0)
+    assert(hits > 0)
+
+    // sketches: CMS overestimate nonneg, HLL registers complete
+    val cms = spark.sql(s"SELECT min(overestimate) FROM cms_counts('$docs', '4', '16')")
+      .collect().head.getLong(0)
+    assert(cms >= 0L)
+    assert(spark.sql(s"SELECT count(*) FROM hll_distinct('$docs')")
+      .collect().head.getLong(0) == 16L)
+
+    // normalize: idempotent and whitespace-collapsed
+    val norm = spark.sql(
+      s"SELECT count(*) FROM text_normalize('$docs') WHERE text RLIKE '\\\\s\\\\s'")
+      .collect().head.getLong(0)
+    assert(norm == 0L)
+
+    // sq8: same contract as the other knn TVFs
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val cP = dir.resolve("c").toString
+    val qvP = dir.resolve("qv").toString
+    spark.read.parquet(emb).selectExpr("vec_id AS cid", "embedding AS cvec")
+      .write.mode("overwrite").parquet(cP)
+    spark.read.parquet(emb).filter(col("vec_id") < 3)
+      .selectExpr("vec_id AS qid", "embedding AS qvec")
+      .write.mode("overwrite").parquet(qvP)
+    val sq = spark.sql(s"SELECT qid, rank, cid FROM knn_sq8('$cP', '$qvP', '5') ORDER BY qid, rank")
+      .collect()
+    assert(sq.length == 15)
+  }
 }
