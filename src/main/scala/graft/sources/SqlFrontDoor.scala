@@ -120,12 +120,13 @@ object SqlFrontDoor {
       // retrieval-based decontamination, deployment split: train the
       // frozen scoring model on ref_path + queries_path offline, gate
       // docs_path statelessly (the Bm25Stream shape from SQL) —
-      // (docId, qid, score >= threshold)
+      // (docId, qid, score >= threshold); threshold in score*10^6
+      // fixed-point units (the batch kernel's integer domain)
       ("bm25_decontam_gate", 4, a => {
         val model = graft.streaming.Bm25Stream.train(
           s.read.parquet(a.head), "doc_id", "text", s.read.parquet(a(1)))
         graft.streaming.Bm25Stream.decontaminate(
-          s.read.parquet(a(2)), "doc_id", "text", model, a(3).trim.toDouble).toDF()
+          s.read.parquet(a(2)), "doc_id", "text", model, a(3).trim.toLong).toDF()
       }),
       // deterministic md5-derived sketches (constant-size mergeable
       // state however large the corpus): Count-Min term-frequency

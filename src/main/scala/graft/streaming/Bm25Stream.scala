@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 
 import graft.operators.{Bm25, Dedup}
 
-/** A stream document's BM25 hit against one eval query. */
-case class Bm25Hit(docId: Long, qid: Long, score: Double)
+/** A stream document's BM25 hit against one eval query. `score` is in
+  * [[graft.operators.Bm25.ScoreScale]] fixed-point units (score·10⁶),
+  * the batch kernel's integer domain. */
+case class Bm25Hit(docId: Long, qid: Long, score: Long)
 
 /** Streaming retrieval-based decontamination gate — the deployment
   * shape of [[graft.operators.Bm25]]: the eval/benchmark queries and
@@ -23,10 +25,9 @@ case class Bm25Hit(docId: Long, qid: Long, score: Double)
   * time — df/avgdl drift in the stream does not move the scores
   * (retrain and re-broadcast on the batch side, as such pipelines
   * actually operate); (2) the arriving document's OWN length feeds the
-  * length normalization (that part is per-document, not corpus
-  * state); (3) the per-term fold sorts terms as JVM strings — parity
-  * with the batch kernel's UTF8 binary sort holds for ASCII terms
-  * (tokenized eval queries in practice), asserted in the parity spec.
+  * length normalization (that part is per-document, not corpus state).
+  * Scores live in the batch kernel's 10⁶ fixed-point integer domain —
+  * order-independent sums, bit-exact parity asserted in the spec.
   */
 object Bm25Stream {
 
@@ -70,19 +71,20 @@ object Bm25Stream {
     Bm25Model(n, avgdl, df, qmap)
   }
 
-  /** The exact per-term arithmetic of `Bm25.termScore`, replayed on JVM
-    * doubles in the same operation order — codegen'd Column math and
-    * this method run the same JVM double ops, so the results are
-    * bit-identical. */
-  private def termScore(tf: Long, df: Long, n: Long, dl: Long, avgdl: Double): Double =
-    ((n - df + 0.5) / (df + 0.5)) * (tf * Bm25.K1Plus1) /
-      (tf + Bm25.K1 * (Bm25.OneMinusB + Bm25.B * (dl.toDouble / avgdl)))
+  /** The exact per-term arithmetic of `Bm25.termScoreFp`, replayed on
+    * JVM doubles in the same operation order then floored into the same
+    * 10⁶ fixed-point domain — codegen'd Column math and this method run
+    * the same JVM double ops, so the results are bit-identical. */
+  private def termScoreFp(tf: Long, df: Long, n: Long, dl: Long, avgdl: Double): Long =
+    math.floor((((n - df + 0.5) / (df + 0.5)) * (tf * Bm25.K1Plus1) /
+      (tf + Bm25.K1 * (Bm25.OneMinusB + Bm25.B * (dl.toDouble / avgdl))))
+      * 1000000.0).toLong
 
-  /** Score one document against the model — per query: term-sorted
-    * sequential fold of per-term scores (the batch kernel's fold
-    * order), emitted when ≥ `threshold`. */
+  /** Score one document against the model — per query: integer sum of
+    * fixed-point per-term scores (the batch kernel's exact domain),
+    * emitted when ≥ `threshold` (also in score·10⁶ units). */
   private[streaming] def scoreDoc(id: Long, text: String, m: Bm25Model,
-      threshold: Double): Iterator[Bm25Hit] = {
+      threshold: Long): Iterator[Bm25Hit] = {
     val toks = Dedup.wsTokens(text)
     val dl = toks.length.toLong
     val tf = new scala.collection.mutable.HashMap[String, Long]()
@@ -94,21 +96,22 @@ object Bm25Stream {
     }
     if (tf.isEmpty) Iterator.empty
     else m.queries.iterator.flatMap { case (qid, terms) =>
-      val present = terms.filter(tf.contains)   // terms pre-sorted in train
+      val present = terms.filter(tf.contains)
       if (present.isEmpty) None
       else {
-        val score = present.foldLeft(0.0)((a, t) =>
-          a + termScore(tf(t), m.df(t), m.n, dl, m.avgdl))
+        val score = present.foldLeft(0L)((a, t) =>
+          a + termScoreFp(tf(t), m.df(t), m.n, dl, m.avgdl))
         if (score >= threshold) Some(Bm25Hit(id, qid, score)) else None
       }
     }
   }
 
   /** Stateless gate: emit a [[Bm25Hit]] for every (arriving doc, eval
-    * query) pair whose BM25 score clears `threshold`. Works on a batch
-    * or streaming `docs` frame identically. */
+    * query) pair whose BM25 score clears `threshold` (score·10⁶
+    * fixed-point units). Works on a batch or streaming `docs` frame
+    * identically. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
-      model: Bm25Model, threshold: Double): Dataset[Bm25Hit] = {
+      model: Bm25Model, threshold: Long): Dataset[Bm25Hit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -13,10 +13,10 @@ import graft.operators.Bm25
 class Bm25BatchSpec extends AnyFunSuite {
 
   /** Driver-side reference: textbook loops, the operator's exact
-    * arithmetic (rational idf, fixed literal order), term-sorted
-    * sequential fold, (score desc, doc_id) ranking. */
+    * arithmetic (rational idf, fixed literal order, floor into the 10⁶
+    * fixed-point domain), integer sum, (score desc, doc_id) ranking. */
   private def naiveTopK(docs: Seq[(Long, String)], queries: Seq[(Long, Seq[String])],
-      k: Int): Seq[(Long, Long, Double, Long)] = {
+      k: Int): Seq[(Long, Long, Long, Long)] = {
     val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
     val n = docs.size.toLong
     val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
@@ -25,14 +25,15 @@ class Bm25BatchSpec extends AnyFunSuite {
       val terms = terms0.distinct.filter(t =>
         df.get(t).exists(d => d * Bm25.PruneDfDen < n * Bm25.PruneDfNum))
       val scores = toks.toSeq.flatMap { case (docId, w) =>
-        val perTerm = terms.filter(w.contains).sorted.map { t =>
+        val perTerm = terms.filter(w.contains).map { t =>
           val tf = w.count(_ == t).toLong
           val d = df(t)
-          ((n - d + 0.5) / (d + 0.5)) * (tf * Bm25.K1Plus1) /
-            (tf + Bm25.K1 * (Bm25.OneMinusB + Bm25.B * (w.size.toLong.toDouble / avgdl)))
+          math.floor((((n - d + 0.5) / (d + 0.5)) * (tf * Bm25.K1Plus1) /
+            (tf + Bm25.K1 * (Bm25.OneMinusB + Bm25.B * (w.size.toLong.toDouble / avgdl))))
+            * 1000000.0).toLong
         }
         if (perTerm.isEmpty) None
-        else Some(docId -> perTerm.foldLeft(0.0)(_ + _))
+        else Some(docId -> perTerm.sum)
       }
       scores.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
         .map { case ((docId, s), i) => (qid, docId, s, (i + 1).toLong) }
@@ -40,14 +41,14 @@ class Bm25BatchSpec extends AnyFunSuite {
   }
 
   private def runBatch(docs: Seq[(Long, String)], queries: Seq[(Long, Seq[String])],
-      k: Int): Seq[(Long, Long, Double, Long)] = {
+      k: Int): Seq[(Long, Long, Long, Long)] = {
     val spark = SparkTest.spark
     import spark.implicits._
     val d = docs.toDF("doc_id", "text")
     val q = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }.toDF("qid", "term")
     Bm25.batchTopK(d, "doc_id", "text", q, k)
       .orderBy("qid", "rank").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
   }
 
   test("batchTopK matches the naive scorer bit-exactly on seeded random corpora") {

@@ -33,9 +33,9 @@ class Bm25StreamSpec extends AnyFunSuite {
 
     // batch reference: k = |corpus| so the rank cut keeps everything
     val batch = Bm25.batchTopK(docs, "doc_id", "text", q, k = corpus.size)
-      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)).toMap
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getLong(2)).toMap
 
-    val hits = Bm25Stream.decontaminate(docs, "doc_id", "text", model, threshold = 0.0)
+    val hits = Bm25Stream.decontaminate(docs, "doc_id", "text", model, threshold = 0L)
       .collect().map(h => (h.docId, h.qid) -> h.score).toMap
     assert(hits.keySet === batch.keySet)
     hits.foreach { case (k, s) =>
@@ -46,7 +46,7 @@ class Bm25StreamSpec extends AnyFunSuite {
   test("streaming arrivals flag above-threshold docs; stream == static gate") {
     val docs = corpus.toDF("doc_id", "text")
     val model = Bm25Stream.train(docs, "doc_id", "text", queries.toDF("qid", "term"))
-    val threshold = 0.5
+    val threshold = 500000L
     val static = Bm25Stream.decontaminate(docs, "doc_id", "text", model, threshold)
       .collect().map(h => (h.docId, h.qid, h.score)).toSet
 
@@ -77,6 +77,6 @@ class Bm25StreamSpec extends AnyFunSuite {
     val model = Bm25Stream.train(docs, "doc_id", "text",
       Seq((1L, "common")).toDF("qid", "term"))
     assert(model.df.isEmpty)
-    assert(Bm25Stream.decontaminate(docs, "doc_id", "text", model, 0.0).count() === 0L)
+    assert(Bm25Stream.decontaminate(docs, "doc_id", "text", model, 0L).count() === 0L)
   }
 }

@@ -590,7 +590,7 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     // decontamination gate: scoring the corpus against its own queries
     // emits a hit for every (doc, query) sharing an unpruned term
     val hits = spark.sql(
-      s"SELECT count(*) FROM bm25_decontam_gate('$docs', '$qP', '$docs', '0.0')")
+      s"SELECT count(*) FROM bm25_decontam_gate('$docs', '$qP', '$docs', '0')")
       .collect().head.getLong(0)
     assert(hits > 0)
 
