@@ -810,11 +810,50 @@ object Text {
       .orderBy(col("bucket"))
   }
 
+  /** Exact φ = 1/200 heavy hitters over the token stream: per-partition
+    * Misra–Gries candidates (constant memory, ≤ k per task), then one
+    * exact counting pass over the broadcast candidate set — the shuffle
+    * is bounded by the ANSWER size, not the vocabulary. The oracle is
+    * the definition itself (full groupBy + HAVING), which the exact
+    * two-pass scheme must reproduce verbatim whatever the partitioning
+    * did to the intermediate summaries. See
+    * [[graft.operators.Profiling.heavyHitters]]. */
+  val t45HeavyHitters: Q = Q(
+    "t45_heavy_hitters",
+    """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+      |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t)
+      |SELECT t AS term, cnt, n AS total FROM tc, tot
+      |WHERE cnt * 200 > n ORDER BY term""".stripMargin) { (s, d) =>
+    graft.operators.Profiling.heavyHitters(Tables.documents(s, d), "text", 200)
+      .orderBy(col("term"))
+  }
+
+  /** Exact discrete quantiles of the per-document token count
+    * (percentile_disc semantics, pure integer arithmetic): the corpus
+    * collapses to its distinct-length histogram before anything
+    * global happens — the only total exchange carries one row per
+    * DISTINCT length. See [[graft.operators.Profiling.quantilesDisc]]. */
+  val t46Quantiles: Q = Q(
+    "t46_quantiles",
+    """WITH vals AS (SELECT len(string_split_regex(trim(text), '\s+')) AS v FROM documents),
+      |hist AS (SELECT CAST(v AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY v),
+      |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+      |p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+      |SELECT pct, min(v) AS value FROM cum, tot, p
+      |WHERE cum >= (n * pct + 99) // 100
+      |GROUP BY pct ORDER BY pct""".stripMargin) { (s, d) =>
+    graft.operators.Profiling.docLengthQuantiles(
+        Tables.documents(s, d), "text", Seq(25, 50, 75, 90, 99))
+      .orderBy(col("pct"))
+  }
+
   val all: Seq[Q] = Seq(
     t1TokenStats, t2ExactDedup, t3Quality, t4LangId, t5NgramJaccard,
     t6MinhashLsh, t7Simhash, t8Fingerprint, t9SimhashPairs,
     t10Repetition, t11PiiRedact, t12HashSample, t13Decontaminate,
     t14DupClusters, t15SequencePack, t16Profile, t23CrossDedup,
     t29CrossDedupServed, t30CurateE2e, t39GopherGates, t42TextNormalize,
-    t43CmsCounts, t44HllDistinct)
+    t43CmsCounts, t44HllDistinct, t45HeavyHitters, t46Quantiles)
 }

@@ -137,6 +137,17 @@ object SqlFrontDoor {
           a(1).trim.toInt, a(2).trim.toInt)),
       ("hll_distinct", 1, a =>
         graft.operators.Sketches.hllRegisters(s.read.parquet(a.head), "text")),
+      // EXACT corpus profiling whose exchanged state is bounded by the
+      // answer, not the corpus: phi=1/k heavy hitters (Misra-Gries
+      // candidate pass + exact verification count) and percentile_disc
+      // quantiles of the per-doc token count (distinct-length histogram)
+      ("heavy_hitters", 2, a =>
+        graft.operators.Profiling.heavyHitters(
+          s.read.parquet(a.head), "text", a(1).trim.toInt)),
+      ("quantile_profile", 2, a =>
+        graft.operators.Profiling.docLengthQuantiles(
+          s.read.parquet(a.head), "text",
+          a(1).split(",").toSeq.map(_.trim.toInt))),
       // pre-tokenization cleanup: NFC + control-strip + whitespace
       // collapse over the documents contract; one narrow codegen'd pass
       ("text_normalize", 1, a => {
@@ -340,6 +351,13 @@ object SqlFrontDoor {
         graft.operators.Ann.sq8TopK(s.read.parquet(a.head),
           s.read.parquet(a(1)), a(2).trim.toInt,
           refine = math.max(32, a(2).trim.toInt))),
+      // random_projection(path, out_dim): deterministic JL +-1
+      // Rademacher reduction of (vec_id, embedding ARRAY<FLOAT>[64])
+      // to out_dim projection values — the byte shrink before LSH /
+      // candidate scoring; (vec_id, dim, value) rows, one narrow pass
+      ("random_projection", 2, a =>
+        graft.operators.Ann.randomProjection(
+          s.read.parquet(a.head), "vec_id", "embedding", 64, a(1).trim.toInt)),
       // vec_neardup_lsh(path, tau): the SERVING-shape embedding
       // near-dup — random-hyperplane LSH buckets + in-bucket cosine
       // verify (the v6 kernel: one narrow pass + one groupByKey)

@@ -620,4 +620,37 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       .collect()
     assert(sq.length == 15)
   }
+
+  test("profiling TVFs (heavy_hitters, quantile_profile, random_projection) from pure SQL") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+
+    // heavy hitters == the exact definition computed in plain SQL
+    val hh = spark.sql(
+      s"SELECT term, cnt FROM heavy_hitters('$docs', '150') ORDER BY term")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val brute = spark.sql(
+      s"""WITH tok AS (SELECT explode(split(trim(text), '\\\\s+')) AS t
+         |            FROM parquet.`$docs`),
+         |tot AS (SELECT count(*) AS n FROM tok)
+         |SELECT t AS term, count(*) AS cnt FROM tok, tot
+         |GROUP BY t, n HAVING count(*) * 150 > n ORDER BY term""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hh == brute && hh.nonEmpty)
+
+    // quantiles are monotone in pct and land inside the observed range
+    val q = spark.sql(
+      s"SELECT pct, value FROM quantile_profile('$docs', '10,50,90') ORDER BY pct")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(q.map(_._1) == Seq(10, 50, 90))
+    assert(q.map(_._2) == q.map(_._2).sorted)
+
+    // random projection: out_dim rows per vector, values finite
+    val rp = spark.sql(
+      s"SELECT count(*), count(DISTINCT dim), max(abs(value)) FROM random_projection('$emb', '8')")
+      .collect().head
+    val nVec = spark.read.parquet(emb).count()
+    assert(rp.getLong(0) == nVec * 8 && rp.getLong(1) == 8L)
+    assert(!rp.getDouble(2).isNaN && !rp.getDouble(2).isInfinite)
+  }
 }
