@@ -104,10 +104,14 @@ object Profiling {
   def quantilesDisc(values: DataFrame, valueCol: String, pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be integer percentages in [1,100], got $pcts")
-    val hist = values.groupBy(col(valueCol).cast("long").as("v"))
+    // null values must not count toward n (they'd shift every rank while
+    // being absent from the histogram) — the user-facing-TVF null
+    // convention (Phrases/Boilerplate)
+    val nonNull = values.filter(col(valueCol).isNotNull)
+    val hist = nonNull.groupBy(col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
-    val total = values.agg(count(lit(1)).as("n"))
+    val total = nonNull.agg(count(lit(1)).as("n"))
     val probes = explode(array(pcts.distinct.sorted.map(p => lit(p)): _*)).as("pct")
     cum.crossJoin(broadcast(total.select(col("n"), probes)))
       .filter(col("cum") >= expr("(n * pct + 99) div 100"))

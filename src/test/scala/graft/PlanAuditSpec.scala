@@ -349,6 +349,46 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("t45: heavy-hitter verification joins the BROADCAST candidate set; no vocab-wide shuffle of text") {
+    val plan = planOf(Text.t45HeavyHitters.run(SparkTest.spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidates must broadcast into the exact counting pass:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct")
+      || plan.contains("BroadcastNestedLoopJoin"), // 1-row total frame may NLJ
+      s"t45 must stay broadcast-shaped:\n$plan")
+    // the post-join counting groupBy keys on candidate terms only; the
+    // MG candidate pass itself is a mapPartitions with no exchange —
+    // no exchange may carry the full documents text column
+    val badEx = plan.linesIterator.filter(_.trim.startsWith("+- Exchange"))
+      .filter(_.contains("text"))
+    assert(badEx.isEmpty, s"t45: text crossed an exchange:\n$plan")
+  }
+
+  test("t46: the corpus collapses to its distinct-length histogram BEFORE the single-partition window") {
+    val plan = planOf(Text.t46Quantiles.run(SparkTest.spark, sf))
+    // partial aggregation must precede the SinglePartition exchange, so
+    // the global exchange carries (value, count) rows only
+    val lines = plan.linesIterator.toSeq
+    val spIdx = lines.indexWhere(_.contains("Exchange SinglePartition"))
+    assert(spIdx >= 0, s"expected the histogram's ordering exchange:\n$plan")
+    assert(lines.drop(spIdx).exists(l => l.contains("HashAggregate") && l.contains("partial_count")),
+      s"t46: partial aggregation must run below the single-partition exchange:\n$plan")
+    assert(!lines(spIdx).contains("text") &&
+      lines.drop(spIdx).forall(l => !l.trim.startsWith("+- Exchange") || !l.contains("text")),
+      s"t46: text must never reach a global exchange:\n$plan")
+  }
+
+  test("v17: random projection is one pruned scan, zero exchanges, zero joins") {
+    val plan = planOf(Embedding.v17RandomProjection.run(SparkTest.spark, sf))
+    // strip the final presentation orderBy: audit everything below the sort
+    val belowSort = plan.linesIterator.dropWhile(l => !l.contains("Sort")).toSeq
+    assert(!plan.contains("Join"), s"v17 must not join:\n$plan")
+    val exchanges = belowSort.count(l => l.trim.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0, s"v17 must be narrow below the presentation sort:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("label"), s"v17 must prune the label column: $readSchema")
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(

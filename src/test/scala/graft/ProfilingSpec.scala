@@ -95,6 +95,16 @@ class ProfilingSpec extends AnyFunSuite {
     assert(q(99) == 1L && q(100) == 100L)
   }
 
+  test("null inputs: null text contributes no tokens; null values shift no quantile rank") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, null), (3L, "a b c")).toDF("doc_id", "text")
+    val hh = Profiling.heavyHitters(docs, "text", 3).as[(String, Long, Long)].collect()
+    assert(hh.toSeq == Seq(("a", 4L, 7L))) // n=7 tokens, only 'a' has 4*3 > 7
+    val vals = Seq[java.lang.Long](1L, 2L, 3L, null, null).toDF("v")
+    val q = Profiling.quantilesDisc(vals, "v", Seq(50, 100)).as[(Int, Long)].collect().toMap
+    assert(q(50) == 2L && q(100) == 3L) // n=3, nulls excluded from rank and histogram
+  }
+
   test("randomProjection values are the hyperplane dot products; signs agree with lshBucket") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
