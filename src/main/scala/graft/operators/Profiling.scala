@@ -101,17 +101,29 @@ object Profiling {
     * rows only (doc-length-like domains are thousands of distinct
     * values at any corpus size, the t15/t21 prefix-sum argument). The
     * rank probe is a broadcast of |pcts| rows. */
-  def quantilesDisc(values: DataFrame, valueCol: String, pcts: Seq[Int]): DataFrame = {
+  /** Distinct-value histogram (v, c) of `valueCol` — the mergeable
+    * reduction both the batch quantiles and their streaming deployment
+    * accumulate (counts merge by ADDITION across micro-batches, so the
+    * identical groupBy runs on a streaming frame under complete/update
+    * mode — the Sketches.cmsGrid discipline). Null values are excluded
+    * here, not at read-out: they must count toward neither the
+    * histogram nor the rank denominator (the user-facing-TVF null
+    * convention, Phrases/Boilerplate). */
+  def valueHistogram(values: DataFrame, valueCol: String): DataFrame =
+    values.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Quantile read-out over a (v, c) histogram frame: for each p the
+    * smallest v whose cumulative count reaches ⌈p·n/100⌉, with n
+    * derived from the histogram itself (no second pass over the data).
+    * The window's single-partition exchange carries the histogram
+    * rows only. */
+  def quantilesFromHistogram(hist: DataFrame, pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be integer percentages in [1,100], got $pcts")
-    // null values must not count toward n (they'd shift every rank while
-    // being absent from the histogram) — the user-facing-TVF null
-    // convention (Phrases/Boilerplate)
-    val nonNull = values.filter(col(valueCol).isNotNull)
-    val hist = nonNull.groupBy(col(valueCol).cast("long").as("v"))
-      .agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
-    val total = nonNull.agg(count(lit(1)).as("n"))
+    val total = hist.agg(sum(col("c")).cast("long").as("n"))
     val probes = explode(array(pcts.distinct.sorted.map(p => lit(p)): _*)).as("pct")
     cum.crossJoin(broadcast(total.select(col("n"), probes)))
       .filter(col("cum") >= expr("(n * pct + 99) div 100"))
@@ -120,8 +132,17 @@ object Profiling {
       .select(col("pct"), col("value"))
   }
 
+  def quantilesDisc(values: DataFrame, valueCol: String, pcts: Seq[Int]): DataFrame =
+    quantilesFromHistogram(valueHistogram(values, valueCol), pcts)
+
+  /** Per-document token-count histogram — works identically on a batch
+    * or STREAMING frame (complete/update mode accumulates the counts
+    * across micro-batches; [[quantilesFromHistogram]] is the read-out). */
+  def docLengthHistogram(docs: DataFrame, textCol: String): DataFrame =
+    valueHistogram(docs.select(size(tokens(col(textCol))).as("len")), "len")
+
   /** Token-count-per-document quantile profile — the length
     * distribution a packing/sharding config is sized from. */
   def docLengthQuantiles(docs: DataFrame, textCol: String, pcts: Seq[Int]): DataFrame =
-    quantilesDisc(docs.select(size(tokens(col(textCol))).as("len")), "len", pcts)
+    quantilesFromHistogram(docLengthHistogram(docs, textCol), pcts)
 }
