@@ -90,6 +90,37 @@ object Sketches {
     * small/large-range corrections (they need `ln`; documented
     * deviation — the REGISTERS are the mergeable sketch state, and
     * corrections are a driver-side cosmetic on top of them). */
+  /** Per-group HLL: distinct-token estimate for every value of
+    * `groupCol` (vocabulary diversity per crawl source / language — a
+    * standing curation metric), with the same md5 hash and ρ rule as
+    * the global sketch. State is ≤ m = 16 registers PER GROUP whatever
+    * the corpus size, merged by max — the per-key shape that survives a
+    * tree aggregation at any group cardinality (no groups×buckets fill
+    * join: absent buckets contribute 2⁰ = 1 each to the harmonic sum,
+    * folded in as the single closed-form correction `m − present`).
+    * Emits one row per OCCUPIED (group, bucket) with the group's
+    * estimate and exact distinct count alongside. */
+  def hllRegistersByGroup(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("t"))
+    val reg = tok.select(col("grp"), md5Long(concat(lit("hll#"), col("t"))).as("w"))
+      .select(col("grp"), (col("w") % 16).as("bucket"),
+        when(shiftright(col("w"), 4) === 0, lit(57))
+          .otherwise(lit(57) - length(bin(shiftright(col("w"), 4)))).cast("long").as("rho"))
+      .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("register"))
+    val den = reg.groupBy(col("grp"))
+      .agg(
+        aggregate(sort_array(collect_list(struct(col("bucket"),
+            (lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), CAST(register AS INT))")).as("inv")))),
+          lit(0.0), (a, x) => a + x.getField("inv")).as("s0"),
+        count(lit(1)).as("present"))
+      .select(col("grp"),
+        (lit(0.673) * lit(256.0) / (col("s0") + (lit(16) - col("present")))).as("hll_estimate"))
+    val td = tok.groupBy(col("grp")).agg(count_distinct(col("t")).as("true_distinct"))
+    reg.join(den, Seq("grp")).join(td, Seq("grp"))
+      .select(col("grp").as(groupCol), col("bucket"), col("register"),
+        col("hll_estimate"), col("true_distinct"))
+  }
+
   def hllRegisters(docs: DataFrame, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     val reg = hllRegisterRows(docs, textCol)

@@ -810,6 +810,33 @@ object Text {
       .orderBy(col("bucket"))
   }
 
+  /** Per-source HLL vocabulary diversity: the t44 sketch GROUPED — ≤ 16
+    * registers of state per source however large the corpus, absent
+    * buckets folded in as the closed-form `m − present` correction
+    * instead of a groups×buckets fill join. See
+    * [[graft.operators.Sketches.hllRegistersByGroup]]. */
+  val t47HllBySource: Q = Q(
+    "t47_hll_by_source",
+    """WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      |h AS (SELECT source, CAST('0x' || substring(md5('hll#' || t), 1, 15) AS BIGINT) AS w FROM tok),
+      |hr AS (SELECT source, w % 16 AS bucket,
+      |         CAST(CASE WHEN (w >> 4) = 0 THEN 57 ELSE 57 - length(bin(w >> 4)) END AS BIGINT) AS rho
+      |       FROM h),
+      |reg AS (SELECT source, bucket, max(rho) AS register FROM hr GROUP BY source, bucket),
+      |den AS (SELECT source,
+      |          list_reduce(list_prepend(0.0e0,
+      |            list(1.0e0 / (CAST(1 AS BIGINT) << register) ORDER BY bucket)), (a, x) -> a + x)
+      |            + CAST(16 - count(*) AS DOUBLE) AS s
+      |        FROM reg GROUP BY source),
+      |est AS (SELECT source, 0.673e0 * 256.0e0 / s AS hll_estimate FROM den),
+      |td AS (SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS true_distinct FROM tok GROUP BY source)
+      |SELECT source, bucket, register, hll_estimate, true_distinct
+      |FROM reg JOIN est USING (source) JOIN td USING (source)
+      |ORDER BY source, bucket""".stripMargin) { (s, d) =>
+    graft.operators.Sketches.hllRegistersByGroup(Tables.documents(s, d), "source", "text")
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** Exact φ = 1/200 heavy hitters over the token stream: per-partition
     * Misra–Gries candidates (constant memory, ≤ k per task), then one
     * exact counting pass over the broadcast candidate set — the shuffle
@@ -855,5 +882,6 @@ object Text {
     t10Repetition, t11PiiRedact, t12HashSample, t13Decontaminate,
     t14DupClusters, t15SequencePack, t16Profile, t23CrossDedup,
     t29CrossDedupServed, t30CurateE2e, t39GopherGates, t42TextNormalize,
-    t43CmsCounts, t44HllDistinct, t45HeavyHitters, t46Quantiles)
+    t43CmsCounts, t44HllDistinct, t45HeavyHitters, t46Quantiles,
+    t47HllBySource)
 }

@@ -137,6 +137,11 @@ object SqlFrontDoor {
           a(1).trim.toInt, a(2).trim.toInt)),
       ("hll_distinct", 1, a =>
         graft.operators.Sketches.hllRegisters(s.read.parquet(a.head), "text")),
+      // hll_by_group(path, group_col): per-group distinct-vocabulary
+      // estimate — <= 16 registers of state per group, no fill join
+      ("hll_by_group", 2, a =>
+        graft.operators.Sketches.hllRegistersByGroup(
+          s.read.parquet(a.head), a(1).trim, "text")),
       // EXACT corpus profiling whose exchanged state is bounded by the
       // answer, not the corpus: phi=1/k heavy hitters (Misra-Gries
       // candidate pass + exact verification count) and percentile_disc
