@@ -690,13 +690,76 @@ object Dedup {
             .map(r => (r._1, r._2, r._3, r._4, r._5, true))
         }
       }
-    val refRows = refIndex
-      .select(col("sid"), col("gs"), col("bhs"))
+    acrossPairs(newRows.unionAll(indexBandRows(refIndex, bands, isNew = false)),
+      threshold, maxBucket, skippedAcc)
+  }
+
+  /** Band rows fanned back out from persisted [[minhashDocIndex]] rows —
+    * bucket = bhs(b), the same value [[minhashBandRowsOf]] assigns, so
+    * index-derived and text-derived rows bucket identically. */
+  private def indexBandRows(index: DataFrame, bands: Int,
+      isNew: Boolean): Dataset[(Int, Long, Long, Array[Long], Array[Long], Boolean)] = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index.select(col("sid"), col("gs"), col("bhs"))
       .as[(Long, Array[Long], Array[Long])]
       .flatMap { case (sid, gs, bhs) =>
-        Iterator.tabulate(bands)(b => (b, bhs(b), sid, gs, bhs, false))
+        Iterator.tabulate(bands)(b => (b, bhs(b), sid, gs, bhs, isNew))
       }
-    acrossPairs(newRows.unionAll(refRows), threshold, maxBucket, skippedAcc)
+  }
+
+  /** Result of one index-admission tick: per-batch-doc verdicts and the
+    * standing index with the admitted docs appended. */
+  final case class IndexAdmission(decisions: DataFrame, updatedIndex: DataFrame)
+
+  /** The UPDATE step of the standing-index lifecycle
+    * ([[minhashDocIndex]] builds, [[minhashLshPairsAcrossIndexed]]
+    * serves, this admits): gate an incoming batch against the standing
+    * corpus index, ADMIT every batch doc with no qualifying near-dup in
+    * the reference, and return the updated index with the admitted
+    * docs' signature rows appended — ready to be persisted for the next
+    * ingest tick. This is the loop a live curation pipeline runs on
+    * every arriving shard; without it the "standing" index is frozen at
+    * build time and later batches silently stop deduplicating against
+    * each other.
+    *
+    * Cost model at 100 TB: the batch pays its tokenize+minhash scan
+    * ONCE ([[minhashDocIndex]], pinned with `localCheckpoint` — it is
+    * consumed by both the gate probe and the admitted-subset union);
+    * the reference side is a column-pruned read of compact signature
+    * rows; the index grows by |admitted| rows per tick (append-only —
+    * at deployment, write the admitted rows as a new parquet file
+    * rather than rewriting the index). Batch-INTERNAL duplicates are
+    * not this operator's job (both copies of a pair new to the corpus
+    * are admitted): run the symmetric [[minhashLshPairs]] kernel within
+    * the batch first, exactly as a pipeline runs exact dedup before the
+    * cross-corpus gate.
+    *
+    * `decisions` = (sid, admitted, n_ref_matches) per batch doc;
+    * `updatedIndex` = refIndex ∪ admitted docs' (sid, gs, bhs) rows. */
+  def minhashIndexAdmit(refIndex: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = Int.MaxValue,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): IndexAdmission = {
+    val batchIndex =
+      minhashDocIndex(newDocs, idCol, textCol, n, bands, rowsPerBand)
+        .localCheckpoint()
+    val gate = acrossPairs(
+      indexBandRows(batchIndex, bands, isNew = true)
+        .unionAll(indexBandRows(refIndex, bands, isNew = false)),
+      threshold, maxBucket, skippedAcc)
+    val matches = gate.groupBy(col("da").as("sid"))
+      .agg(count(lit(1)).as("n_ref_matches"))
+    val decisions = batchIndex.select(col("sid"))
+      .join(matches, Seq("sid"), "left")
+      .select(col("sid"),
+        col("n_ref_matches").isNull.as("admitted"),
+        coalesce(col("n_ref_matches"), lit(0L)).as("n_ref_matches"))
+    val admittedRows = batchIndex.join(
+      gate.select(col("da").as("sid")).distinct(), Seq("sid"), "left_anti")
+    IndexAdmission(decisions,
+      refIndex.select(col("sid"), col("gs"), col("bhs")).unionByName(admittedRows))
   }
 
   /** SimHash near-neighbor stats via the pigeonhole band trick (the

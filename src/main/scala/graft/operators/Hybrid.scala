@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: Reciprocal-Rank Fusion (RRF) of independently
+  * ranked retrieval legs — the standard way to combine sparse lexical
+  * (BM25, [[Bm25]]) and dense vector ([[Ann]]) results into one ranked
+  * list (Cormack, Clarke & Büttcher, SIGIR 2009: "Reciprocal rank
+  * fusion outperforms Condorcet and individual rank learning methods").
+  * In a training-data pipeline this is the retrieval front end for
+  * decontamination sweeps and hard-negative mining, where lexical and
+  * semantic evidence each catch matches the other misses.
+  *
+  * Scale design: the legs do all the corpus-sized work and each already
+  * has a served, partition-pruned deployment shape (term-bucketed BM25
+  * index, IVF cell index). The fusion itself only ever touches
+  * TOP-K-PER-QUERY rows — |queries|·k·legs rows, dimension-sized — so
+  * it plans as a union + one hash aggregation + a per-qid window rank,
+  * with no corpus-sized shuffle anywhere. Fusing more legs (phrase
+  * matchers, metadata filters, multiple ANN probes) is O(k) per leg.
+  *
+  * Determinism contract: RRF's textbook score is Σ 1/(κ + rank) — a
+  * rational whose float accumulation is order-dependent. The engine
+  * keeps the entire fusion in BIGINT: each leg contributes
+  * `RrfScale div (κ + rank)` (integer division), so the fused total is
+  * an order-independent integer sum and a SQL oracle replays it
+  * bit-for-bit. At `RrfScale` = 10⁹ the quotients for ranks 1..1000
+  * are all distinct, so the integer ranking matches the real-valued
+  * RRF ranking for any practical k.
+  */
+object Hybrid {
+
+  /** κ in 1/(κ + rank): the SIGIR-2009 paper's k = 60. */
+  val RrfKappa = 60L
+
+  /** Fixed-point scale of one leg's contribution: floor(10⁹/(κ+rank)). */
+  val RrfScale = 1000000000L
+
+  /** Per-leg RRF contribution for a 1-based `rank` column: BIGINT
+    * integral division (Catalyst `IntegralDivide`, SQL's `DIV`) — never
+    * a float quotient whose rounding could drift across engines. */
+  def rrfContribution(rank: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    GraftBridge.column(IntegralDivide(
+      GraftBridge.expression(lit(RrfScale)),
+      GraftBridge.expression(lit(RrfKappa) + rank.cast("long")),
+      evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+  }
+
+  /** Fuse ranked legs into one top-`k` list per query. Every leg is a
+    * (qid, doc_id, rank) frame with 1-based ranks (extra columns are
+    * ignored); a document absent from a leg simply contributes nothing
+    * for that leg. Returns (qid, doc_id, rrf, rank) ordered within each
+    * query by (rrf desc, doc_id) — the deterministic tie-break every
+    * ranked operator in the engine uses. */
+  def rrfFuse(legs: Seq[DataFrame], k: Int): DataFrame = {
+    require(legs.nonEmpty, "rrf fusion needs at least one ranked leg")
+    val contribs = legs.map { leg =>
+      leg.select(col("qid").cast("long").as("qid"),
+        col("doc_id").cast("long").as("doc_id"),
+        rrfContribution(col("rank")).as("c"))
+    }
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf"))
+    fused.withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("rrf"), col("rank"))
+  }
+
+  /** Drop the query's own document from a ranked leg and close the rank
+    * gap: retrieval-for-augmentation wants neighbors, not the query
+    * itself, and a leg that retrieved `kLeg+1` rows still yields `kLeg`
+    * after the self row (at most one per query) is removed. Re-ranking
+    * by (score desc, doc_id) — each leg's own order — keeps the result
+    * identical to having excluded the self doc before ranking. */
+  def dropSelf(leg: DataFrame, kLeg: Int): DataFrame =
+    leg.filter(col("doc_id") =!= col("qid"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= kLeg)
+
+  /** End-to-end hybrid top-k over a corpus carrying both text and an
+    * embedding: BM25 leg over (`idCol`, `textCol`) + exact cosine leg
+    * over (`idCol`, `vecCol`), self-excluded on both sides, RRF-fused.
+    * `queries` carries one row per (qid, term) with the query's vector
+    * repeated on each row (qid, term, qvec). `kLeg` is each leg's
+    * retrieval depth; `k` the fused output depth.
+    *
+    * The cosine leg here is the exact broadcast scan
+    * ([[Ann.bruteForceTopK]]) — the correctness baseline; at corpus
+    * scales where Q·N is unpayable swap in [[Ann.ivfTopKAssigned]] /
+    * the served IVF index (v11's deployment shape) — the fusion is
+    * agnostic to how a leg was ranked. */
+  def hybridTopK(corpus: DataFrame, idCol: String, textCol: String, vecCol: String,
+      queries: DataFrame, kLeg: Int, k: Int): DataFrame = {
+    val lexLeg = dropSelf(
+      Bm25.batchTopK(corpus, idCol, textCol,
+        queries.select(col("qid"), col("term")), kLeg + 1),
+      kLeg)
+    val qVecs = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
+      .groupBy(col("qid")).agg(first(col("qvec")).as("qvec"))
+    val vecLeg = Ann.bruteForceTopK(
+        corpus.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec")),
+        qVecs, kLeg)
+      .select(col("qid"), col("cid").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lexLeg.select(col("qid"), col("doc_id"), col("rank")), vecLeg), k)
+  }
+}

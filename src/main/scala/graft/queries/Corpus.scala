@@ -725,9 +725,87 @@ object Corpus {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Hybrid-retrieval fusion constants (t48): query set, per-leg depth,
+    * fused depth. Shared verbatim by the oracle SQL. */
+  private val HybridQMod = 40
+  private val HybridQRem = 3
+  private val HybridPositions = Seq(1, 3, 5, 7)
+  private val HybridKLeg = 10
+  private val HybridK = 10
+
+  /** Hybrid retrieval: BM25 lexical leg + exact-cosine vector leg over
+    * the SAME corpus (documents ∩ embeddings on doc_id = vec_id),
+    * fused by integer Reciprocal-Rank Fusion — see
+    * [[graft.operators.Hybrid]]. Both legs are self-excluded (retrieval
+    * wants neighbors, not the query doc). The oracle replays each leg's
+    * exact arithmetic (the t40 BM25 CTEs, the v1 cosine fold) and the
+    * BIGINT `scale DIV (κ + rank)` fusion bit-for-bit. */
+  val t48HybridRrf: Q = {
+    val kap = graft.operators.Hybrid.RrfKappa
+    val scale = graft.operators.Hybrid.RrfScale
+    Q(
+      "t48_hybrid_rrf",
+      s"""WITH corp AS (SELECT d.doc_id, d.text FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corp),
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |q AS (SELECT DISTINCT doc_id AS qid, t FROM (
+         |  SELECT doc_id, unnest([${HybridPositions.map(p => s"w[$p]").mkString(", ")}]) AS t
+         |  FROM w WHERE doc_id % $HybridQMod = $HybridQRem)),
+         |qt AS (SELECT DISTINCT t FROM q),
+         |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(w) AS t FROM w) JOIN qt USING (t)
+         |       GROUP BY doc_id, t),
+         |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+         |kept AS (SELECT t, df FROM dfreq CROSS JOIN st
+         |         WHERE df * ${Bm25.PruneDfDen} < n * ${Bm25.PruneDfNum}),
+         |sc AS (SELECT q.qid, tf.doc_id,
+         |        CAST(floor((((n - df + 0.5e0) / (df + 0.5e0)) * (tf * ${Bm25.K1Plus1}e0) /
+         |          (tf + ${Bm25.K1}e0 * (${Bm25.OneMinusB}e0 + ${Bm25.B}e0 * (dl / avgdl))))
+         |          * 1000000.0e0) AS BIGINT) AS s
+         |       FROM tf JOIN kept USING (t) JOIN dl USING (doc_id) CROSS JOIN st JOIN q USING (t)),
+         |lexagg AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score
+         |           FROM sc GROUP BY qid, doc_id),
+         |lex AS (SELECT qid, doc_id,
+         |          CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |        FROM lexagg WHERE doc_id <> qid),
+         |emb2 AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |qv AS (SELECT vec_id AS qid, embedding AS qvec FROM emb2 WHERE vec_id % $HybridQMod = $HybridQRem),
+         |vecscored AS (SELECT qid, vec_id AS doc_id,
+         |                ${Embedding.sqlCosine("qvec", "embedding")} AS cosine
+         |              FROM qv JOIN emb2 ON qid <> vec_id),
+         |vec AS (SELECT qid, doc_id,
+         |          CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank
+         |        FROM vecscored),
+         |contrib AS (
+         |  SELECT qid, doc_id, $scale // ($kap + rank) AS c FROM lex WHERE rank <= $HybridKLeg
+         |  UNION ALL
+         |  SELECT qid, doc_id, $scale // ($kap + rank) AS c FROM vec WHERE rank <= $HybridKLeg),
+         |fused AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf
+         |          FROM contrib GROUP BY qid, doc_id)
+         |SELECT qid, doc_id, rrf, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT qid, doc_id, rrf,
+         |         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fused)
+         |WHERE rank <= $HybridK
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), docs("text"), emb("embedding"))
+      val w = graft.functions.TextFunctions.tokens(col("text"))
+      val queries = corpus.filter(col("doc_id") % HybridQMod === HybridQRem)
+        .select(col("doc_id").as("qid"), col("embedding").as("qvec"),
+          explode(array(HybridPositions.map(p => element_at(w, p)): _*)).as("term"))
+      graft.operators.Hybrid
+        .hybridTopK(corpus, "doc_id", "text", "embedding", queries, HybridKLeg, HybridK)
+        .orderBy(col("qid"), col("rank"))
+    }
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
     t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
     t34PhraseTags, t35Boilerplate, t36EpochUpsample, t37DsirSelect,
-    t38StratifiedEval, t40Bm25Batch, t41Bm25Served)
+    t38StratifiedEval, t40Bm25Batch, t41Bm25Served, t48HybridRrf)
 }

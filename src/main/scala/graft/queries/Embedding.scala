@@ -22,11 +22,11 @@ object Embedding {
   private val Dim = 64
 
   /** DuckDB sequential-fold dot product over two list expressions. */
-  private def sqlDot(a: String, b: String): String =
+  private[queries] def sqlDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)""".stripMargin
 
-  private def sqlCosine(a: String, b: String): String =
+  private[queries] def sqlCosine(a: String, b: String): String =
     s"(${sqlDot(a, b)}) / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
   // ───────────────────────────── trained-serve oracles ──────────────────────

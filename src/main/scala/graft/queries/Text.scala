@@ -267,7 +267,10 @@ object Text {
     * and [[t29CrossDedupServed]] — the served variant precomputes the
     * reference index but is the SAME function of the corpus, so both
     * hash-check against one oracle. */
-  private lazy val crossDedupSql: String = {
+  /** Shared DuckDB CTE chain ending in `bands` (sid, band, bucket) —
+    * the t6 minhash family's banding replayed in SQL, reused by every
+    * LSH-banded oracle (t6/t23/t29/t49). */
+  private lazy val minhashBandCtes: String = {
     val p = Dedup.MinhashP
     val mins = (0 until NumHashes)
       .map(i => s"min((${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % $p) AS mh$i")
@@ -276,11 +279,15 @@ object Text {
       val cat = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(" || ',' || ")
       s"SELECT sid, $b AS band, md5($cat) AS bucket FROM mh"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $shingleCtes,
+    s"""$shingleCtes,
        |shx AS (SELECT sid, CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % $p AS x FROM sh),
        |mh AS (SELECT sid, $mins FROM shx GROUP BY sid),
        |bands AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  private lazy val crossDedupSql: String = {
+    s"""WITH $minhashBandCtes,
        |cand AS (
        |  SELECT DISTINCT a.sid AS da, b.sid AS db
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
@@ -351,6 +358,65 @@ object Text {
       Dedup.minhashLshPairsAcrossIndexed(
         docs.filter(col("doc_id") % 5 === 0), refIndex,
         "doc_id", "text", ShingleN, Bands, RowsPerBand, JaccardThreshold)
+        .orderBy(col("da"), col("db"))
+    }
+
+  /** Oracle for [[t49IndexAdmit]]: batch A (doc_id ≡ 1 mod 7) is gated
+    * against the original reference (everything outside batches A and
+    * B); A docs with NO qualifying near-dup are admitted into the
+    * reference; then batch B (doc_id ≡ 2 mod 7) probes the UPDATED
+    * reference. The final pair set is sensitive to every step — a wrong
+    * admission verdict changes which B pairs exist — so one hash-check
+    * pins gate, admission and union. */
+  private lazy val indexAdmitSql: String = {
+    s"""WITH $minhashBandCtes,
+       |candA AS (
+       |  SELECT DISTINCT a.sid AS da, b.sid AS db
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.sid % 7 = 1 AND b.sid % 7 NOT IN (1, 2)),
+       |interA AS (
+       |  SELECT da, db, count(*) AS i
+       |  FROM candA JOIN sh sa ON sa.sid = da JOIN sh sb ON sb.sid = db AND sb.g = sa.g
+       |  GROUP BY 1, 2),
+       |flaggedA AS (
+       |  SELECT DISTINCT da FROM interA
+       |  JOIN sizes za ON da = za.sid JOIN sizes zb ON db = zb.sid
+       |  WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= $JaccardThreshold),
+       |candB AS (
+       |  SELECT DISTINCT a.sid AS da, b.sid AS db
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.sid % 7 = 2 AND (b.sid % 7 NOT IN (1, 2)
+       |     OR (b.sid % 7 = 1 AND b.sid NOT IN (SELECT da FROM flaggedA)))),
+       |interB AS (
+       |  SELECT da, db, count(*) AS i
+       |  FROM candB JOIN sh sa ON sa.sid = da JOIN sh sb ON sb.sid = db AND sb.g = sa.g
+       |  GROUP BY 1, 2)
+       |SELECT da, db, CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+       |FROM interB JOIN sizes za ON da = za.sid JOIN sizes zb ON db = zb.sid
+       |WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= $JaccardThreshold
+       |ORDER BY da, db""".stripMargin
+  }
+
+  /** Standing-index UPDATE tick ([[graft.operators.Dedup
+    * .minhashIndexAdmit]]): t23/t29 gate batches against a FROZEN
+    * reference — this entry runs the full lifecycle a live pipeline
+    * needs: build the index, admit batch A's non-duplicates into it,
+    * then gate batch B against the UPDATED index, so B docs near-dup'ing
+    * an admitted A doc are caught. One scan per batch (the batch index
+    * is computed once and reused for probe + union); the reference side
+    * stays compact signature rows throughout. */
+  val t49IndexAdmit: Q =
+    Q("t49_index_admit", indexAdmitSql) { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      val m = col("doc_id") % 7
+      val ref0 = docs.filter(m =!= 1 && m =!= 2)
+      val refIndex = Dedup.minhashDocIndex(ref0, "doc_id", "text",
+        ShingleN, Bands, RowsPerBand)
+      val adm = Dedup.minhashIndexAdmit(refIndex, docs.filter(m === 1),
+        "doc_id", "text", ShingleN, Bands, RowsPerBand, JaccardThreshold)
+      Dedup.minhashLshPairsAcrossIndexed(docs.filter(m === 2),
+        adm.updatedIndex, "doc_id", "text",
+        ShingleN, Bands, RowsPerBand, JaccardThreshold)
         .orderBy(col("da"), col("db"))
     }
 
@@ -883,5 +949,5 @@ object Text {
     t14DupClusters, t15SequencePack, t16Profile, t23CrossDedup,
     t29CrossDedupServed, t30CurateE2e, t39GopherGates, t42TextNormalize,
     t43CmsCounts, t44HllDistinct, t45HeavyHitters, t46Quantiles,
-    t47HllBySource)
+    t47HllBySource, t49IndexAdmit)
 }

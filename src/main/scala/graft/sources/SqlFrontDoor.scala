@@ -443,6 +443,20 @@ object SqlFrontDoor {
         df.withColumn("zkey",
           graft.operators.ZOrder.interleave2(col(a(1).trim), col(a(2).trim)))
       }),
+      // hybrid_rrf(corpus_path, queries_path, k_leg, k): hybrid
+      // retrieval — BM25 lexical leg + exact-cosine vector leg over
+      // one corpus, fused by integer Reciprocal-Rank Fusion
+      // (score = sum of 1e9 DIV (60 + rank), Cormack et al. 2009);
+      // corpus needs (doc_id BIGINT, text STRING, embedding
+      // ARRAY<FLOAT>), queries (qid BIGINT, term STRING, qvec
+      // ARRAY<FLOAT>); emits (qid, doc_id, rrf, rank). The vector leg
+      // here is the exact broadcast scan — swap in the served IVF
+      // index for corpus scales where Q*N is unpayable; the fusion is
+      // agnostic to how a leg was ranked
+      ("hybrid_rrf", 4, a =>
+        graft.operators.Hybrid.hybridTopK(s.read.parquet(a.head),
+          "doc_id", "text", "embedding", s.read.parquet(a(1)),
+          a(2).trim.toInt, a(3).trim.toInt)),
       ("shard_layout", 2, a => {
         import org.apache.spark.sql.functions.{col, md5}
         val nsh = a(1).trim.toInt
