@@ -84,21 +84,69 @@ object SemDedup {
         col("dominated").isNull.as("kept"))
   }
 
-  /** SemDeDup with deterministic seed centroids: the `numClusters`
-    * lowest-id vectors. Fully oracle-replayable (no iterative float
-    * training); recall that seed CHOICE only moves the cluster
-    * boundaries — the drop rule inside each cluster is the paper's. */
-  def dedup(vecs: DataFrame, idCol: String, vecCol: String,
-      numClusters: Int, tau: Double): DataFrame = {
+  /** Deterministic seed centroids: the `numClusters` lowest-id vectors
+    * (bounded driver collect — the seed array is the broadcast model). */
+  private def seedCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      numClusters: Int): Array[Array[Float]] = {
     require(numClusters > 0 && numClusters <= 4096,
       s"numClusters must be in (0, 4096], got $numClusters (driver holds the seed array)")
-    val seeds = vecs
+    vecs
       .select(col(idCol).cast("long"), col(vecCol))
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .orderBy(col(idCol))
       .limit(numClusters)
       .collect()
       .map(r => r.getSeq[Float](1).toArray)
-    dedupWithCentroids(vecs, idCol, vecCol, seeds, tau)
   }
+
+  /** SemDeDup with deterministic seed centroids: the `numClusters`
+    * lowest-id vectors. Fully oracle-replayable (no iterative float
+    * training); recall that seed CHOICE only moves the cluster
+    * boundaries — the drop rule inside each cluster is the paper's. */
+  def dedup(vecs: DataFrame, idCol: String, vecCol: String,
+      numClusters: Int, tau: Double): DataFrame =
+    dedupWithCentroids(vecs, idCol, vecCol,
+      seedCentroids(vecs, idCol, vecCol, numClusters), tau)
+
+  /** Cluster-balanced subset selection: cap every embedding cluster's
+    * contribution at `quota` examples — the diversity-preserving
+    * downsampling step (the counterpart of source-mix capping, but in
+    * SEMANTIC space: a crawl where one template dominates loses at most
+    * `quota` slots to it, however many copies exist). Selection inside
+    * a cluster follows the engine's deterministic sampling discipline
+    * (the t12/t38 salted-md5 order — uniform, reproducible,
+    * partition-independent), so the whole pass is oracle-replayable.
+    *
+    * Scale shape: assignment is the same narrow broadcast-centroid scan
+    * as [[dedupWithCentroids]]; the only exchange is ONE hash partition
+    * by cluster id for the quota window — no pairwise work at all, so
+    * (unlike SemDeDup's Σ n_c² verify) a mega-cluster costs its row
+    * count, not its square.
+    *
+    * Returns one row per input: (vec_id, cluster_id, cluster_rank,
+    * selected). */
+  def clusterSampleWithCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Float]], quota: Int): DataFrame = {
+    require(cents.nonEmpty, "at least one centroid")
+    require(quota > 0, s"quota must be positive, got $quota")
+    val assigned = vecs
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .filter(col("vec_id").isNotNull && col("v").isNotNull)
+      .withColumn("best", bestCentroid(col("v"), cents))
+      .select(col("vec_id"),
+        (-col("best").getField("nid")).cast("long").as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(md5(concat(lit("cs:"), col("vec_id").cast("string"))), col("vec_id"))
+    assigned
+      .withColumn("cluster_rank", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_rank"),
+        (col("cluster_rank") <= quota).as("selected"))
+  }
+
+  /** [[clusterSampleWithCentroids]] over deterministic lowest-id seed
+    * centroids (plug in k-means centroids in production). */
+  def clusterSample(vecs: DataFrame, idCol: String, vecCol: String,
+      numClusters: Int, quota: Int): DataFrame =
+    clusterSampleWithCentroids(vecs, idCol, vecCol,
+      seedCentroids(vecs, idCol, vecCol, numClusters), quota)
 }

@@ -857,8 +857,44 @@ object Embedding {
     }
   }
 
+  /** Cluster-balanced subset selection: nearest-seed-centroid
+    * assignment (the v14 discipline) + a per-cluster salted-md5 quota
+    * (the t38 discipline) — caps any one semantic cluster's dominance
+    * in the selected subset. See
+    * [[graft.operators.SemDedup.clusterSample]]. */
+  val v18ClusterSample: Q = {
+    val numClusters = 16
+    val quota = 20
+    Q(
+      "v18_cluster_sample",
+      s"""WITH cent AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $numClusters)),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cent_id) AS rn
+         |    FROM embeddings e, cent c)
+         |  WHERE rn = 1),
+         |ranked AS (
+         |  SELECT vec_id, cent_id,
+         |         row_number() OVER (PARTITION BY cent_id
+         |           ORDER BY md5('cs:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         |  FROM assign)
+         |SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster_id,
+         |       CAST(rk AS BIGINT) AS cluster_rank, rk <= $quota AS selected
+         |FROM ranked
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      graft.operators.SemDedup.clusterSample(
+          Tables.embeddings(s, d), "vec_id", "embedding", numClusters, quota)
+        .orderBy(col("vec_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,
     v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
     v9KnnPq, v10KnnIvfPq, v11IvfServed, v12IvfPqServed, v13KnnLshAmplified,
-    v14SemDedup, v15HardNegatives, v16KnnSq8, v17RandomProjection)
+    v14SemDedup, v15HardNegatives, v16KnnSq8, v17RandomProjection,
+    v18ClusterSample)
 }

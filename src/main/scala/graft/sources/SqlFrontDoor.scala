@@ -436,6 +436,14 @@ object SqlFrontDoor {
       ("semdedup", 3, a =>
         graft.operators.SemDedup.dedup(s.read.parquet(a.head), "vec_id",
           "embedding", a(1).trim.toInt, a(2).trim.toDouble)),
+      // cluster_sample(path, n_clusters, quota): cluster-balanced
+      // subset selection — nearest-centroid assignment + deterministic
+      // per-cluster salted-md5 quota; caps any one semantic cluster's
+      // dominance; input needs (vec_id BIGINT, embedding ARRAY<FLOAT>);
+      // emits (vec_id, cluster_id, cluster_rank, selected)
+      ("cluster_sample", 3, a =>
+        graft.operators.SemDedup.clusterSample(s.read.parquet(a.head),
+          "vec_id", "embedding", a(1).trim.toInt, a(2).trim.toInt)),
       // zorder_key(path, col_a, col_b): adds the bit-interleaved `zkey`
       ("zorder_key", 3, a => {
         import org.apache.spark.sql.functions.col
