@@ -389,6 +389,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readSchema.contains("label"), s"v17 must prune the label column: $readSchema")
   }
 
+  test("t48: hybrid fusion shuffles ranks only — no text or embedding in any exchange") {
+    val plan = planOf(graft.queries.Corpus.t48HybridRrf.run(SparkTest.spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // the corpus-sized work lives in the legs (broadcast-shaped BM25,
+    // broadcast query batch); the fusion exchange carries (qid, doc_id,
+    // contribution) longs only — raw text / vectors must never shuffle
+    val badEx = plan.linesIterator.filter(_.trim.startsWith("+- Exchange"))
+      .filter(l => l.contains("text") || l.contains("embedding"))
+    assert(badEx.isEmpty, s"t48: text/embedding crossed an exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"t48 legs must broadcast dimension frames:\n$plan")
+  }
+
+  test("t49: index admission shuffles signature rows only — text stays out of every exchange") {
+    val plan = planOf(Text.t49IndexAdmit.run(SparkTest.spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    val badEx = plan.linesIterator.filter(_.trim.startsWith("+- Exchange"))
+      .filter(_.contains("text"))
+    assert(badEx.isEmpty, s"t49: text crossed an exchange:\n$plan")
+  }
+
+  test("v18: cluster sample is one narrow assignment + ONE cluster-id exchange, no join") {
+    val plan = planOf(Embedding.v18ClusterSample.run(SparkTest.spark, sf))
+    assert(!plan.contains("Join"), s"v18 must not join:\n$plan")
+    val hashEx = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"v18 must pay exactly one hash exchange, got $hashEx:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(
