@@ -653,4 +653,42 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(rp.getLong(0) == nVec * 8 && rp.getLong(1) == 8L)
     assert(!rp.getDouble(2).isNaN && !rp.getDouble(2).isInfinite)
   }
+
+  test("hybrid_rrf and cluster_sample TVFs match the DataFrame API from pure SQL") {
+    import org.apache.spark.sql.functions.{col, element_at, explode, array, split, trim}
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val dir = Files.createTempDirectory("graftsqlhyb")
+
+    // corpus = docs ∩ embeddings; queries = 3 docs' terms + vectors
+    val corpusDf = spark.read.parquet(docs)
+      .join(spark.read.parquet(emb),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val corpusP = dir.resolve("corpus").toString
+    corpusDf.write.mode("overwrite").parquet(corpusP)
+    val w = split(trim(col("text")), "\\s+")
+    val queriesDf = corpusDf.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("embedding").as("qvec"),
+        explode(array(element_at(w, 1), element_at(w, 4))).as("term"))
+    val queriesP = dir.resolve("queries").toString
+    queriesDf.write.mode("overwrite").parquet(queriesP)
+
+    val sqlH = spark.sql(
+      s"SELECT qid, doc_id, rrf, rank FROM hybrid_rrf('$corpusP', '$queriesP', '8', '5') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq
+    val apiH = graft.operators.Hybrid.hybridTopK(
+        spark.read.parquet(corpusP), "doc_id", "text", "embedding",
+        spark.read.parquet(queriesP), 8, 5)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(sqlH == apiH && sqlH.nonEmpty)
+
+    val sqlC = spark.sql(
+      s"SELECT vec_id, cluster_id, cluster_rank, selected FROM cluster_sample('$emb', '8', '10') ORDER BY vec_id")
+      .collect().map(_.toSeq).toSeq
+    val apiC = graft.operators.SemDedup.clusterSample(
+        spark.read.parquet(emb), "vec_id", "embedding", 8, 10)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(sqlC == apiC && sqlC.nonEmpty)
+  }
 }
