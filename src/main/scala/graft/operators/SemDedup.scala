@@ -127,20 +127,28 @@ object SemDedup {
     * selected). */
   def clusterSampleWithCentroids(vecs: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Float]], quota: Int): DataFrame = {
-    require(cents.nonEmpty, "at least one centroid")
     require(quota > 0, s"quota must be positive, got $quota")
-    val assigned = vecs
-      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
-      .filter(col("vec_id").isNotNull && col("v").isNotNull)
-      .withColumn("best", bestCentroid(col("v"), cents))
-      .select(col("vec_id"),
-        (-col("best").getField("nid")).cast("long").as("cluster_id"))
+    val assigned = assignClusters(vecs, idCol, vecCol, cents)
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(md5(concat(lit("cs:"), col("vec_id").cast("string"))), col("vec_id"))
     assigned
       .withColumn("cluster_rank", row_number().over(w).cast("long"))
       .select(col("vec_id"), col("cluster_id"), col("cluster_rank"),
         (col("cluster_rank") <= quota).as("selected"))
+  }
+
+  /** Narrow nearest-centroid assignment (broadcast centroid array, one
+    * codegen'd scan, no shuffle): (vec_id, cluster_id) rows. Null
+    * ids/vectors carry nothing to assign (the TVF convention). */
+  def assignClusters(vecs: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Float]]): DataFrame = {
+    require(cents.nonEmpty, "at least one centroid")
+    vecs
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .filter(col("vec_id").isNotNull && col("v").isNotNull)
+      .withColumn("best", bestCentroid(col("v"), cents))
+      .select(col("vec_id"),
+        (-col("best").getField("nid")).cast("long").as("cluster_id"))
   }
 
   /** [[clusterSampleWithCentroids]] over deterministic lowest-id seed
