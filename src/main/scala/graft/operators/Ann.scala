@@ -533,6 +533,20 @@ object Ann extends Serializable {
       .toDF("cid", "cvec", "cell")
   }
 
+  /** APPEND tick of the served-IVF lifecycle ([[assignCells]] builds,
+    * [[ivfTopKAssigned]] serves, this grows): assign a new vector batch
+    * to its cells under the SAME trained centroids and append the rows
+    * to the cell-partitioned inverted file. Pure partition appends —
+    * existing cell directories gain files, nothing is rewritten, and a
+    * concurrent serve sees either the old or the new file list (parquet
+    * reads are snapshot-by-listing). Centroids are deliberately NOT
+    * retrained per tick: cell geometry drift is a periodic offline
+    * retrain + full re-encode (the standard IVF maintenance split);
+    * in between, appended vectors land in the cells the current
+    * geometry dictates, which is exactly what the probe side assumes. */
+  def ivfIndexAppend(dir: String, corpus: DataFrame, cents: Array[Array[Float]]): Unit =
+    assignCells(corpus, cents).write.partitionBy("cell").mode("append").parquet(dir)
+
   /** IVF search against a PRE-ASSIGNED inverted file — the SERVE half
     * of the deployment split: `assigned` is [[assignCells]]'s output,
     * typically read back from `cell=<k>/`-partitioned parquet. The

@@ -103,14 +103,15 @@ object Embedding {
   /** IVF serve replay from persisted centroids: assign every vector to
     * its max-cosine centroid (index tie-break), probe each query's top
     * `nprobe` cells, exact cosine rank within the probed cells. */
-  private def ivfServeSql(centArtifact: String, nprobe: Int): String =
+  private def ivfServeSql(centArtifact: String, nprobe: Int,
+      corpusWhere: String = "TRUE"): String =
     s"""WITH cent AS (SELECT cent_id, cvec FROM ${artifact(centArtifact)}),
        |assign AS (
        |  SELECT vec_id, embedding, cent_id FROM (
        |    SELECT e.vec_id, e.embedding, c.cent_id,
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cent_id) AS rn
-       |    FROM embeddings e, cent c)
+       |    FROM embeddings e, cent c WHERE $corpusWhere)
        |  WHERE rn = 1),
        |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < $NumQueries),
        |probe AS (
@@ -892,9 +893,65 @@ object Embedding {
     }
   }
 
+  /** v19's corpus split: the standing index is built (and its centroids
+    * trained) on vec_id ≥ [[AppendSplit]]; vec_id in
+    * [NumQueries, AppendSplit) arrives later as the appended batch;
+    * vec_id < NumQueries are the queries (NOT in the index — an
+    * appended index serves lookups for docs it has never seen). */
+  private val AppendSplit = 100
+
+  /** Served-IVF APPEND tick ([[graft.operators.Ann.ivfIndexAppend]]):
+    * v11 serves a FROZEN inverted file — this entry runs the lifecycle
+    * a growing corpus needs: train + build on the initial corpus,
+    * append a later batch under the same centroids (pure partition
+    * appends, no rewrite), then serve from the grown index. The oracle
+    * replays assignment of the UNION corpus from the persisted
+    * centroids — a vector lost or mis-celled by the append would break
+    * the hash. */
+  val v19IvfAppend: Q = Q(
+    "v19_ivf_append",
+    ivfServeSql("v19_centroids", nprobe = 12,
+      corpusWhere = s"e.vec_id >= $NumQueries")) { (s, d) =>
+    val (dir, cents) = ivfAppendedIndex(s, d)
+    writeCentroids(s, "v19_centroids", cents)
+    val index = s.read.parquet(dir)
+      .withColumn("cell", col("cell").cast("int"))
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.ivfTopKAssigned(index, queries, cents, K, nprobe = 12)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Build-then-append cache backing [[v19IvfAppend]]: centroids are
+    * trained on the INITIAL corpus only (the appended batch must land
+    * in cells of the existing geometry, as at a real ingest tick). */
+  private val ivfAppendCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[Array[Float]])]
+
+  private def ivfAppendedIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Array[Array[Float]]) =
+    ivfAppendCache.getOrElseUpdate(d, {
+      val e = Tables.embeddings(s, d)
+      val initial = e.filter(col("vec_id") >= AppendSplit)
+      val numCells = 16
+      val init = Ann.kmeansParallelInit(initial, "vec_id", "embedding", numCells)
+      val cents = Ann.kmeansCentroids(initial, "embedding", init, iters = 5)
+      val dir = s"/tmp/graft_ivf_append_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Ann.assignCells(initial.select(col("vec_id").as("cid"),
+          col("embedding").as("cvec")), cents)
+        .write.partitionBy("cell").mode("overwrite").parquet(dir)
+      Ann.ivfIndexAppend(dir,
+        e.filter(col("vec_id") >= NumQueries && col("vec_id") < AppendSplit)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        cents)
+      (dir, cents)
+    })
+
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,
     v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
     v9KnnPq, v10KnnIvfPq, v11IvfServed, v12IvfPqServed, v13KnnLshAmplified,
     v14SemDedup, v15HardNegatives, v16KnnSq8, v17RandomProjection,
-    v18ClusterSample)
+    v18ClusterSample, v19IvfAppend)
 }
