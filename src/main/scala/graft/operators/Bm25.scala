@@ -249,4 +249,68 @@ object Bm25 {
     rankTopK(scored.groupBy(col("qid"), col("doc_id")).agg(sum(col("s")).as("score")), k)
       .select(col("qid"), col("doc_id"), col("score"), col("rank"))
   }
+
+  /** APPEND tick of the standing-index lifecycle ([[buildIndex]]
+    * builds, [[serveTopK]] serves, this grows). The subtlety this
+    * operator exists for: the index denormalizes each term's df onto
+    * its postings rows (the Lucene term-dictionary flattening that
+    * lets serving scan one frame), so appending documents STALES the
+    * df of every term they contain — blind row appends would serve
+    * wrong scores, not just miss documents.
+    *
+    * The fix exploits the layout: a term lives in exactly ONE bucket
+    * (bucket = hash(term)), so only the buckets of the batch's terms
+    * are affected. The tick reads those buckets, unions the batch's
+    * postings rows in, recomputes df per term inside the union
+    * (df = postings rows per term — self-contained), and rewrites ONLY
+    * those bucket partitions (dynamic partition overwrite; untouched
+    * buckets are never read or written). The 1-row stats table is
+    * recomputed from its old values + the batch's (n, Σdl) — no corpus
+    * re-scan anywhere: the tick costs the batch scan + the affected
+    * buckets' rewrite. With [[IndexBuckets]] buckets a text batch
+    * usually touches all of them — at corpus scale the bucket count is
+    * sized so each bucket is a manageable rewrite unit, and a skewed
+    * small batch (one domain, one language) touches fewer.
+    *
+    * Serving afterwards is bit-identical to an index built over the
+    * union corpus in one shot: avgdl shifts globally, but serve-time
+    * scoring reads avgdl from stats, never from postings rows. */
+  def appendToIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val newDl = newDocs.select(col(idCol).cast("long").as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    val newTf = newDocs.select(col(idCol).cast("long").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("dl"),
+        explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("bucket", pmod(xxhash64(col("t")), lit(IndexBuckets)).cast("int"))
+    val touched = newTf.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)) // ≤ IndexBuckets values
+    val existing = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(touched.map(_.asInstanceOf[Any]): _*))
+      .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+    val unioned = existing
+      .unionByName(newTf.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket")))
+    val winDf = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+    // df recompute rides the same bucket-partitioned shuffle; pinned
+    // before the write because the plan still reads the dir it rewrites
+    val rewritten = unioned
+      .withColumn("df", count(lit(1)).over(winDf))
+      .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
+      .localCheckpoint()
+    rewritten.write.partitionBy("bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$dir/postings")
+    val old = spark.read.parquet(s"$dir/stats")
+      .select(col("n"), col("sdl")).head()
+    val batch = newDl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .select(col("n"), col("sdl")).head()
+    val statsDf = {
+      import spark.implicits._
+      Seq((old.getLong(0) + batch.getLong(0), old.getLong(1) + batch.getLong(1)))
+        .toDF("n", "sdl")
+    }
+    statsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
 }

@@ -725,6 +725,39 @@ object Corpus {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Build-then-append cache backing [[t50Bm25Append]]: index built on
+    * doc_id % 3 ≠ 2, then the % 3 = 2 batch appended — bucket-granular
+    * df refresh ([[Bm25.appendToIndex]]). */
+  private val bm25AppendCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def bm25AppendedIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25AppendCache.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d)
+      val dir = s"/tmp/graft_bm25_append_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Bm25.buildIndex(docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", dir)
+      Bm25.appendToIndex(s, dir, docs.filter(col("doc_id") % 3 === 2), "doc_id", "text")
+      dir
+    })
+
+  /** Standing-BM25-index APPEND tick ([[Bm25.appendToIndex]]): t41
+    * serves a frozen index — this entry grows it. Appending stales the
+    * denormalized df of every term the batch contains, so the tick
+    * rewrites exactly the affected term buckets with df recomputed
+    * in-bucket and rolls the 1-row stats forward; untouched buckets are
+    * never read. The oracle is the one-shot index over the FULL corpus
+    * (the same [[bm25BatchSql]] as t40/t41) — any stale df, lost row or
+    * wrong stats after the append breaks the hash. */
+  val t50Bm25Append: Q = Q(
+    "t50_bm25_append",
+    bm25BatchSql(mod = 100, rem = 13, positions = Seq(1, 4, 6, 9), k = 6)) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Bm25.serveTopK(s, bm25AppendedIndex(s, d),
+        bm25Queries(docs, 100, 13, Seq(1, 4, 6, 9)), k = 6)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Hybrid-retrieval fusion constants (t48): query set, per-leg depth,
     * fused depth. Shared verbatim by the oracle SQL. */
   private val HybridQMod = 40
@@ -807,5 +840,6 @@ object Corpus {
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
     t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
     t34PhraseTags, t35Boilerplate, t36EpochUpsample, t37DsirSelect,
-    t38StratifiedEval, t40Bm25Batch, t41Bm25Served, t48HybridRrf)
+    t38StratifiedEval, t40Bm25Batch, t41Bm25Served, t48HybridRrf,
+    t50Bm25Append)
 }

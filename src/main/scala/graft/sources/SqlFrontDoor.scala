@@ -117,6 +117,15 @@ object SqlFrontDoor {
       }),
       ("bm25_serve", 3, a =>
         graft.operators.Bm25.serveTopK(s, a.head, s.read.parquet(a(1)), a(2).trim.toInt)),
+      // bm25_index_append(index_dir, docs_path): grow a standing
+      // bm25_index — bucket-granular df refresh (only the batch's term
+      // buckets are rewritten), stats rolled forward; returns the
+      // updated 1-row stats
+      ("bm25_index_append", 2, a => {
+        graft.operators.Bm25.appendToIndex(s, a.head,
+          s.read.parquet(a(1)), "doc_id", "text")
+        s.read.parquet(s"${a.head}/stats")
+      }),
       // retrieval-based decontamination, deployment split: train the
       // frozen scoring model on ref_path + queries_path offline, gate
       // docs_path statelessly (the Bm25Stream shape from SQL) —
