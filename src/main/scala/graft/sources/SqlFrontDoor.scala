@@ -460,6 +460,18 @@ object SqlFrontDoor {
         df.withColumn("zkey",
           graft.operators.ZOrder.interleave2(col(a(1).trim), col(a(2).trim)))
       }),
+      // lsh_index_admit(index_path, batch_path, out_index_path, tau):
+      // the standing-minhash-index admission tick — gate the batch
+      // against the persisted index (minhash_doc_index layout), ADMIT
+      // non-duplicates, write the updated index to out_index_path;
+      // returns the per-doc decisions (sid, admitted, n_ref_matches)
+      ("lsh_index_admit", 4, a => {
+        val adm = graft.operators.Dedup.minhashIndexAdmit(
+          s.read.parquet(a.head), s.read.parquet(a(1)), "doc_id", "text",
+          3, 4, 4, a(3).trim.toDouble)
+        adm.updatedIndex.write.mode("overwrite").parquet(a(2))
+        adm.decisions
+      }),
       // hybrid_rrf(corpus_path, queries_path, k_leg, k): hybrid
       // retrieval — BM25 lexical leg + exact-cosine vector leg over
       // one corpus, fused by integer Reciprocal-Rank Fusion
