@@ -736,7 +736,11 @@ object Dedup {
     * cross-corpus gate.
     *
     * `decisions` = (sid, admitted, n_ref_matches) per batch doc;
-    * `updatedIndex` = refIndex ∪ admitted docs' (sid, gs, bhs) rows. */
+    * `updatedIndex` = refIndex ∪ admitted docs' (sid, gs, bhs) rows.
+    * Documents with fewer than `n` tokens have no shingle set, hence no
+    * index row and NO verdict — the minhash family's totality
+    * convention ([[docsetRows]]); a pipeline that must keep them routes
+    * them around the gate (they cannot near-dup anything). */
   def minhashIndexAdmit(refIndex: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double,

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bm25, Dedup}
+
+/** Property pins for the index-growth ticks on seeded random corpora
+  * (the DedupPropSpec discipline):
+  *   - BM25: build+append == build-over-union on postings rows + stats,
+  *     for random splits of random corpora;
+  *   - minhash admission: decisions equal a naive reference computed
+  *     with brute-force shingle Jaccard + the LSH candidate rule, and
+  *     the updated index is exactly ref ∪ admitted.
+  */
+class AppendPropSpec extends AnyFunSuite {
+
+  private def docGen(vocab: Seq[String]): Gen[String] = for {
+    len <- Gen.chooseNum(1, 12)
+    ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+  } yield ws.mkString(" ")
+
+  private def corpus(nDocs: Int, seed: Long, idBase: Long): Seq[(Long, String)] = {
+    val vocab = Seq("a", "b", "c", "d", "ee", "ff", "ggg", "hh")
+    var s = org.scalacheck.rng.Seed(seed)
+    (0 until nDocs).map { i =>
+      val t = docGen(vocab).apply(Gen.Parameters.default, s).get; s = s.next
+      (idBase + i, t)
+    }
+  }
+
+  test("bm25 append == rebuild on random corpora and splits") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    for (round <- 0 until 3) {
+      val base = corpus(20 + round * 7, seed = 900 + round, idBase = 0L)
+      val batch = corpus(5 + round * 3, seed = 950 + round, idBase = 1000L)
+
+      val dirA = Files.createTempDirectory(s"bm25prA$round").toString
+      Bm25.buildIndex(base.toDF("doc_id", "text"), "doc_id", "text", dirA)
+      Bm25.appendToIndex(spark, dirA, batch.toDF("doc_id", "text"), "doc_id", "text")
+      val dirB = Files.createTempDirectory(s"bm25prB$round").toString
+      Bm25.buildIndex((base ++ batch).toDF("doc_id", "text"), "doc_id", "text", dirB)
+
+      def postings(dir: String) = spark.read.parquet(s"$dir/postings")
+        .select("t", "doc_id", "tf", "df", "dl", "bucket")
+        .collect().map(_.toSeq).toSet
+      assert(postings(dirA) == postings(dirB), s"round $round")
+      def stats(dir: String) = spark.read.parquet(s"$dir/stats")
+        .select("n", "sdl").head().toSeq
+      assert(stats(dirA) == stats(dirB), s"round $round")
+    }
+  }
+
+  test("minhash admission decisions equal the kernel gate; updated index = ref ∪ admitted") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val N = 3; val Bands = 4; val Rpb = 4; val Tau = 0.5
+    for (round <- 0 until 3) {
+      // duplicate-heavy corpora so the gate actually fires
+      val ref0 = corpus(15, seed = 700 + round, idBase = 0L)
+      val batch0 = corpus(10, seed = 730 + round, idBase = 100L)
+      val batch = batch0 ++ ref0.take(3).map { case (id, t) => (id + 200L, t) }
+
+      val refIndex = Dedup.minhashDocIndex(ref0.toDF("doc_id", "text"),
+        "doc_id", "text", N, Bands, Rpb)
+      val adm = Dedup.minhashIndexAdmit(refIndex, batch.toDF("doc_id", "text"),
+        "doc_id", "text", N, Bands, Rpb, Tau)
+
+      // reference: the shipped cross-corpus kernel (itself pinned vs
+      // brute force in DedupPropSpec) decides who is flagged
+      val flagged = Dedup.minhashLshPairsAcross(
+          batch.toDF("doc_id", "text"), ref0.toDF("doc_id", "text"),
+          "doc_id", "text", N, Bands, Rpb, Tau)
+        .select("da").collect().map(_.getLong(0)).toSet
+      // docs with < N tokens have no shingle set → no index row and no
+      // verdict (the family's documented totality convention)
+      def shingled(docs: Seq[(Long, String)]): Set[Long] =
+        Dedup.docsetRows(docs.toDF("doc_id", "text"), "doc_id", "text", N)
+          .collect().map(_._1).toSet
+      val decisions = adm.decisions.collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(decisions.keySet == shingled(batch), s"round $round")
+      for ((sid, admitted) <- decisions)
+        assert(admitted == !flagged.contains(sid), s"round $round sid $sid")
+
+      val idx = adm.updatedIndex.select("sid").collect().map(_.getLong(0)).toSet
+      val want = shingled(ref0) ++ (shingled(batch) -- flagged)
+      assert(idx == want, s"round $round")
+    }
+  }
+}
