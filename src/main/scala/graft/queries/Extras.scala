@@ -932,11 +932,65 @@ object Extras {
     * by construction (adjacent cells differ by exactly 10), so the
     * gate reduces to the uniform test and the oracle never touches a
     * pixel. */
-  val m12MediaCurate: Q = {
-    val n = 96
-    Q(
-      "m12_media_curate",
-      s"""WITH img AS (SELECT i FROM range($n) t(i)),
+  /** The m12 fixture's planted dHash bit formula (shared with q54's
+    * WARC-wrapped corpus). */
+  private def m12Bit(c: Long, k: Int): Boolean = {
+    val base = k < 63 && ((c / 4) * 2654435761L + k * 40503L) % 97 < 48
+    val flip = (c % 4, k) match {
+      case (1, 1) => true
+      case (2, 2) | (2, 3) => true
+      case (3, kk) if kk >= 4 && kk <= 6 => true
+      case _ => false
+    }
+    base ^ flip
+  }
+
+  /** One m12-corpus PNG, pure function of the image id: 24 contents ×
+    * 4 byte-identical copies; contents c%11==0 are uniform-128
+    * placeholders; the rest walk the planted dHash bits in ±10 luma
+    * steps. Reused by q54's WARC-wrapped corpus. */
+  private[queries] def m12Png(i: Long): Array[Byte] = {
+    import graft.multimodal.Multimodal.JvmImageCodec
+    val c = i % 24
+    val img = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    if (c % 11 == 0) {
+      var py = 0
+      while (py < 16) {
+        var px = 0
+        while (px < 18) { img.setRGB(px, py, (128 << 16) | (128 << 8) | 128); px += 1 }
+        py += 1
+      }
+    } else {
+      val l = Array.ofDim[Int](8, 9)
+      var y = 0
+      while (y < 8) {
+        l(y)(0) = 128
+        var x = 0
+        while (x < 8) {
+          l(y)(x + 1) = l(y)(x) + (if (m12Bit(c, y * 8 + x)) 10 else -10)
+          x += 1
+        }
+        y += 1
+      }
+      var py = 0
+      while (py < 16) {
+        var px = 0
+        while (px < 18) {
+          val g = l(py / 2)(px / 2)
+          img.setRGB(px, py, (g << 16) | (g << 8) | g)
+          px += 1
+        }
+        py += 1
+      }
+    }
+    JvmImageCodec.encodePng(img)
+  }
+
+  /** The m12 verdict oracle (also q54's — the WARC wrap is a
+    * pass-through of the same corpus). */
+  private[queries] def m12OracleSql(n: Int): String =
+    s"""WITH img AS (SELECT i FROM range($n) t(i)),
          |ex AS (SELECT i, i % 24 AS c FROM img),
          |q AS (SELECT c, (c % 11 = 0) AS gated
          |      FROM (SELECT DISTINCT i % 24 AS c FROM img)),
@@ -966,56 +1020,15 @@ object Extras {
          |            WHEN e.i != e.c THEN e.c
          |            ELSE np.near_of END AS BIGINT) AS dup_of
          |FROM ex e JOIN q ON q.c = e.c LEFT JOIN np ON np.c = e.c
-         |ORDER BY media_id""".stripMargin) { (s, _) =>
+         |ORDER BY media_id""".stripMargin
+
+  val m12MediaCurate: Q = {
+    val n = 96
+    Q(
+      "m12_media_curate",
+      m12OracleSql(n)) { (s, _) =>
       import s.implicits._
-      import graft.multimodal.Multimodal.JvmImageCodec
-      def bit(c: Long, k: Int): Boolean = {
-        val base = k < 63 && ((c / 4) * 2654435761L + k * 40503L) % 97 < 48
-        val flip = (c % 4, k) match {
-          case (1, 1) => true
-          case (2, 2) | (2, 3) => true
-          case (3, kk) if kk >= 4 && kk <= 6 => true
-          case _ => false
-        }
-        base ^ flip
-      }
-      val media = s.range(n).as[Long].map { i =>
-        val c = i % 24
-        val img = new java.awt.image.BufferedImage(18, 16,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        if (c % 11 == 0) {
-          // the blank-placeholder class: uniform 128, spread 0
-          var py = 0
-          while (py < 16) {
-            var px = 0
-            while (px < 18) { img.setRGB(px, py, (128 << 16) | (128 << 8) | 128); px += 1 }
-            py += 1
-          }
-        } else {
-          val l = Array.ofDim[Int](8, 9)
-          var y = 0
-          while (y < 8) {
-            l(y)(0) = 128
-            var x = 0
-            while (x < 8) {
-              l(y)(x + 1) = l(y)(x) + (if (bit(c, y * 8 + x)) 10 else -10)
-              x += 1
-            }
-            y += 1
-          }
-          var py = 0
-          while (py < 16) {
-            var px = 0
-            while (px < 18) {
-              val g = l(py / 2)(px / 2)
-              img.setRGB(px, py, (g << 16) | (g << 8) | g)
-              px += 1
-            }
-            py += 1
-          }
-        }
-        (i, JvmImageCodec.encodePng(img))
-      }.toDF("img_id", "png")
+      val media = s.range(n).as[Long].map(i => (i, m12Png(i))).toDF("img_id", "png")
       graft.operators.MediaCurate.imageCurate(media, "img_id", "png",
         minW = 8, minH = 8, minSpread = 10, maxAspect = 4, maxDist = 3)
         .orderBy(col("media_id"))

@@ -375,6 +375,64 @@ object Protocol4 {
     graft.queries.Text.curateChain(docs).orderBy(col("doc_id"))
   }
 
+  /** A WARC record with a RAW byte body (binary HTTP payloads). */
+  private def warcRecordRaw(recType: String, uri: String,
+      body: Array[Byte]): Array[Byte] = {
+    val hdr = (s"WARC/1.0\r\n" +
+      s"WARC-Type: $recType\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$recType-$uri>\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"Content-Type: application/http; msgtype=$recType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+    hdr ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  /** Multimodal ingest→curate end-to-end: the m12 image corpus served
+    * THROUGH a WARC capture — each PNG arrives as a binary HTTP image
+    * response (plus decoy text/html records that must be routed away
+    * by the Content-Type check; their uris would parse as media ids
+    * 500+, so a filter failure is a visible hash break, not a silent
+    * drop). The pipeline is the crawl shape: WARC parse → HTTP header
+    * content-type routing → BINARY payload split
+    * ([[graft.sources.Warc.httpPayloadBytes]] — the html→text chain's
+    * string path would mangle PNG bytes) → the composed media curation
+    * chain (gates → exact dedup → perceptual near-dup). Oracle = m12's
+    * closed-form verdicts: the WARC wrap is a pass-through, so any
+    * corruption in record framing, payload split or routing breaks the
+    * hash. */
+  val q54WarcMedia: Q = Q(
+    "q54_warc_media",
+    Extras.m12OracleSql(96)) { (s, _) =>
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until 96).foreach { i =>
+      val png = Extras.m12Png(i.toLong)
+      val http = (s"HTTP/1.1 200 OK\r\n" +
+        s"Content-Type: image/png\r\n" +
+        s"Content-Length: ${png.length}\r\n\r\n").getBytes("UTF-8") ++ png
+      out.write(warcRecordRaw("response",
+        s"http://media.example/img$i.png", http))
+      if (i % 16 == 0) {
+        // decoy: an html response whose uri parses as media id 500+i
+        val body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          s"<html><body>img${500 + i}.png is mentioned here</body></html>").getBytes("UTF-8")
+        out.write(warcRecordRaw("response",
+          s"http://media.example/img${500 + i}.png", body))
+      }
+    }
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-q54")
+    val path = writeAtomic(dir, "media.warc", out.toByteArray)
+    val pngs = graft.sources.Warc.records(s, path)
+      .filter(col("recType") === "response" &&
+        instr(graft.sources.Warc.httpHeader(col("body")), "Content-Type: image/png") > 0)
+      .select(
+        regexp_extract(col("targetUri"), "img(\\d+)\\.png", 1).cast("long").as("img_id"),
+        graft.sources.Warc.httpPayloadBytes(col("body")).as("png"))
+    graft.operators.MediaCurate.imageCurate(pngs, "img_id", "png",
+      minW = 8, minH = 8, minSpread = 10, maxAspect = 4, maxDist = 3)
+      .orderBy(col("media_id"))
+  }
+
   val all: Seq[Q] = Seq(q48CorrelateProto, q49CountersProto, q50DedupProto,
-    q51PcapChunked, q52WarcIngest, q53WarcCurate)
+    q51PcapChunked, q52WarcIngest, q53WarcCurate, q54WarcMedia)
 }

@@ -336,6 +336,25 @@ object Warc {
     when(pos > 0, bodyText.substr(pos + 4, length(bodyText))).otherwise(bodyText)
   }
 
+  /** Binary-safe HTTP payload split for non-text responses (images,
+    * media): HTTP headers are ASCII, so the FIRST `\r\n\r\n`'s
+    * character index in the UTF-8-decoded view equals its byte offset
+    * (every char before it is single-byte; replacement chars can only
+    * appear after), and the payload is sliced from the ORIGINAL bytes —
+    * the body itself is never round-tripped through a string. */
+  def httpPayloadBytes(body: Column): Column = {
+    val pos = instr(body.cast("string"), "\r\n\r\n")
+    when(pos > 0, body.substr(pos + 4, length(body))).otherwise(body)
+  }
+
+  /** The HTTP header block (ASCII prefix before the first blank line) —
+    * for content-type routing of binary responses. */
+  def httpHeader(body: Column): Column = {
+    val s = body.cast("string")
+    val pos = instr(s, "\r\n\r\n")
+    when(pos > 0, s.substr(lit(1), pos - 1)).otherwise(s)
+  }
+
   /** C4-style HTML → text: remove script/style subtrees, strip tags,
     * unescape the core entities (&amp; LAST so double-escapes stay
     * inert), collapse whitespace. RE2-compatible — no backreferences —

@@ -68,4 +68,21 @@ class WarcSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(got === "A & B <kept> C D")
   }
+
+  test("httpPayloadBytes splits on the FIRST header blank line and preserves binary payloads byte-exactly") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // payload with invalid-UTF8 bytes AND an embedded \r\n\r\n that
+    // must NOT re-split; header is ASCII so char index == byte offset
+    val payload = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0xFF.toByte, 0xFE.toByte,
+      '\r', '\n', '\r', '\n', 0x00, 0x7F, 0x80.toByte)
+    val body = ("HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n").getBytes("UTF-8") ++ payload
+    val out = Seq(Tuple1(body)).toDF("body")
+      .select(Warc.httpPayloadBytes(col("body")).as("p"),
+        Warc.httpHeader(col("body")).as("h"))
+      .collect().head
+    assert(out.getAs[Array[Byte]]("p").toSeq == payload.toSeq)
+    assert(out.getString(1) == "HTTP/1.1 200 OK\r\nContent-Type: image/png")
+  }
 }
