@@ -400,6 +400,20 @@ object SqlFrontDoor {
             col("targetUri").as("target_uri"),
             Warc.htmlToText(Warc.httpPayload(col("body").cast("string"))).as("text"))
       }),
+      // warc_media(path, content_type_prefix): binary media ingest —
+      // response records whose HTTP Content-Type starts with the
+      // prefix (e.g. 'image/'), payload split binary-safely (PNG bytes
+      // never round-trip through a string); feed the result to
+      // image_quality / media_curate / media_dedup
+      ("warc_media", 2, a => {
+        import org.apache.spark.sql.functions.{col, instr}
+        Warc.records(s, a.head)
+          .filter(col("recType") === "response" &&
+            instr(Warc.httpHeader(col("body")), "Content-Type: " + a(1).trim) > 0)
+          .select(col("warcFile").as("warc_file"), col("recNo").as("rec_no"),
+            col("targetUri").as("target_uri"),
+            Warc.httpPayloadBytes(col("body")).as("payload"))
+      }),
       // hard_negatives(corpus_path, queries_path, k): contrastive-
       // training negative mining — top-k most similar DIFFERENT-label
       // vectors per query; inputs need (vec_id, embedding, label)

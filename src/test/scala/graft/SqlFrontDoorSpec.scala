@@ -691,4 +691,24 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       .orderBy("vec_id").collect().map(_.toSeq).toSeq
     assert(sqlC == apiC && sqlC.nonEmpty)
   }
+
+  test("warc_media TVF routes binary image responses by content type from pure SQL") {
+    val dir = Files.createTempDirectory("graftwarcmedia")
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0xFF.toByte, '\r', '\n', '\r', '\n', 0x01)
+    def rec(uri: String, ctype: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n").getBytes("UTF-8") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:$uri>\r\n" +
+        s"WARC-Target-URI: $uri\r\nContent-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+        http ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val cap = rec("http://x/a.png", "image/png", png) ++
+      rec("http://x/b.html", "text/html", "<html></html>".getBytes("UTF-8"))
+    val path = dir.resolve("m.warc")
+    Files.write(path, cap)
+    val rows = spark.sql(
+      s"SELECT target_uri, payload FROM warc_media('$path', 'image/')").collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "http://x/a.png")
+    assert(rows.head.getAs[Array[Byte]](1).toSeq == png.toSeq)
+  }
 }
