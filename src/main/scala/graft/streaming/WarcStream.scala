@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, instr, lit}
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
 
 import graft.sources.Warc
@@ -58,5 +58,36 @@ object WarcStream {
       .select(col("warcFile"), col("recNo"), col("targetUri"),
         Warc.htmlToText(Warc.httpPayload(col("body").cast("string"))).as("text"))
       .as[WarcDoc]
+  }
+
+  /** Streaming BINARY media ingest — the q54 pipeline's front half as
+    * a stream: response records whose HTTP Content-Type starts with
+    * `ctypePrefix` (e.g. "image/"), payloads split binary-safely
+    * ([[Warc.httpPayloadBytes]] — never string-round-tripped). Carries
+    * the drop file's modificationTime as `arrival_ts`, the event-time
+    * column the downstream watermark-bounded media gates
+    * ([[MediaCurateStream.gateExactWithinWatermark]]) key on. */
+  def mediaPayloads(spark: SparkSession, watchDir: String,
+      ctypePrefix: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile").schema(BinaryFileSchema)
+      .load(watchDir)
+      .select("path", "modificationTime", "content")
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (p, mt, bytes) =>
+        val in: java.io.InputStream = {
+          val raw = new java.io.ByteArrayInputStream(bytes)
+          if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+            new java.util.zip.GZIPInputStream(raw)
+          else raw
+        }
+        Warc.parseStream(in, p).map(r =>
+          (r.warcFile, r.recNo, r.recType, r.targetUri, r.body, mt))
+      }
+      .toDF("warc_file", "rec_no", "rec_type", "target_uri", "body", "arrival_ts")
+      .filter(col("rec_type") === lit("response") &&
+        instr(Warc.httpHeader(col("body")), "Content-Type: " + ctypePrefix) > 0)
+      .select(col("warc_file"), col("rec_no"), col("target_uri"),
+        Warc.httpPayloadBytes(col("body")).as("payload"), col("arrival_ts"))
   }
 }

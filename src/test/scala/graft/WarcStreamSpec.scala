@@ -50,4 +50,47 @@ class WarcStreamSpec extends AnyFunSuite {
       })
     } finally q.stop()
   }
+
+  private def mediaRec(uri: String, ctype: String, payload: Array[Byte]): Array[Byte] = {
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n").getBytes("UTF-8") ++ payload
+    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+      http ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  test("streaming multimodal ingest: WARC drop dir through the media curation gates") {
+    import graft.multimodal.Multimodal.JvmImageCodec
+    def png(seed: Int, uniform: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = if (uniform) 128 else 40 + (x * 11 + y * 7 + seed) % 160
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      JvmImageCodec.encodePng(img)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("warcmediadrop")
+    val keeper = png(1, uniform = false)
+    val cap = mediaRec("http://m/0.png", "image/png", keeper) ++
+      mediaRec("http://m/1.png", "image/png", keeper) ++ // byte-identical dup
+      mediaRec("http://m/2.png", "image/png", png(2, uniform = true)) ++ // gated: uniform
+      mediaRec("http://m/3.html", "text/html", "<html/>".getBytes("UTF-8")) // routed away
+    val survivors = graft.streaming.MediaCurateStream.gateExactWithinWatermark(
+      WarcStream.mediaPayloads(spark, dir.toString, "image/"),
+      idCol = "rec_no", bytesCol = "payload", eventTimeCol = "arrival_ts",
+      delay = "10 seconds", minW = 8, minH = 8, minSpread = 10, maxAspect = 4)
+    val q = survivors.writeStream.format("memory").queryName("warc_media_stream")
+      .outputMode("append").start()
+    try {
+      java.nio.file.Files.write(dir.resolve("m.warc"), cap)
+      assert(StreamSync.drain(q) {
+        spark.sql("SELECT * FROM warc_media_stream").count() == 1
+      })
+      // only the first copy of the non-uniform image survives: the dup
+      // collapses in the md5 state, the uniform gates, the html routes
+      val got = spark.sql("SELECT media_id FROM warc_media_stream")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(0L))
+    } finally q.stop()
+  }
 }
