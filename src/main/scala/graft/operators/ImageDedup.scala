@@ -152,4 +152,43 @@ object ImageDedup extends Serializable {
       .toDF("da", "db", "hamming")
     cross.unionAll(sameSig)
   }
+
+  /** Media dup-cluster resolution — the t14 discipline on perceptual
+    * signatures: pairwise near-dup verdicts don't partition a corpus
+    * (a~b, b~c needs a transitive rule to pick ONE keeper for
+    * {a,b,c}), so the pair relation is closed into connected
+    * components over DISTINCT signature values. Byte-identical and
+    * Hamming-0 images collapse into one NODE before any graph work —
+    * the node count is bounded by distinct signatures, never by corpus
+    * size, exactly like [[Dedup.simhashSigPairs]]'s kernel. Cluster id
+    * = minimum reachable signature (an image with no near neighbor
+    * clusters alone under its own signature); keeper = min media id in
+    * the cluster. Returns (media_id, cluster, keeper_media_id).
+    *
+    * The component table is joined back broadcast: its row count is
+    * the number of distinct signatures PARTICIPATING in near pairs —
+    * the near-dup family count, which a corpus where it approaches
+    * corpus size has bigger problems than this join (swap to a plain
+    * equi-join there). */
+  def clusters(sigs: DataFrame, maxDist: Int,
+      idCol: String = "img_id", sigCol: String = "dhash",
+      maxBucket: Int = Int.MaxValue,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val members = sigs.select(col(idCol).cast("long").as("id"),
+      col(sigCol).cast("long").as("sig")).localCheckpoint()
+    val nodes = members.select(col("sig")).distinct()
+    val edges = nearPairs(
+      nodes.select(col("sig").as(idCol), col("sig").as(sigCol)),
+      maxDist, idCol, sigCol, maxBucket, skippedAcc)
+      .select(col("da"), col("db"))
+    val comp = Components.connectedComponents(edges, "da", "db")
+      .withColumnRenamed("node", "sig")
+    val withCluster = members.join(broadcast(comp), Seq("sig"), "left")
+      .select(col("id").as("media_id"),
+        coalesce(col("component"), col("sig")).as("cluster"))
+    val keepers = withCluster.groupBy(col("cluster"))
+      .agg(min(col("media_id")).as("keeper_media_id"))
+    withCluster.join(broadcast(keepers), "cluster")
+      .select(col("media_id"), col("cluster"), col("keeper_media_id"))
+  }
 }

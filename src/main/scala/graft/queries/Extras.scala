@@ -523,6 +523,52 @@ object Extras {
     * pigeonhole pair search at Hamming ≤ 3. Every step is integral, so
     * the oracle computes each image's dHash and the pair set purely
     * from the bit formulas — it never touches a pixel. */
+  /** The m6 fixture's planted dHash bit formula. */
+  private def m6Bit(i: Long, k: Int): Boolean = {
+    val base = k < 63 && ((i / 4) * 2654435761L + k * 40503L) % 97 < 48
+    val flip = (i % 4, k) match {
+      case (1, 1) => true
+      case (2, 2) | (2, 3) => true
+      case (3, kk) if kk >= 4 && kk <= 6 => true
+      case _ => false
+    }
+    base ^ flip
+  }
+
+  /** One m6-corpus PNG, pure function of the image id: 24 groups of 4
+    * near-dup members (0/1/2/3 planted bit flips of the group pattern),
+    * luma-walked ±10 per dHash bit so the comparison direction IS the
+    * bit. Shared by m6 (pairs) and m14 (clusters). */
+  private[queries] def m6Png(i: Long): Array[Byte] = {
+    import graft.multimodal.Multimodal.JvmImageCodec
+    // luma walk per 9-pixel row of the 9x8 target grid; the 18x16
+    // source is uniform 2x2 blocks so the nearest resize recovers it
+    val l = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      l(y)(0) = 128
+      var x = 0
+      while (x < 8) {
+        l(y)(x + 1) = l(y)(x) + (if (m6Bit(i, y * 8 + x)) 10 else -10)
+        x += 1
+      }
+      y += 1
+    }
+    val img = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var py = 0
+    while (py < 16) {
+      var px = 0
+      while (px < 18) {
+        val g = l(py / 2)(px / 2)
+        img.setRGB(px, py, (g << 16) | (g << 8) | g)
+        px += 1
+      }
+      py += 1
+    }
+    JvmImageCodec.encodePng(img)
+  }
+
   val m6ImageNearDup: Q = {
     val n = 96
     Q(
@@ -545,45 +591,7 @@ object Extras {
          |WHERE bit_count(xor(a.h, b.h)) <= 3
          |ORDER BY da, db""".stripMargin) { (s, _) =>
       import s.implicits._
-      import graft.multimodal.Multimodal.JvmImageCodec
-      def bit(i: Long, k: Int): Boolean = {
-        val base = k < 63 && ((i / 4) * 2654435761L + k * 40503L) % 97 < 48
-        val flip = (i % 4, k) match {
-          case (1, 1) => true
-          case (2, 2) | (2, 3) => true
-          case (3, kk) if kk >= 4 && kk <= 6 => true
-          case _ => false
-        }
-        base ^ flip
-      }
-      val media = s.range(n).as[Long].map { i =>
-        // luma walk per 9-pixel row of the 9x8 target grid; the 18x16
-        // source is uniform 2x2 blocks so the nearest resize recovers it
-        val l = Array.ofDim[Int](8, 9)
-        var y = 0
-        while (y < 8) {
-          l(y)(0) = 128
-          var x = 0
-          while (x < 8) {
-            l(y)(x + 1) = l(y)(x) + (if (bit(i, y * 8 + x)) 10 else -10)
-            x += 1
-          }
-          y += 1
-        }
-        val img = new java.awt.image.BufferedImage(18, 16,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var py = 0
-        while (py < 16) {
-          var px = 0
-          while (px < 18) {
-            val g = l(py / 2)(px / 2)
-            img.setRGB(px, py, (g << 16) | (g << 8) | g)
-            px += 1
-          }
-          py += 1
-        }
-        (i, JvmImageCodec.encodePng(img))
-      }.toDF("img_id", "png")
+      val media = s.range(n).as[Long].map(i => (i, m6Png(i))).toDF("img_id", "png")
       val sigs = graft.operators.ImageDedup.dhashSignatures(media, "img_id", "png")
       graft.operators.ImageDedup.nearPairs(sigs, maxDist = 3)
         .orderBy(col("da"), col("db"))
@@ -1095,9 +1103,55 @@ object Extras {
     }
   }
 
+  /** Media dup-CLUSTER resolution (the t14 discipline on perceptual
+    * signatures, [[graft.operators.ImageDedup.clusters]]): m6's
+    * pairwise verdicts closed into connected components — a~b, b~c
+    * needs a transitive rule to pick ONE keeper for the family. The
+    * oracle replays the dHash signatures from the m6 bit formulas and
+    * closes the Hamming-≤3 relation with a recursive min-label
+    * fixpoint (the t14 CTE shape), never touching a pixel. */
+  val m14MediaClusters: Q = {
+    val n = 96
+    Q(
+      "m14_media_clusters",
+      s"""WITH RECURSIVE img AS (SELECT i FROM range($n) t(i)),
+         |bits AS (
+         |  SELECT i, k,
+         |    xor(CASE WHEN k < 63 AND ((i // 4) * 2654435761 + k * 40503) % 97 < 48
+         |             THEN 1 ELSE 0 END,
+         |        CASE WHEN i % 4 = 1 AND k = 1 THEN 1
+         |             WHEN i % 4 = 2 AND k IN (2, 3) THEN 1
+         |             WHEN i % 4 = 3 AND k IN (4, 5, 6) THEN 1
+         |             ELSE 0 END) AS b
+         |  FROM img, unnest(range(63)) u(k)),
+         |sig AS (SELECT i, CAST(sum(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS h
+         |        FROM bits GROUP BY i),
+         |nodes AS (SELECT DISTINCT h AS nd FROM sig),
+         |e AS (SELECT a.nd AS u, b.nd AS v FROM nodes a JOIN nodes b
+         |      ON a.nd < b.nd AND bit_count(xor(a.nd, b.nd)) <= 3),
+         |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         |reach(nd, l) AS (
+         |  SELECT nd, nd FROM nodes
+         |  UNION
+         |  SELECT und.v, r.l FROM reach r JOIN und ON und.u = r.nd),
+         |comp AS (SELECT nd, min(l) AS component FROM reach GROUP BY nd),
+         |dc AS (SELECT s.i AS media_id, c.component AS cluster
+         |       FROM sig s JOIN comp c ON s.h = c.nd),
+         |keep AS (SELECT cluster, min(media_id) AS keeper_media_id FROM dc GROUP BY cluster)
+         |SELECT media_id, cluster, keeper_media_id
+         |FROM dc JOIN keep USING (cluster)
+         |ORDER BY media_id""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val media = s.range(n).as[Long].map(i => (i, m6Png(i))).toDF("img_id", "png")
+      val sigs = graft.operators.ImageDedup.dhashSignatures(media, "img_id", "png")
+      graft.operators.ImageDedup.clusters(sigs, maxDist = 3)
+        .orderBy(col("media_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
     q19SessionWindow, q20CidrFilter, m1MediaPipeline, m2ImagePipeline, m3AudioPipeline,
     m4VideoPipeline, m5MjpegAviPipeline, m6ImageNearDup, m7AudioNearDup, m8VideoNearDup,
     m9MediaDedup, m10MediaQuality, m11AudioQuality, m12MediaCurate, m13VideoQuality,
-    q44SaltedJoin, q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
+    m14MediaClusters, q44SaltedJoin, q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
 }

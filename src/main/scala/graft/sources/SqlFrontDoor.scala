@@ -331,6 +331,16 @@ object SqlFrontDoor {
         graft.operators.MediaCurate.imageCurate(s.read.parquet(a.head),
           "img_id", "png", a(1).trim.toInt, a(2).trim.toInt, a(3).trim.toInt,
           a(4).trim.toInt, a(5).trim.toInt)),
+      // media_clusters(path, max_dist): media dup-CLUSTER resolution —
+      // perceptual near-pairs closed into connected components over
+      // distinct dHash signatures (transitive families get ONE
+      // keeper); input needs (img_id BIGINT, png BINARY); emits
+      // (media_id, cluster, keeper_media_id)
+      ("media_clusters", 2, a => {
+        val sigs = graft.operators.ImageDedup.dhashSignatures(
+          s.read.parquet(a.head), "img_id", "png")
+        graft.operators.ImageDedup.clusters(sigs, a(1).trim.toInt)
+      }),
       // media_dedup(path, max_dist): the composed media-dedup front
       // door — EXACT content-hash lane first (byte-identical copies
       // collapse on md5, keeper = min id; also shrinks the perceptual
