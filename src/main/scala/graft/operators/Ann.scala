@@ -160,6 +160,30 @@ object Ann extends Serializable {
     * across buckets is missed (recall < 1), which is the documented
     * LSH trade; the exact small-N oracle stays available as the
     * brute-force query. */
+  /** Embedding dup-CLUSTER resolution — the t14/m14 discipline on the
+    * vector side: [[lshNearDupPairs]]' pairwise verdicts closed into
+    * connected components, so an a~b~c similarity chain yields ONE
+    * cluster id (= min member vec id; a vector with no near neighbor
+    * clusters alone). Distinct from [[SemDedup]]'s centroid-cell
+    * dominance: this is the transitive closure of the pair relation
+    * itself — the cluster ids are what leakage-free splits
+    * ([[Layout.leakFreeSplit]]'s rule) bucket on. Returns
+    * (vec_id, cluster). Scale: the graph is edge-list-sized (near-dup
+    * families only); components run O(log² n) rounds over it; the
+    * final assignment is one broadcast join against the corpus ids. */
+  def nearDupClusters(vecs: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Float]], threshold: Double,
+      maxBucket: Int = Int.MaxValue,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val pairs = lshNearDupPairs(vecs, idCol, vecCol, planes, threshold,
+      maxBucket, skippedAcc)
+    val comp = Components.connectedComponents(pairs, "da", "db")
+    vecs.select(col(idCol).cast("long").as("vec_id"))
+      .filter(col("vec_id").isNotNull)
+      .join(broadcast(comp.withColumnRenamed("node", "vec_id")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("cluster"))
+  }
+
   def lshNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Seq[Float]], threshold: Double,
       maxBucket: Int = Int.MaxValue,

@@ -411,6 +411,40 @@ object Embedding {
     }
   }
 
+  /** Embedding dup-cluster resolution (the t14/m14 discipline on the
+    * vector side): v6's bucket-gated cosine pairs at τ=0.35 closed into
+    * connected components — see [[graft.operators.Ann.nearDupClusters]].
+    * The oracle replays the bucket rule, the cosine folds AND the
+    * closure (recursive min-label fixpoint), covering every vector
+    * (no-neighbor vectors cluster alone). */
+  val v20VecClusters: Q = {
+    val tau = 0.35
+    val planes = (0 until NumPlanes).map(p => Ann.hyperplane(p, Dim))
+    val bucketSql = planes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN (${sqlDot("embedding", arr)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    Q(
+      "v20_vec_clusters",
+      s"""WITH RECURSIVE bk AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS da, b.vec_id AS db
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${sqlCosine("a.embedding", "b.embedding")} >= $tau),
+         |nodes AS (SELECT vec_id AS nd FROM embeddings),
+         |und AS (SELECT da AS u, db AS v FROM p UNION ALL SELECT db, da FROM p),
+         |reach(nd, l) AS (
+         |  SELECT nd, nd FROM nodes
+         |  UNION
+         |  SELECT und.v, r.l FROM reach r JOIN und ON und.u = r.nd)
+         |SELECT nd AS vec_id, CAST(min(l) AS BIGINT) AS cluster
+         |FROM reach GROUP BY nd
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Ann.nearDupClusters(Tables.embeddings(s, d), "vec_id", "embedding", planes, tau)
+        .orderBy(col("vec_id"))
+    }
+  }
+
   /** Trained-IVF ANN (round-2 verdict gap: v4's centroids are an
     * untrained placeholder): centroids = 5 rounds of distributed Lloyd's
     * seeded from [[graft.operators.Ann.kmeansParallelInit]] (k-means‖,
@@ -953,5 +987,5 @@ object Embedding {
     v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
     v9KnnPq, v10KnnIvfPq, v11IvfServed, v12IvfPqServed, v13KnnLshAmplified,
     v14SemDedup, v15HardNegatives, v16KnnSq8, v17RandomProjection,
-    v18ClusterSample, v19IvfAppend)
+    v18ClusterSample, v19IvfAppend, v20VecClusters)
 }

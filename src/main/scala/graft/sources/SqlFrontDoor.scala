@@ -382,6 +382,16 @@ object SqlFrontDoor {
       ("random_projection", 2, a =>
         graft.operators.Ann.randomProjection(
           s.read.parquet(a.head), "vec_id", "embedding", 64, a(1).trim.toInt)),
+      // vec_clusters(path, tau): embedding dup-CLUSTER resolution —
+      // the LSH-gated cosine pair relation closed into connected
+      // components (a~b~c families get ONE cluster id = min member;
+      // the ids leakage-free splits bucket on); input needs
+      // (vec_id BIGINT, embedding ARRAY<FLOAT>); emits (vec_id, cluster)
+      ("vec_clusters", 2, a => {
+        val planes = (0 until 6).map(p => graft.operators.Ann.hyperplane(p, 64))
+        graft.operators.Ann.nearDupClusters(s.read.parquet(a.head),
+          "vec_id", "embedding", planes, a(1).trim.toDouble)
+      }),
       // vec_neardup_lsh(path, tau): the SERVING-shape embedding
       // near-dup — random-hyperplane LSH buckets + in-bucket cosine
       // verify (the v6 kernel: one narrow pass + one groupByKey)
