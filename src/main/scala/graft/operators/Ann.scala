@@ -177,7 +177,7 @@ object Ann extends Serializable {
       skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val pairs = lshNearDupPairs(vecs, idCol, vecCol, planes, threshold,
       maxBucket, skippedAcc)
-    val comp = Components.connectedComponents(pairs, "da", "db")
+    val comp = Components.componentsAuto(pairs, "da", "db")
     vecs.select(col(idCol).cast("long").as("vec_id"))
       .filter(col("vec_id").isNotNull)
       .join(broadcast(comp.withColumnRenamed("node", "vec_id")), Seq("vec_id"), "left")

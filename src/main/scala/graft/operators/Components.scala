@@ -95,6 +95,35 @@ object Components {
     * corpora sit orders of magnitude below it. */
   private val MaxDriverEdges = 5000000
 
+  /** (node, component) of an edge frame via the bounded driver
+    * union-find fast path, degrading to the distributed star rounds
+    * past `maxDriverEdges` — the dupClusters path-selection discipline
+    * as a reusable step for the other cluster-resolution operators
+    * (media m14, embedding v20). The count-limited probe decides the
+    * path without shipping over-bound edges to the driver. */
+  def componentsAuto(edges0: DataFrame, srcCol: String, dstCol: String,
+      maxDriverEdges: Int = MaxDriverEdges): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val e = edges0
+      .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .as[(Long, Long)].persist()
+    val overBound = e.limit(maxDriverEdges + 1).count() > maxDriverEdges
+    val out =
+      if (!overBound) {
+        val res = unionFindComponents(e.collect()).toDF("node", "component")
+        e.unpersist()
+        res
+      } else {
+        // connectedComponents localCheckpoints its canonical edge frame
+        // up front, so the input persist can be released afterwards
+        val res = connectedComponents(e.toDF("s", "o"), "s", "o")
+        e.unpersist()
+        res
+      }
+    out
+  }
+
   /** Min-labelled components of a COLLECTED edge list: union-find with
     * path halving, then each node labelled with its component's minimum
     * — the same fixpoint the star algorithm converges to. */

@@ -181,7 +181,7 @@ object ImageDedup extends Serializable {
       nodes.select(col("sig").as(idCol), col("sig").as(sigCol)),
       maxDist, idCol, sigCol, maxBucket, skippedAcc)
       .select(col("da"), col("db"))
-    val comp = Components.connectedComponents(edges, "da", "db")
+    val comp = Components.componentsAuto(edges, "da", "db")
       .withColumnRenamed("node", "sig")
     val withCluster = members.join(broadcast(comp), Seq("sig"), "left")
       .select(col("id").as("media_id"),

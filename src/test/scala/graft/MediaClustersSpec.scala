@@ -27,6 +27,18 @@ class MediaClustersSpec extends AnyFunSuite {
     assert(out(9L) == ((0x780L, 9L))) // isolated: own signature, own keeper
   }
 
+  test("componentsAuto: forced distributed fallback equals the driver union-find path") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val edges = Seq((0L, 3L), (3L, 15L), (100L, 101L)).toDF("da", "db")
+    val fast = graft.operators.Components.componentsAuto(edges, "da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = graft.operators.Components.componentsAuto(edges, "da", "db",
+        maxDriverEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == dist && fast == Set((0L, 0L), (3L, 0L), (15L, 0L), (100L, 100L), (101L, 100L)))
+  }
+
   test("identical signatures collapse to one node before any graph work") {
     val spark = SparkTest.spark
     import spark.implicits._
