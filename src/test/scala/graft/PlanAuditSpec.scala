@@ -418,6 +418,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashEx == 1, s"v18 must pay exactly one hash exchange, got $hashEx:\n$plan")
   }
 
+  test("m14/v20: cluster resolution shuffles signatures/ids only — no media bytes or vectors in exchanges") {
+    for (q <- Seq(graft.queries.Extras.m14MediaClusters, Embedding.v20VecClusters)) {
+      val plan = planOf(q.run(SparkTest.spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"${q.name}: no cartesian:\n$plan")
+      val badEx = plan.linesIterator.filter(_.trim.startsWith("+- Exchange"))
+        .filter(l => l.contains("png") || l.contains("embedding") || l.contains("bytes"))
+      assert(badEx.isEmpty, s"${q.name}: media/vector payload crossed an exchange:\n$plan")
+    }
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(
