@@ -167,7 +167,12 @@ object Ann extends Serializable {
     * clusters alone). Distinct from [[SemDedup]]'s centroid-cell
     * dominance: this is the transitive closure of the pair relation
     * itself — the cluster ids are what leakage-free splits
-    * ([[Layout.leakFreeSplit]]'s rule) bucket on. Returns
+    * ([[Layout.leakFreeSplit]]'s rule) bucket on. The closed relation
+    * is the LSH-GATED one (deterministic, oracle-replayable): a
+    * same-cosine pair split across buckets is not an edge, so LSH
+    * recall bounds cluster completeness exactly as it bounds the pair
+    * search — amplify with more tables (the v13 config) when the
+    * split-safety budget demands higher recall. Returns
     * (vec_id, cluster). Scale: the graph is edge-list-sized (near-dup
     * families only); components run O(log² n) rounds over it; the
     * final assignment is one broadcast join against the corpus ids. */
