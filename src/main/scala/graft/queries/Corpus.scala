@@ -836,10 +836,117 @@ object Corpus {
     }
   }
 
+  /** SERVED hybrid retrieval — t48's deployment shape: the lexical leg
+    * reads the standing term-bucketed BM25 index (partition-pruned,
+    * t41's path) and the vector leg probes the standing cell-partitioned
+    * IVF index (v11's path, nprobe=12) — neither leg re-scans its
+    * corpus — then integer RRF fuses them. The legs deliberately cover
+    * DIFFERENT corpora (all documents vs all embeddings): fusing
+    * indexes with different coverage is the normal production state,
+    * and RRF handles it by construction (absent-from-one-leg docs just
+    * get one contribution). The oracle replays the t40 BM25 CTEs
+    * (serve == batch bit-identically), the IVF serve math from the
+    * persisted centroids, and the BIGINT fusion. */
+  val t51HybridServed: Q = {
+    val qMod = 50
+    val qRem = 9
+    val positions = Seq(2, 5, 7, 9)
+    val kLeg = 10
+    val k = 10
+    val nprobe = 12
+    val kap = graft.operators.Hybrid.RrfKappa
+    val scale = graft.operators.Hybrid.RrfScale
+    Q(
+      "t51_hybrid_served",
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |q AS (SELECT DISTINCT doc_id AS qid, t FROM (
+         |  SELECT w.doc_id, unnest([${positions.map(p => s"w[$p]").mkString(", ")}]) AS t
+         |  FROM w JOIN embeddings e ON e.vec_id = w.doc_id
+         |  WHERE w.doc_id % $qMod = $qRem)),
+         |qt AS (SELECT DISTINCT t FROM q),
+         |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(w) AS t FROM w) JOIN qt USING (t)
+         |       GROUP BY doc_id, t),
+         |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+         |kept AS (SELECT t, df FROM dfreq CROSS JOIN st
+         |         WHERE df * ${Bm25.PruneDfDen} < n * ${Bm25.PruneDfNum}),
+         |sc AS (SELECT q.qid, tf.doc_id,
+         |        CAST(floor((((n - df + 0.5e0) / (df + 0.5e0)) * (tf * ${Bm25.K1Plus1}e0) /
+         |          (tf + ${Bm25.K1}e0 * (${Bm25.OneMinusB}e0 + ${Bm25.B}e0 * (dl / avgdl))))
+         |          * 1000000.0e0) AS BIGINT) AS s
+         |       FROM tf JOIN kept USING (t) JOIN dl USING (doc_id) CROSS JOIN st JOIN q USING (t)),
+         |lexagg AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score
+         |           FROM sc GROUP BY qid, doc_id),
+         |lex AS (SELECT qid, doc_id,
+         |          CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |        FROM lexagg WHERE doc_id <> qid),
+         |cent AS (SELECT cent_id, cvec FROM ${Embedding.artifact("t51_centroids")}),
+         |assign AS (
+         |  SELECT vec_id, embedding, cent_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${Embedding.sqlCosine("e.embedding", "c.cvec")} DESC, c.cent_id) AS rn
+         |    FROM embeddings e, cent c)
+         |  WHERE rn = 1),
+         |qv AS (SELECT e.vec_id AS qid, e.embedding AS qvec
+         |       FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+         |       WHERE e.vec_id % $qMod = $qRem),
+         |probe AS (
+         |  SELECT qid, cent_id FROM (
+         |    SELECT qv.qid, c.cent_id,
+         |           row_number() OVER (PARTITION BY qv.qid
+         |             ORDER BY ${Embedding.sqlCosine("qv.qvec", "c.cvec")} DESC, c.cent_id) AS rn
+         |    FROM qv, cent c)
+         |  WHERE rn <= $nprobe),
+         |vecscored AS (
+         |  SELECT p.qid, a.vec_id AS doc_id,
+         |         ${Embedding.sqlCosine("qv.qvec", "a.embedding")} AS cosine
+         |  FROM probe p JOIN qv USING (qid) JOIN assign a USING (cent_id)
+         |  WHERE a.vec_id <> p.qid),
+         |vec AS (SELECT qid, doc_id,
+         |          CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank
+         |        FROM vecscored),
+         |contrib AS (
+         |  SELECT qid, doc_id, $scale // ($kap + rank) AS c FROM lex WHERE rank <= $kLeg
+         |  UNION ALL
+         |  SELECT qid, doc_id, $scale // ($kap + rank) AS c FROM vec WHERE rank <= $kLeg),
+         |fused AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf
+         |          FROM contrib GROUP BY qid, doc_id)
+         |SELECT qid, doc_id, rrf, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT qid, doc_id, rrf,
+         |         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fused)
+         |WHERE rank <= $k
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), docs("text"), emb("embedding"))
+      val w = graft.functions.TextFunctions.tokens(col("text"))
+      val q = joined.filter(col("doc_id") % qMod === qRem)
+      val qTerms = q.select(col("doc_id").as("qid"),
+        explode(array(positions.map(p => element_at(w, p)): _*)).as("term"))
+      val qVecs = q.select(col("doc_id").as("qid"), col("embedding").as("qvec"))
+      val lexLeg = graft.operators.Hybrid.dropSelf(
+        Bm25.serveTopK(s, bm25Index(s, d), qTerms, kLeg + 1), kLeg)
+      val (ivfDir, cents) = Embedding.ivfServedIndex(s, d)
+      Embedding.writeCentroids(s, "t51_centroids", cents)
+      val index = s.read.parquet(ivfDir).withColumn("cell", col("cell").cast("int"))
+      val vecLeg = graft.operators.Ann
+        .ivfTopKAssigned(index, qVecs, cents, kLeg, nprobe)
+        .select(col("qid"), col("cid").as("doc_id"), col("rank"))
+      graft.operators.Hybrid.rrfFuse(
+          Seq(lexLeg.select(col("qid"), col("doc_id"), col("rank")), vecLeg), k)
+        .orderBy(col("qid"), col("rank"))
+    }
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
     t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
     t34PhraseTags, t35Boilerplate, t36EpochUpsample, t37DsirSelect,
     t38StratifiedEval, t40Bm25Batch, t41Bm25Served, t48HybridRrf,
-    t50Bm25Append)
+    t50Bm25Append, t51HybridServed)
 }

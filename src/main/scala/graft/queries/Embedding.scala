@@ -17,7 +17,7 @@ import graft.operators.Ann
 object Embedding {
 
   private val K = 5
-  private val NumQueries = 10
+  private[queries] val NumQueries = 10
   private val NumPlanes = 6
   private val Dim = 64
 
@@ -44,9 +44,9 @@ object Embedding {
   // artifacts; a later Verify at another SF overwrites them — any
   // mismatch is loud, never silently green).
 
-  private val ArtifactRoot = "/tmp/graft_ann_oracle"
+  private[queries] val ArtifactRoot = "/tmp/graft_ann_oracle"
 
-  private def writeCentroids(s: org.apache.spark.sql.SparkSession, name: String,
+  private[queries] def writeCentroids(s: org.apache.spark.sql.SparkSession, name: String,
       cents: Array[Array[Float]]): Unit = {
     import s.implicits._
     cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
@@ -62,7 +62,7 @@ object Embedding {
       .coalesce(1).write.mode("overwrite").parquet(s"$ArtifactRoot/$name")
   }
 
-  private def artifact(name: String): String =
+  private[queries] def artifact(name: String): String =
     s"read_parquet('$ArtifactRoot/$name/*.parquet')"
 
   /** Sequential fold Σ (aᵢ − bᵢ)² with per-element DOUBLE promotion —
@@ -610,7 +610,7 @@ object Embedding {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, Array[Array[Float]])]
 
-  private def ivfServedIndex(s: org.apache.spark.sql.SparkSession,
+  private[queries] def ivfServedIndex(s: org.apache.spark.sql.SparkSession,
       d: String): (String, Array[Array[Float]]) =
     ivfIndexCache.getOrElseUpdate(d, {
       val e = Tables.embeddings(s, d)
