@@ -38,6 +38,49 @@ object Layout {
           .otherwise("test").as("split"))
   }
 
+  /** [[leakFreeSplit]] from an EXPLICIT near-dup pair relation — any
+    * kernel's verdicts (minhash t6, embedding v20, media m14) instead
+    * of the built-in simhash clustering: components close the pairs
+    * (bounded driver union-find, distributed past the edge bound), the
+    * cluster id takes the md5 bucket, pair-less ids cluster alone.
+    * This is the form a pipeline that already ran its dedup kernel
+    * uses — the split is then leak-free BY CONSTRUCTION with respect
+    * to exactly that kernel's relation, which is the property
+    * [[leakageAudit]] checks. */
+  def leakFreeSplitFromPairs(ids: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val comp = Components.componentsAuto(pairs, "da", "db")
+      .withColumnRenamed("node", "id")
+    val withCluster = ids.select(col(idCol).cast("long").as("id"))
+      .join(broadcast(comp), Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("component"), col("id")).as("cluster"))
+    val bucket = md5Bucket(col("cluster"), 100)
+    withCluster.select(col(idCol), col("cluster"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Split-leakage AUDIT — the validation counterpart of the split
+    * builders: given a split assignment and a near-dup PAIR relation,
+    * emit one row per pair with both sides' splits and a `violation`
+    * flag (the pair straddles two splits — a near-duplicate of an eval
+    * document reachable from train). Run it before training on ANY
+    * split you didn't derive from the same pair relation; a
+    * [[leakFreeSplitFromPairs]] split audits to zero violations by
+    * construction. Scale: the pair frame is near-dup-family-sized and
+    * broadcasts into two streaming joins against the corpus-sized
+    * split assignment — the corpus never shuffles. */
+  def leakageAudit(splits: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", splitCol: String = "split"): DataFrame =
+    pairs.select(col("da").cast("long").as("da"), col("db").cast("long").as("db"))
+      .join(splits.select(col(idCol).cast("long").as("da"),
+        col(splitCol).as("split_a")), "da")
+      .join(splits.select(col(idCol).cast("long").as("db"),
+        col(splitCol).as("split_b")), "db")
+      .select(col("da"), col("db"), col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("violation"))
+
   /** Per-group running totals without a one-task-per-group window: the
     * naive `sum(v) OVER (PARTITION BY g ORDER BY key)` puts each
     * group's ENTIRE row set in one task — a 16-shard layout of a 100 TB

@@ -420,6 +420,70 @@ object Text {
         .orderBy(col("da"), col("db"))
     }
 
+  /** Split-leakage audit ([[graft.operators.Layout.leakageAudit]]):
+    * every t6 near-dup pair flagged under TWO splits side by side — a
+    * naive per-doc md5 split (the mistake: near-duplicate copies land
+    * in different splits, so eval answers are reachable from train)
+    * and [[graft.operators.Layout.leakFreeSplitFromPairs]] over the
+    * SAME pair relation (zero violations by construction). The oracle
+    * replays the minhash pair kernel, both bucket rules and the
+    * recursive closure, so every flag is pinned — including that the
+    * safe column is all-false. */
+  val t52LeakAudit: Q =
+    Q("t52_leak_audit",
+      s"""WITH RECURSIVE $minhashBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.sid AS da, b.sid AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.sid < b.sid),
+         |inter AS (
+         |  SELECT da, db, count(*) AS i
+         |  FROM cand JOIN sh sa ON sa.sid = da JOIN sh sb ON sb.sid = db AND sb.g = sa.g
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT da, db FROM inter
+         |  JOIN sizes za ON da = za.sid JOIN sizes zb ON db = zb.sid
+         |  WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= $JaccardThreshold),
+         |ns AS (SELECT doc_id,
+         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |       FROM (SELECT doc_id,
+         |               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+         |             FROM documents)),
+         |nodes AS (SELECT doc_id AS nd FROM documents),
+         |und AS (SELECT da AS u, db AS v FROM p UNION ALL SELECT db, da FROM p),
+         |reach(nd, l) AS (
+         |  SELECT nd, nd FROM nodes
+         |  UNION
+         |  SELECT und.v, r.l FROM reach r JOIN und ON und.u = r.nd),
+         |cl AS (SELECT nd AS doc_id, min(l) AS cluster FROM reach GROUP BY nd),
+         |ss AS (SELECT doc_id,
+         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |       FROM (SELECT doc_id,
+         |               CAST('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+         |             FROM cl))
+         |SELECT p.da, p.db, na.split AS naive_a, nb.split AS naive_b,
+         |       (na.split <> nb.split) AS naive_violation,
+         |       (sa.split <> sb.split) AS safe_violation
+         |FROM p JOIN ns na ON na.doc_id = p.da JOIN ns nb ON nb.doc_id = p.db
+         |       JOIN ss sa ON sa.doc_id = p.da JOIN ss sb ON sb.doc_id = p.db
+         |ORDER BY da, db""".stripMargin) { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          ShingleN, Bands, RowsPerBand, JaccardThreshold)
+        .select(col("da"), col("db")).localCheckpoint()
+      val nb = Layout.md5Bucket(col("doc_id"), 100)
+      val naive = docs.select(col("doc_id"),
+        when(nb < 80, "train").when(nb < 90, "val").otherwise("test").as("split"))
+      val safe = Layout.leakFreeSplitFromPairs(docs, "doc_id", pairs)
+      val naiveAudit = Layout.leakageAudit(naive, pairs)
+        .select(col("da"), col("db"), col("split_a").as("naive_a"),
+          col("split_b").as("naive_b"), col("violation").as("naive_violation"))
+      val safeAudit = Layout.leakageAudit(
+          safe.select(col("doc_id"), col("split")), pairs)
+        .select(col("da"), col("db"), col("violation").as("safe_violation"))
+      naiveAudit.join(safeAudit, Seq("da", "db"))
+        .orderBy(col("da"), col("db"))
+    }
+
   /** 16-bit SimHash signature per document (near-dup fingerprint). */
   val t7Simhash: Q = {
     val sums = (0 until 16).map { i =>
@@ -949,5 +1013,5 @@ object Text {
     t14DupClusters, t15SequencePack, t16Profile, t23CrossDedup,
     t29CrossDedupServed, t30CurateE2e, t39GopherGates, t42TextNormalize,
     t43CmsCounts, t44HllDistinct, t45HeavyHitters, t46Quantiles,
-    t47HllBySource, t49IndexAdmit)
+    t47HllBySource, t49IndexAdmit, t52LeakAudit)
 }

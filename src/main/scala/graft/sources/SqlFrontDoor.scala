@@ -520,6 +520,20 @@ object SqlFrontDoor {
         graft.operators.Hybrid.hybridTopK(s.read.parquet(a.head),
           "doc_id", "text", "embedding", s.read.parquet(a(1)),
           a(2).trim.toInt, a(3).trim.toInt)),
+      // leak_audit(splits_path, pairs_path): split-leakage audit —
+      // one row per near-dup pair with both sides' splits and a
+      // violation flag (pair straddles two splits); splits need
+      // (doc_id, split), pairs (da, db)
+      ("leak_audit", 2, a =>
+        graft.operators.Layout.leakageAudit(s.read.parquet(a.head),
+          s.read.parquet(a(1)))),
+      // leakfree_split_pairs(ids_path, pairs_path): leak-free split
+      // from an EXPLICIT pair relation (any dedup kernel's verdicts) —
+      // components close the pairs, the cluster id takes the md5
+      // bucket; audits to zero violations by construction
+      ("leakfree_split_pairs", 2, a =>
+        graft.operators.Layout.leakFreeSplitFromPairs(
+          s.read.parquet(a.head), "doc_id", s.read.parquet(a(1)))),
       ("shard_layout", 2, a => {
         import org.apache.spark.sql.functions.{col, md5}
         val nsh = a(1).trim.toInt
