@@ -241,6 +241,54 @@ object Layout {
     * curation step (cap over-represented sources); the running count
     * uses [[groupRunningTotals]], never a per-source global window.
     * Returns (doc_id, source, n_tokens, cum_tokens) for kept docs. */
+  /** Mixture-rate PLANNER — the step between "we want these source
+    * proportions" and the operators that execute them ([[sourceMix]]
+    * caps, [[epochUpsample]] repeats, [[temperatureSample]] rebalances):
+    * given integer-percent target weights and a total token budget,
+    * compute per source what it must contribute and the per-mille
+    * sampling rate a hash gate applies. Everything is integer
+    * arithmetic (floor division), so the plan is engine- and
+    * partitioning-independent and SQL-replayable.
+    *
+    * Per source: `n_tokens` (what exists), `target_tokens` =
+    * budget·pct DIV 100 (what the mixture wants; unlisted sources get
+    * `defaultPct`), `rate_permille` = min(1000,
+    * target·1000 DIV n_tokens) — the downsampling gate — and
+    * `deficit` = max(0, target − n_tokens): a source that cannot fill
+    * its slice even at rate 1000 needs [[epochUpsample]]'s repeats (the
+    * >100%-epoch regime) or a target rebalance; the planner REPORTS
+    * the shortfall rather than silently redistributing it. One narrow
+    * scan + one per-source aggregation; the stats frame is
+    * source-cardinality-sized. */
+  def mixtureRates(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, targets: Map[String, Int], defaultPct: Int,
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val stats = docs.select(col(sourceCol).as("source"),
+        size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    // BIGINT integral division (Catalyst IntegralDivide): budget·pct
+    // can pass 2^53, where a double floor silently loses integers
+    def ldiv(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.GraftBridge
+      import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide}
+      GraftBridge.column(IntegralDivide(
+        GraftBridge.expression(a.cast("long")),
+        GraftBridge.expression(b.cast("long")), EvalMode.LEGACY))
+    }
+    val pct = targets.foldLeft(lit(defaultPct)) { case (acc, (src, p)) =>
+      when(col("source") === src, p).otherwise(acc)
+    }
+    val target = ldiv(lit(tokenBudget) * pct.cast("long"), lit(100L))
+    stats.select(col("source"), col("n_docs"), col("n_tokens"),
+        target.as("target_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("target_tokens"),
+        least(lit(1000L), ldiv(col("target_tokens") * lit(1000L), col("n_tokens")))
+          .as("rate_permille"),
+        greatest(lit(0L), col("target_tokens") - col("n_tokens")).as("deficit"))
+  }
+
   def sourceMix(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, tokenBudget: Long): DataFrame = {
     val tok = docs.select(

@@ -943,10 +943,42 @@ object Corpus {
     }
   }
 
+  /** Mixture-rate planner ([[graft.operators.Layout.mixtureRates]]):
+    * integer per-source sampling plan from target percents + a token
+    * budget — target tokens, per-mille gate rate, and the REPORTED
+    * deficit for sources that cannot fill their slice (the
+    * epoch-upsample handoff). Budget sized so the corpus exhibits all
+    * three regimes: capped-at-1000, fractional rate, and deficit. */
+  val t53MixtureRates: Q = {
+    val budget = 10000L
+    val targets = Map("src0" -> 55, "src1" -> 2)
+    val defaultPct = 10
+    Q(
+      "t53_mixture_rates",
+      s"""WITH st AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |pl AS (
+         |  SELECT source, n_docs, n_tokens,
+         |         ($budget * CASE source WHEN 'src0' THEN 55 WHEN 'src1' THEN 2
+         |                    ELSE $defaultPct END) // 100 AS target_tokens
+         |  FROM st)
+         |SELECT source, n_docs, n_tokens, target_tokens,
+         |       least(1000, (target_tokens * 1000) // n_tokens) AS rate_permille,
+         |       greatest(0, target_tokens - n_tokens) AS deficit
+         |FROM pl
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      graft.operators.Layout.mixtureRates(Tables.documents(s, d),
+          "doc_id", "text", "source", targets, defaultPct, budget)
+        .orderBy(col("source"))
+    }
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
     t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
     t34PhraseTags, t35Boilerplate, t36EpochUpsample, t37DsirSelect,
     t38StratifiedEval, t40Bm25Batch, t41Bm25Served, t48HybridRrf,
-    t50Bm25Append, t51HybridServed)
+    t50Bm25Append, t51HybridServed, t53MixtureRates)
 }

@@ -452,6 +452,19 @@ object SqlFrontDoor {
       ("dsir_select", 2, a =>
         graft.operators.Dsir.select(s.read.parquet(a.head),
           s.read.parquet(a(1)), "doc_id", "text")),
+      // mixture_rates(path, targets_csv, default_pct, budget): the
+      // mixture PLANNER — per-source target tokens, per-mille gate
+      // rate, and the reported deficit (hand the deficit rows to
+      // epoch_upsample); targets like 'src0:55,src1:2' in integer
+      // percent; BIGINT arithmetic throughout
+      ("mixture_rates", 4, a =>
+        graft.operators.Layout.mixtureRates(s.read.parquet(a.head),
+          "doc_id", "text", "source",
+          a(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+            val Array(src, p) = kv.split(":")
+            src.trim -> p.trim.toInt
+          }.toMap,
+          a(2).trim.toInt, a(3).trim.toLong)),
       // epoch_upsample(path, weights_csv, default_pct): data-budget
       // source re-weighting — weights like 'src0:275,src1:150' in
       // integer percent epochs; emits (doc_id, source, copy_no)
