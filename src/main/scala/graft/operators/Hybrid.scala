@@ -98,8 +98,14 @@ object Hybrid {
     * scales where Q·N is unpayable swap in [[Ann.ivfTopKAssigned]] /
     * the served IVF index (v11's deployment shape) — the fusion is
     * agnostic to how a leg was ranked. */
-  def hybridTopK(corpus: DataFrame, idCol: String, textCol: String, vecCol: String,
-      queries: DataFrame, kLeg: Int, k: Int): DataFrame = {
+  def hybridTopK(corpus0: DataFrame, idCol: String, textCol: String, vecCol: String,
+      queries0: DataFrame, kLeg: Int, k: Int): DataFrame = {
+    // user-facing TVF over arbitrary parquet: null ids/text/vectors
+    // carry nothing to retrieve (the Phrases.tag convention)
+    val corpus = corpus0.filter(col(idCol).isNotNull &&
+      col(textCol).isNotNull && col(vecCol).isNotNull)
+    val queries = queries0.filter(col("qid").isNotNull &&
+      col("term").isNotNull && col("qvec").isNotNull)
     val lexLeg = dropSelf(
       Bm25.batchTopK(corpus, idCol, textCol,
         queries.select(col("qid"), col("term")), kLeg + 1),

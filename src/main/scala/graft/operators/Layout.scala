@@ -52,6 +52,7 @@ object Layout {
     val comp = Components.componentsAuto(pairs, "da", "db")
       .withColumnRenamed("node", "id")
     val withCluster = ids.select(col(idCol).cast("long").as("id"))
+      .filter(col("id").isNotNull)
       .join(broadcast(comp), Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("component"), col("id")).as("cluster"))
     val bucket = md5Bucket(col("cluster"), 100)
@@ -264,7 +265,11 @@ object Layout {
       sourceCol: String, targets: Map[String, Int], defaultPct: Int,
       tokenBudget: Long): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
-    val stats = docs.select(col(sourceCol).as("source"),
+    // user-facing TVF convention: null source/text rows carry nothing
+    // to plan for
+    val stats = docs
+      .filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"),
         size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long").as("n"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))

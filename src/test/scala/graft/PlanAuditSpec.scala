@@ -428,6 +428,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("t51: BOTH served-hybrid legs read partition-pruned standing indexes") {
+    val plan = planOf(graft.queries.Corpus.t51HybridServed.run(SparkTest.spark, sf))
+    // term-bucketed BM25 postings scan + cell-partitioned IVF scan:
+    // each must carry a non-empty PartitionFilters clause
+    val pruned = plan.linesIterator
+      .filter(_.contains("PartitionFilters: ["))
+      .count(!_.contains("PartitionFilters: []"))
+    assert(pruned >= 2, s"t51 must partition-prune both index scans, got $pruned:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(
