@@ -162,6 +162,20 @@ object SqlFrontDoor {
         graft.operators.Profiling.docLengthQuantiles(
           s.read.parquet(a.head), "text",
           a(1).split(",").toSeq.map(_.trim.toInt))),
+      // column_quantiles(path, col, pcts_csv): the exact
+      // distinct-value-histogram quantile kernel over ANY integral
+      // column of any table (quantile_profile is its documents-contract
+      // instance); (pct, value) rows
+      ("column_quantiles", 3, a =>
+        graft.operators.Profiling.quantilesDisc(
+          s.read.parquet(a.head), a(1).trim,
+          a(2).split(",").toSeq.map(_.trim.toInt))),
+      // column_histogram(path, col): the (value, count) distinct-value
+      // histogram itself — one partial-aggregated exchange, rows
+      // bounded by distinct values, never corpus size
+      ("column_histogram", 2, a =>
+        graft.operators.Profiling.valueHistogram(
+          s.read.parquet(a.head), a(1).trim)),
       // pre-tokenization cleanup: NFC + control-strip + whitespace
       // collapse over the documents contract; one narrow codegen'd pass
       ("text_normalize", 1, a => {

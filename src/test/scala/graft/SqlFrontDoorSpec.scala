@@ -692,6 +692,19 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(sqlC == apiC && sqlC.nonEmpty)
   }
 
+  test("column_quantiles / column_histogram TVFs profile an arbitrary column from pure SQL") {
+    val li = "/root/testdata/sf0.001/lineitem.parquet"
+    val q = spark.sql(
+      s"SELECT pct, value FROM column_quantiles('$li', 'l_quantity', '25,50,75') ORDER BY pct")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(q.map(_._1) == Seq(25, 50, 75) && q.map(_._2) == q.map(_._2).sorted)
+    // histogram totals the table; quantiles land on observed values
+    val h = spark.sql(s"SELECT sum(c), count(*) FROM column_histogram('$li', 'l_quantity')")
+      .collect().head
+    assert(h.getLong(0) == spark.read.parquet(li).count())
+    assert(q.forall { case (_, v) => v >= 1 && v <= 50 })
+  }
+
   test("warc_media TVF routes binary image responses by content type from pure SQL") {
     val dir = Files.createTempDirectory("graftwarcmedia")
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0xFF.toByte, '\r', '\n', '\r', '\n', 0x01)
