@@ -235,8 +235,8 @@ object Bm25 {
     val stats = stats0.select(col("n"),
       (col("sdl").cast("double") / col("n")).as("avgdl"))
     val post = spark.read.parquet(s"$indexDir/postings")
-      .filter(col("bucket").isin(bucketIds.map(_.asInstanceOf[Any]): _*) &&
-        col("t").isin(termRows.map(_.asInstanceOf[Any]): _*))
+      .filter(col("bucket").isin(bucketIds.toIndexedSeq.map(_.asInstanceOf[Any]): _*) &&
+        col("t").isin(termRows.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
     val kept = post
       .crossJoin(broadcast(stats.select(col("n"))))
       .filter(col("df") * PruneDfDen < col("n") * PruneDfNum)
@@ -288,7 +288,7 @@ object Bm25 {
     val touched = newTf.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)) // ≤ IndexBuckets values
     val existing = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(touched.map(_.asInstanceOf[Any]): _*))
+      .filter(col("bucket").isin(touched.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
       .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
     val unioned = existing
       .unionByName(newTf.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket")))

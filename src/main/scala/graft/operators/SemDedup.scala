@@ -45,7 +45,7 @@ object SemDedup {
     val cands = cents.zipWithIndex.map { case (c, i) =>
       struct(Ann.cosine(vec, typedLit(c.toSeq)).as("c"), lit(-i).as("nid"))
     }
-    if (cands.length == 1) cands.head else greatest(cands: _*)
+    if (cands.length == 1) cands.head else greatest(cands.toIndexedSeq: _*)
   }
 
   /** Core pass with caller-supplied centroids (plug in
