@@ -740,7 +740,16 @@ object Dedup {
     * Documents with fewer than `n` tokens have no shingle set, hence no
     * index row and NO verdict — the minhash family's totality
     * convention ([[docsetRows]]); a pipeline that must keep them routes
-    * them around the gate (they cannot near-dup anything). */
+    * them around the gate (they cannot near-dup anything).
+    *
+    * Id-space contract: batch sids are expected DISJOINT from the
+    * index's (a replayed/overlapping shard is an upstream exactly-once
+    * problem, not a near-dup question — the pair kernel's same-id guard
+    * deliberately never compares a doc to itself). The union still
+    * DEFENDS against a violation: admitted rows are anti-joined against
+    * the index's sids, so a replayed doc can never plant a duplicate
+    * signature row that would emit duplicate band rows — and duplicated
+    * pairs — on every later tick. */
   def minhashIndexAdmit(refIndex: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
@@ -761,7 +770,12 @@ object Dedup {
         col("n_ref_matches").isNull.as("admitted"),
         coalesce(col("n_ref_matches"), lit(0L)).as("n_ref_matches"))
     val admittedRows = batchIndex.join(
-      gate.select(col("da").as("sid")).distinct(), Seq("sid"), "left_anti")
+        gate.select(col("da").as("sid")).distinct(), Seq("sid"), "left_anti")
+      // defend the disjoint-id precondition (scaladoc): a batch sid
+      // already present in the index pairs with nothing (same-id
+      // guard), so without this anti-join a replayed doc would union a
+      // SECOND signature row under its sid
+      .join(refIndex.select(col("sid")), Seq("sid"), "left_anti")
     IndexAdmission(decisions,
       refIndex.select(col("sid"), col("gs"), col("bhs")).unionByName(admittedRows))
   }

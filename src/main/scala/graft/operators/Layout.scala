@@ -289,7 +289,13 @@ object Layout {
     stats.select(col("source"), col("n_docs"), col("n_tokens"),
         target.as("target_tokens"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("target_tokens"),
-        least(lit(1000L), ldiv(col("target_tokens") * lit(1000L), col("n_tokens")))
+        // n_tokens = 0 guard: DIV-by-zero yields NULL and least() SKIPS
+        // nulls, which would silently report rate 1000 (full admission)
+        // for a source that can contribute nothing — report rate 0 and
+        // let the deficit column carry the full shortfall instead
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(least(lit(1000L),
+            ldiv(col("target_tokens") * lit(1000L), col("n_tokens"))))
           .as("rate_permille"),
         greatest(lit(0L), col("target_tokens") - col("n_tokens")).as("deficit"))
   }

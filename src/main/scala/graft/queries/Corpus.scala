@@ -965,7 +965,8 @@ object Corpus {
          |                    ELSE $defaultPct END) // 100 AS target_tokens
          |  FROM st)
          |SELECT source, n_docs, n_tokens, target_tokens,
-         |       least(1000, (target_tokens * 1000) // n_tokens) AS rate_permille,
+         |       CASE WHEN n_tokens = 0 THEN 0
+         |            ELSE least(1000, (target_tokens * 1000) // n_tokens) END AS rate_permille,
          |       greatest(0, target_tokens - n_tokens) AS deficit
          |FROM pl
          |ORDER BY source""".stripMargin) { (s, d) =>

@@ -424,7 +424,7 @@ object Protocol4 {
     val path = writeAtomic(dir, "media.warc", out.toByteArray)
     val pngs = graft.sources.Warc.records(s, path)
       .filter(col("recType") === "response" &&
-        instr(graft.sources.Warc.httpHeader(col("body")), "Content-Type: image/png") > 0)
+        graft.sources.Warc.hasContentType(col("body"), "image/png"))
       .select(
         regexp_extract(col("targetUri"), "img(\\d+)\\.png", 1).cast("long").as("img_id"),
         graft.sources.Warc.httpPayloadBytes(col("body")).as("png"))

@@ -440,10 +440,10 @@ object SqlFrontDoor {
       // never round-trip through a string); feed the result to
       // image_quality / media_curate / media_dedup
       ("warc_media", 2, a => {
-        import org.apache.spark.sql.functions.{col, instr}
+        import org.apache.spark.sql.functions.col
         Warc.records(s, a.head)
           .filter(col("recType") === "response" &&
-            instr(Warc.httpHeader(col("body")), "Content-Type: " + a(1).trim) > 0)
+            Warc.hasContentType(col("body"), a(1).trim))
           .select(col("warcFile").as("warc_file"), col("recNo").as("rec_no"),
             col("targetUri").as("target_uri"),
             Warc.httpPayloadBytes(col("body")).as("payload"))

@@ -337,23 +337,39 @@ object Warc {
   }
 
   /** Binary-safe HTTP payload split for non-text responses (images,
-    * media): HTTP headers are ASCII, so the FIRST `\r\n\r\n`'s
-    * character index in the UTF-8-decoded view equals its byte offset
-    * (every char before it is single-byte; replacement chars can only
-    * appear after), and the payload is sliced from the ORIGINAL bytes —
-    * the body itself is never round-tripped through a string. */
+    * media): the header/payload boundary is located on the ISO-8859-1
+    * decoded view — latin-1 maps EVERY byte to exactly one char, so the
+    * char index of the first `\r\n\r\n` equals its byte offset for
+    * arbitrary body bytes (a UTF-8 view would need the header to be
+    * pure ASCII: one obs-text byte — RFC 7230 §3.2.6, seen in real
+    * crawls — decodes to a replacement char and silently shifts the
+    * slice). The payload is sliced from the ORIGINAL bytes — the body
+    * is never round-tripped through a string. */
   def httpPayloadBytes(body: Column): Column = {
-    val pos = instr(body.cast("string"), "\r\n\r\n")
+    val pos = instr(decode(body, "ISO-8859-1"), "\r\n\r\n")
     when(pos > 0, body.substr(pos + 4, length(body))).otherwise(body)
   }
 
-  /** The HTTP header block (ASCII prefix before the first blank line) —
-    * for content-type routing of binary responses. */
+  /** The HTTP header block (prefix before the first blank line) — for
+    * content-type routing of binary responses. Decoded ISO-8859-1 for
+    * the same byte-fidelity reason as [[httpPayloadBytes]]: the
+    * boundary both functions find is the same byte for any body. */
   def httpHeader(body: Column): Column = {
-    val s = body.cast("string")
+    val s = decode(body, "ISO-8859-1")
     val pos = instr(s, "\r\n\r\n")
     when(pos > 0, s.substr(lit(1), pos - 1)).otherwise(s)
   }
+
+  /** True when the embedded HTTP header block carries a Content-Type
+    * whose value starts with `prefix`. Field names are case-insensitive
+    * (RFC 7230 §3.2) and so are media types (RFC 2045 §5.1) — real
+    * crawls carry `content-type:` / `Content-type:` freely — so the
+    * match lowercases both sides; the `(?m)^` anchor pins the match to
+    * a header LINE start, so another header whose value merely contains
+    * the text (e.g. a Link or Via header) can never false-positive. */
+  def hasContentType(body: Column, prefix: String): Column =
+    lower(httpHeader(body)).rlike(
+      "(?m)^content-type:[ \\t]*" + java.util.regex.Pattern.quote(prefix.toLowerCase))
 
   /** C4-style HTML → text: remove script/style subtrees, strip tags,
     * unescape the core entities (&amp; LAST so double-escapes stay

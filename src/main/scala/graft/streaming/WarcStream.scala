@@ -86,7 +86,7 @@ object WarcStream {
       }
       .toDF("warc_file", "rec_no", "rec_type", "target_uri", "body", "arrival_ts")
       .filter(col("rec_type") === lit("response") &&
-        instr(Warc.httpHeader(col("body")), "Content-Type: " + ctypePrefix) > 0)
+        Warc.hasContentType(col("body"), ctypePrefix))
       .select(col("warc_file"), col("rec_no"), col("target_uri"),
         Warc.httpPayloadBytes(col("body")).as("payload"), col("arrival_ts"))
   }

@@ -315,4 +315,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("split").distinct().count()
     assert(bySplit === 1L)
   }
+
+  test("mixture rates: starved source reports capped rate + deficit; zero-token guard never NULLs") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta", "rich"),
+      (1L, "epsilon zeta eta theta", "rich"),
+      // whitespace-only text tokenizes to [""] (size 1) under the
+      // engine's split-on-\s+ tokenizer — pinned here because the
+      // rate_permille DIV guard assumes n_tokens ≥ n_docs > 0 for any
+      // source that emits a row; the when(n_tokens === 0, 0) branch is
+      // defense-in-depth for future tokenizers, and least() must never
+      // see a NULL quotient
+      (2L, "", "empty"),
+      (3L, "   ", "empty"))
+      .toDF("doc_id", "text", "source")
+    val out = Layout.mixtureRates(d, "doc_id", "text", "source",
+        targets = Map("rich" -> 50, "empty" -> 50), defaultPct = 0, tokenBudget = 100L)
+      .orderBy("source")
+      .select("source", "n_tokens", "target_tokens", "rate_permille", "deficit")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("empty", 2L, 50L, 1000L, 48L),
+      ("rich", 8L, 50L, 1000L, 42L)))
+    assert(!out.exists(_ == null))
+  }
 }

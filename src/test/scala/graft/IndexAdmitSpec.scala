@@ -75,4 +75,26 @@ class IndexAdmitSpec extends AnyFunSuite {
     assert(fromAdmit.head.getSeq[Long](1).toList == direct.head.getSeq[Long](1).toList)
     assert(fromAdmit.head.getSeq[Long](2).toList == direct.head.getSeq[Long](2).toList)
   }
+
+  test("replayed sid never plants a duplicate index row (disjoint-id defense)") {
+    // a batch doc carrying a sid ALREADY in the index pairs with
+    // nothing (same-id guard) and so looks 'admitted' — the union must
+    // still refuse the second signature row, or every later tick emits
+    // duplicate band rows and duplicated pairs
+    val ref = docsDf(100L -> refText, 101L -> unrelated)
+    val refIndex = Dedup.minhashDocIndex(ref, "doc_id", "text", N, Bands, RowsPerBand)
+    val replay = docsDf(100L -> refText, 2L -> novelText) // 100 replayed verbatim
+    val adm = Dedup.minhashIndexAdmit(refIndex, replay, "doc_id", "text",
+      N, Bands, RowsPerBand, Tau)
+    val counts = adm.updatedIndex.groupBy(col("sid"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(100L -> 1L, 101L -> 1L, 2L -> 1L))
+    // and the updated index still probes cleanly: a near-dup of the
+    // replayed doc matches it exactly ONCE
+    val probe = Dedup.minhashLshPairsAcrossIndexed(
+      docsDf(10L -> refText.replace("tonight", "tonite")), adm.updatedIndex,
+      "doc_id", "text", N, Bands, RowsPerBand, Tau).collect()
+    assert(probe.count(r => r.getLong(1) == 100L) == 1)
+  }
 }

@@ -85,4 +85,42 @@ class WarcSpec extends AnyFunSuite {
     assert(out.getAs[Array[Byte]]("p").toSeq == payload.toSeq)
     assert(out.getString(1) == "HTTP/1.1 200 OK\r\nContent-Type: image/png")
   }
+
+  test("httpPayloadBytes survives non-ASCII header bytes (RFC 7230 obs-text): byte offsets never shift") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 0xE9 ('é' in latin-1) inside a header value is NOT valid UTF-8 —
+    // a UTF-8 view would decode it to a replacement char and shift the
+    // char index off the byte offset; the latin-1 view must not.
+    val payload = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0xFF.toByte, '\r', '\n', '\r', '\n', 0x01)
+    val hdr = "HTTP/1.1 200 OK\r\nX-Server: caf".getBytes("UTF-8") ++
+      Array[Byte](0xE9.toByte) ++ "\r\nContent-Type: image/png\r\n\r\n".getBytes("UTF-8")
+    val out = Seq(Tuple1(hdr ++ payload)).toDF("body")
+      .select(Warc.httpPayloadBytes(col("body")).as("p"),
+        Warc.hasContentType(col("body"), "image/png").as("ct"))
+      .collect().head
+    assert(out.getAs[Array[Byte]]("p").toSeq == payload.toSeq)
+    assert(out.getBoolean(1))
+  }
+
+  test("hasContentType: case-insensitive header name/value, line-anchored, no substring false-positives") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def body(hdr: String): Array[Byte] = (hdr + "\r\n\r\npayload").getBytes("UTF-8")
+    val rows = Seq(
+      ("lower", body("HTTP/1.1 200 OK\r\ncontent-type: image/png")),
+      ("mixed", body("HTTP/1.1 200 OK\r\nContent-type: IMAGE/PNG")),
+      ("canonical", body("HTTP/1.1 200 OK\r\nContent-Type: image/png; charset=binary")),
+      // 'content-type: image/png' appears only INSIDE another header's
+      // value — a substring match would route this html record as media
+      ("decoy", body("HTTP/1.1 200 OK\r\nX-Note: content-type: image/png\r\nContent-Type: text/html")),
+      ("absent", body("HTTP/1.1 200 OK\r\nContent-Type: text/html"))
+    ).toDF("k", "body")
+      .select(col("k"), Warc.hasContentType(col("body"), "image/png").as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(rows == Map("lower" -> true, "mixed" -> true, "canonical" -> true,
+      "decoy" -> false, "absent" -> false))
+  }
 }
