@@ -101,7 +101,12 @@ object Bm25 {
   val PruneDfNum = 4
   val PruneDfDen = 5
 
-  /** Partition count of the standing index — bucket = pmod(xxhash64(t), 16). */
+  /** Default partition count of the standing index —
+    * bucket = pmod(xxhash64(t), buckets). A BUILD-time parameter
+    * persisted in the index manifest (serve and append read it from
+    * there, never from this constant): the bucket is the append tick's
+    * rewrite unit, so a 100 TB corpus sizes it so one bucket is a
+    * manageable rewrite (e.g. 4096), while a test corpus keeps 16. */
   val IndexBuckets = 16
 
   /** Fixed-point scale of the batch/served/streaming per-term score:
@@ -177,16 +182,104 @@ object Bm25 {
       .select(col("qid"), col("doc_id"), col("score"), col("rank"))
   }
 
+  // ---------------------------------------------------------------
+  // Standing-index storage: versioned manifest commit
+  //
+  // Layout under the index dir:
+  //   data/<v>/postings/bucket=<b>/…   bucket partitions written by tick v
+  //   data/<v>/stats/                  1-row (n, sdl) written by tick v
+  //   manifest/v<v>.txt                which data version owns each
+  //                                    bucket + the stats, at version v
+  //   CURRENT                          the committed manifest version
+  //
+  // Every tick (build or append) writes ONLY NEW files under a fresh
+  // data/<v>/ dir, then a new manifest, then atomically renames CURRENT
+  // (FileContext rename-with-overwrite — atomic on HDFS and POSIX).
+  // A writer crash at ANY point leaves CURRENT on the previous version,
+  // whose manifest references only previous-version files — a reader
+  // sees the old index or the new index, NEVER new postings with stale
+  // stats (the hazard a two-write in-place overwrite had). Orphaned
+  // uncommitted data/<v>/ dirs are garbage, not corruption. Single
+  // writer per index dir (ticks are sequential maintenance), any number
+  // of readers.
+  // ---------------------------------------------------------------
+
+  /** One committed index state: the bucket count chosen at build time,
+    * the data version owning each bucket's postings (absent bucket =
+    * no terms hash there yet), and the version owning the stats row. */
+  final case class IndexManifest(version: Long, buckets: Int,
+      statsVersion: Long, bucketVersions: Map[Int, Long])
+
+  private def renderManifest(m: IndexManifest): String = {
+    val bv = m.bucketVersions.toSeq.sortBy(_._1)
+      .map { case (b, v) => s"$b:$v" }.mkString(",")
+    s"version=${m.version}\nbuckets=${m.buckets}\n" +
+      s"stats=${m.statsVersion}\nbucketVersions=$bv\n"
+  }
+
+  private def parseManifest(text: String): IndexManifest = {
+    val kv = text.linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    val bv = kv("bucketVersions").split(",").filter(_.nonEmpty).map { e =>
+      val Array(b, v) = e.split(":"); b.toInt -> v.toLong
+    }.toMap
+    IndexManifest(kv("version").toLong, kv("buckets").toInt, kv("stats").toLong, bv)
+  }
+
+  /** Read the COMMITTED manifest — the index state every reader serves
+    * from. Fails loudly on a dir with no committed index. */
+  def readManifest(spark: SparkSession, dir: String): IndexManifest =
+    parseManifest(ManifestIO.readCurrent(spark, dir, "BM25 index")._2)
+
+  /** The committed postings frame: buckets grouped by owning data
+    * version, each group read from its explicit bucket paths (basePath
+    * keeps the `bucket` partition column) — readers never see an
+    * uncommitted tick's files. `onlyBuckets` restricts the read to the
+    * given bucket ids — the serve path's partition pruning, made
+    * literal: unneeded buckets are not even listed. */
+  def readPostings(spark: SparkSession, dir: String,
+      onlyBuckets: Option[Set[Int]] = None): DataFrame = {
+    val m = readManifest(spark, dir)
+    val wanted = onlyBuckets match {
+      case Some(bs) => m.bucketVersions.filter { case (b, _) => bs(b) }
+      case None => m.bucketVersions
+    }
+    val schema = "t STRING, doc_id BIGINT, tf BIGINT, df BIGINT, dl BIGINT, bucket INT"
+    if (wanted.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    } else {
+      wanted.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, bks) =>
+        spark.read.option("basePath", s"$dir/data/$v/postings")
+          .parquet(bks.keys.toSeq.sorted.map(b => s"$dir/data/$v/postings/bucket=$b"): _*)
+          .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"),
+            col("bucket").cast("int").as("bucket"))
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** The committed 1-row stats table (n, sdl). */
+  def readStats(spark: SparkSession, dir: String): DataFrame = {
+    val m = readManifest(spark, dir)
+    spark.read.parquet(s"$dir/data/${m.statsVersion}/stats")
+  }
+
   /** Build the standing inverted index at `dir`: FULL postings — one
     * row per (term, doc) with tf, the doc's length and the term's df
     * denormalized onto the row (the Lucene norms/term-dictionary data,
     * flattened) — written `partitionBy(bucket)` where
-    * bucket = pmod(xxhash64(t), [[IndexBuckets]]), plus a 1-row
-    * `stats` table (n docs, total token count). Serving reads ONLY the
-    * buckets of the query's terms: the scan's PartitionFilters prune
-    * the rest of the corpus unread, the same layout discipline as the
-    * IVF cell index (Ann.ivfServedIndex). */
-  def buildIndex(docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+    * bucket = pmod(xxhash64(t), `buckets`), plus a 1-row `stats` table
+    * (n docs, total token count), committed under a versioned manifest
+    * (see the storage note above). Serving reads ONLY the buckets of
+    * the query's terms: unneeded buckets are never listed, the same
+    * layout discipline as the IVF cell index (Ann.ivfIndexBuild).
+    * `buckets` is persisted in the manifest — serve and append size
+    * themselves from the index, so indexes built at different bucket
+    * counts coexist freely. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String, dir: String,
+      buckets: Int = IndexBuckets): Unit = {
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    val spark = docs.sparkSession
     val dl = docs.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
     val tf = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -194,56 +287,75 @@ object Bm25 {
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "t").join(dl, "doc_id")
-      .withColumn("bucket", pmod(xxhash64(col("t")), lit(IndexBuckets)).cast("int"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/postings")
-    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    val rows = tf.join(broadcast(dfreq), "t").join(dl, "doc_id")
+      .withColumn("bucket", pmod(xxhash64(col("t")), lit(buckets)).cast("int"))
+    rows.write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data/1/postings")
+    dl.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data/1/stats")
+    // only buckets that materialized get an owner (a tiny corpus at a
+    // large bucket count leaves most buckets empty)
+    val present = ManifestIO.partitionIds(spark, s"$dir/data/1/postings", "bucket=")
+      .map(_ -> 1L).toMap
+    ManifestIO.commit(spark, dir, 1L,
+      renderManifest(IndexManifest(1L, buckets, 1L, present)))
   }
 
-  /** How many distinct terms a serve batch may carry: terms are
-    * collected to plan the bucket pruning and broadcast back — past
-    * this bound the batch is corpus-shaped and belongs on
-    * [[batchTopK]]'s distributed path. Fails loudly, never OOMs. */
+  /** Serve-path regime boundary: up to this many distinct query terms,
+    * the term list is collected and pushed as a parquet row-group
+    * `t isin (...)` filter inside the pruned buckets (the low-latency
+    * small-batch shape, one driver round-trip of term strings). Past
+    * it, the serve flips to the distributed shape: a semi-join against
+    * the term frame — NO term collect at any batch size, so a
+    * 100k-query sweep never serializes through the driver. Bucket
+    * planning never collects terms in either regime (see
+    * [[serveTopK]]). */
   val MaxServeTerms = 100000
 
   /** Serve a query batch from a persisted [[buildIndex]] index.
     * Matches [[batchTopK]] bit-exactly on the same corpus: same
-    * pruning, same score arithmetic, same fold order. The postings
-    * scan carries TWO pushed predicates — `bucket isin (...)` becomes
-    * a PartitionFilter (whole directories skipped) and `t isin (...)`
-    * a parquet row-group filter inside the surviving buckets. */
+    * pruning, same score arithmetic, same fold order.
+    *
+    * Bucket planning is O(buckets), NEVER O(terms): the query frame's
+    * distinct bucket ids — computed by Spark's own xxhash64, the
+    * function that laid the partitions out — are the only values that
+    * cross to the driver (bounded by the manifest's bucket count, a
+    * few thousand at corpus scale), and only those buckets' committed
+    * files are listed and read. The term filter then depends on batch
+    * size: small batches push a collected `t isin (...)` row-group
+    * filter; big batches semi-join the (distributed) term frame —
+    * no driver hop, same result. */
   def serveTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    serveTopKBounded(spark, indexDir, queries, k, MaxServeTerms)
+
+  /** [[serveTopK]] with an injectable small-batch bound (specs force
+    * the distributed term-join path on small frames through it). */
+  private[graft] def serveTopKBounded(spark: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, maxCollectedTerms: Int): DataFrame = {
+    val m = readManifest(spark, indexDir)
     val q = queries.select(col("qid").cast("long").as("qid"),
       col("term").as("t")).distinct()
-    val termRows = q.select(col("t")).distinct()
-      .limit(MaxServeTerms + 1).collect().map(_.getString(0))
-    require(termRows.length <= MaxServeTerms,
-      s"bm25 serve: query batch exceeds $MaxServeTerms distinct terms — " +
-        "bucket planning collects the term set to the driver; batch the " +
-        "queries or run batchTopK against the corpus directly")
-    // bucket ids via Spark's own xxhash64 (a driver-side reimplementation
-    // could drift from the function that laid the partitions out)
-    val bucketIds = {
-      import spark.implicits._
-      termRows.toIndexedSeq.toDF("t")
-        .select(pmod(xxhash64(col("t")), lit(IndexBuckets)).cast("int").as("b"))
-        .distinct().collect().map(_.getInt(0))
-    }
-    val stats0 = spark.read.parquet(s"$indexDir/stats")
-    val stats = stats0.select(col("n"),
+    val terms = q.select(col("t")).distinct()
+    // ≤ m.buckets ints cross the driver — batch-size-independent
+    val bucketIds = terms
+      .select(pmod(xxhash64(col("t")), lit(m.buckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val stats = readStats(spark, indexDir).select(col("n"),
       (col("sdl").cast("double") / col("n")).as("avgdl"))
-    val post = spark.read.parquet(s"$indexDir/postings")
-      .filter(col("bucket").isin(bucketIds.toIndexedSeq.map(_.asInstanceOf[Any]): _*) &&
-        col("t").isin(termRows.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
+    val pruned = readPostings(spark, indexDir, Some(bucketIds))
+    val probe = terms.limit(maxCollectedTerms + 1).collect().map(_.getString(0))
+    val smallTerms = probe.length <= maxCollectedTerms
+    val post =
+      if (smallTerms)
+        pruned.filter(col("t").isin(probe.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
+      else pruned.join(terms, Seq("t"), "left_semi")
     val kept = post
       .crossJoin(broadcast(stats.select(col("n"))))
       .filter(col("df") * PruneDfDen < col("n") * PruneDfNum)
       .drop("n")
     val scored = kept
       .crossJoin(broadcast(stats))
-      .join(broadcast(q), "t")
+      .join(if (smallTerms) broadcast(q) else q, "t")
       .select(col("qid"), col("doc_id"),
         termScoreFp(col("tf"), col("df"), col("n"), col("dl"), col("avgdl")).as("s"))
     rankTopK(scored.groupBy(col("qid"), col("doc_id")).agg(sum(col("s")).as("score")), k)
@@ -274,9 +386,26 @@ object Bm25 {
     *
     * Serving afterwards is bit-identical to an index built over the
     * union corpus in one shot: avgdl shifts globally, but serve-time
-    * scoring reads avgdl from stats, never from postings rows. */
+    * scoring reads avgdl from stats, never from postings rows.
+    *
+    * CRASH-ATOMIC: the tick writes the rewritten buckets and the
+    * rolled-forward stats under a NEW data version, then commits both
+    * with one atomic CURRENT rename — a writer death at any point
+    * leaves readers on the previous version; new postings can never be
+    * served against stale (n, avgdl). An empty batch is a no-op (the
+    * index is already the correct post-tick state). */
   def appendToIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
-      idCol: String, textCol: String): Unit = {
+      idCol: String, textCol: String): Unit =
+    appendToIndexHooked(spark, dir, newDocs, idCol, textCol, crashPoint = 0)
+
+  /** [[appendToIndex]] with an injectable writer-death point for the
+    * crash-atomicity spec: 1 = die after the data writes, before the
+    * manifest; 2 = die after the manifest, before the CURRENT flip.
+    * Production path is crashPoint = 0. */
+  private[graft] def appendToIndexHooked(spark: SparkSession, dir: String,
+      newDocs: DataFrame, idCol: String, textCol: String, crashPoint: Int): Unit = {
+    val m = readManifest(spark, dir)
+    val newVer = m.version + 1
     val newDl = newDocs.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
     val newTf = newDocs.select(col(idCol).cast("long").as("doc_id"),
@@ -284,33 +413,42 @@ object Bm25 {
         explode(tokens(col(textCol))).as("t"))
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      .withColumn("bucket", pmod(xxhash64(col("t")), lit(IndexBuckets)).cast("int"))
+      .withColumn("bucket", pmod(xxhash64(col("t")), lit(m.buckets)).cast("int"))
     val touched = newTf.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)) // ≤ IndexBuckets values
-    val existing = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(touched.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
+      .collect().map(_.getInt(0)) // ≤ manifest bucket count values
+    if (touched.isEmpty) return // empty batch: nothing to rewrite, stats unchanged
+    val existing = readPostings(spark, dir, Some(touched.toSet))
       .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
     val unioned = existing
       .unionByName(newTf.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket")))
     val winDf = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
-    // df recompute rides the same bucket-partitioned shuffle; pinned
-    // before the write because the plan still reads the dir it rewrites
-    val rewritten = unioned
+    // df recompute rides the same bucket-partitioned shuffle; the write
+    // lands in a FRESH version dir, so the plan never overwrites what
+    // it reads (the old in-place tick needed a localCheckpoint pin)
+    unioned
       .withColumn("df", count(lit(1)).over(winDf))
       .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
-      .localCheckpoint()
-    rewritten.write.partitionBy("bucket")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$dir/postings")
-    val old = spark.read.parquet(s"$dir/stats")
-      .select(col("n"), col("sdl")).head()
-    val batch = newDl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .write.partitionBy("bucket")
+      .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
+    val old = readStats(spark, dir).select(col("n"), col("sdl")).head()
+    val batch = newDl
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .select(col("n"), col("sdl")).head()
     val statsDf = {
       import spark.implicits._
       Seq((old.getLong(0) + batch.getLong(0), old.getLong(1) + batch.getLong(1)))
         .toDF("n", "sdl")
     }
-    statsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    statsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$newVer/stats")
+    if (crashPoint == 1) return // simulated writer death: data written, nothing committed
+    val newOwners = m.bucketVersions ++ touched.map(_ -> newVer)
+    val body = renderManifest(IndexManifest(newVer, m.buckets, newVer, newOwners))
+    if (crashPoint == 2) {
+      // simulated death between manifest write and CURRENT flip: the
+      // manifest file exists but is unreferenced garbage
+      ManifestIO.writeManifestOnly(spark, dir, newVer, body)
+      return
+    }
+    ManifestIO.commit(spark, dir, newVer, body)
   }
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Versioned-manifest commit protocol shared by the standing indexes
+  * ([[Bm25]] term buckets, [[Ann]] IVF segments).
+  *
+  * Layout under an index dir:
+  *   data/<v>/…          immutable data files written by tick v
+  *   manifest/v<v>.txt   the index state at version v (module-defined body)
+  *   CURRENT             the committed version — ONE atomic rename flips it
+  *
+  * A tick writes only NEW files, then its manifest, then renames
+  * CURRENT (FileContext rename-with-overwrite: atomic on HDFS and
+  * POSIX). A writer crash at any point leaves CURRENT on the previous
+  * version, whose manifest references only previous files — readers see
+  * the old index or the new index, never a mix; uncommitted data dirs
+  * are garbage, not corruption. Single writer per index dir (index
+  * ticks are sequential maintenance), any number of readers. The same
+  * pointer-flip discipline as a Lucene segments_N / Iceberg
+  * version-hint commit.
+  */
+private[graft] object ManifestIO {
+
+  def fs(spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  def writeText(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(path, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readText(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(path)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Write manifest v<version>, then flip CURRENT atomically — the one
+    * operation that makes a tick's data files visible. */
+  def commit(spark: SparkSession, dir: String, version: Long,
+      manifestBody: String): Unit = {
+    val f = fs(spark, dir)
+    writeManifestOnly(spark, dir, version, manifestBody)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/CURRENT.tmp$version")
+    writeText(f, tmp, version.toString)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new org.apache.hadoop.fs.Path(dir).toUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/CURRENT"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The manifest write alone, WITHOUT the CURRENT flip — the
+    * crash-simulation hook (a writer dying between the two). */
+  def writeManifestOnly(spark: SparkSession, dir: String, version: Long,
+      manifestBody: String): Unit = {
+    val f = fs(spark, dir)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/manifest"))
+    writeText(f, new org.apache.hadoop.fs.Path(s"$dir/manifest/v$version.txt"),
+      manifestBody)
+  }
+
+  /** The committed (version, manifest body), failing loudly when the
+    * dir holds no committed index. */
+  def readCurrent(spark: SparkSession, dir: String, what: String): (Long, String) = {
+    val f = fs(spark, dir)
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
+    require(f.exists(cur), s"no committed $what at $dir (missing CURRENT)")
+    val v = readText(f, cur).trim.toLong
+    (v, readText(f, new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.txt")))
+  }
+
+  /** Partition subdirectory names of `dataDir` with the given partition
+    * column prefix, e.g. `bucket=` → the bucket ids materialized by a
+    * write (partitionBy skips empty partitions). */
+  def partitionIds(spark: SparkSession, dataDir: String, prefix: String): Seq[Int] = {
+    val f = fs(spark, dataDir)
+    f.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .map(_.getPath.getName).filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toInt).toSeq.sorted
+  }
+}

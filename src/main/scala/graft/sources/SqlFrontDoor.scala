@@ -113,18 +113,28 @@ object SqlFrontDoor {
       // batch with partition-pruned reads
       ("bm25_index", 2, a => {
         graft.operators.Bm25.buildIndex(s.read.parquet(a.head), "doc_id", "text", a(1))
-        s.read.parquet(s"${a(1)}/stats")
+        graft.operators.Bm25.readStats(s, a(1))
+      }),
+      // bm25_index_sized(corpus_path, index_dir, buckets): same build
+      // with an explicit bucket count — the append tick's rewrite unit,
+      // sized to the corpus; the count is persisted in the index
+      // manifest and serve/append read it from there
+      ("bm25_index_sized", 3, a => {
+        graft.operators.Bm25.buildIndex(s.read.parquet(a.head), "doc_id", "text",
+          a(1), a(2).trim.toInt)
+        graft.operators.Bm25.readStats(s, a(1))
       }),
       ("bm25_serve", 3, a =>
         graft.operators.Bm25.serveTopK(s, a.head, s.read.parquet(a(1)), a(2).trim.toInt)),
       // bm25_index_append(index_dir, docs_path): grow a standing
       // bm25_index — bucket-granular df refresh (only the batch's term
-      // buckets are rewritten), stats rolled forward; returns the
+      // buckets are rewritten into a NEW data version, committed by one
+      // atomic manifest flip), stats rolled forward; returns the
       // updated 1-row stats
       ("bm25_index_append", 2, a => {
         graft.operators.Bm25.appendToIndex(s, a.head,
           s.read.parquet(a(1)), "doc_id", "text")
-        s.read.parquet(s"${a.head}/stats")
+        graft.operators.Bm25.readStats(s, a.head)
       }),
       // retrieval-based decontamination, deployment split: train the
       // frozen scoring model on ref_path + queries_path offline, gate

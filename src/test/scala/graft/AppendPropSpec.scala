@@ -44,11 +44,11 @@ class AppendPropSpec extends AnyFunSuite {
       val dirB = Files.createTempDirectory(s"bm25prB$round").toString
       Bm25.buildIndex((base ++ batch).toDF("doc_id", "text"), "doc_id", "text", dirB)
 
-      def postings(dir: String) = spark.read.parquet(s"$dir/postings")
+      def postings(dir: String) = Bm25.readPostings(spark, dir)
         .select("t", "doc_id", "tf", "df", "dl", "bucket")
         .collect().map(_.toSeq).toSet
       assert(postings(dirA) == postings(dirB), s"round $round")
-      def stats(dir: String) = spark.read.parquet(s"$dir/stats")
+      def stats(dir: String) = Bm25.readStats(spark, dir)
         .select("n", "sdl").head().toSeq
       assert(stats(dirA) == stats(dirB), s"round $round")
     }

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -8,21 +8,24 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Bm25
 
 /** BM25 index append tick ([[Bm25.appendToIndex]]): df refresh parity
-  * with a one-shot rebuild, and the bucket-granularity claim — a batch
-  * touching one term bucket leaves every other bucket's files alone.
+  * with a one-shot rebuild, the bucket-granularity claim (a batch
+  * touching one term bucket writes only that bucket into the new data
+  * version), crash-atomicity of the versioned manifest commit, and
+  * the build-time bucket-count parameter.
   */
 class Bm25AppendSpec extends AnyFunSuite {
+
+  private val initial = Seq(
+    (1L, "apple banana cherry date"),
+    (2L, "banana cherry date elderberry fig"),
+    (3L, "apple grape melon"))
+  private val batch = Seq(
+    (10L, "banana grape kiwi kiwi"),
+    (11L, "melon date apple apple apple"))
 
   test("build+append == build-over-union: postings rows and stats identical") {
     val spark = SparkTest.spark
     import spark.implicits._
-    val initial = Seq(
-      (1L, "apple banana cherry date"),
-      (2L, "banana cherry date elderberry fig"),
-      (3L, "apple grape melon"))
-    val batch = Seq(
-      (10L, "banana grape kiwi kiwi"),
-      (11L, "melon date apple apple apple"))
 
     val dirA = Files.createTempDirectory("bm25appA").toString
     Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", dirA)
@@ -31,11 +34,11 @@ class Bm25AppendSpec extends AnyFunSuite {
     val dirB = Files.createTempDirectory("bm25appB").toString
     Bm25.buildIndex((initial ++ batch).toDF("doc_id", "text"), "doc_id", "text", dirB)
 
-    def postings(dir: String) = spark.read.parquet(s"$dir/postings")
+    def postings(dir: String) = Bm25.readPostings(spark, dir)
       .select("t", "doc_id", "tf", "df", "dl", "bucket")
       .collect().map(_.toSeq).toSet
     assert(postings(dirA) == postings(dirB) && postings(dirA).nonEmpty)
-    def stats(dir: String) = spark.read.parquet(s"$dir/stats")
+    def stats(dir: String) = Bm25.readStats(spark, dir)
       .select("n", "sdl").head().toSeq
     assert(stats(dirA) == stats(dirB))
 
@@ -48,33 +51,126 @@ class Bm25AppendSpec extends AnyFunSuite {
   test("a single-term batch rewrites only that term's bucket") {
     val spark = SparkTest.spark
     import spark.implicits._
-    val initial = (0 until 40).map(i => (i.toLong, s"w$i common$i filler$i"))
+    val corpus = (0 until 40).map(i => (i.toLong, s"w$i common$i filler$i"))
     val dir = Files.createTempDirectory("bm25appC").toString
-    Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", dir)
-
-    def bucketFiles(): Map[String, Set[String]] =
-      Files.list(Paths.get(s"$dir/postings")).toArray.toSeq
-        .map(_.toString).filter(_.contains("bucket="))
-        .map { b =>
-          b -> Files.list(Paths.get(b)).toArray.toSeq.map(_.toString)
-            .filter(_.endsWith(".parquet")).toSet
-        }.toMap
-    val before = bucketFiles()
+    Bm25.buildIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val before = Bm25.readManifest(spark, dir)
 
     Bm25.appendToIndex(spark, dir,
       Seq((100L, "solo solo solo")).toDF("doc_id", "text"), "doc_id", "text")
-    val after = bucketFiles()
+    val after = Bm25.readManifest(spark, dir)
 
     val soloBucket = spark.range(1).select(
-      pmod(xxhash64(lit("solo")), lit(Bm25.IndexBuckets)).cast("int"))
+      pmod(xxhash64(lit("solo")), lit(before.buckets)).cast("int"))
       .head().getInt(0)
-    val changed = before.keySet.union(after.keySet)
-      .filter(b => before.get(b) != after.get(b))
-    assert(changed.forall(_.endsWith(s"bucket=$soloBucket")),
-      s"only the solo bucket may change, got $changed")
+    // the new data version owns EXACTLY the solo bucket; every other
+    // bucket still points at (and physically is) the version-1 files
+    assert(after.version == before.version + 1)
+    val moved = after.bucketVersions.filter(_._2 == after.version).keySet
+    assert(moved == Set(soloBucket), s"only the solo bucket may move, got $moved")
+    assert((after.bucketVersions - soloBucket) ==
+      (before.bucketVersions - soloBucket))
+    val v2Buckets = java.nio.file.Files
+      .list(java.nio.file.Paths.get(s"$dir/data/${after.version}/postings"))
+      .toArray.toSeq.map(_.toString).filter(_.contains("bucket="))
+      .map(_.split("bucket=").last.toInt).toSet
+    assert(v2Buckets == Set(soloBucket),
+      s"new version dir may contain only the solo bucket, got $v2Buckets")
     // the appended term is served with correct df=1 scoring
     val served = Bm25.serveTopK(spark, dir,
       Seq((1L, "solo")).toDF("qid", "term"), 3).collect()
     assert(served.map(_.getLong(1)).toSeq == Seq(100L))
+  }
+
+  test("writer death between data write and commit: readers stay on the old index, retry completes") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bm25crash").toString
+    Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val q = Seq((1L, "banana"), (1L, "kiwi"), (2L, "apple")).toDF("qid", "term")
+    val beforeServe = Bm25.serveTopK(spark, dir, q, 5)
+      .collect().map(_.toSeq).toSeq
+    val beforeStats = Bm25.readStats(spark, dir).select("n", "sdl").head().toSeq
+
+    // death AFTER the new data version is fully written, BEFORE the
+    // manifest — the in-place tick's hazard window (new postings
+    // visible with stale stats); here: absolutely nothing changes
+    for (crashPoint <- Seq(1, 2)) {
+      Bm25.appendToIndexHooked(spark, dir, batch.toDF("doc_id", "text"),
+        "doc_id", "text", crashPoint)
+      assert(Bm25.readStats(spark, dir).select("n", "sdl").head().toSeq == beforeStats,
+        s"crashPoint=$crashPoint leaked stats")
+      assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq == beforeServe,
+        s"crashPoint=$crashPoint changed serving")
+    }
+
+    // the RETRY of the tick commits; serving now equals a one-shot
+    // rebuild over the union — never a mix of old and new
+    Bm25.appendToIndex(spark, dir, batch.toDF("doc_id", "text"), "doc_id", "text")
+    val dirU = Files.createTempDirectory("bm25crashU").toString
+    Bm25.buildIndex((initial ++ batch).toDF("doc_id", "text"), "doc_id", "text", dirU)
+    assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq ==
+      Bm25.serveTopK(spark, dirU, q, 5).collect().map(_.toSeq).toSeq)
+    assert(Bm25.readStats(spark, dir).select("n", "sdl").head().toSeq ==
+      Bm25.readStats(spark, dirU).select("n", "sdl").head().toSeq)
+  }
+
+  test("empty append batch is a clean no-op (no NPE, index untouched)") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bm25empty").toString
+    Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val before = Bm25.readManifest(spark, dir)
+    Bm25.appendToIndex(spark, dir,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    assert(Bm25.readManifest(spark, dir) == before)
+  }
+
+  test("bucket count is a build parameter carried by the manifest: build/serve/append at 64") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bm25b64").toString
+    Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", dir, buckets = 64)
+    assert(Bm25.readManifest(spark, dir).buckets == 64)
+    Bm25.appendToIndex(spark, dir, batch.toDF("doc_id", "text"), "doc_id", "text")
+    assert(Bm25.readManifest(spark, dir).buckets == 64)
+    // serve from the 64-bucket index == batchTopK over the union corpus
+    val q = Seq((1L, "banana"), (1L, "kiwi"), (2L, "apple"), (2L, "melon"))
+      .toDF("qid", "term")
+    val served = Bm25.serveTopK(spark, dir, q, 5)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val direct = Bm25.batchTopK((initial ++ batch).toDF("doc_id", "text"),
+        "doc_id", "text", q, 5)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(served == direct && served.nonEmpty)
+    // 64 buckets over a tiny vocabulary leaves most buckets empty —
+    // the manifest must only own materialized buckets
+    assert(Bm25.readManifest(spark, dir).bucketVersions.nonEmpty)
+  }
+
+  test("big-batch serve (distributed term join, no term collect) == small-batch serve") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, s"alpha$i beta${i % 7} gamma${i % 3} shared"))
+    val dir = Files.createTempDirectory("bm25join").toString
+    Bm25.buildIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val q = (0 until 20).flatMap(qi =>
+      Seq((qi.toLong, s"beta${qi % 7}"), (qi.toLong, s"gamma${qi % 3}")))
+      .toDF("qid", "term")
+    val viaCollect = Bm25.serveTopK(spark, dir, q, 5)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    // force the distributed regime on the same small frame
+    val viaJoin = Bm25.serveTopKBounded(spark, dir, q, 5, maxCollectedTerms = 1)
+    val got = viaJoin.orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(got == viaCollect && got.nonEmpty)
+    // the path-pruned read must only touch the queried terms' buckets
+    val wantedBuckets = q.select(
+        pmod(xxhash64(col("term")), lit(Bm25.IndexBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val touchedDirs = viaJoin.inputFiles.filter(_.contains("/postings/"))
+      .map(f => f.split("bucket=").last.split("/").head.toInt).toSet
+    assert(touchedDirs.subsetOf(wantedBuckets),
+      s"read buckets $touchedDirs beyond the query's $wantedBuckets")
   }
 }

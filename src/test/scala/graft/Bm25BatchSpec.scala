@@ -86,10 +86,18 @@ class Bm25BatchSpec extends AnyFunSuite {
       .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
     assert(served.orderBy("qid", "rank").collect().map(_.toSeq).toSeq === batch)
 
-    // the bucket filter must reach the partitioned postings scan
-    val plan = served.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
-      s"expected partition pruning on bucket:\n$plan")
+    // bucket pruning is literal path selection through the manifest:
+    // the scan's file set may only contain the queried terms' buckets
+    val wantedBuckets = q.select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("term")),
+          org.apache.spark.sql.functions.lit(Bm25.IndexBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val touched = served.inputFiles.filter(_.contains("/postings/"))
+      .map(f => f.split("bucket=").last.split("/").head.toInt).toSet
+    assert(touched.nonEmpty && touched.subsetOf(wantedBuckets),
+      s"scan read buckets $touched beyond the query's $wantedBuckets")
   }
 
   test("a >=80%-df term is pruned from scoring (stopword/skew rule fires)") {

@@ -429,13 +429,33 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("t51: BOTH served-hybrid legs read partition-pruned standing indexes") {
-    val plan = planOf(graft.queries.Corpus.t51HybridServed.run(SparkTest.spark, sf))
-    // term-bucketed BM25 postings scan + cell-partitioned IVF scan:
-    // each must carry a non-empty PartitionFilters clause
+    val df = graft.queries.Corpus.t51HybridServed.run(SparkTest.spark, sf)
+    val plan = planOf(df)
+    // IVF cell index: the probed-cell filter must reach the
+    // cell-partitioned scan as a PartitionFilter
     val pruned = plan.linesIterator
       .filter(_.contains("PartitionFilters: ["))
       .count(!_.contains("PartitionFilters: []"))
-    assert(pruned >= 2, s"t51 must partition-prune both index scans, got $pruned:\n$plan")
+    assert(pruned >= 1, s"t51 must partition-prune the IVF scan, got $pruned:\n$plan")
+    // BM25 postings: pruning is literal path selection through the
+    // versioned manifest — the scan may only LIST the queried terms'
+    // bucket dirs, a strictly stronger property than a runtime filter.
+    // Reproduce t51's term selection (docs ∩ embeddings, %50==9,
+    // positions 2/5/7/9) to compute the buckets it is ALLOWED to read.
+    import org.apache.spark.sql.functions._
+    val spark = SparkTest.spark
+    val docs = graft.Tables.documents(spark, sf)
+    val emb = graft.Tables.embeddings(spark, sf)
+    val w = graft.functions.TextFunctions.tokens(col("text"))
+    val wanted = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .filter(docs("doc_id") % 50 === 9)
+      .select(explode(array(Seq(2, 5, 7, 9).map(p => element_at(w, p)): _*)).as("t"))
+      .select(pmod(xxhash64(col("t")), lit(graft.operators.Bm25.IndexBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val postingsBuckets = df.inputFiles.filter(_.contains("/postings/"))
+      .map(f => f.split("bucket=").last.split("/").head.toInt).toSet
+    assert(postingsBuckets.nonEmpty && postingsBuckets.subsetOf(wanted),
+      s"t51 BM25 leg read buckets $postingsBuckets beyond the query's $wanted")
   }
 
   test("whole-stage codegen covers the scalar query") {
