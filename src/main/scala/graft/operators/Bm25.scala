@@ -238,8 +238,17 @@ object Bm25 {
     * given bucket ids — the serve path's partition pruning, made
     * literal: unneeded buckets are not even listed. */
   def readPostings(spark: SparkSession, dir: String,
+      onlyBuckets: Option[Set[Int]] = None): DataFrame =
+    readPostingsAt(spark, dir, readManifest(spark, dir), onlyBuckets)
+
+  /** [[readPostings]] against an ALREADY-READ manifest — operations
+    * that read several index artifacts (serve: stats + postings;
+    * append: postings + stats) MUST read CURRENT once and thread the
+    * manifest through, or an append committing between their reads
+    * would hand them new stats against old postings — exactly the torn
+    * state the commit protocol exists to prevent. */
+  def readPostingsAt(spark: SparkSession, dir: String, m: IndexManifest,
       onlyBuckets: Option[Set[Int]] = None): DataFrame = {
-    val m = readManifest(spark, dir)
     val wanted = onlyBuckets match {
       case Some(bs) => m.bucketVersions.filter { case (b, _) => bs(b) }
       case None => m.bucketVersions
@@ -259,10 +268,13 @@ object Bm25 {
   }
 
   /** The committed 1-row stats table (n, sdl). */
-  def readStats(spark: SparkSession, dir: String): DataFrame = {
-    val m = readManifest(spark, dir)
+  def readStats(spark: SparkSession, dir: String): DataFrame =
+    readStatsAt(spark, dir, readManifest(spark, dir))
+
+  /** [[readStats]] against an already-read manifest (see
+    * [[readPostingsAt]] for why multi-artifact readers must pin one). */
+  def readStatsAt(spark: SparkSession, dir: String, m: IndexManifest): DataFrame =
     spark.read.parquet(s"$dir/data/${m.statsVersion}/stats")
-  }
 
   /** Build the standing inverted index at `dir`: FULL postings — one
     * row per (term, doc) with tf, the doc's length and the term's df
@@ -275,11 +287,26 @@ object Bm25 {
     * layout discipline as the IVF cell index (Ann.ivfIndexBuild).
     * `buckets` is persisted in the manifest — serve and append size
     * themselves from the index, so indexes built at different bucket
-    * counts coexist freely. */
+    * counts coexist freely.
+    *
+    * REBUILD over a dir that already holds a committed index allocates
+    * the NEXT version (committed + 1) and writes only there — the
+    * committed manifest's files are never touched, so a crash
+    * mid-rebuild leaves readers on the intact old index and the commit
+    * flip replaces it wholesale (every bucket re-owned by the new
+    * version; the old data dirs become unreferenced garbage). A fixed
+    * `data/1` target would overwrite files the live manifest still
+    * references — the corruption class the versioning exists to kill. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String, dir: String,
       buckets: Int = IndexBuckets): Unit = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
     val spark = docs.sparkSession
+    val ver: Long = {
+      val f = ManifestIO.fs(spark, dir)
+      if (f.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT")))
+        readManifest(spark, dir).version + 1
+      else 1L
+    }
     val dl = docs.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
     val tf = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -289,15 +316,15 @@ object Bm25 {
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val rows = tf.join(broadcast(dfreq), "t").join(dl, "doc_id")
       .withColumn("bucket", pmod(xxhash64(col("t")), lit(buckets)).cast("int"))
-    rows.write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data/1/postings")
+    rows.write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data/$ver/postings")
     dl.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data/1/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$ver/stats")
     // only buckets that materialized get an owner (a tiny corpus at a
     // large bucket count leaves most buckets empty)
-    val present = ManifestIO.partitionIds(spark, s"$dir/data/1/postings", "bucket=")
-      .map(_ -> 1L).toMap
-    ManifestIO.commit(spark, dir, 1L,
-      renderManifest(IndexManifest(1L, buckets, 1L, present)))
+    val present = ManifestIO.partitionIds(spark, s"$dir/data/$ver/postings", "bucket=")
+      .map(_ -> ver).toMap
+    ManifestIO.commit(spark, dir, ver,
+      renderManifest(IndexManifest(ver, buckets, ver, present)))
   }
 
   /** Serve-path regime boundary: up to this many distinct query terms,
@@ -315,15 +342,16 @@ object Bm25 {
     * Matches [[batchTopK]] bit-exactly on the same corpus: same
     * pruning, same score arithmetic, same fold order.
     *
-    * Bucket planning is O(buckets), NEVER O(terms): the query frame's
-    * distinct bucket ids — computed by Spark's own xxhash64, the
-    * function that laid the partitions out — are the only values that
-    * cross to the driver (bounded by the manifest's bucket count, a
-    * few thousand at corpus scale), and only those buckets' committed
-    * files are listed and read. The term filter then depends on batch
-    * size: small batches push a collected `t isin (...)` row-group
-    * filter; big batches semi-join the (distributed) term frame —
-    * no driver hop, same result. */
+    * Driver traffic is REGIME-CONSTANT, never O(batch): one bounded
+    * collect of ≤ [[MaxServeTerms]]+1 (term, bucket) rows decides the
+    * regime — in the small regime that single snapshot supplies both
+    * the pushed `t isin (...)` row-group filter and the bucket plan;
+    * in the big regime the pinned distinct-term frame is planned from
+    * (≤ bucket-count ids cross the driver) and semi-joined against —
+    * no term list ever serializes through the driver at any batch
+    * size. Buckets are selected by Spark's own xxhash64 — the function
+    * that laid the partitions out — and only those buckets' committed
+    * files are listed and read. */
   def serveTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int): DataFrame =
     serveTopKBounded(spark, indexDir, queries, k, MaxServeTerms)
@@ -332,23 +360,40 @@ object Bm25 {
     * the distributed term-join path on small frames through it). */
   private[graft] def serveTopKBounded(spark: SparkSession, indexDir: String,
       queries: DataFrame, k: Int, maxCollectedTerms: Int): DataFrame = {
+    // ONE CURRENT read pins the whole serve: stats and postings are
+    // both resolved from this manifest, so an append committing midway
+    // can never pair new (n, avgdl) with old postings or vice versa
     val m = readManifest(spark, indexDir)
     val q = queries.select(col("qid").cast("long").as("qid"),
       col("term").as("t")).distinct()
-    val terms = q.select(col("t")).distinct()
-    // ≤ m.buckets ints cross the driver — batch-size-independent
-    val bucketIds = terms
-      .select(pmod(xxhash64(col("t")), lit(m.buckets)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val stats = readStats(spark, indexDir).select(col("n"),
-      (col("sdl").cast("double") / col("n")).as("avgdl"))
-    val pruned = readPostings(spark, indexDir, Some(bucketIds))
-    val probe = terms.limit(maxCollectedTerms + 1).collect().map(_.getString(0))
+    val terms0 = q.select(col("t")).distinct()
+    // one bounded driver round-trip (≤ maxCollectedTerms+1 (term,
+    // bucket) rows — regime-constant, batch-size-independent) decides
+    // the regime AND, in the small regime, supplies both the term
+    // filter and the bucket plan from the SAME snapshot
+    val probe = terms0
+      .select(col("t"), pmod(xxhash64(col("t")), lit(m.buckets)).cast("int").as("b"))
+      .limit(maxCollectedTerms + 1).collect()
     val smallTerms = probe.length <= maxCollectedTerms
+    // big regime: pin ONE materialization of the distinct-term frame —
+    // bucket planning and the semi-join must see the same rows even if
+    // the caller's query frame is non-deterministic, and the plan/join
+    // re-evaluation would otherwise run the distinct twice anyway
+    val termsPinned = if (smallTerms) terms0 else terms0.localCheckpoint(true)
+    val bucketIds: Set[Int] =
+      if (smallTerms) probe.map(_.getInt(1)).toSet
+      // ≤ m.buckets ints cross the driver — batch-size-independent
+      else termsPinned
+        .select(pmod(xxhash64(col("t")), lit(m.buckets)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+    val stats = readStatsAt(spark, indexDir, m).select(col("n"),
+      (col("sdl").cast("double") / col("n")).as("avgdl"))
+    val pruned = readPostingsAt(spark, indexDir, m, Some(bucketIds))
     val post =
       if (smallTerms)
-        pruned.filter(col("t").isin(probe.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
-      else pruned.join(terms, Seq("t"), "left_semi")
+        pruned.filter(col("t").isin(
+          probe.toIndexedSeq.map(_.getString(0).asInstanceOf[Any]): _*))
+      else pruned.join(termsPinned, Seq("t"), "left_semi")
     val kept = post
       .crossJoin(broadcast(stats.select(col("n"))))
       .filter(col("df") * PruneDfDen < col("n") * PruneDfNum)
@@ -393,7 +438,10 @@ object Bm25 {
     * with one atomic CURRENT rename — a writer death at any point
     * leaves readers on the previous version; new postings can never be
     * served against stale (n, avgdl). An empty batch is a no-op (the
-    * index is already the correct post-tick state). */
+    * index is already the correct post-tick state); a nonempty batch
+    * whose docs all tokenize to zero terms rewrites no postings but
+    * still rolls (n, sdl) forward — rebuild-over-union counts such
+    * docs in avgdl, and append == rebuild is the contract. */
   def appendToIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
       idCol: String, textCol: String): Unit =
     appendToIndexHooked(spark, dir, newDocs, idCol, textCol, crashPoint = 0)
@@ -404,10 +452,22 @@ object Bm25 {
     * Production path is crashPoint = 0. */
   private[graft] def appendToIndexHooked(spark: SparkSession, dir: String,
       newDocs: DataFrame, idCol: String, textCol: String, crashPoint: Int): Unit = {
+    // one CURRENT read pins the tick: existing postings AND old stats
+    // resolve from this manifest (single-writer discipline makes a
+    // concurrent commit illegal anyway; the pin keeps the tick correct
+    // even against a misbehaving second writer)
     val m = readManifest(spark, dir)
     val newVer = m.version + 1
     val newDl = newDocs.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
+    // the no-op gate is the batch ROW count, not the touched-bucket
+    // count: a nonempty batch of zero-token docs rewrites no postings
+    // but must still roll (n, sdl) forward — buildIndex over the union
+    // counts those docs in avgdl, and append == rebuild is the contract
+    val batch = newDl
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .select(col("n"), col("sdl")).head()
+    if (batch.getLong(0) == 0L) return // empty batch: the index already is the post-tick state
     val newTf = newDocs.select(col(idCol).cast("long").as("doc_id"),
         size(tokens(col(textCol))).cast("long").as("dl"),
         explode(tokens(col(textCol))).as("t"))
@@ -416,24 +476,22 @@ object Bm25 {
       .withColumn("bucket", pmod(xxhash64(col("t")), lit(m.buckets)).cast("int"))
     val touched = newTf.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)) // ≤ manifest bucket count values
-    if (touched.isEmpty) return // empty batch: nothing to rewrite, stats unchanged
-    val existing = readPostings(spark, dir, Some(touched.toSet))
-      .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
-    val unioned = existing
-      .unionByName(newTf.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket")))
-    val winDf = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
-    // df recompute rides the same bucket-partitioned shuffle; the write
-    // lands in a FRESH version dir, so the plan never overwrites what
-    // it reads (the old in-place tick needed a localCheckpoint pin)
-    unioned
-      .withColumn("df", count(lit(1)).over(winDf))
-      .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
-      .write.partitionBy("bucket")
-      .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
-    val old = readStats(spark, dir).select(col("n"), col("sdl")).head()
-    val batch = newDl
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
-      .select(col("n"), col("sdl")).head()
+    if (touched.nonEmpty) {
+      val existing = readPostingsAt(spark, dir, m, Some(touched.toSet))
+        .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+      val unioned = existing
+        .unionByName(newTf.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket")))
+      val winDf = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+      // df recompute rides the same bucket-partitioned shuffle; the write
+      // lands in a FRESH version dir, so the plan never overwrites what
+      // it reads (the old in-place tick needed a localCheckpoint pin)
+      unioned
+        .withColumn("df", count(lit(1)).over(winDf))
+        .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
+        .write.partitionBy("bucket")
+        .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
+    }
+    val old = readStatsAt(spark, dir, m).select(col("n"), col("sdl")).head()
     val statsDf = {
       import spark.implicits._
       Seq((old.getLong(0) + batch.getLong(0), old.getLong(1) + batch.getLong(1)))

@@ -36,7 +36,11 @@ class AppendPropSpec extends AnyFunSuite {
     import spark.implicits._
     for (round <- 0 until 3) {
       val base = corpus(20 + round * 7, seed = 900 + round, idBase = 0L)
-      val batch = corpus(5 + round * 3, seed = 950 + round, idBase = 1000L)
+      // every round's batch carries zero-token (null-text) docs: they
+      // rewrite no postings but must still land in the stats row —
+      // the ADVICE-r12 corner where append used to undercount n
+      val batch = corpus(5 + round * 3, seed = 950 + round, idBase = 1000L) ++
+        (0 until (1 + round)).map(i => (2000L + i, null: String))
 
       val dirA = Files.createTempDirectory(s"bm25prA$round").toString
       Bm25.buildIndex(base.toDF("doc_id", "text"), "doc_id", "text", dirA)

@@ -115,6 +115,67 @@ class Bm25AppendSpec extends AnyFunSuite {
       Bm25.readStats(spark, dirU).select("n", "sdl").head().toSeq)
   }
 
+  test("rebuild over a live index allocates the next version; committed files untouched") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bm25rebuild").toString
+    Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(Bm25.readManifest(spark, dir).version == 1L)
+    def v1Files: Map[String, Long] = {
+      val base = java.nio.file.Paths.get(s"$dir/data/1")
+      val s = java.nio.file.Files.walk(base)
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+      finally s.close()
+    }
+    val before = v1Files
+
+    // rebuild with a DIFFERENT corpus into the same dir: the committed
+    // version-1 files a concurrent reader may be mid-scan on must stay
+    // byte-identical; the new index lands wholly in version 2
+    Bm25.buildIndex((initial ++ batch).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val m = Bm25.readManifest(spark, dir)
+    assert(m.version == 2L && m.statsVersion == 2L)
+    assert(m.bucketVersions.values.toSet == Set(2L),
+      "a rebuild must re-own every bucket in the new version")
+    assert(v1Files == before, "rebuild touched committed version-1 files")
+
+    // and the rebuilt index serves exactly like a fresh build elsewhere
+    val q = Seq((1L, "kiwi"), (2L, "apple")).toDF("qid", "term")
+    val dirFresh = Files.createTempDirectory("bm25rebuildF").toString
+    Bm25.buildIndex((initial ++ batch).toDF("doc_id", "text"), "doc_id", "text", dirFresh)
+    assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq ==
+      Bm25.serveTopK(spark, dirFresh, q, 5).collect().map(_.toSeq).toSeq)
+  }
+
+  test("nonempty zero-token batch rolls stats forward without rewriting postings") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bm25zerotok").toString
+    Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val before = Bm25.readManifest(spark, dir)
+    val zeroTok = Seq((50L, null: String), (51L, null: String))
+
+    Bm25.appendToIndex(spark, dir, zeroTok.toDF("doc_id", "text"), "doc_id", "text")
+    val after = Bm25.readManifest(spark, dir)
+    assert(after.version == before.version + 1)
+    assert(after.bucketVersions == before.bucketVersions,
+      "zero-token docs must not move any bucket")
+    assert(after.statsVersion == after.version)
+
+    // append == rebuild parity holds on the stats row too
+    val dirU = Files.createTempDirectory("bm25zerotokU").toString
+    Bm25.buildIndex((initial ++ zeroTok).toDF("doc_id", "text"), "doc_id", "text", dirU)
+    assert(Bm25.readStats(spark, dir).select("n", "sdl").head().toSeq ==
+      Bm25.readStats(spark, dirU).select("n", "sdl").head().toSeq)
+    // and serving (avgdl shifted by the new docs) matches the rebuild
+    val q = Seq((1L, "banana"), (2L, "apple")).toDF("qid", "term")
+    assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq ==
+      Bm25.serveTopK(spark, dirU, q, 5).collect().map(_.toSeq).toSeq)
+  }
+
   test("empty append batch is a clean no-op (no NPE, index untouched)") {
     val spark = SparkTest.spark
     import spark.implicits._

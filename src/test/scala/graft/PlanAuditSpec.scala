@@ -458,6 +458,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t51 BM25 leg read buckets $postingsBuckets beyond the query's $wanted")
   }
 
+  test("big-batch BM25 serve: distributed term semi-join, no term collect, buckets still pruned") {
+    // past MaxServeTerms the serve regime flips: the term filter is a
+    // semi-join against the pinned distinct-term frame — the PLAN must
+    // carry that join (terms never serialize through the driver as an
+    // isin literal list), while bucket pruning stays literal path
+    // selection through the manifest
+    import org.apache.spark.sql.functions._
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25planbig").toString
+    val corpus = (0 until 40).map(i => (i.toLong, s"pa$i pb${i % 5} pc${i % 3}"))
+    graft.operators.Bm25.buildIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val q = (0 until 12).map(qi => (qi.toLong, s"pb${qi % 5}")).toDF("qid", "term")
+    val df = graft.operators.Bm25.serveTopKBounded(spark, dir, q, 5, maxCollectedTerms = 1)
+    val plan = planOf(df)
+    assert(plan.contains("LeftSemi"),
+      s"big-batch serve must semi-join the term frame:\n$plan")
+    assert(!plan.contains("t#") || !plan.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains(" IN (pb")),
+      s"big-batch serve must not push a collected term isin list:\n$plan")
+    val wanted = q.select(pmod(xxhash64(col("term")),
+        lit(graft.operators.Bm25.IndexBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val read = df.inputFiles.filter(_.contains("/postings/"))
+      .map(f => f.split("bucket=").last.split("/").head.toInt).toSet
+    assert(read.nonEmpty && read.subsetOf(wanted),
+      s"big-batch serve read buckets $read beyond the query's $wanted")
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(
