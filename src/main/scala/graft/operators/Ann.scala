@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -562,19 +562,201 @@ object Ann extends Serializable {
       .toDF("cid", "cvec", "cell")
   }
 
-  /** APPEND tick of the served-IVF lifecycle ([[assignCells]] builds,
-    * [[ivfTopKAssigned]] serves, this grows): assign a new vector batch
-    * to its cells under the SAME trained centroids and append the rows
-    * to the cell-partitioned inverted file. Pure partition appends —
-    * existing cell directories gain files, nothing is rewritten, and a
-    * concurrent serve sees either the old or the new file list (parquet
-    * reads are snapshot-by-listing). Centroids are deliberately NOT
-    * retrained per tick: cell geometry drift is a periodic offline
-    * retrain + full re-encode (the standard IVF maintenance split);
-    * in between, appended vectors land in the cells the current
-    * geometry dictates, which is exactly what the probe side assumes. */
-  def ivfIndexAppend(dir: String, corpus: DataFrame, cents: Array[Array[Float]]): Unit =
-    assignCells(corpus, cents).write.partitionBy("cell").mode("append").parquet(dir)
+  // ---------------------------------------------------------------
+  // Committed standing IVF index: versioned manifest storage — the
+  // [[Bm25]] commit discipline ([[ManifestIO]]), specialized to pure
+  // cell appends.
+  //
+  // Layout under the index dir:
+  //   data/<v>/cells/cell=<c>/…   (cid, cvec) rows assigned by tick v
+  //   data/<v>/centroids/         (cell, cvec) — the trained geometry
+  //   manifest/v<v>.txt           cell → owning data versions, at v
+  //   CURRENT                     the committed manifest version
+  //
+  // Unlike a BM25 bucket (REWRITTEN on append — df denormalization),
+  // an IVF cell only ever GAINS rows, so the manifest maps each cell
+  // to the LIST of data versions contributing files. Every tick writes
+  // only new files under a fresh data/<v>/, then commits with one
+  // atomic CURRENT rename: a writer crash at any point leaves readers
+  // on the previous version, uncommitted data dirs are garbage, and —
+  // because the centroid artifact travels INSIDE the commit — a serve
+  // can never pair one tick's probe geometry with another's cell
+  // contents. Single writer per index dir, any number of readers.
+  // Centroids are deliberately NOT retrained per tick: geometry drift
+  // is a periodic offline rebuild (the standard IVF maintenance
+  // split); [[ivfIndexBuild]] over a live dir allocates the next
+  // version and replaces the index wholesale without touching the
+  // files the committed manifest references.
+  // ---------------------------------------------------------------
+
+  /** One committed IVF index state. `cells` is the trained centroid
+    * count; `cellVersions` lists, per materialized cell, every data
+    * version holding rows for it (append order). */
+  final case class IvfManifest(version: Long, cells: Int, centroidsVersion: Long,
+      cellVersions: Map[Int, Seq[Long]])
+
+  private def renderIvfManifest(m: IvfManifest): String = {
+    val cv = m.cellVersions.toSeq.sortBy(_._1)
+      .map { case (c, vs) => s"$c:${vs.mkString("|")}" }.mkString(",")
+    s"version=${m.version}\ncells=${m.cells}\n" +
+      s"centroids=${m.centroidsVersion}\ncellVersions=$cv\n"
+  }
+
+  private def parseIvfManifest(text: String): IvfManifest = {
+    val kv = text.linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    val cv = kv("cellVersions").split(",").filter(_.nonEmpty).map { e =>
+      val Array(c, vs) = e.split(":")
+      c.toInt -> vs.split("\\|").map(_.toLong).toSeq
+    }.toMap
+    IvfManifest(kv("version").toLong, kv("cells").toInt, kv("centroids").toLong, cv)
+  }
+
+  /** The committed manifest — every reader's one CURRENT read. */
+  def readIvfManifest(spark: SparkSession, dir: String): IvfManifest =
+    parseIvfManifest(ManifestIO.readCurrent(spark, dir, "IVF index")._2)
+
+  /** The committed centroid geometry, indexed by cell id. */
+  def readIvfCentroids(spark: SparkSession, dir: String): Array[Array[Float]] =
+    readIvfCentroidsAt(spark, dir, readIvfManifest(spark, dir))
+
+  /** [[readIvfCentroids]] against an already-read manifest — serve and
+    * append read CURRENT once and thread the manifest through every
+    * artifact read (the [[Bm25.readPostingsAt]] discipline). */
+  def readIvfCentroidsAt(spark: SparkSession, dir: String,
+      m: IvfManifest): Array[Array[Float]] = {
+    val rows = spark.read.parquet(s"$dir/data/${m.centroidsVersion}/centroids")
+      .select(col("cell"), col("cvec")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    require(rows.size == m.cells,
+      s"IVF centroid artifact holds ${rows.size} cells, manifest says ${m.cells}")
+    Array.tabulate(m.cells)(rows(_))
+  }
+
+  /** The committed inverted file (cid, cvec, cell): each wanted cell
+    * read from the explicit data-version paths its manifest entry
+    * lists — uncommitted ticks' files are invisible, and with
+    * `onlyCells` the unprobed cells are never even listed (the serve
+    * path's partition pruning, made literal). */
+  def readIvfCells(spark: SparkSession, dir: String,
+      onlyCells: Option[Set[Int]] = None): DataFrame =
+    readIvfCellsAt(spark, dir, readIvfManifest(spark, dir), onlyCells)
+
+  /** [[readIvfCells]] against an already-read manifest. */
+  def readIvfCellsAt(spark: SparkSession, dir: String, m: IvfManifest,
+      onlyCells: Option[Set[Int]] = None): DataFrame = {
+    val wanted = onlyCells match {
+      case Some(cs) => m.cellVersions.filter { case (c, _) => cs(c) }
+      case None => m.cellVersions
+    }
+    // group (cell, version) pairs by version: one explicit-path read
+    // per contributing data version, basePath keeping the cell column
+    val byVer = wanted.toSeq.flatMap { case (c, vs) => vs.map(v => (v, c)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    if (byVer.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "cid BIGINT, cvec ARRAY<FLOAT>, cell INT"))
+    } else {
+      byVer.map { case (v, cs) =>
+        spark.read.option("basePath", s"$dir/data/$v/cells")
+          .parquet(cs.map(_._2).sorted.map(c => s"$dir/data/$v/cells/cell=$c"): _*)
+          .select(col("cid"), col("cvec"), col("cell").cast("int").as("cell"))
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** BUILD (or offline rebuild) of the committed IVF index: assign the
+    * corpus under `cents`, write the cell-partitioned inverted file and
+    * the centroid artifact under a fresh data version, commit both with
+    * one CURRENT rename. Over a dir already holding a committed index
+    * this allocates version committed+1 — the live manifest's files are
+    * never touched, so a crash mid-rebuild is invisible to readers and
+    * the flip replaces the index wholesale (the periodic retrain +
+    * re-encode tick of real IVF maintenance). */
+  def ivfIndexBuild(corpus: DataFrame, dir: String,
+      cents: Array[Array[Float]]): Unit = {
+    require(cents.nonEmpty, "IVF index needs at least one centroid")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ver: Long = {
+      val f = ManifestIO.fs(spark, dir)
+      if (f.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT")))
+        readIvfManifest(spark, dir).version + 1
+      else 1L
+    }
+    assignCells(corpus, cents).write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/data/$ver/cells")
+    cents.toSeq.zipWithIndex.map { case (v, c) => (c, v.toSeq) }
+      .toDF("cell", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$ver/centroids")
+    val present = ManifestIO.partitionIds(spark, s"$dir/data/$ver/cells", "cell=")
+      .map(_ -> Seq(ver)).toMap
+    ManifestIO.commit(spark, dir, ver,
+      renderIvfManifest(IvfManifest(ver, cents.length, ver, present)))
+  }
+
+  /** APPEND tick of the committed served-IVF lifecycle
+    * ([[ivfIndexBuild]] builds, [[ivfServedTopK]] serves, this grows):
+    * assign a new vector batch under the index's OWN committed
+    * centroids (read from the manifest — the caller cannot hand the
+    * tick a geometry the serve side won't use) and write the rows as
+    * new files under a fresh data version, committed with one CURRENT
+    * rename. Nothing is rewritten — an IVF append is pure accretion —
+    * but the commit still matters: an uncommitted tick's files are
+    * invisible to every reader, so a writer crash can never leave a
+    * half-appended batch in serve results. An empty batch is a no-op. */
+  def ivfIndexAppend(spark: SparkSession, dir: String, corpus: DataFrame): Unit =
+    ivfIndexAppendHooked(spark, dir, corpus, crashPoint = 0)
+
+  /** [[ivfIndexAppend]] with an injectable writer-death point for the
+    * crash-atomicity spec: 1 = die after the data write, before the
+    * manifest; 2 = die after the manifest, before the CURRENT flip. */
+  private[graft] def ivfIndexAppendHooked(spark: SparkSession, dir: String,
+      corpus: DataFrame, crashPoint: Int): Unit = {
+    val m = readIvfManifest(spark, dir)
+    val newVer = m.version + 1
+    if (corpus.isEmpty) return // the index already is the post-tick state
+    val cents = readIvfCentroidsAt(spark, dir, m)
+    assignCells(corpus, cents).write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/data/$newVer/cells")
+    val touched = ManifestIO.partitionIds(spark, s"$dir/data/$newVer/cells", "cell=")
+    if (crashPoint == 1) return // simulated death: data written, nothing committed
+    val newCells = m.cellVersions ++ touched.map(c =>
+      c -> (m.cellVersions.getOrElse(c, Seq.empty) :+ newVer))
+    val body = renderIvfManifest(
+      IvfManifest(newVer, m.cells, m.centroidsVersion, newCells))
+    if (crashPoint == 2) {
+      ManifestIO.writeManifestOnly(spark, dir, newVer, body)
+      return
+    }
+    ManifestIO.commit(spark, dir, newVer, body)
+  }
+
+  /** Serve a query batch from the committed IVF index: ONE CURRENT
+    * read pins manifest, centroids and cell files for the whole serve
+    * — an append committing midway can never mix one version's probe
+    * geometry with another's members. Probing, pruning and scoring are
+    * [[ivfTopKAssigned]]'s exact plan (driver-sized query batch by the
+    * same contract), with the cell pruning made literal: unprobed
+    * cells are never listed, let alone read. */
+  def ivfServedTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val m = readIvfManifest(spark, dir)
+    val cents = readIvfCentroidsAt(spark, dir, m)
+    val qRows = collectQueryBatch(queries, MaxDriverQueryRows, "ivfServedTopK")
+    val probeRows = qRows.flatMap { case (qid, v) =>
+      nearestCells(cents, v, nprobe).map(c => (qid, v, c))
+    }
+    val probes = probeRows.toSeq.toDF("qid", "qvec", "cell")
+    val members = readIvfCellsAt(spark, dir, m, Some(probeRows.map(_._3).toSet))
+    val scored = members
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+    topK(scored, k)
+  }
 
   /** IVF search against a PRE-ASSIGNED inverted file — the SERVE half
     * of the deployment split: `assigned` is [[assignCells]]'s output,

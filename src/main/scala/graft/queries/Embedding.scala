@@ -935,36 +935,41 @@ object Embedding {
   private val AppendSplit = 100
 
   /** Served-IVF APPEND tick ([[graft.operators.Ann.ivfIndexAppend]]):
-    * v11 serves a FROZEN inverted file — this entry runs the lifecycle
-    * a growing corpus needs: train + build on the initial corpus,
-    * append a later batch under the same centroids (pure partition
-    * appends, no rewrite), then serve from the grown index. The oracle
-    * replays assignment of the UNION corpus from the persisted
-    * centroids — a vector lost or mis-celled by the append would break
-    * the hash. */
+    * v11 serves a FROZEN inverted file — this entry runs the COMMITTED
+    * lifecycle a growing corpus needs: train + build on the initial
+    * corpus ([[graft.operators.Ann.ivfIndexBuild]], versioned-manifest
+    * commit), append a later batch under the index's own committed
+    * centroids (new data version + one atomic CURRENT rename — a
+    * crashed tick is invisible to readers), then serve from the grown
+    * index through one pinned manifest
+    * ([[graft.operators.Ann.ivfServedTopK]]). The oracle replays
+    * assignment of the UNION corpus from the persisted centroids — a
+    * vector lost or mis-celled by the append, or a centroid mangled by
+    * the artifact round-trip, would break the hash. */
   val v19IvfAppend: Q = Q(
     "v19_ivf_append",
     ivfServeSql("v19_centroids", nprobe = 12,
       corpusWhere = s"e.vec_id >= $NumQueries")) { (s, d) =>
-    val (dir, cents) = ivfAppendedIndex(s, d)
-    writeCentroids(s, "v19_centroids", cents)
-    val index = s.read.parquet(dir)
-      .withColumn("cell", col("cell").cast("int"))
+    val dir = ivfAppendedIndex(s, d)
+    // the oracle's geometry comes from the INDEX's committed artifact,
+    // proving the parquet round-trip preserved the trained floats
+    writeCentroids(s, "v19_centroids", Ann.readIvfCentroids(s, dir))
     val e = Tables.embeddings(s, d)
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    Ann.ivfTopKAssigned(index, queries, cents, K, nprobe = 12)
+    Ann.ivfServedTopK(s, dir, queries, K, nprobe = 12)
       .orderBy(col("qid"), col("rank"))
   }
 
   /** Build-then-append cache backing [[v19IvfAppend]]: centroids are
     * trained on the INITIAL corpus only (the appended batch must land
-    * in cells of the existing geometry, as at a real ingest tick). */
+    * in cells of the existing geometry, as at a real ingest tick) and
+    * live in the index's committed artifact thereafter. */
   private val ivfAppendCache = scala.collection.concurrent.TrieMap
-    .empty[String, (String, Array[Array[Float]])]
+    .empty[String, String]
 
   private def ivfAppendedIndex(s: org.apache.spark.sql.SparkSession,
-      d: String): (String, Array[Array[Float]]) =
+      d: String): String =
     ivfAppendCache.getOrElseUpdate(d, {
       val e = Tables.embeddings(s, d)
       val initial = e.filter(col("vec_id") >= AppendSplit)
@@ -973,14 +978,12 @@ object Embedding {
       val cents = Ann.kmeansCentroids(initial, "embedding", init, iters = 5)
       val dir = s"/tmp/graft_ivf_append_${ProcessHandle.current().pid()}_" +
         d.replaceAll("[^A-Za-z0-9._-]", "_")
-      Ann.assignCells(initial.select(col("vec_id").as("cid"),
-          col("embedding").as("cvec")), cents)
-        .write.partitionBy("cell").mode("overwrite").parquet(dir)
-      Ann.ivfIndexAppend(dir,
+      Ann.ivfIndexBuild(initial.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec")), dir, cents)
+      Ann.ivfIndexAppend(s, dir,
         e.filter(col("vec_id") >= NumQueries && col("vec_id") < AppendSplit)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-        cents)
-      (dir, cents)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+      dir
     })
 
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,

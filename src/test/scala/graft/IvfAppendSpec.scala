@@ -7,45 +7,129 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Ann
 
-/** IVF append tick ([[Ann.ivfIndexAppend]]): appended vectors land in
-  * the cells the shared centroids dictate, and serving from a
-  * built-then-appended index equals serving from an index built over
-  * the union in one shot.
+/** Committed IVF index lifecycle ([[Ann.ivfIndexBuild]] /
+  * [[Ann.ivfIndexAppend]] / [[Ann.ivfServedTopK]]): append parity with
+  * a one-shot union build, crash-atomicity of the versioned manifest
+  * commit (mirroring Bm25AppendSpec), rebuild-over-live isolation, and
+  * the serve path's literal cell pruning.
   */
 class IvfAppendSpec extends AnyFunSuite {
+
+  private val dim = 8
+  private def vec(seed: Int) = Seq.tabulate(dim)(j =>
+    (((seed * 31 + j * 17) % 13) - 6).toFloat / 3f)
+  private val initial = (100 until 160).map(i => (i.toLong, vec(i)))
+  private val appended = (10 until 40).map(i => (i.toLong, vec(i)))
+  private val cents = Array.tabulate(4)(c => vec(c * 7 + 1).toArray)
+
+  private def queries(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    (0 until 5).map(i => (i.toLong, vec(i + 500))).toDF("qid", "qvec")
+  }
 
   test("build+append == build-over-union, cell by cell and serve by serve") {
     val spark = SparkTest.spark
     import spark.implicits._
-    val dim = 8
-    def vec(seed: Int) = Seq.tabulate(dim)(j =>
-      (((seed * 31 + j * 17) % 13) - 6).toFloat / 3f)
-    val initial = (100 until 160).map(i => (i.toLong, vec(i)))
-    val appended = (10 until 40).map(i => (i.toLong, vec(i)))
-    val cents = Array.tabulate(4)(c => vec(c * 7 + 1).toArray)
 
     val dirA = Files.createTempDirectory("ivfappA").toString
-    Ann.assignCells(initial.toDF("cid", "cvec"), cents)
-      .write.partitionBy("cell").mode("overwrite").parquet(dirA)
-    Ann.ivfIndexAppend(dirA, appended.toDF("cid", "cvec"), cents)
+    Ann.ivfIndexBuild(initial.toDF("cid", "cvec"), dirA, cents)
+    Ann.ivfIndexAppend(spark, dirA, appended.toDF("cid", "cvec"))
 
     val dirB = Files.createTempDirectory("ivfappB").toString
-    Ann.assignCells((initial ++ appended).toDF("cid", "cvec"), cents)
-      .write.partitionBy("cell").mode("overwrite").parquet(dirB)
+    Ann.ivfIndexBuild((initial ++ appended).toDF("cid", "cvec"), dirB, cents)
 
-    def cells(dir: String) = spark.read.parquet(dir)
-      .select(col("cid"), col("cell").cast("int"))
+    def cells(dir: String) = Ann.readIvfCells(spark, dir)
+      .select(col("cid"), col("cell"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(cells(dirA) == cells(dirB) && cells(dirA).size == 90)
+    // the committed centroid artifact round-trips the trained floats
+    assert(Ann.readIvfCentroids(spark, dirA).map(_.toSeq).toSeq ==
+      cents.map(_.toSeq).toSeq)
 
-    val queries = (0 until 5).map(i => (i.toLong, vec(i + 500))).toDF("qid", "qvec")
-    def serve(dir: String) = Ann.ivfTopKAssigned(
-        spark.read.parquet(dir).withColumn("cell", col("cell").cast("int")),
-        queries, cents, k = 5, nprobe = 2)
+    def serve(dir: String) = Ann.ivfServedTopK(spark, dir,
+        queries(spark), k = 5, nprobe = 2)
       .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
     val served = serve(dirA)
     assert(served == serve(dirB) && served.nonEmpty)
-    // the appended batch is actually retrievable: some appended id surfaces
+    // the appended batch is actually retrievable: some appended id
+    // surfaces (topK's schema is qid, rank, cid, cosine)
     assert(served.exists(r => { val id = r(2).asInstanceOf[Long]; id >= 10L && id < 40L }))
+  }
+
+  test("writer death between data write and commit: readers stay on the old index, retry completes") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivfcrash").toString
+    Ann.ivfIndexBuild(initial.toDF("cid", "cvec"), dir, cents)
+    def serveNow() = Ann.ivfServedTopK(spark, dir, queries(spark), k = 5, nprobe = 2)
+      .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
+    val beforeServe = serveNow()
+    val beforeManifest = Ann.readIvfManifest(spark, dir)
+
+    for (crashPoint <- Seq(1, 2)) {
+      Ann.ivfIndexAppendHooked(spark, dir, appended.toDF("cid", "cvec"), crashPoint)
+      assert(Ann.readIvfManifest(spark, dir) == beforeManifest,
+        s"crashPoint=$crashPoint moved the committed manifest")
+      assert(serveNow() == beforeServe,
+        s"crashPoint=$crashPoint changed serving")
+    }
+
+    // the RETRY commits; serving equals the one-shot union build
+    Ann.ivfIndexAppend(spark, dir, appended.toDF("cid", "cvec"))
+    val dirU = Files.createTempDirectory("ivfcrashU").toString
+    Ann.ivfIndexBuild((initial ++ appended).toDF("cid", "cvec"), dirU, cents)
+    assert(serveNow() == Ann.ivfServedTopK(spark, dirU, queries(spark), k = 5, nprobe = 2)
+      .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq)
+  }
+
+  test("empty append batch is a clean no-op; rebuild over live allocates next version, v1 untouched") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivfreb").toString
+    Ann.ivfIndexBuild(initial.toDF("cid", "cvec"), dir, cents)
+    val m1 = Ann.readIvfManifest(spark, dir)
+    assert(m1.version == 1L && m1.centroidsVersion == 1L)
+
+    Ann.ivfIndexAppend(spark, dir,
+      Seq.empty[(Long, Seq[Float])].toDF("cid", "cvec"))
+    assert(Ann.readIvfManifest(spark, dir) == m1, "empty append must be a no-op")
+
+    def v1Files: Map[String, Long] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/data/1"))
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+      finally s.close()
+    }
+    val before = v1Files
+    // rebuild with different corpus AND geometry into the live dir
+    val cents2 = Array.tabulate(3)(c => vec(c * 11 + 5).toArray)
+    Ann.ivfIndexBuild((initial ++ appended).toDF("cid", "cvec"), dir, cents2)
+    val m2 = Ann.readIvfManifest(spark, dir)
+    assert(m2.version == 2L && m2.centroidsVersion == 2L && m2.cells == 3)
+    assert(m2.cellVersions.values.forall(_ == Seq(2L)),
+      "a rebuild must re-own every cell in the new version")
+    assert(v1Files == before, "rebuild touched committed version-1 files")
+    assert(Ann.readIvfCentroids(spark, dir).map(_.toSeq).toSeq ==
+      cents2.map(_.toSeq).toSeq)
+  }
+
+  test("serve lists only probed cells' committed files") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivfprune").toString
+    Ann.ivfIndexBuild(initial.toDF("cid", "cvec"), dir, cents)
+    Ann.ivfIndexAppend(spark, dir, appended.toDF("cid", "cvec"))
+    val q = queries(spark)
+    val df = Ann.ivfServedTopK(spark, dir, q, k = 5, nprobe = 2)
+    // recompute the probed cells the serve was allowed to read
+    val served = Ann.readIvfCentroids(spark, dir)
+    val allowed = q.collect().map(_.getSeq[Float](1).toArray)
+      .flatMap(v => Ann.nearestCells(served, v, 2)).toSet
+    val read = df.inputFiles.filter(_.contains("/cells/"))
+      .map(f => f.split("cell=").last.split("/").head.toInt).toSet
+    assert(read.nonEmpty && read.subsetOf(allowed),
+      s"serve read cells $read beyond the probed $allowed")
   }
 }
