@@ -749,7 +749,9 @@ object Dedup {
     * DEFENDS against a violation: admitted rows are anti-joined against
     * the index's sids, so a replayed doc can never plant a duplicate
     * signature row that would emit duplicate band rows — and duplicated
-    * pairs — on every later tick. */
+    * pairs — on every later tick; its verdict row likewise reports
+    * admitted=false (0 ref matches — the same-id guard saw nothing),
+    * so decisions and the returned index always agree. */
   def minhashIndexAdmit(refIndex: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
@@ -764,10 +766,18 @@ object Dedup {
       threshold, maxBucket, skippedAcc)
     val matches = gate.groupBy(col("da").as("sid"))
       .agg(count(lit(1)).as("n_ref_matches"))
+    // a replayed sid (already in the index — precondition violation,
+    // see scaladoc) pairs with nothing through the same-id guard, so
+    // its ref-match count is 0; the verdict must still be
+    // admitted=false, or decisions would disagree with the index union
+    // below and a caller keeping "admitted" docs would double-ingest it
+    val replayed = refIndex.select(col("sid")).distinct()
+      .withColumn("replayed", lit(true))
     val decisions = batchIndex.select(col("sid"))
       .join(matches, Seq("sid"), "left")
+      .join(replayed, Seq("sid"), "left")
       .select(col("sid"),
-        col("n_ref_matches").isNull.as("admitted"),
+        (col("n_ref_matches").isNull && col("replayed").isNull).as("admitted"),
         coalesce(col("n_ref_matches"), lit(0L)).as("n_ref_matches"))
     val admittedRows = batchIndex.join(
         gate.select(col("da").as("sid")).distinct(), Seq("sid"), "left_anti")

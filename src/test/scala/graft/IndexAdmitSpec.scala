@@ -90,6 +90,14 @@ class IndexAdmitSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts == Map(100L -> 1L, 101L -> 1L, 2L -> 1L))
+    // the verdict row AGREES with the refused union: the replayed sid
+    // reports admitted=false (with 0 ref matches — the same-id guard
+    // saw nothing), so a caller keeping "admitted" docs cannot
+    // double-ingest it; the genuinely novel doc stays admitted
+    val verdicts = adm.decisions.collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(verdicts(100L) == ((false, 0L)), s"replayed sid verdict: $verdicts")
+    assert(verdicts(2L)._1, s"novel doc must stay admitted: $verdicts")
     // and the updated index still probes cleanly: a near-dup of the
     // replayed doc matches it exactly ONCE
     val probe = Dedup.minhashLshPairsAcrossIndexed(
