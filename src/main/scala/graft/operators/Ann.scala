@@ -179,10 +179,11 @@ object Ann extends Serializable {
   def nearDupClusters(vecs: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Seq[Float]], threshold: Double,
       maxBucket: Int = Int.MaxValue,
-      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+      maxDriverEdges: Int = Components.MaxDriverEdges): DataFrame = {
     val pairs = lshNearDupPairs(vecs, idCol, vecCol, planes, threshold,
       maxBucket, skippedAcc)
-    val comp = Components.componentsAuto(pairs, "da", "db")
+    val comp = Components.componentsAuto(pairs, "da", "db", maxDriverEdges)
     vecs.select(col(idCol).cast("long").as("vec_id"))
       .filter(col("vec_id").isNotNull)
       .join(broadcast(comp.withColumnRenamed("node", "vec_id")), Seq("vec_id"), "left")

@@ -92,8 +92,11 @@ object Components {
     * bounded by ~23M edges (every signature within distance 3 of every
     * chunk-mate — the adversarial dense case), so a sufficiently dense
     * corpus CAN exceed the bound and takes the fallback; typical
-    * corpora sit orders of magnitude below it. */
-  private val MaxDriverEdges = 5000000
+    * corpora sit orders of magnitude below it. Public so the
+    * cluster-resolution entry points (media m14, embedding v20, the
+    * pair-derived split t52) can thread a caller-chosen bound down to
+    * [[componentsAuto]]. */
+  val MaxDriverEdges = 5000000
 
   /** (node, component) of an edge frame via the bounded driver
     * union-find fast path, degrading to the distributed star rounds

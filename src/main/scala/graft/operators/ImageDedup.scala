@@ -173,7 +173,8 @@ object ImageDedup extends Serializable {
   def clusters(sigs: DataFrame, maxDist: Int,
       idCol: String = "img_id", sigCol: String = "dhash",
       maxBucket: Int = Int.MaxValue,
-      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+      maxDriverEdges: Int = Components.MaxDriverEdges): DataFrame = {
     val members = sigs.select(col(idCol).cast("long").as("id"),
       col(sigCol).cast("long").as("sig")).localCheckpoint()
     val nodes = members.select(col("sig")).distinct()
@@ -181,7 +182,7 @@ object ImageDedup extends Serializable {
       nodes.select(col("sig").as(idCol), col("sig").as(sigCol)),
       maxDist, idCol, sigCol, maxBucket, skippedAcc)
       .select(col("da"), col("db"))
-    val comp = Components.componentsAuto(edges, "da", "db")
+    val comp = Components.componentsAuto(edges, "da", "db", maxDriverEdges)
       .withColumnRenamed("node", "sig")
     val withCluster = members.join(broadcast(comp), Seq("sig"), "left")
       .select(col("id").as("media_id"),

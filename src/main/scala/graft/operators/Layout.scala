@@ -48,8 +48,9 @@ object Layout {
     * to exactly that kernel's relation, which is the property
     * [[leakageAudit]] checks. */
   def leakFreeSplitFromPairs(ids: DataFrame, idCol: String, pairs: DataFrame,
-      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val comp = Components.componentsAuto(pairs, "da", "db")
+      trainPct: Int = 80, valPct: Int = 10,
+      maxDriverEdges: Int = Components.MaxDriverEdges): DataFrame = {
+    val comp = Components.componentsAuto(pairs, "da", "db", maxDriverEdges)
       .withColumnRenamed("node", "id")
     val withCluster = ids.select(col(idCol).cast("long").as("id"))
       .filter(col("id").isNotNull)
