@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.{Ann, Bm25, Hybrid}
+
+/** One arriving document's evidence against one frozen query: the BM25
+  * fixed-point score when the doc shares a scorable term with the
+  * query (`hasLex`), and its exact cosine against the query vector
+  * (every non-self doc has one — the vector leg is the brute exact
+  * baseline, like batch t48). */
+case class HybridArrival(qid: Long, docId: Long, lex: Long, hasLex: Boolean,
+    cosine: Double)
+
+/** One row of a query's CURRENT fused top-k after a micro-batch:
+  * `docsSeen` is the total candidate docs folded into this query's
+  * state so far — monotone per qid, so a consumer (and the parity
+  * spec) selects each query's latest snapshot by max `docsSeen`. */
+case class FusedSnapshot(qid: Long, docId: Long, rrf: Long, rank: Long,
+    docsSeen: Long)
+
+/** Per-query bounded retrieval state: the running top-`kLeg` of each
+  * leg. `lexIds`/`lexScores` (resp. `vecIds`/`vecCosines`) are
+  * parallel arrays sorted by the leg's rank order — score desc, docId
+  * asc (resp. cosine desc, docId asc) — the exact tie-break every
+  * batch leg uses. */
+case class HybridState(lexIds: Seq[Long], lexScores: Seq[Long],
+    vecIds: Seq[Long], vecCosines: Seq[Double], docsSeen: Long)
+
+/** Streaming hybrid retrieval — the batch/stream symmetry closer for
+  * the retrieval family ([[graft.operators.Hybrid.hybridTopK]] is the
+  * batch shape): eval queries and the corpus statistics their lexical
+  * leg scores against are TRAINED offline ([[Bm25Stream.train]] — the
+  * same frozen-stats deviation, stated there), broadcast with the
+  * query vectors, and applied online in two steps:
+  *
+  *   1. a STATELESS narrow map scores each arriving document against
+  *      every query on both modalities — integer fixed-point BM25
+  *      (bit-identical to the batch kernel) and exact cosine (the
+  *      same sequential-fold double as the codegen'd column);
+  *   2. a bounded per-query state (`flatMapGroupsWithState`, no
+  *      timeout, no processing-time semantics) folds candidates into
+  *      each leg's running top-`kLeg` and emits the query's current
+  *      RRF-fused top-`k` — integer fusion with the batch constants
+  *      ([[Hybrid.RrfKappa]]/[[Hybrid.RrfScale]]), so after the last
+  *      arrival the snapshot equals `hybridTopK` over the arrivals'
+  *      totality row-for-row.
+  *
+  * Scale shape: state is queries × kLeg × 2 entries — eval-set-sized,
+  * never corpus-sized; each arrival costs |queries| score rows (the
+  * same brute gate as [[Bm25Stream]]/[[AnnStream]], which is the
+  * decontamination-serving deployment: eval sets are small, corpora
+  * are not). Self pairs (docId == qid) are excluded like both batch
+  * legs do. */
+object HybridStream {
+
+  /** Frozen two-leg scoring model: the BM25 gate model + each query's
+    * vector, and the retrieval depths. Driver-sized by the same loud
+    * guard as [[Bm25Stream.train]]. */
+  case class HybridModel(bm25: Bm25Stream.Bm25Model,
+      queryVecs: Map[Long, Array[Float]], kLeg: Int, k: Int)
+
+  /** Offline training: BM25 stats/df against the reference corpus for
+    * the queries' terms, plus the collected (qid → qvec) map.
+    * `queries` carries (qid, term, qvec) rows — the batch
+    * [[Hybrid.hybridTopK]] contract, vector repeated per term row. */
+  def train(ref: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, kLeg: Int, k: Int): HybridModel = {
+    import org.apache.spark.sql.functions._
+    require(kLeg > 0 && k > 0, s"depths must be positive, got kLeg=$kLeg k=$k")
+    val bm25 = Bm25Stream.train(ref, idCol, textCol,
+      queries.select(col("qid"), col("term")))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val vecRows = queries.select(col("qid").cast("long"), col("qvec"))
+      .filter(col("qid").isNotNull && col("qvec").isNotNull)
+      .groupBy(col("qid")).agg(first(col("qvec")).as("qvec"))
+      .as[(Long, Array[Float])]
+      .collect()
+    HybridModel(bm25, vecRows.toMap, kLeg, k)
+  }
+
+  /** Insert into a bounded rank-ordered list: `better(a, b)` = a
+    * strictly outranks b. Returns the top-`bound` under that order. */
+  private def insertBounded[T](xs: Seq[T], x: T, bound: Int)(
+      better: (T, T) => Boolean): Seq[T] = {
+    val i = xs.indexWhere(e => better(x, e))
+    val at = if (i < 0) xs.length else i
+    if (at >= bound) xs
+    else (xs.take(at) :+ x) ++ xs.drop(at).take(bound - at - 1)
+  }
+
+  private def lexBetter(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  private def vecBetter(a: (Long, Double), b: (Long, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  /** The integer RRF fusion of the state's two ranked legs —
+    * [[Hybrid.rrfFuse]]'s arithmetic on the driver-sized snapshot:
+    * contribution floor(RrfScale/(κ+rank)) per leg, summed, ranked by
+    * (rrf desc, docId asc), cut to `k`. */
+  private[streaming] def fuseState(st: HybridState, k: Int): Seq[(Long, Long)] = {
+    val contrib = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    def add(ids: Seq[Long]): Unit = ids.zipWithIndex.foreach { case (id, i) =>
+      val c = Hybrid.RrfScale / (Hybrid.RrfKappa + (i + 1))
+      contrib.update(id, contrib.getOrElse(id, 0L) + c)
+    }
+    add(st.lexIds)
+    add(st.vecIds)
+    contrib.toSeq
+      .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      .take(k)
+  }
+
+  private def updateGroup(model: HybridModel)(qid: Long,
+      rows: Iterator[HybridArrival],
+      state: GroupState[HybridState]): Iterator[FusedSnapshot] = {
+    var st = state.getOption.getOrElse(HybridState(Nil, Nil, Nil, Nil, 0L))
+    var lex = st.lexIds.zip(st.lexScores)
+    var vec = st.vecIds.zip(st.vecCosines)
+    var seen = st.docsSeen
+    rows.foreach { a =>
+      seen += 1
+      if (a.hasLex) lex = insertBounded(lex, (a.docId, a.lex), model.kLeg)(lexBetter)
+      vec = insertBounded(vec, (a.docId, a.cosine), model.kLeg)(vecBetter)
+    }
+    st = HybridState(lex.map(_._1), lex.map(_._2),
+      vec.map(_._1), vec.map(_._2), seen)
+    state.update(st)
+    fuseState(st, model.k).zipWithIndex.iterator.map { case ((id, rrf), i) =>
+      FusedSnapshot(qid, id, rrf, i + 1L, seen)
+    }
+  }
+
+  /** Stateless candidate scoring: one [[HybridArrival]] per (arriving
+    * doc, query) pair, self pairs excluded. Package-visible for the
+    * parity spec's leg-level checks. */
+  private[streaming] def arrivals(docs: DataFrame, idCol: String,
+      textCol: String, vecCol: String, model: HybridModel): Dataset[HybridArrival] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bc = spark.sparkContext.broadcast(model)
+    docs.select(col(idCol).cast("long"), col(textCol), col(vecCol))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        col(vecCol).isNotNull)
+      .as[(Long, String, Array[Float])]
+      .flatMap { case (docId, text, dvec) =>
+        val m = bc.value
+        // every query's lexical verdict in one tokenize pass
+        val lexByQid = Bm25Stream.scoreDoc(docId, text, m.bm25, Long.MinValue)
+          .map(h => h.qid -> h.score).toMap
+        m.queryVecs.iterator.collect {
+          case (qid, qvec) if qid != docId =>
+            val lex = lexByQid.get(qid)
+            HybridArrival(qid, docId, lex.getOrElse(0L), lex.isDefined,
+              Ann.cosineD(qvec, dvec))
+        }
+      }
+  }
+
+  /** stream(`idCol`, `textCol`, `vecCol`) → per-query fused top-k
+    * snapshots, updated every micro-batch (Update output mode). Works
+    * identically on a batch frame (one snapshot per query). */
+  def topK(docs: DataFrame, idCol: String, textCol: String, vecCol: String,
+      model: HybridModel): Dataset[FusedSnapshot] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    arrivals(docs, idCol, textCol, vecCol, model)
+      .groupByKey(_.qid)
+      .flatMapGroupsWithState[HybridState, FusedSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(updateGroup(model))
+  }
+}
