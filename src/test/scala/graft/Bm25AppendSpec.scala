@@ -209,6 +209,42 @@ class Bm25AppendSpec extends AnyFunSuite {
     assert(Bm25.readManifest(spark, dir).bucketVersions.nonEmpty)
   }
 
+  test("append rewrite bytes scale ~1/buckets for the same skewed batch") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    // 2000 docs over a 500-word vocabulary: buckets carry ~1/B of the
+    // postings at both counts; the batch's 4-term template storm
+    // touches <= 4 buckets regardless of B, so the tick's rewrite
+    // payload must fall with B (the sizing knob's entire point)
+    val corpus = (0 until 2000).map(i =>
+      (i.toLong, (0 until 10).map(j => s"w${(i * 31 + j * 7) % 500}").mkString(" ")))
+    val batch = (0 until 200).map(i =>
+      (100000L + i, (0 until 10).map(j => s"narrow${(i + j) % 4}").mkString(" ")))
+    def rewriteBytes(buckets: Int): (Long, Int) = {
+      val dir = Files.createTempDirectory(s"bm25inv$buckets").toString
+      Bm25.buildIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", dir, buckets)
+      Bm25.appendToIndex(spark, dir, batch.toDF("doc_id", "text"), "doc_id", "text")
+      val m = Bm25.readManifest(spark, dir)
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$dir/data/${m.version}/postings"))
+      val bytes =
+        try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .filterNot(_.getFileName.toString.startsWith("."))
+          .map(java.nio.file.Files.size(_)).sum
+        finally s.close()
+      (bytes, m.bucketVersions.count(_._2 == m.version))
+    }
+    val (bytes16, touched16) = rewriteBytes(16)
+    val (bytes64, touched64) = rewriteBytes(64)
+    assert(touched16 <= 4 && touched64 <= 4,
+      s"skewed batch must touch <= 4 buckets, got $touched16/$touched64")
+    // 4x the buckets must at least halve the rewrite payload (parquet
+    // per-file floors keep the ratio below the ideal 4x)
+    assert(bytes64 * 2 < bytes16,
+      s"rewrite bytes must fall with bucket count: 16->$bytes16 64->$bytes64")
+  }
+
   test("big-batch serve (distributed term join, no term collect) == small-batch serve") {
     val spark = SparkTest.spark
     import spark.implicits._

@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Bucket-count sizing receipt for the BM25 standing index
+  * ([[graft.operators.Bm25.buildIndex]]'s `buckets` parameter): the
+  * bucket is the append tick's REWRITE unit and the serve path's
+  * LISTING unit, so the same corpus built at 16 / 64 / 256 buckets
+  * quantifies the trade a 100 TB deployment sizes:
+  *
+  *   - append rewrite bytes for a skewed (few-term) batch fall ~1/B —
+  *     each bucket holds ~1/B of the postings, and a batch touching k
+  *     terms rewrites ≤ k buckets regardless of B;
+  *   - serve listings for a fixed query batch stay ≤ |query terms|
+  *     bucket dirs at every B (manifest path selection), while the
+  *     BYTES read per listed bucket fall ~1/B;
+  *   - more buckets cost more files per full-index operation (build
+  *     time, small-file pressure) — the reason B is a knob, not "max".
+  *
+  * Run: sbt "Test/runMain graft.tools.Bm25BucketScale"
+  */
+object Bm25BucketScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time(f: => Unit): Double = {
+      System.gc()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) return 0L
+      val s = java.nio.file.Files.walk(root)
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(java.nio.file.Files.size(_)).sum
+      finally s.close()
+    }
+
+    // 20k docs x 30 tokens over a 2k-word vocabulary: every bucket
+    // materializes at all three counts
+    val corpus = spark.range(20000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("w"), pmod(hash(col("id") * 31 + j), lit(2000)))): _*).as("text"))
+      .cache()
+    corpus.count()
+    // skewed append batch: an 8-term template storm (one domain)
+    val batch = spark.range(2000).select((col("id") + 1000000L).as("doc_id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("narrow"), pmod(hash(col("id") * 31 + j), lit(8)))): _*).as("text"))
+      .cache()
+    batch.count()
+    val queryTerms = (0 until 5).map(t => (t.toLong, s"w${t * 397}"))
+
+    val load = scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ").head).getOrElse("?")
+    println(s"bm25_bucket_scale window load=$load corpus=20000x30tok batch=2000x8terms")
+
+    for (buckets <- Seq(16, 64, 256)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"bm25bs$buckets").toString
+      val buildT = time(graft.operators.Bm25
+        .buildIndex(corpus, "doc_id", "text", dir, buckets))
+      val appendT = time(graft.operators.Bm25
+        .appendToIndex(spark, dir, batch, "doc_id", "text"))
+      val m = graft.operators.Bm25.readManifest(spark, dir)
+      val rewritten = m.bucketVersions.count(_._2 == m.version)
+      val rewriteBytes = dirBytes(s"$dir/data/${m.version}/postings")
+      val totalBytes = dirBytes(s"$dir/data/1/postings")
+      val q = queryTerms.toDF("qid", "term")
+      val served = graft.operators.Bm25.serveTopK(spark, dir, q, 10)
+      val serveT = med(Seq.fill(3)(time(served.count())))
+      val listedBuckets = served.inputFiles.filter(_.contains("/postings/"))
+        .map(f => f.split("bucket=").last.split("/").head.toInt).distinct.length
+      val listedBytes = served.inputFiles.filter(_.contains("/postings/"))
+        .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(
+          f.stripPrefix("file:")))).sum
+      println(f"bm25_bucket_scale buckets=$buckets%4d build=$buildT%5.1fs " +
+        f"append=$appendT%5.1fs rewritten_buckets=$rewritten%3d " +
+        f"rewrite_kb=${rewriteBytes / 1024}%6d of_total_kb=${totalBytes / 1024}%6d " +
+        f"serve=$serveT%5.2fs listed_buckets=$listedBuckets%3d " +
+        f"listed_kb=${listedBytes / 1024}%5d")
+    }
+    spark.stop()
+  }
+}
