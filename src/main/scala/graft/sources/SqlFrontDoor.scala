@@ -557,6 +557,47 @@ object SqlFrontDoor {
         graft.operators.Hybrid.hybridTopK(s.read.parquet(a.head),
           "doc_id", "text", "embedding", s.read.parquet(a(1)),
           a(2).trim.toInt, a(3).trim.toInt)),
+      // the committed IVF standing-index lifecycle from SQL — the
+      // bm25_index family's vector sibling, on the same
+      // versioned-manifest commit protocol (one atomic CURRENT flip
+      // per tick; readers see old or new, never a mix). Centroids come
+      // from a (cell INT, cvec ARRAY<FLOAT>) parquet artifact the
+      // caller trained; corpus/batch parquet needs (cid BIGINT, cvec
+      // ARRAY<FLOAT>), queries (qid BIGINT, qvec ARRAY<FLOAT>).
+      // Build/append return the committed manifest as a 1-row summary;
+      // serve emits (qid, rank, cid, cosine) partition-pruned to the
+      // probed cells.
+      ("ivf_index_build", 3, a => {
+        val cents = s.read.parquet(a(2))
+          .select(org.apache.spark.sql.functions.col("cell"),
+            org.apache.spark.sql.functions.col("cvec"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+          .sortBy(_._1).map(_._2)
+        graft.operators.Ann.ivfIndexBuild(s.read.parquet(a.head), a(1), cents)
+        ivfManifestSummary(a(1))
+      }),
+      ("ivf_index_append", 2, a => {
+        graft.operators.Ann.ivfIndexAppend(s, a.head, s.read.parquet(a(1)))
+        ivfManifestSummary(a.head)
+      }),
+      ("ivf_serve", 4, a =>
+        graft.operators.Ann.ivfServedTopK(s, a.head, s.read.parquet(a(1)),
+          a(2).trim.toInt, a(3).trim.toInt)),
+      // hybrid_snapshot(ref_path, queries_path, docs_path, k_leg, k):
+      // the streaming hybrid-retrieval operator applied to a batch
+      // frame (the bm25_decontam_gate shape) — train the frozen
+      // two-leg model on ref_path + queries_path (qid, term, qvec),
+      // then fold docs_path (doc_id, text, embedding) through the
+      // bounded per-query top-k state; emits each query's fused
+      // (qid, docId, rrf, rank, docsSeen) snapshot, which on a batch
+      // frame equals hybrid_rrf over the same corpus
+      ("hybrid_snapshot", 5, a => {
+        val model = graft.streaming.HybridStream.train(
+          s.read.parquet(a.head), "doc_id", "text", s.read.parquet(a(1)),
+          a(3).trim.toInt, a(4).trim.toInt)
+        graft.streaming.HybridStream.topK(
+          s.read.parquet(a(2)), "doc_id", "text", "embedding", model).toDF()
+      }),
       // leak_audit(splits_path, pairs_path): split-leakage audit —
       // one row per near-dup pair with both sides' splits and a
       // violation flag (pair straddles two splits); splits need
@@ -581,6 +622,18 @@ object SqlFrontDoor {
         graft.operators.Layout.shardPositions(base, "shard", Seq("k", "doc_id"), "pos")
           .select(col("doc_id"), col("shard"), col("pos"))
       }))
+  }
+
+  /** The committed IVF manifest as a 1-row frame (the build/append
+    * TVFs' return value — the bm25_index family returns stats; the
+    * IVF analog is the commit receipt). */
+  private def ivfManifestSummary(dir: String): DataFrame = {
+    val s = SparkSession.active
+    import s.implicits._
+    val m = graft.operators.Ann.readIvfManifest(s, dir)
+    Seq((m.version, m.cells, m.centroidsVersion,
+      m.cellVersions.size.toLong)).toDF(
+      "version", "cells", "centroids_version", "materialized_cells")
   }
 
   private def tvfBuilder(name: String, nArgs: Int,

@@ -621,6 +621,81 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(sq.length == 15)
   }
 
+  test("ivf_index_build/append/serve TVFs run the committed lifecycle from pure SQL") {
+    import spark.implicits._
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val dir = Files.createTempDirectory("graftsqlivf")
+    val idx = dir.resolve("ivfidx").toString
+    // caller-trained centroid artifact: 4 deterministic cells
+    val dim = spark.read.parquet(emb)
+      .select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val cents = Array.tabulate(4)(c => Array.tabulate(dim)(j =>
+      (((c * 31 + j * 17) % 13) - 6).toFloat / 3f))
+    val centP = dir.resolve("cents").toString
+    cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("cell", "cvec").write.mode("overwrite").parquet(centP)
+    val corpP = dir.resolve("corp").toString
+    spark.read.parquet(emb).filter(col("vec_id") >= 20)
+      .selectExpr("vec_id AS cid", "embedding AS cvec")
+      .write.mode("overwrite").parquet(corpP)
+    val batchP = dir.resolve("batch").toString
+    spark.read.parquet(emb).filter(col("vec_id") >= 5 && col("vec_id") < 20)
+      .selectExpr("vec_id AS cid", "embedding AS cvec")
+      .write.mode("overwrite").parquet(batchP)
+    val qP = dir.resolve("qv").toString
+    spark.read.parquet(emb).filter(col("vec_id") < 5)
+      .selectExpr("vec_id AS qid", "embedding AS qvec")
+      .write.mode("overwrite").parquet(qP)
+
+    val built = spark.sql(
+      s"SELECT * FROM ivf_index_build('$corpP', '$idx', '$centP')").collect().head
+    assert(built.getLong(0) == 1L && built.getInt(1) == 4)
+    val appended = spark.sql(
+      s"SELECT * FROM ivf_index_append('$idx', '$batchP')").collect().head
+    assert(appended.getLong(0) == 2L, "append must commit version 2")
+    assert(appended.getLong(2) == 1L, "centroids stay at the build version")
+
+    val sqlServe = spark.sql(
+      s"SELECT qid, rank, cid FROM ivf_serve('$idx', '$qP', '5', '2') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq
+    val apiServe = graft.operators.Ann.ivfServedTopK(spark, idx,
+        spark.read.parquet(qP), 5, 2)
+      .select(col("qid"), col("rank"), col("cid"))
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(sqlServe == apiServe && sqlServe.nonEmpty)
+    // the appended batch is retrievable through SQL serving
+    assert(sqlServe.exists { r =>
+      val id = r(2).asInstanceOf[Long]; id >= 5L && id < 20L })
+  }
+
+  test("hybrid_snapshot TVF equals hybrid_rrf on the same corpus from pure SQL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftsqlhyb")
+    val v = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val o = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val corpP = dir.resolve("corp").toString
+    Seq(
+      (0L, "alpha beta gamma delta", v),
+      (1L, "alpha beta gamma delta", v),
+      (2L, "alpha beta gamma delta", o),
+      (3L, "junk words only here", v),
+      (4L, "other filler text here", o))
+      .toDF("doc_id", "text", "embedding")
+      .write.mode("overwrite").parquet(corpP)
+    val qP = dir.resolve("q").toString
+    Seq((0L, "alpha", v), (0L, "gamma", v), (3L, "junk", v))
+      .toDF("qid", "term", "qvec")
+      .write.mode("overwrite").parquet(qP)
+    val snap = spark.sql(
+      s"SELECT qid, docId, rrf, rank FROM hybrid_snapshot('$corpP', '$qP', '$corpP', '3', '4') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq
+    val fused = spark.sql(
+      s"SELECT qid, doc_id, rrf, rank FROM hybrid_rrf('$corpP', '$qP', '3', '4') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq
+    assert(snap == fused && snap.nonEmpty)
+  }
+
   test("profiling TVFs (heavy_hitters, quantile_profile, random_projection) from pure SQL") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
