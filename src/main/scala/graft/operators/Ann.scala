@@ -553,7 +553,11 @@ object Ann extends Serializable {
     * centroid. The TRAIN-ONCE half of the deployment split — write
     * this `partitionBy("cell")` to parquet and every later
     * [[ivfTopKAssigned]] batch reads ONLY its probed cells via
-    * partition pruning. */
+    * partition pruning. A plain immutable layout is the right storage
+    * for a FROZEN index (nothing ever changes after the write); an
+    * index that must GROW belongs on the committed lifecycle instead
+    * ([[ivfIndexBuild]]/[[ivfIndexAppend]]/[[ivfServedTopK]]) so
+    * readers can never observe a half-appended tick. */
   def assignCells(corpus: DataFrame, cents: Array[Array[Float]]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._

@@ -58,6 +58,39 @@ class AppendPropSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf committed build+append == build-over-union on random corpora and splits") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dim = 8
+    def vecs(n: Int, seed: Int, idBase: Long): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        (idBase + i, Seq.tabulate(dim)(j =>
+          (((seed * 131 + i * 31 + j * 17) % 23) - 11).toFloat / 5f))
+      }
+    for (round <- 0 until 3) {
+      val base = vecs(30 + round * 10, seed = 40 + round, idBase = 0L)
+      val batch = vecs(10 + round * 5, seed = 80 + round, idBase = 1000L)
+      val cents = Array.tabulate(3 + round)(c =>
+        Array.tabulate(dim)(j => (((c * 37 + j * 13) % 19) - 9).toFloat / 4f))
+
+      val dirA = java.nio.file.Files.createTempDirectory(s"ivfprA$round").toString
+      graft.operators.Ann.ivfIndexBuild(base.toDF("cid", "cvec"), dirA, cents)
+      graft.operators.Ann.ivfIndexAppend(spark, dirA, batch.toDF("cid", "cvec"))
+      val dirB = java.nio.file.Files.createTempDirectory(s"ivfprB$round").toString
+      graft.operators.Ann.ivfIndexBuild((base ++ batch).toDF("cid", "cvec"), dirB, cents)
+
+      def cells(dir: String) = graft.operators.Ann.readIvfCells(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(cells(dirA) == cells(dirB) &&
+        cells(dirA).size == base.size + batch.size, s"round $round")
+      val q = vecs(4, seed = 200 + round, idBase = 5000L).toDF("qid", "qvec")
+      def serve(dir: String) = graft.operators.Ann
+        .ivfServedTopK(spark, dir, q, k = 5, nprobe = 2)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+      assert(serve(dirA) == serve(dirB) && serve(dirA).nonEmpty, s"round $round")
+    }
+  }
+
   test("minhash admission decisions equal the kernel gate; updated index = ref ∪ admitted") {
     val spark = SparkTest.spark
     import spark.implicits._
