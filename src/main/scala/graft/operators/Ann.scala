@@ -596,15 +596,18 @@ object Ann extends Serializable {
 
   /** One committed IVF index state. `cells` is the trained centroid
     * count; `cellVersions` lists, per materialized cell, every data
-    * version holding rows for it (append order). */
+    * version holding rows for it (append order); `txn` is the last
+    * writer transaction ([[ManifestIO.txnAlreadyApplied]] — the
+    * exactly-once gate for streaming maintenance). */
   final case class IvfManifest(version: Long, cells: Int, centroidsVersion: Long,
-      cellVersions: Map[Int, Seq[Long]])
+      cellVersions: Map[Int, Seq[Long]], txn: Option[(String, Long)] = None)
 
   private def renderIvfManifest(m: IvfManifest): String = {
     val cv = m.cellVersions.toSeq.sortBy(_._1)
       .map { case (c, vs) => s"$c:${vs.mkString("|")}" }.mkString(",")
     s"version=${m.version}\ncells=${m.cells}\n" +
-      s"centroids=${m.centroidsVersion}\ncellVersions=$cv\n"
+      s"centroids=${m.centroidsVersion}\ncellVersions=$cv\n" +
+      ManifestIO.renderTxn(m.txn)
   }
 
   private def parseIvfManifest(text: String): IvfManifest = {
@@ -614,7 +617,8 @@ object Ann extends Serializable {
       val Array(c, vs) = e.split(":")
       c.toInt -> vs.split("\\|").map(_.toLong).toSeq
     }.toMap
-    IvfManifest(kv("version").toLong, kv("cells").toInt, kv("centroids").toLong, cv)
+    IvfManifest(kv("version").toLong, kv("cells").toInt, kv("centroids").toLong, cv,
+      ManifestIO.parseTxn(kv))
   }
 
   /** The committed manifest — every reader's one CURRENT read. */
@@ -714,12 +718,23 @@ object Ann extends Serializable {
   def ivfIndexAppend(spark: SparkSession, dir: String, corpus: DataFrame): Unit =
     ivfIndexAppendHooked(spark, dir, corpus, crashPoint = 0)
 
+  /** [[ivfIndexAppend]] carrying a writer transaction (appId, epoch) —
+    * the exactly-once form for streaming maintenance: a retried epoch
+    * the committed manifest already records is a no-op (see
+    * [[ManifestIO.txnAlreadyApplied]]). */
+  def ivfIndexAppendTxn(spark: SparkSession, dir: String, corpus: DataFrame,
+      appId: String, epoch: Long): Unit =
+    ivfIndexAppendHooked(spark, dir, corpus, crashPoint = 0,
+      txn = Some((appId, epoch)))
+
   /** [[ivfIndexAppend]] with an injectable writer-death point for the
     * crash-atomicity spec: 1 = die after the data write, before the
     * manifest; 2 = die after the manifest, before the CURRENT flip. */
   private[graft] def ivfIndexAppendHooked(spark: SparkSession, dir: String,
-      corpus: DataFrame, crashPoint: Int): Unit = {
+      corpus: DataFrame, crashPoint: Int,
+      txn: Option[(String, Long)] = None): Unit = {
     val m = readIvfManifest(spark, dir)
+    if (ManifestIO.txnAlreadyApplied(m.txn, txn)) return // retried epoch: already committed
     val newVer = m.version + 1
     if (corpus.isEmpty) return // the index already is the post-tick state
     val cents = readIvfCentroidsAt(spark, dir, m)
@@ -730,7 +745,7 @@ object Ann extends Serializable {
     val newCells = m.cellVersions ++ touched.map(c =>
       c -> (m.cellVersions.getOrElse(c, Seq.empty) :+ newVer))
     val body = renderIvfManifest(
-      IvfManifest(newVer, m.cells, m.centroidsVersion, newCells))
+      IvfManifest(newVer, m.cells, m.centroidsVersion, newCells, txn))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return

@@ -206,15 +206,19 @@ object Bm25 {
 
   /** One committed index state: the bucket count chosen at build time,
     * the data version owning each bucket's postings (absent bucket =
-    * no terms hash there yet), and the version owning the stats row. */
+    * no terms hash there yet), the version owning the stats row, and
+    * the last writer transaction (see [[ManifestIO.txnAlreadyApplied]]
+    * — the exactly-once gate for streaming maintenance). */
   final case class IndexManifest(version: Long, buckets: Int,
-      statsVersion: Long, bucketVersions: Map[Int, Long])
+      statsVersion: Long, bucketVersions: Map[Int, Long],
+      txn: Option[(String, Long)] = None)
 
   private def renderManifest(m: IndexManifest): String = {
     val bv = m.bucketVersions.toSeq.sortBy(_._1)
       .map { case (b, v) => s"$b:$v" }.mkString(",")
     s"version=${m.version}\nbuckets=${m.buckets}\n" +
-      s"stats=${m.statsVersion}\nbucketVersions=$bv\n"
+      s"stats=${m.statsVersion}\nbucketVersions=$bv\n" +
+      ManifestIO.renderTxn(m.txn)
   }
 
   private def parseManifest(text: String): IndexManifest = {
@@ -223,7 +227,8 @@ object Bm25 {
     val bv = kv("bucketVersions").split(",").filter(_.nonEmpty).map { e =>
       val Array(b, v) = e.split(":"); b.toInt -> v.toLong
     }.toMap
-    IndexManifest(kv("version").toLong, kv("buckets").toInt, kv("stats").toLong, bv)
+    IndexManifest(kv("version").toLong, kv("buckets").toInt, kv("stats").toLong, bv,
+      ManifestIO.parseTxn(kv))
   }
 
   /** Read the COMMITTED manifest — the index state every reader serves
@@ -446,17 +451,30 @@ object Bm25 {
       idCol: String, textCol: String): Unit =
     appendToIndexHooked(spark, dir, newDocs, idCol, textCol, crashPoint = 0)
 
+  /** [[appendToIndex]] carrying a writer transaction (appId, epoch) —
+    * the EXACTLY-ONCE form for streaming maintenance: if the committed
+    * manifest already records this app at this (or a later) epoch, the
+    * tick is a no-op, so a foreachBatch retry re-delivering the same
+    * micro-batch cannot double-ingest it. A tick that crashed before
+    * its CURRENT flip left no txn record and retries cleanly. */
+  def appendToIndexTxn(spark: SparkSession, dir: String, newDocs: DataFrame,
+      idCol: String, textCol: String, appId: String, epoch: Long): Unit =
+    appendToIndexHooked(spark, dir, newDocs, idCol, textCol, crashPoint = 0,
+      txn = Some((appId, epoch)))
+
   /** [[appendToIndex]] with an injectable writer-death point for the
     * crash-atomicity spec: 1 = die after the data writes, before the
     * manifest; 2 = die after the manifest, before the CURRENT flip.
     * Production path is crashPoint = 0. */
   private[graft] def appendToIndexHooked(spark: SparkSession, dir: String,
-      newDocs: DataFrame, idCol: String, textCol: String, crashPoint: Int): Unit = {
+      newDocs: DataFrame, idCol: String, textCol: String, crashPoint: Int,
+      txn: Option[(String, Long)] = None): Unit = {
     // one CURRENT read pins the tick: existing postings AND old stats
     // resolve from this manifest (single-writer discipline makes a
     // concurrent commit illegal anyway; the pin keeps the tick correct
     // even against a misbehaving second writer)
     val m = readManifest(spark, dir)
+    if (ManifestIO.txnAlreadyApplied(m.txn, txn)) return // retried epoch: already committed
     val newVer = m.version + 1
     val newDl = newDocs.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
@@ -500,7 +518,8 @@ object Bm25 {
     statsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$newVer/stats")
     if (crashPoint == 1) return // simulated writer death: data written, nothing committed
     val newOwners = m.bucketVersions ++ touched.map(_ -> newVer)
-    val body = renderManifest(IndexManifest(newVer, m.buckets, newVer, newOwners))
+    val body = renderManifest(
+      IndexManifest(newVer, m.buckets, newVer, newOwners, txn))
     if (crashPoint == 2) {
       // simulated death between manifest write and CURRENT flip: the
       // manifest file exists but is unreferenced garbage

@@ -79,6 +79,35 @@ private[graft] object ManifestIO {
     (v, readText(f, new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.txt")))
   }
 
+  /** Writer-transaction manifest line (`txn=<appId>:<epoch>`) — the
+    * Delta-style idempotence token for STREAMING index maintenance:
+    * each committed tick records the (application id, epoch) that
+    * produced it, and a retried micro-batch (foreachBatch re-delivers
+    * the same epoch after a failure between the sink call and the
+    * engine's own commit) is recognized and skipped. Epochs per app id
+    * must be monotone, which Structured Streaming's batchId is. */
+  def renderTxn(txn: Option[(String, Long)]): String =
+    txn.map { case (app, epoch) => s"txn=$app:$epoch\n" }.getOrElse("")
+
+  /** The txn line back out of a parsed key→value manifest map. App ids
+    * may contain ':'; the epoch is everything after the LAST colon. */
+  def parseTxn(kv: Map[String, String]): Option[(String, Long)] =
+    kv.get("txn").map { v =>
+      val i = v.lastIndexOf(':')
+      (v.take(i), v.drop(i + 1).toLong)
+    }
+
+  /** True iff a committed manifest's `txn` proves this (appId, epoch)
+    * tick already ran: same app, committed epoch >= this epoch. A tick
+    * that crashed BEFORE its commit left no txn record, so its retry
+    * applies cleanly — at-most-once commit + at-least-once delivery =
+    * exactly-once index maintenance. */
+  def txnAlreadyApplied(committed: Option[(String, Long)],
+      txn: Option[(String, Long)]): Boolean = (committed, txn) match {
+    case (Some((app0, e0)), Some((app, e))) => app0 == app && e0 >= e
+    case _ => false
+  }
+
   /** Partition subdirectory names of `dataDir` with the given partition
     * column prefix, e.g. `bucket=` → the bucket ids materialized by a
     * write (partitionBy skips empty partitions). */

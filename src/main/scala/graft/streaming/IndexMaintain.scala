@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Ann, Bm25}
+
+/** Streaming maintenance of the standing indexes — the ingest-time
+  * form of the append ticks ([[Bm25.appendToIndex]],
+  * [[Ann.ivfIndexAppend]]): each micro-batch of arriving documents /
+  * vectors runs one committed append tick via `foreachBatch`.
+  *
+  * Exactly-once, spelled out: Structured Streaming gives foreachBatch
+  * AT-LEAST-ONCE delivery — after a failure between the sink call and
+  * the engine's own commit, the SAME (batch, batchId) is re-delivered
+  * on restart. The tick makes the pair exactly-once by recording
+  * (appId, batchId) in the index manifest INSIDE the same atomic
+  * CURRENT flip that publishes the data ([[graft.operators.ManifestIO]]
+  * `txn` line, the Delta `txnAppId`/`txnVersion` discipline): a
+  * re-delivered epoch the manifest already records is a no-op, and a
+  * tick that crashed before its flip left no record — so its retry
+  * applies cleanly. `appId` must be stable across restarts (choose it
+  * like a Delta txnAppId) and epochs per appId monotone, which
+  * batchId is.
+  *
+  * Single writer per index dir, as everywhere in the lifecycle: one
+  * maintenance stream per index. */
+object IndexMaintain {
+
+  /** The BM25 foreachBatch sink body: one idempotent committed append
+    * tick per micro-batch. */
+  def bm25Sink(dir: String, idCol: String, textCol: String,
+      appId: String): (DataFrame, Long) => Unit =
+    (batch, epoch) =>
+      Bm25.appendToIndexTxn(batch.sparkSession, dir, batch, idCol, textCol,
+        appId, epoch)
+
+  /** Maintain a standing BM25 index from a streaming document frame.
+    * `checkpoint` must be durable and paired with `appId` for the
+    * exactly-once contract to hold across restarts. */
+  def maintainBm25(docs: DataFrame, dir: String, idCol: String,
+      textCol: String, appId: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(bm25Sink(dir, idCol, textCol, appId))
+      .start()
+
+  /** The IVF foreachBatch sink body: arriving vectors are assigned
+    * under the index's own committed centroids, one idempotent tick
+    * per micro-batch. Batch frame needs (cid, cvec). */
+  def ivfSink(dir: String, appId: String): (DataFrame, Long) => Unit =
+    (batch, epoch) =>
+      Ann.ivfIndexAppendTxn(batch.sparkSession, dir, batch, appId, epoch)
+
+  /** Maintain a committed IVF index from a streaming vector frame. */
+  def maintainIvf(vecs: DataFrame, dir: String, appId: String,
+      checkpoint: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(ivfSink(dir, appId))
+      .start()
+}

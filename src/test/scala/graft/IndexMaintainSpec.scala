@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Bm25}
+import graft.streaming.IndexMaintain
+
+/** Streaming index maintenance ([[IndexMaintain]]): drop-dir arrivals
+  * fold into the standing indexes one committed tick per micro-batch,
+  * and the manifest's writer-transaction record makes re-delivered
+  * epochs no-ops — the exactly-once contract under foreachBatch's
+  * at-least-once delivery. No processing-time semantics, so
+  * [[StreamSync.drain]] is a deterministic wait.
+  */
+class IndexMaintainSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private val initial = Seq(
+    (1L, "apple banana cherry date"),
+    (2L, "banana cherry date elderberry fig"),
+    (3L, "apple grape melon"))
+  private val drops = Seq(
+    Seq((10L, "banana grape kiwi kiwi")),
+    Seq((11L, "melon date apple apple apple"), (12L, "kiwi fig banana")))
+
+  test("bm25: re-delivered epoch is a no-op; crashed-tick retry applies once") {
+    val dir = Files.createTempDirectory("bm25txn").toString
+    Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val batch = drops.head.toDF("doc_id", "text")
+
+    Bm25.appendToIndexTxn(spark, dir, batch, "doc_id", "text", "appA", 0L)
+    val after1 = Bm25.readManifest(spark, dir)
+    assert(after1.txn.contains(("appA", 0L)))
+    // the at-least-once retry: same app, same epoch → nothing moves
+    Bm25.appendToIndexTxn(spark, dir, batch, "doc_id", "text", "appA", 0L)
+    assert(Bm25.readManifest(spark, dir) == after1,
+      "re-delivered epoch must be a no-op")
+    // a different app is NOT gated (independent writers are the
+    // caller's single-writer discipline, not the txn's concern)
+    val stats1 = Bm25.readStats(spark, dir).select("n").head().getLong(0)
+
+    // crashed tick: txn carried but never committed → retry applies
+    val batch2 = drops(1).toDF("doc_id", "text")
+    Bm25.appendToIndexHooked(spark, dir, batch2, "doc_id", "text",
+      crashPoint = 1, txn = Some(("appA", 1L)))
+    assert(Bm25.readManifest(spark, dir) == after1, "crashed tick must not commit")
+    Bm25.appendToIndexTxn(spark, dir, batch2, "doc_id", "text", "appA", 1L)
+    val after2 = Bm25.readManifest(spark, dir)
+    assert(after2.txn.contains(("appA", 1L)) && after2.version == after1.version + 1)
+    assert(Bm25.readStats(spark, dir).select("n").head().getLong(0) ==
+      stats1 + batch2.count())
+  }
+
+  test("bm25: drop-dir maintenance stream == one-shot rebuild over the totality") {
+    val dir = Files.createTempDirectory("bm25maint").toString
+    Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", dir)
+
+    val dropDir = Files.createTempDirectory("bm25maintdrop").toString
+    drops.foreach(_.toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dropDir))
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dropDir)
+    val ckpt = Files.createTempDirectory("bm25maintckpt").toString
+    val qy = IndexMaintain.maintainBm25(stream, dir, "doc_id", "text",
+      appId = "bm25-maint-spec", checkpoint = ckpt)
+    try {
+      assert(StreamSync.drain(qy) {
+        Bm25.readManifest(spark, dir).txn.exists(_._2 >= 1L)
+      })
+    } finally qy.stop()
+
+    val dirU = Files.createTempDirectory("bm25maintU").toString
+    Bm25.buildIndex((initial ++ drops.flatten).toDF("doc_id", "text"),
+      "doc_id", "text", dirU)
+    val q = Seq((1L, "kiwi"), (1L, "banana"), (2L, "apple")).toDF("qid", "term")
+    assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq ==
+      Bm25.serveTopK(spark, dirU, q, 5).collect().map(_.toSeq).toSeq)
+    assert(Bm25.readStats(spark, dir).select("n", "sdl").head().toSeq ==
+      Bm25.readStats(spark, dirU).select("n", "sdl").head().toSeq)
+    // each drop file committed as its own recorded epoch
+    assert(Bm25.readManifest(spark, dir).txn.contains(("bm25-maint-spec", 1L)))
+  }
+
+  private def vec(seed: Int) = Seq.tabulate(8)(j =>
+    (((seed * 31 + j * 17) % 13) - 6).toFloat / 3f)
+
+  test("ivf: maintenance stream appends exactly once; serve == one-shot union build") {
+    val cents = Array.tabulate(4)(c => vec(c * 7 + 1).toArray)
+    val base = (100 until 130).map(i => (i.toLong, vec(i)))
+    val vdrops = Seq(
+      (10 until 20).map(i => (i.toLong, vec(i))),
+      (20 until 35).map(i => (i.toLong, vec(i))))
+
+    val dir = Files.createTempDirectory("ivfmaint").toString
+    Ann.ivfIndexBuild(base.toDF("cid", "cvec"), dir, cents)
+    // unit-level idempotence first
+    Ann.ivfIndexAppendTxn(spark, dir, vdrops.head.toDF("cid", "cvec"), "appV", 0L)
+    val m1 = Ann.readIvfManifest(spark, dir)
+    Ann.ivfIndexAppendTxn(spark, dir, vdrops.head.toDF("cid", "cvec"), "appV", 0L)
+    assert(Ann.readIvfManifest(spark, dir) == m1,
+      "re-delivered vector epoch must be a no-op")
+
+    // stream the second drop through the maintenance sink
+    val dropDir = Files.createTempDirectory("ivfmaintdrop").toString
+    vdrops(1).toDF("cid", "cvec").coalesce(1).write.mode("append").parquet(dropDir)
+    val stream = spark.readStream.schema("cid LONG, cvec ARRAY<FLOAT>")
+      .parquet(dropDir)
+    val ckpt = Files.createTempDirectory("ivfmaintckpt").toString
+    val qy = IndexMaintain.maintainIvf(stream, dir, "ivf-maint-spec", ckpt)
+    try {
+      assert(StreamSync.drain(qy) {
+        Ann.readIvfManifest(spark, dir).txn.exists(_._1 == "ivf-maint-spec")
+      })
+    } finally qy.stop()
+
+    val dirU = Files.createTempDirectory("ivfmaintU").toString
+    Ann.ivfIndexBuild((base ++ vdrops.flatten).toDF("cid", "cvec"), dirU, cents)
+    val q = (0 until 4).map(i => (i.toLong, vec(i + 500))).toDF("qid", "qvec")
+    def serve(d: String) = Ann.ivfServedTopK(spark, d, q, k = 5, nprobe = 2)
+      .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(serve(dir) == serve(dirU) && serve(dir).nonEmpty)
+  }
+}
