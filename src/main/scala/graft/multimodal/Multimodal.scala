@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * resize and luma histogram features, all oracle-checkable closed-form
   * (PNG is lossless, the arithmetic is integral). AUDIO is real too
   * ([[JvmAudioCodec]]: WAV/AIFF/AU via `javax.sound.sampled`), and the
-  * VIDEO story now has two real legs: multi-frame GIF animation
-  * ([[JvmGifCodec]]) and MJPEG-in-AVI ([[JvmAviCodec]] — hand-written
-  * RIFF container walk + per-frame JDK JPEG decode). Only inter-frame-
+  * VIDEO story now has three real legs: multi-frame GIF animation
+  * ([[JvmGifCodec]]), MJPEG-in-AVI ([[JvmAviCodec]] — hand-written
+  * RIFF container walk + per-frame JDK JPEG decode), and raw YUV4MPEG2
+  * ([[JvmY4mCodec]] — the uncompressed FFmpeg/x264 interchange
+  * format, luma-exact). Only inter-frame-
   * predicted codecs (H.264-class) remain the declared [[StubCodec]]:
   * deterministic fake properties stand in, while everything around
   * them is real and load-bearing at scale — the schema contract, the
@@ -417,6 +419,129 @@ object Multimodal {
           pos = body + sz + (sz % 2)
         }
         meta.map(m => (m, frames.result())).filter(_._2.nonEmpty)
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  final case class Y4mMeta(width: Int, height: Int, nFrames: Long,
+      fpsNum: Int, fpsDen: Int, durationMs: Long)
+
+  /** REAL raw-video codec: YUV4MPEG2 (`.y4m` — the uncompressed
+    * interchange format every FFmpeg/x264 toolchain reads and writes;
+    * the format mjpegtools defined publicly). The stream is a plain
+    * ASCII header (`YUV4MPEG2 W… H… F<num>:<den> … C<space>`) followed
+    * by `FRAME`-delimited raw planes — fully parseable on the JVM with
+    * no compression in the way.
+    *
+    * Rasterization is LUMA-ONLY by design: every perceptual kernel
+    * downstream (dHash, quality spread, frame signatures) consumes
+    * integer luma exclusively, so chroma planes are sized and skipped,
+    * never interpolated — no float YUV→RGB conversion exists to drift.
+    * The encoder writes `Cmono` with the dHash luma kernel as the Y
+    * plane; for GRAY rasters (r==g==b, luma ≡ v since
+    * 299+587+114 = 1000) the encode→decode round trip is pixel-exact
+    * and closed-form oracle-checkable, the m5 discipline. Decode
+    * accepts Cmono / C444 / C422 / C420(jpeg|mpeg2|paldv) and returns
+    * None on anything malformed (decoder totality, like the pcap
+    * readers). */
+  object JvmY4mCodec {
+
+    /** Encode frames as YUV4MPEG2 Cmono: one Y plane per frame, each
+      * byte the integer luma of the pixel. */
+    def encodeY4mMono(frames: Seq[java.awt.image.BufferedImage],
+        fpsNum: Int, fpsDen: Int): Array[Byte] = {
+      require(frames.nonEmpty && fpsNum > 0 && fpsDen > 0,
+        "need at least one frame and a positive frame rate")
+      val w = frames.head.getWidth
+      val h = frames.head.getHeight
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 Cmono\n"
+        .getBytes("US-ASCII"))
+      frames.foreach { f =>
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = f.getRGB(x, y)
+            out.write((299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      out.toByteArray
+    }
+
+    /** Bytes of one frame's planes for a given colourspace tag, or -1
+      * for an unsupported tag. Chroma sizes use ceil halving (odd dims
+      * are legal in mono/444). */
+    private def frameBytes(c: String, w: Int, h: Int): Long = {
+      val cw = (w + 1L) / 2
+      val ch = (h + 1L) / 2
+      c match {
+        case "Cmono" => w.toLong * h
+        case "C444" => 3L * w * h
+        case "C422" => w.toLong * h + 2L * cw * h
+        case "C420" | "C420jpeg" | "C420mpeg2" | "C420paldv" =>
+          w.toLong * h + 2L * cw * ch
+        case _ => -1L
+      }
+    }
+
+    /** Header + FRAME walk + luma-plane rasterization. */
+    def decodeY4m(bytes: Array[Byte]): Option[(Y4mMeta, Seq[java.awt.image.BufferedImage])] =
+      try {
+        val hEnd = bytes.indexOf('\n'.toByte)
+        if (hEnd < 9) return None
+        val header = new String(bytes, 0, hEnd, "US-ASCII")
+        val toks = header.split(" ").filter(_.nonEmpty)
+        if (toks.isEmpty || toks.head != "YUV4MPEG2") return None
+        def tok(p: Char): Option[String] =
+          toks.tail.find(_.headOption.contains(p)).map(_.drop(1))
+        val w = tok('W').map(_.toInt).getOrElse(return None)
+        val h = tok('H').map(_.toInt).getOrElse(return None)
+        if (w <= 0 || h <= 0) return None
+        val (fn, fd) = tok('F') match {
+          case Some(f) =>
+            val Array(n, d) = f.split(":"); (n.toInt, d.toInt)
+          case None => (25, 1)
+        }
+        if (fn <= 0 || fd <= 0) return None
+        // the spec's default colourspace when no C tag is present
+        val cTag = toks.tail.find(_.startsWith("C")).getOrElse("C420jpeg")
+        val fb = frameBytes(cTag, w, h)
+        if (fb < 0) return None
+        val frames = Seq.newBuilder[java.awt.image.BufferedImage]
+        var n = 0L
+        var pos = hEnd + 1L
+        while (pos < bytes.length) {
+          // FRAME line (optional parameters up to the newline)
+          var nl = pos
+          while (nl < bytes.length && bytes(nl.toInt) != '\n'.toByte) nl += 1
+          if (nl >= bytes.length) return None
+          val line = new String(bytes, pos.toInt, (nl - pos).toInt, "US-ASCII")
+          if (line != "FRAME" && !line.startsWith("FRAME ")) return None
+          val body = nl + 1
+          if (body + fb > bytes.length) return None // truncated planes
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = bytes((body + y.toLong * w + x).toInt) & 0xff
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          frames += img
+          n += 1
+          pos = body + fb
+        }
+        if (n == 0) None
+        else Some((Y4mMeta(w, h, n, fn, fd, n * 1000L * fd / fn), frames.result()))
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 

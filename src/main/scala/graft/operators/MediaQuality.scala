@@ -143,6 +143,7 @@ object MediaQuality {
         val frames = if (bytes == null) None
           else graft.multimodal.Multimodal.JvmAviCodec.decodeMjpegAvi(bytes).map(_._2)
             .orElse(graft.multimodal.Multimodal.JvmGifCodec.decodeFrames(bytes))
+            .orElse(graft.multimodal.Multimodal.JvmY4mCodec.decodeY4m(bytes).map(_._2))
         frames match {
           case None => (id, -1L, -1, -1, -1L)
           case Some(fs) if fs.isEmpty => (id, 0L, -1, -1, 0L)

@@ -65,6 +65,7 @@ object VideoDedup {
         graft.multimodal.Multimodal.JvmAviCodec.decodeMjpegAvi(bytes)
           .map(_._2)
           .orElse(graft.multimodal.Multimodal.JvmGifCodec.decodeFrames(bytes))
+          .orElse(graft.multimodal.Multimodal.JvmY4mCodec.decodeY4m(bytes).map(_._2))
           .flatMap(frames => fingerprint(frames).map(h => (id, h)))
       }
       .toDF("img_id", "dhash")

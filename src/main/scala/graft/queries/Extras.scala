@@ -514,6 +514,62 @@ object Extras {
       .orderBy(col("media_id"))
   }
 
+  /** REAL raw-video pipeline: each doc synthesizes uniform-gray frames,
+    * encodes a genuine YUV4MPEG2 Cmono stream
+    * ([[graft.multimodal.Multimodal.JvmY4mCodec]] — the uncompressed
+    * interchange format of every FFmpeg/x264 toolchain), then runs the
+    * real header parse + FRAME walk + luma rasterization, samples every
+    * 2nd frame and sums the decoded luma. For gray rasters the integer
+    * luma kernel is the identity (299+587+114 = 1000), so the round
+    * trip is pixel-exact and the oracle recomputes everything from the
+    * generating formulas — it never parses a stream. Duration follows
+    * the header's F10:1 rate: nf·100 ms, like m5. */
+  val m15Y4mPipeline: Q = Q(
+    "m15_y4m_pipeline",
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 5 AS INTEGER) AS nf,
+      |            CAST(7 + doc_id % 4 AS INTEGER) AS w, CAST(5 + doc_id % 3 AS INTEGER) AS h
+      |     FROM documents WHERE doc_id % 13 = 0),
+      |f AS (SELECT doc_id, fi, (doc_id*43 + fi*61) % 256 AS v
+      |      FROM d, unnest(range(nf)) AS u(fi)),
+      |sampled AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+      |                   CAST(sum(v) AS BIGINT) AS sampled_luma_sum
+      |            FROM f WHERE fi % 2 = 0 GROUP BY doc_id)
+      |SELECT d.doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+      |       w AS width, h AS height, CAST(nf AS BIGINT) * 100 AS duration_ms,
+      |       n_sampled, sampled_luma_sum
+      |FROM d JOIN sampled USING (doc_id) ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Multimodal.{JvmGifCodec, JvmY4mCodec}
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % 13 === 0).as[Long]
+      .map { id =>
+        val nf = 2 + (id % 5).toInt
+        val w = 7 + (id % 4).toInt
+        val h = 5 + (id % 3).toInt
+        val frames = (0 until nf).map { fi =>
+          val v = ((id * 43 + fi * 61) % 256).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+            y += 1
+          }
+          img
+        }
+        val y4m = JvmY4mCodec.encodeY4mMono(frames, fpsNum = 10, fpsDen = 1)
+        val (meta, dec) = JvmY4mCodec.decodeY4m(y4m).get // real header + FRAME walk
+        val sampled = JvmGifCodec.sampleFrames(dec, 2)
+        val lumaSum = sampled.map(f => (f.getRGB(0, 0) & 0xff).toLong).sum
+        (id, meta.nFrames, meta.width, meta.height, meta.durationMs,
+          sampled.length.toLong, lumaSum)
+      }
+      .toDF("media_id", "n_frames", "width", "height", "duration_ms",
+        "n_sampled", "sampled_luma_sum")
+      .orderBy(col("media_id"))
+  }
+
   /** Perceptual image near-dup (the LAION-style multimodal dedup step):
     * synthesize groups of 4 perceptually-near images from a closed-form
     * 64-bit bit pattern (each group member flips 0/1/2/3 chosen bits of
@@ -1151,7 +1207,7 @@ object Extras {
 
   val all: Seq[Q] = Seq(q15ScalarPack2, q16FirstPerGroup, q17UnionByName, q18MediaMeta,
     q19SessionWindow, q20CidrFilter, m1MediaPipeline, m2ImagePipeline, m3AudioPipeline,
-    m4VideoPipeline, m5MjpegAviPipeline, m6ImageNearDup, m7AudioNearDup, m8VideoNearDup,
+    m4VideoPipeline, m5MjpegAviPipeline, m15Y4mPipeline, m6ImageNearDup, m7AudioNearDup, m8VideoNearDup,
     m9MediaDedup, m10MediaQuality, m11AudioQuality, m12MediaCurate, m13VideoQuality,
     m14MediaClusters, q44SaltedJoin, q45AsofJoin, q46RangeJoin, q47ZOrderLayout)
 }

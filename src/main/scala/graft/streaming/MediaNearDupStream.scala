@@ -158,6 +158,7 @@ object MediaNearDupStream {
     pairs(media, idCol, bytesCol, maxDist,
       b => graft.multimodal.Multimodal.JvmAviCodec.decodeMjpegAvi(b).map(_._2)
         .orElse(graft.multimodal.Multimodal.JvmGifCodec.decodeFrames(b))
+        .orElse(graft.multimodal.Multimodal.JvmY4mCodec.decodeY4m(b).map(_._2))
         .flatMap(graft.operators.VideoDedup.fingerprint),
       retention, maxBucket)
 }
