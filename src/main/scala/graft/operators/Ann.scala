@@ -753,6 +753,21 @@ object Ann extends Serializable {
     ManifestIO.commit(spark, dir, newVer, body)
   }
 
+  /** VACUUM tick of the committed-IVF lifecycle: delete data versions
+    * and manifests the committed manifest no longer references —
+    * replaced rebuilds and crashed ticks' orphans (cell appends never
+    * supersede data, so a healthy append-only index deletes nothing
+    * here until a rebuild retires its whole history).
+    * [[ManifestIO.vacuum]] semantics: single-writer maintenance,
+    * `graceVersions` protects recently-pinned readers. */
+  def ivfVacuum(spark: SparkSession, dir: String,
+      graceVersions: Long = 2L): Seq[Long] = {
+    val m = readIvfManifest(spark, dir)
+    ManifestIO.vacuum(spark, dir, m.version,
+      m.cellVersions.values.flatten.toSet + m.centroidsVersion + m.version,
+      graceVersions)
+  }
+
   /** Serve a query batch from the committed IVF index: ONE CURRENT
     * read pins manifest, centroids and cell files for the whole serve
     * — an append committing midway can never mix one version's probe

@@ -412,6 +412,19 @@ object Bm25 {
       .select(col("qid"), col("doc_id"), col("score"), col("rank"))
   }
 
+  /** VACUUM tick of the standing-index lifecycle: delete data versions
+    * and manifests the committed manifest no longer references —
+    * superseded bucket rewrites, crashed ticks' orphans, replaced
+    * rebuilds ([[ManifestIO.vacuum]]; run from the index's single
+    * writer; `graceVersions` protects readers pinned a few commits
+    * back). Returns the deleted data versions. */
+  def vacuumIndex(spark: SparkSession, dir: String,
+      graceVersions: Long = 2L): Seq[Long] = {
+    val m = readManifest(spark, dir)
+    ManifestIO.vacuum(spark, dir, m.version,
+      m.bucketVersions.values.toSet + m.statsVersion + m.version, graceVersions)
+  }
+
   /** APPEND tick of the standing-index lifecycle ([[buildIndex]]
     * builds, [[serveTopK]] serves, this grows). The subtlety this
     * operator exists for: the index denormalizes each term's df onto

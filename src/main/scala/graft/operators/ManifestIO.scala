@@ -108,6 +108,52 @@ private[graft] object ManifestIO {
     case _ => false
   }
 
+  /** Garbage-collect an index dir: delete `data/<v>` trees and
+    * `manifest/v<v>.txt` files that the COMMITTED manifest does not
+    * reference — crashed ticks' orphans and versions superseded by
+    * appends/rebuilds. Without this, a long-lived index accumulates
+    * every rewrite it ever made (the commit protocol's documented
+    * "garbage, not corruption").
+    *
+    * `graceVersions` keeps unreferenced versions NEWER than
+    * `currentVersion - graceVersions` for in-flight readers that
+    * pinned a manifest just before the latest commits (the
+    * Delta/Iceberg retention idea, counted in versions — the protocol
+    * has no clock). Referenced versions are kept regardless of age.
+    * Run it from the index's single writer (it is maintenance, like
+    * the ticks); deleting garbage is idempotent, so a vacuum that
+    * crashes midway just leaves some garbage for the next one.
+    * A crashed tick's orphan always sits at currentVersion+1 — newer
+    * than current, so the grace rule never touches it; that is safe
+    * because the NEXT successful tick allocates the same version and
+    * overwrites the slot (orphans self-heal, they cannot accumulate).
+    * Returns the deleted data versions. */
+  def vacuum(spark: SparkSession, dir: String, currentVersion: Long,
+      referenced: Set[Long], graceVersions: Long): Seq[Long] = {
+    require(graceVersions >= 0, s"graceVersions must be >= 0, got $graceVersions")
+    val f = fs(spark, dir)
+    val cutoff = currentVersion - graceVersions
+    def versionsUnder(p: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (!f.exists(path)) Seq.empty
+      else f.listStatus(path).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        val v = if (n.startsWith("v") && n.endsWith(".txt"))
+          n.stripPrefix("v").stripSuffix(".txt") else n
+        scala.util.Try(v.toLong).toOption.map(_ -> st.getPath)
+      }
+    }
+    val dataDead = versionsUnder(s"$dir/data")
+      .filter { case (v, _) => !referenced(v) && v <= cutoff }
+    dataDead.foreach { case (_, p) => f.delete(p, true) }
+    // manifests: the current one is always load-bearing; older ones
+    // only serve readers inside the grace window
+    versionsUnder(s"$dir/manifest")
+      .filter { case (v, _) => v != currentVersion && v <= cutoff }
+      .foreach { case (_, p) => f.delete(p, false) }
+    dataDead.map(_._1).sorted
+  }
+
   /** Partition subdirectory names of `dataDir` with the given partition
     * column prefix, e.g. `bucket=` → the bucket ids materialized by a
     * write (partitionBy skips empty partitions). */

@@ -136,6 +136,16 @@ object SqlFrontDoor {
           s.read.parquet(a(1)), "doc_id", "text")
         graft.operators.Bm25.readStats(s, a.head)
       }),
+      // bm25_index_vacuum(index_dir, grace_versions): delete data
+      // versions the committed manifest no longer references (keeping
+      // the newest grace_versions for pinned readers); returns the
+      // deleted versions
+      ("bm25_index_vacuum", 2, a => {
+        val sp = s
+        import sp.implicits._
+        graft.operators.Bm25.vacuumIndex(sp, a.head, a(1).trim.toLong)
+          .toDF("deleted_version")
+      }),
       // retrieval-based decontamination, deployment split: train the
       // frozen scoring model on ref_path + queries_path offline, gate
       // docs_path statelessly (the Bm25Stream shape from SQL) —
@@ -579,6 +589,14 @@ object SqlFrontDoor {
       ("ivf_index_append", 2, a => {
         graft.operators.Ann.ivfIndexAppend(s, a.head, s.read.parquet(a(1)))
         ivfManifestSummary(a.head)
+      }),
+      // ivf_index_vacuum(index_dir, grace_versions): the vacuum tick
+      // (retires replaced rebuilds; pure appends supersede nothing)
+      ("ivf_index_vacuum", 2, a => {
+        val sp = s
+        import sp.implicits._
+        graft.operators.Ann.ivfVacuum(sp, a.head, a(1).trim.toLong)
+          .toDF("deleted_version")
       }),
       ("ivf_serve", 4, a =>
         graft.operators.Ann.ivfServedTopK(s, a.head, s.read.parquet(a(1)),

@@ -667,6 +667,14 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     // the appended batch is retrievable through SQL serving
     assert(sqlServe.exists { r =>
       val id = r(2).asInstanceOf[Long]; id >= 5L && id < 20L })
+    // vacuum from SQL: pure appends supersede nothing → zero rows
+    assert(spark.sql(s"SELECT * FROM ivf_index_vacuum('$idx', '0')").count() == 0L)
+    // rebuild retires the history; vacuum then reports the dead versions
+    assert(spark.sql(
+      s"SELECT * FROM ivf_index_build('$corpP', '$idx', '$centP')")
+      .collect().head.getLong(0) == 3L)
+    assert(spark.sql(s"SELECT * FROM ivf_index_vacuum('$idx', '0')")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
   test("hybrid_snapshot TVF equals hybrid_rrf on the same corpus from pure SQL") {

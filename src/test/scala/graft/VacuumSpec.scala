@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Bm25}
+
+/** Index vacuum ([[Bm25.vacuumIndex]] / [[Ann.ivfVacuum]]): the
+  * committed manifest's unreferenced data versions — superseded bucket
+  * rewrites, crashed ticks, replaced rebuilds — are deleted; serving
+  * is bit-identical before and after; the grace window and referenced
+  * versions are never touched; a second vacuum is a no-op.
+  */
+class VacuumSpec extends AnyFunSuite {
+
+  private def dataVersions(dir: String): Set[Long] = {
+    val p = java.nio.file.Paths.get(s"$dir/data")
+    val s = java.nio.file.Files.list(p)
+    try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+      .map(_.getFileName.toString.toLong).toSet
+    finally s.close()
+  }
+
+  test("bm25: vacuum deletes superseded versions; serve unchanged; orphan slots recycle") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bm25vac").toString
+    val docs = (0 until 30).map(i => (i.toLong, s"w${i % 9} common shared"))
+    Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text", dir)
+    // an append carrying EVERY term re-owns every bucket: v1 is then
+    // fully superseded (nothing in the committed manifest references it)
+    val broad = Seq((100L, (0 until 9).map(i => s"w$i").mkString(" ") + " common shared"))
+    Bm25.appendToIndex(spark, dir, broad.toDF("doc_id", "text"), "doc_id", "text")
+    val m = Bm25.readManifest(spark, dir)
+    assert(m.version == 2L && m.bucketVersions.values.toSet == Set(2L))
+    val q = Seq((1L, "w0"), (1L, "w4"), (2L, "common")).toDF("qid", "term")
+    val before = Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq
+
+    // full grace: nothing deletable
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 10L).isEmpty)
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L) == Seq(1L))
+    assert(dataVersions(dir) == Set(2L))
+    assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq == before,
+      "vacuum must not change serving")
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L).isEmpty,
+      "second vacuum must be a no-op")
+    // the committed manifest file survives
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/manifest/v${m.version}.txt")))
+
+    // a crashed tick's orphan lives at current+1 — NEWER than current,
+    // so vacuum's grace rule never touches it; the next successful
+    // tick overwrites the same slot (orphans self-heal, they cannot
+    // accumulate)
+    Bm25.appendToIndexHooked(spark, dir,
+      Seq((102L, "w4 orphan")).toDF("doc_id", "text"), "doc_id", "text",
+      crashPoint = 1)
+    assert(dataVersions(dir) == Set(2L, 3L))
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L).isEmpty,
+      "an orphan newer than CURRENT must survive vacuum")
+    Bm25.appendToIndex(spark, dir,
+      Seq((103L, "w4 healed")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(Bm25.readManifest(spark, dir).version == 3L,
+      "the next tick recycles the orphan's version slot")
+    val served = Bm25.serveTopK(spark, dir, Seq((1L, "healed")).toDF("qid", "term"), 3)
+      .collect()
+    assert(served.map(_.getLong(1)).toSeq == Seq(103L))
+  }
+
+  test("bm25: a rebuild's entire old history vacuums away once past grace") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bm25vacreb").toString
+    val docs = (0 until 20).map(i => (i.toLong, s"a$i b${i % 3}"))
+    Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text", dir)
+    Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text", dir) // rebuild → v2
+    assert(dataVersions(dir) == Set(1L, 2L))
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L) == Seq(1L))
+    assert(dataVersions(dir) == Set(2L))
+    val q = Seq((1L, "b0")).toDF("qid", "term")
+    assert(Bm25.serveTopK(spark, dir, q, 3).collect().nonEmpty)
+  }
+
+  test("ivf: append-only history is fully referenced; rebuild retires it; serve unchanged") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dim = 8
+    def vec(seed: Int) = Seq.tabulate(dim)(j =>
+      (((seed * 31 + j * 17) % 13) - 6).toFloat / 3f)
+    val cents = Array.tabulate(4)(c => vec(c * 7 + 1).toArray)
+    val dir = Files.createTempDirectory("ivfvac").toString
+    Ann.ivfIndexBuild((100 until 130).map(i => (i.toLong, vec(i)))
+      .toDF("cid", "cvec"), dir, cents)
+    Ann.ivfIndexAppend(spark, dir,
+      (10 until 20).map(i => (i.toLong, vec(i))).toDF("cid", "cvec"))
+    // pure appends supersede nothing: vacuum deletes nothing
+    assert(Ann.ivfVacuum(spark, dir, graceVersions = 0L).isEmpty)
+    assert(dataVersions(dir) == Set(1L, 2L))
+
+    // a rebuild retires the whole append history
+    Ann.ivfIndexBuild((100 until 140).map(i => (i.toLong, vec(i)))
+      .toDF("cid", "cvec"), dir, cents)
+    val q = (0 until 3).map(i => (i.toLong, vec(i + 500))).toDF("qid", "qvec")
+    val before = Ann.ivfServedTopK(spark, dir, q, k = 5, nprobe = 2)
+      .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(Ann.ivfVacuum(spark, dir, graceVersions = 0L) == Seq(1L, 2L))
+    assert(dataVersions(dir) == Set(3L))
+    assert(Ann.ivfServedTopK(spark, dir, q, k = 5, nprobe = 2)
+      .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq == before)
+  }
+}
