@@ -433,6 +433,96 @@ object Protocol4 {
       .orderBy(col("media_id"))
   }
 
+  // ─────────────────── q55: WET — pre-extracted text ───────────────────
+
+  private val WetDocs = 60
+
+  /** A WET `conversion` record: the body IS the extracted text — no
+    * embedded HTTP message (CommonCrawl's `*.warc.wet.gz` layout). */
+  private def wetRecord(uri: String, text: String): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val hdr = (s"WARC/1.0\r\n" +
+      s"WARC-Type: conversion\r\n" +
+      s"WARC-Record-ID: <urn:uuid:conv-$uri>\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"Content-Type: text/plain\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+    hdr ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private def wetDecoy(recType: String, uri: String, ct: String,
+      body0: String): Array[Byte] = {
+    val body = body0.getBytes("UTF-8")
+    val hdr = (s"WARC/1.0\r\n" +
+      s"WARC-Type: $recType\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$recType-$uri>\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+      s"Content-Type: $ct\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+    hdr ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  /** S-family: CommonCrawl WET ingest ([[graft.sources.Warc.wetText]])
+    * — the crawl's PRE-EXTRACTED text distribution, which most text
+    * pipelines actually start from. Synthesizes a WET capture of
+    * closed-form documents interleaved with the records a real WET
+    * file carries around them (a leading `warcinfo` header record and
+    * periodic `metadata` decoys — both must be routed away by the
+    * record-type filter; a skipped-record failure shifts every later
+    * rec_no and breaks the hash), stores it in BOTH layouts (plain +
+    * per-record gzip members) and reads each back. The oracle
+    * recomputes record numbers, uris, the text and its token count
+    * purely from the generating formulas — never parsing WARC — so
+    * the hash pins record framing, type routing, body-as-text
+    * semantics (no payload split in WET) and tokenization at once. */
+  val q55WarcWet: Q = Q(
+    "q55_warc_wet",
+    s"""WITH r AS (SELECT i FROM range($WetDocs) t(i)),
+       |d AS (SELECT i,
+       |        'doc ' || i || ' ' || trim(repeat('tok ', 1 + i % 4)) AS text,
+       |        'http://wet.example/p' || i AS target_uri,
+       |        CAST(1 + i + (i + 4) // 5 AS BIGINT) AS rec_no
+       |      FROM r),
+       |fmts AS (SELECT 'gz' AS fmt, * FROM d
+       |         UNION ALL SELECT 'plain' AS fmt, * FROM d)
+       |SELECT fmt, rec_no, target_uri, text,
+       |       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |FROM fmts ORDER BY fmt, rec_no""".stripMargin) { (s, _) =>
+    def docText(i: Int): String =
+      s"doc $i " + ("tok " * (1 + i % 4)).trim
+    val records: Seq[Array[Byte]] =
+      wetDecoy("warcinfo", "", "application/warc-fields",
+        "software: graft-wet-synth\r\n") +:
+        (0 until WetDocs).flatMap { i =>
+          val conv = wetRecord(s"http://wet.example/p$i", docText(i))
+          if (i % 5 == 0)
+            Seq(conv, wetDecoy("metadata", s"http://wet.example/p$i",
+              "application/json", s"""{"Envelope":{"n":$i}}"""))
+          else Seq(conv)
+        }
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-q55")
+    val plainPath = writeAtomic(dir, "cap.warc.wet", records.reduce(_ ++ _))
+    val gzBytes = {
+      val out = new java.io.ByteArrayOutputStream(1 << 18)
+      records.foreach { r =>
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(r); g.finish()
+      }
+      out.toByteArray
+    }
+    val gzPath = writeAtomic(dir, "cap.warc.wet.gz", gzBytes)
+    def side(path: String, fmt: String) =
+      graft.sources.Warc.wetText(s, path)
+        .select(lit(fmt).as("fmt"), col("rec_no"), col("target_uri"),
+          col("text"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_tokens"))
+    side(plainPath, "plain").unionAll(side(gzPath, "gz"))
+      .orderBy(col("fmt"), col("rec_no"))
+  }
+
   val all: Seq[Q] = Seq(q48CorrelateProto, q49CountersProto, q50DedupProto,
-    q51PcapChunked, q52WarcIngest, q53WarcCurate, q54WarcMedia)
+    q51PcapChunked, q52WarcIngest, q53WarcCurate, q54WarcMedia, q55WarcWet)
 }

@@ -454,6 +454,15 @@ object SqlFrontDoor {
             col("targetUri").as("target_uri"),
             Warc.htmlToText(Warc.httpPayload(col("body").cast("string"))).as("text"))
       }),
+      // warc_wet_text(path): CommonCrawl's PRE-EXTRACTED text
+      // distribution (*.warc.wet.gz) — conversion records' bodies ARE
+      // the text, no payload split; (warc_file, rec_no, target_uri,
+      // text)
+      ("warc_wet_text", 1, a => Warc.wetText(s, a.head)),
+      // warc_wat_json(path): the WAT metadata companion — one raw JSON
+      // envelope per metadata record; compose with
+      // get_json_object/from_json downstream
+      ("warc_wat_json", 1, a => Warc.watJson(s, a.head)),
       // warc_media(path, content_type_prefix): binary media ingest —
       // response records whose HTTP Content-Type starts with the
       // prefix (e.g. 'image/'), payload split binary-safely (PNG bytes

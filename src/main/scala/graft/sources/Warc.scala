@@ -371,6 +371,35 @@ object Warc {
     lower(httpHeader(body)).rlike(
       "(?m)^content-type:[ \\t]*" + java.util.regex.Pattern.quote(prefix.toLowerCase))
 
+  /** CommonCrawl WET companion (`*.warc.wet.gz` — the crawl's
+    * PRE-EXTRACTED text distribution, the input most text pipelines
+    * actually start from): `conversion` records whose body IS the
+    * extracted UTF-8 text — no embedded HTTP message, so there is no
+    * payload split. One row per document:
+    * (warc_file, rec_no, target_uri, text). Same reader, same
+    * layouts (plain / per-record-gzip), same one-task-per-file
+    * parallelism as [[records]]. */
+  def wetText(spark: SparkSession, path: String, minPartitions: Int = 0): DataFrame =
+    records(spark, path, minPartitions)
+      .filter(col("recType") === "conversion")
+      .select(col("warcFile").as("warc_file"), col("recNo").as("rec_no"),
+        col("targetUri").as("target_uri"),
+        col("body").cast("string").as("text"))
+
+  /** CommonCrawl WAT companion (`*.warc.wat.gz` — per-page METADATA
+    * envelopes): `metadata` records whose body is one JSON document
+    * (headers, links, server metadata; the schema varies by crawl
+    * vintage). Returns the raw JSON string per record — compose with
+    * `from_json` / `get_json_object` for the fields a pipeline needs,
+    * so malformed vintages degrade per-field rather than killing the
+    * scan. */
+  def watJson(spark: SparkSession, path: String, minPartitions: Int = 0): DataFrame =
+    records(spark, path, minPartitions)
+      .filter(col("recType") === "metadata")
+      .select(col("warcFile").as("warc_file"), col("recNo").as("rec_no"),
+        col("targetUri").as("target_uri"),
+        col("body").cast("string").as("json"))
+
   /** C4-style HTML → text: remove script/style subtrees, strip tags,
     * unescape the core entities (&amp; LAST so double-escapes stay
     * inert), collapse whitespace. RE2-compatible — no backreferences —

@@ -54,4 +54,41 @@ class HybridPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("HybridStream snapshots equal hybridTopK on seeded random corpora") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    for (round <- 0 until 3) {
+      var s = org.scalacheck.rng.Seed(4100 + round)
+      def next[A](g: Gen[A]): A = { val v = g.apply(Gen.Parameters.default, s).get; s = s.next; v }
+      val nDocs = 8 + round * 4
+      val dim = 6
+      val corpus = (0 until nDocs).map { i =>
+        val len = next(Gen.chooseNum(2, 8))
+        val text = (0 until len).map(_ => next(Gen.oneOf(vocab))).mkString(" ")
+        val vec = Seq.fill(dim)(next(Gen.chooseNum(-5, 5)).toFloat / 3f)
+        (i.toLong, text, vec)
+      }
+      // queries drawn from corpus docs (t48's shape: self-exclusion live)
+      val queries = (0 until 3).flatMap { q =>
+        val (qid, _, qvec) = corpus(q * 2)
+        (0 until next(Gen.chooseNum(1, 3))).map(_ =>
+          (qid, next(Gen.oneOf(vocab)), qvec))
+      }
+      val c = corpus.toDF("doc_id", "text", "embedding")
+      val qdf = queries.toDF("qid", "term", "qvec")
+      val kLeg = 3 + round
+      val k = 4
+      val batch = graft.operators.Hybrid
+        .hybridTopK(c, "doc_id", "text", "embedding", qdf, kLeg, k)
+        .orderBy("qid", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val model = graft.streaming.HybridStream.train(c, "doc_id", "text", qdf, kLeg, k)
+      val snap = graft.streaming.HybridStream.topK(c, "doc_id", "text", "embedding", model)
+        .collect().sortBy(x => (x.qid, x.rank))
+        .map(x => (x.qid, x.docId, x.rrf, x.rank)).toSeq
+      assert(snap == batch, s"round $round kLeg $kLeg")
+    }
+  }
 }

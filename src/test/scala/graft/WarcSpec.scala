@@ -29,6 +29,28 @@ class WarcSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("contentLength") === 4L)
   }
 
+  test("wetText / watJson route the CommonCrawl companion record types") {
+    val path = write("c.warc.wet",
+      rec("warcinfo", "", "software: synth\r\n") ++
+        rec("conversion", "http://c/1", "extracted body text one") ++
+        rec("metadata", "http://c/1", """{"Envelope":{"n":1}}""") ++
+        rec("conversion", "http://c/2", "another body") ++
+        rec("metadata", "http://c/2", """{"Envelope":{"n":2}}"""))
+    val wet = Warc.wetText(spark, path).orderBy("rec_no").collect()
+    assert(wet.map(r => (r.getLong(1), r.getString(2), r.getString(3))).toSeq ==
+      Seq((1L, "http://c/1", "extracted body text one"),
+        (3L, "http://c/2", "another body")))
+    val wat = Warc.watJson(spark, path).orderBy("rec_no").collect()
+    assert(wat.length == 2)
+    // the JSON payload is genuinely parseable downstream
+    import org.apache.spark.sql.functions.get_json_object
+    val ns = Warc.watJson(spark, path)
+      .select(get_json_object(org.apache.spark.sql.functions.col("json"),
+        "$.Envelope.n").cast("long"))
+      .orderBy("rec_no").collect().map(_.getLong(0)).toSeq
+    assert(ns == Seq(1L, 2L))
+  }
+
   test("truncated tail ends the file instead of failing the job") {
     val good = rec("response", "http://a/1", "complete")
     val bad = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort".getBytes("UTF-8")
