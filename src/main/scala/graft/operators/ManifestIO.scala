@@ -115,11 +115,13 @@ private[graft] object ManifestIO {
     * every rewrite it ever made (the commit protocol's documented
     * "garbage, not corruption").
     *
-    * `graceVersions` keeps unreferenced versions NEWER than
-    * `currentVersion - graceVersions` for in-flight readers that
-    * pinned a manifest just before the latest commits (the
-    * Delta/Iceberg retention idea, counted in versions — the protocol
-    * has no clock). Referenced versions are kept regardless of age.
+    * `graceVersions` counts the SUPERSEDED GENERATIONS kept for
+    * in-flight readers that pinned a manifest just before the latest
+    * commits (the Delta/Iceberg retention idea, counted in versions —
+    * the protocol has no clock): grace g keeps every version newer
+    * than `currentVersion - 1 - g`, so g = 0 deletes all unreferenced
+    * history and g = 1 spares the most recent superseded generation.
+    * Referenced versions are kept regardless of age.
     * Run it from the index's single writer (it is maintenance, like
     * the ticks); deleting garbage is idempotent, so a vacuum that
     * crashes midway just leaves some garbage for the next one.
@@ -132,7 +134,7 @@ private[graft] object ManifestIO {
       referenced: Set[Long], graceVersions: Long): Seq[Long] = {
     require(graceVersions >= 0, s"graceVersions must be >= 0, got $graceVersions")
     val f = fs(spark, dir)
-    val cutoff = currentVersion - graceVersions
+    val cutoff = currentVersion - 1 - graceVersions
     def versionsUnder(p: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
       val path = new org.apache.hadoop.fs.Path(p)
       if (!f.exists(path)) Seq.empty

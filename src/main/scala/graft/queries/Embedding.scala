@@ -17,7 +17,7 @@ import graft.operators.Ann
 object Embedding {
 
   private val K = 5
-  private[queries] val NumQueries = 10
+  private[graft] val NumQueries = 10
   private val NumPlanes = 6
   private val Dim = 64
 

@@ -487,6 +487,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"big-batch serve read buckets $read beyond the query's $wanted")
   }
 
+  test("v19: committed-IVF serve lists only the probed cells' committed files") {
+    val df = Embedding.v19IvfAppend.run(SparkTest.spark, sf)
+    val cellsRead = df.inputFiles.filter(_.contains("/cells/"))
+      .map(f => f.split("cell=").last.split("/").head.toInt).toSet
+    assert(cellsRead.nonEmpty, "v19 must read through the committed cell layout")
+    // recompute the allowed set: each query's nprobe=12 nearest cells
+    // under the index's committed centroids (16 cells total — the
+    // audit is that pruning excludes the unprobed remainder whenever
+    // the query load leaves any cell unprobed)
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTest.spark
+    val e = graft.Tables.embeddings(spark, sf)
+    val dirs = df.inputFiles.filter(_.contains("/cells/"))
+    val indexDir = dirs.head.split("/data/").head.stripPrefix("file:")
+    val cents = graft.operators.Ann.readIvfCentroids(spark, indexDir)
+    val allowed = e.filter(col("vec_id") < Embedding.NumQueries)
+      .select(col("embedding")).collect()
+      .flatMap(r => graft.operators.Ann.nearestCells(
+        cents, r.getSeq[Float](0).toArray, 12)).toSet
+    assert(cellsRead.subsetOf(allowed),
+      s"v19 read cells $cellsRead beyond the probed $allowed")
+  }
+
   test("whole-stage codegen covers the scalar query") {
     val df = Text.t1TokenStats.run(SparkTest.spark, sf)
     val codegen = df.queryExecution.explainString(

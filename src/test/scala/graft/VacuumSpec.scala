@@ -69,6 +69,39 @@ class VacuumSpec extends AnyFunSuite {
     assert(served.map(_.getLong(1)).toSeq == Seq(103L))
   }
 
+  test("bm25: a reader pinned before an append serves the OLD index; grace protects it from vacuum") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bm25pin").toString
+    val docs = (0 until 20).map(i => (i.toLong, s"a${i % 6} base"))
+    Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val q = Seq((1L, "a0"), (2L, "base")).toDF("qid", "term")
+
+    // PIN a serve plan against the committed v1 manifest (explicit v1
+    // file paths are baked into the plan), and take its answer now
+    val pinned = Bm25.serveTopK(spark, dir, q, 5)
+    val v1Answer = pinned.collect().map(_.toSeq).toSeq
+
+    // a broad append re-owns every bucket (v2); new readers see v2
+    val broad = Seq((100L, (0 until 6).map(i => s"a$i").mkString(" ") + " base"))
+    Bm25.appendToIndex(spark, dir, broad.toDF("doc_id", "text"), "doc_id", "text")
+    val v2Answer = Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq
+    assert(v2Answer != v1Answer, "the append must actually change scoring")
+
+    // the pinned reader re-executes against IMMUTABLE v1 files: it
+    // serves the old index — never a mix — exactly the snapshot the
+    // commit protocol promises
+    assert(pinned.collect().map(_.toSeq).toSeq == v1Answer)
+
+    // vacuum with grace keeps v1 alive for that reader...
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 1L).isEmpty)
+    assert(pinned.collect().map(_.toSeq).toSeq == v1Answer)
+    // ...and zero grace is the documented razor: v1 goes, the pinned
+    // plan's files vanish (new serves are unaffected)
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L) == Seq(1L))
+    assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq == v2Answer)
+  }
+
   test("bm25: a rebuild's entire old history vacuums away once past grace") {
     val spark = SparkTest.spark
     import spark.implicits._
