@@ -85,6 +85,48 @@ class IndexMaintainSpec extends AnyFunSuite {
     assert(Bm25.readManifest(spark, dir).txn.contains(("bm25-maint-spec", 1L)))
   }
 
+  test("bm25: maintenance stream RESTART from its checkpoint continues epochs exactly once") {
+    val dir = Files.createTempDirectory("bm25restart").toString
+    Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val dropDir = Files.createTempDirectory("bm25restartdrop").toString
+    val ckpt = Files.createTempDirectory("bm25restartckpt").toString
+    def startStream() = IndexMaintain.maintainBm25(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(dropDir),
+      dir, "doc_id", "text", appId = "bm25-restart-spec", checkpoint = ckpt)
+
+    // first life: one drop file, epoch 0 committed
+    drops.head.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dropDir)
+    val q1 = startStream()
+    try assert(StreamSync.drain(q1) {
+      Bm25.readManifest(spark, dir).txn.contains(("bm25-restart-spec", 0L))
+    }) finally q1.stop()
+    val afterFirst = Bm25.readManifest(spark, dir)
+
+    // second life, SAME checkpoint + appId: the engine resumes the
+    // batchId sequence; the already-committed epoch is never re-applied
+    // (txn gate) and the new drop lands as the next epoch
+    drops(1).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dropDir)
+    val q2 = startStream()
+    try assert(StreamSync.drain(q2) {
+      Bm25.readManifest(spark, dir).txn.exists(t =>
+        t._1 == "bm25-restart-spec" && t._2 >= 1L)
+    }) finally q2.stop()
+    val afterSecond = Bm25.readManifest(spark, dir)
+    assert(afterSecond.version == afterFirst.version + 1,
+      "exactly one more committed tick after the restart")
+
+    // the maintained index equals the one-shot rebuild over everything
+    val dirU = Files.createTempDirectory("bm25restartU").toString
+    Bm25.buildIndex((initial ++ drops.flatten).toDF("doc_id", "text"),
+      "doc_id", "text", dirU)
+    val q = Seq((1L, "kiwi"), (1L, "banana"), (2L, "apple")).toDF("qid", "term")
+    assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq ==
+      Bm25.serveTopK(spark, dirU, q, 5).collect().map(_.toSeq).toSeq)
+    assert(Bm25.readStats(spark, dir).select("n", "sdl").head().toSeq ==
+      Bm25.readStats(spark, dirU).select("n", "sdl").head().toSeq)
+  }
+
   private def vec(seed: Int) = Seq.tabulate(8)(j =>
     (((seed * 31 + j * 17) % 13) - 6).toFloat / 3f)
 
