@@ -629,18 +629,29 @@ object Ann extends Serializable {
   def readIvfCentroids(spark: SparkSession, dir: String): Array[Array[Float]] =
     readIvfCentroidsAt(spark, dir, readIvfManifest(spark, dir))
 
+  /** Per-JVM cache of committed centroid artifacts, keyed by
+    * (dir, centroidsVersion): a committed data version's files are
+    * IMMUTABLE (ticks only write new versions; vacuum only deletes
+    * unreferenced ones), so the cached geometry can never go stale —
+    * a rebuild commits a new centroidsVersion and misses the cache by
+    * key. Driver-sized: cells×dim floats per distinct index. Spares
+    * every serve after the first its centroid parquet read. */
+  private val ivfCentroidCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Array[Array[Float]]]
+
   /** [[readIvfCentroids]] against an already-read manifest — serve and
     * append read CURRENT once and thread the manifest through every
     * artifact read (the [[Bm25.readPostingsAt]] discipline). */
   def readIvfCentroidsAt(spark: SparkSession, dir: String,
-      m: IvfManifest): Array[Array[Float]] = {
-    val rows = spark.read.parquet(s"$dir/data/${m.centroidsVersion}/centroids")
-      .select(col("cell"), col("cvec")).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
-    require(rows.size == m.cells,
-      s"IVF centroid artifact holds ${rows.size} cells, manifest says ${m.cells}")
-    Array.tabulate(m.cells)(rows(_))
-  }
+      m: IvfManifest): Array[Array[Float]] =
+    ivfCentroidCache.getOrElseUpdate((dir, m.centroidsVersion), {
+      val rows = spark.read.parquet(s"$dir/data/${m.centroidsVersion}/centroids")
+        .select(col("cell"), col("cvec")).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      require(rows.size == m.cells,
+        s"IVF centroid artifact holds ${rows.size} cells, manifest says ${m.cells}")
+      Array.tabulate(m.cells)(rows(_))
+    })
 
   /** The committed inverted file (cid, cvec, cell): each wanted cell
     * read from the explicit data-version paths its manifest entry
