@@ -690,7 +690,17 @@ object SqlFrontDoor {
         "semdedup; validate them against this TVF on samples only."),
     "vec_neardup_lsh" ->
       ("Serving-shape embedding near-dup: hyperplane LSH buckets + " +
-        "in-bucket cosine verify; one narrow pass + one groupByKey."))
+        "in-bucket cosine verify; one narrow pass + one groupByKey."),
+    "hybrid_rrf" ->
+      ("Correctness-baseline hybrid: the vector leg is an exact " +
+        "broadcast scan (Q*N cosines). At corpus scales where that is " +
+        "unpayable, serve the legs from the standing indexes " +
+        "(bm25_serve + ivf_serve) and fuse — the t51 deployment shape."),
+    "hybrid_snapshot" ->
+      ("Streaming hybrid gate applied to a batch frame: every doc is " +
+        "scored against EVERY query on both modalities (the " +
+        "decontamination-serving shape — eval sets are small, corpora " +
+        "are not). Keep the query side eval-set-sized."))
 
   private[sources] def info(name: String): ExpressionInfo =
     tvfUsage.get(name) match {
