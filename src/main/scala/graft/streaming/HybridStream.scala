@@ -52,7 +52,11 @@ case class HybridState(lexIds: Seq[Long], lexScores: Seq[Long],
   * same brute gate as [[Bm25Stream]]/[[AnnStream]], which is the
   * decontamination-serving deployment: eval sets are small, corpora
   * are not). Self pairs (docId == qid) are excluded like both batch
-  * legs do. */
+  * legs do. Re-delivered document ids (re-crawls, at-least-once
+  * replays) are IDEMPOTENT in the state — one entry per docId per
+  * leg, best score wins — a deliberate deviation from feeding a batch
+  * frame literal duplicate rows (where the exact vector leg would
+  * rank both copies). */
 object HybridStream {
 
   /** Frozen two-leg scoring model: the BM25 gate model + each query's
@@ -82,9 +86,24 @@ object HybridStream {
   }
 
   /** Insert into a bounded rank-ordered list: `better(a, b)` = a
-    * strictly outranks b. Returns the top-`bound` under that order. */
-  private def insertBounded[T](xs: Seq[T], x: T, bound: Int)(
-      better: (T, T) => Boolean): Seq[T] = {
+    * strictly outranks b. Returns the top-`bound` under that order.
+    * IDEMPOTENT per document id: a re-delivered docId (an upstream
+    * re-crawl or at-least-once replay) either loses to its existing
+    * entry (no-op) or replaces it — the state can never hold one
+    * document twice, so replays cannot inflate a doc's RRF total. */
+  private def insertBounded(xs: Seq[(Long, Long)], x: (Long, Long), bound: Int)(
+      better: ((Long, Long), (Long, Long)) => Boolean): Seq[(Long, Long)] =
+    insertBoundedBy[(Long, Long)](xs, x, bound)(better, _._1)
+
+  private def insertBoundedV(xs: Seq[(Long, Double)], x: (Long, Double), bound: Int)(
+      better: ((Long, Double), (Long, Double)) => Boolean): Seq[(Long, Double)] =
+    insertBoundedBy[(Long, Double)](xs, x, bound)(better, _._1)
+
+  private def insertBoundedBy[T](xs0: Seq[T], x: T, bound: Int)(
+      better: (T, T) => Boolean, idOf: T => Long): Seq[T] = {
+    val existing = xs0.find(e => idOf(e) == idOf(x))
+    if (existing.exists(e => !better(x, e))) return xs0 // dominated replay: no-op
+    val xs = existing.map(e => xs0.filterNot(_ == e)).getOrElse(xs0)
     val i = xs.indexWhere(e => better(x, e))
     val at = if (i < 0) xs.length else i
     if (at >= bound) xs
@@ -122,9 +141,9 @@ object HybridStream {
     var vec = st.vecIds.zip(st.vecCosines)
     var seen = st.docsSeen
     rows.foreach { a =>
-      seen += 1
+      seen += 1 // progress counter (candidate rows folded), not distinct docs
       if (a.hasLex) lex = insertBounded(lex, (a.docId, a.lex), model.kLeg)(lexBetter)
-      vec = insertBounded(vec, (a.docId, a.cosine), model.kLeg)(vecBetter)
+      vec = insertBoundedV(vec, (a.docId, a.cosine), model.kLeg)(vecBetter)
     }
     st = HybridState(lex.map(_._1), lex.map(_._2),
       vec.map(_._1), vec.map(_._2), seen)

@@ -57,6 +57,19 @@ class HybridStreamSpec extends AnyFunSuite {
       .collect().forall(_.docsSeen == corpus.size - 1L))
   }
 
+  test("re-delivered document ids are idempotent in the leg state") {
+    val c = corpus.toDF("doc_id", "text", "embedding")
+    val model = HybridStream.train(c, "doc_id", "text",
+      queries.toDF("qid", "term", "qvec"), KLeg, K)
+    // the same corpus delivered TWICE: the fused ranking must equal the
+    // single-copy run (docsSeen doubles — it is a progress counter)
+    val doubled = (corpus ++ corpus).toDF("doc_id", "text", "embedding")
+    val got = HybridStream.topK(doubled, "doc_id", "text", "embedding", model)
+      .collect().sortBy(s => (s.qid, s.rank))
+      .map(s => (s.qid, s.docId, s.rrf, s.rank)).toSeq
+    assert(got == batchReference && got.nonEmpty)
+  }
+
   test("drop-dir replay: per-batch snapshots converge to the batch fusion") {
     val c = corpus.toDF("doc_id", "text", "embedding")
     val model = HybridStream.train(c, "doc_id", "text",
