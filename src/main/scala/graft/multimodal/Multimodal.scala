@@ -41,6 +41,10 @@ object Multimodal {
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "image/jpeg"
       else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "image/png"
       else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') "image/gif"
+      else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I') "video/x-msvideo"
+      else if (bytes.length >= 9 && new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2")
+        "video/x-yuv4mpeg"
       else "application/octet-stream"
 
     def decodeMeta(bytes: Array[Byte]): MediaMeta = {
