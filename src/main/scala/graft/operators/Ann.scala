@@ -779,6 +779,74 @@ object Ann extends Serializable {
       graceVersions)
   }
 
+  /** Result of one IVF admission tick: per-batch-vector verdicts
+    * (cid, admitted, n_ref_matches) and whether anything was appended. */
+  final case class IvfAdmission(decisions: DataFrame, appended: Long)
+
+  /** ADMISSION tick of the committed-IVF lifecycle — the embedding
+    * sibling of [[Dedup.minhashIndexAdmit]] (text's t49 gate): gate an
+    * arriving vector batch against the standing index by cosine
+    * near-duplicate search (each vector probes its `nprobe` nearest
+    * cells under the index's OWN committed centroids; a committed
+    * member with cosine ≥ `threshold` is a qualifying near-dup), ADMIT
+    * every batch vector with no qualifying match, and append the
+    * admitted rows as one committed tick ([[ivfIndexAppendHooked]]'s
+    * data version + CURRENT flip, `txn` supported for streaming
+    * maintenance). This is the loop a live embedding-curation pipeline
+    * runs per arriving shard — without it the standing index grows by
+    * blind appends and later batches stop deduplicating against the
+    * corpus.
+    *
+    * Scale shape: centroids broadcast (cells×dim floats); the batch
+    * fans out to nprobe probe rows and equi-joins the committed cells
+    * on the cell id — only probed cells' members are scored, the batch
+    * never collects to the driver, and the verdict aggregation is
+    * batch-sized. Id-space contract: batch cids are expected DISJOINT
+    * from the index's (the [[Dedup.minhashIndexAdmit]] rule); the tick
+    * still DEFENDS against a replay — a cid already committed is
+    * reported admitted=false and never appended twice, and same-cid
+    * matches never count as near-dups (a replayed vector is an
+    * exactly-once problem, not a similarity verdict). */
+  def ivfIndexAdmit(spark: SparkSession, dir: String, batch: DataFrame,
+      threshold: Double, nprobe: Int,
+      txn: Option[(String, Long)] = None): IvfAdmission = {
+    import spark.implicits._
+    val m = readIvfManifest(spark, dir)
+    val cents = readIvfCentroidsAt(spark, dir, m)
+    val bc = spark.sparkContext.broadcast(cents)
+    // pin one evaluation of the batch: the gate probe and the admitted
+    // append must see the same rows (the minhashIndexAdmit discipline)
+    val b = batch.select(col("cid").cast("long").as("cid"), col("cvec"))
+      .filter(col("cid").isNotNull && col("cvec").isNotNull)
+      .localCheckpoint()
+    val probes = b.as[(Long, Array[Float])]
+      .flatMap { case (cid, v) =>
+        nearestCells(bc.value, v, nprobe).map(c => (cid, v, c))
+      }
+      .toDF("cid", "qvec", "cell")
+    val members = readIvfCellsAt(spark, dir, m)
+      .select(col("cid").as("ref_cid"), col("cvec").as("rvec"), col("cell"))
+    val matches = probes.join(members, Seq("cell"))
+      .filter(col("cid") =!= col("ref_cid") &&
+        cosine(col("qvec"), col("rvec")) >= threshold)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_ref_matches"))
+    val replayed = members.select(col("ref_cid").as("cid")).distinct()
+      .withColumn("replayed", lit(true))
+    val decisions = b.select(col("cid"))
+      .join(matches, Seq("cid"), "left")
+      .join(replayed, Seq("cid"), "left")
+      .select(col("cid"),
+        (col("n_ref_matches").isNull && col("replayed").isNull).as("admitted"),
+        coalesce(col("n_ref_matches"), lit(0L)).as("n_ref_matches"))
+      .localCheckpoint()
+    val admitted = b
+      .join(decisions.filter(col("admitted")).select(col("cid")), Seq("cid"))
+    val nAdmitted = admitted.count()
+    if (nAdmitted > 0)
+      ivfIndexAppendHooked(spark, dir, admitted, crashPoint = 0, txn = txn)
+    IvfAdmission(decisions, nAdmitted)
+  }
+
   /** Serve a query batch from the committed IVF index: ONE CURRENT
     * read pins manifest, centroids and cell files for the whole serve
     * — an append committing midway can never mix one version's probe

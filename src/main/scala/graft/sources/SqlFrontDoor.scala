@@ -599,6 +599,15 @@ object SqlFrontDoor {
         graft.operators.Ann.ivfIndexAppend(s, a.head, s.read.parquet(a(1)))
         ivfManifestSummary(a.head)
       }),
+      // ivf_index_admit(index_dir, batch_path, threshold, nprobe): the
+      // admission tick — gate arriving vectors against the standing
+      // index by cosine near-dup search under the committed centroids,
+      // append the admitted rows as one committed tick, return the
+      // per-vector verdicts (cid, admitted, n_ref_matches); the
+      // embedding sibling of lsh_index_admit
+      ("ivf_index_admit", 4, a =>
+        graft.operators.Ann.ivfIndexAdmit(s, a.head, s.read.parquet(a(1)),
+          a(2).trim.toDouble, a(3).trim.toInt).decisions),
       // ivf_index_vacuum(index_dir, grace_versions): the vacuum tick
       // (retires replaced rebuilds; pure appends supersede nothing)
       ("ivf_index_vacuum", 2, a => {

@@ -115,6 +115,58 @@ class IvfAppendSpec extends AnyFunSuite {
       cents2.map(_.toSeq).toSeq)
   }
 
+  test("admission tick: near-dups rejected, novel admitted, replay refused, index == build-over-admitted") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivfadmit").toString
+    Ann.ivfIndexBuild(initial.toDF("cid", "cvec"), dir, cents)
+
+    def jitter(v: Seq[Float], eps: Float) = v.updated(0, v.head + eps)
+    // the vec() family repeats mod 13, so "novel" vectors must come
+    // from OUTSIDE it: near-basis vectors are ≥ 0.08 away in cosine
+    // from every grid-patterned committed vector (7 nonzero components
+    // of magnitude ≥ 1/3 bound the alignment)
+    def basis(axis: Int) = Seq.tabulate(dim)(j => if (j == axis) 1f else 0f)
+    val batch = Seq(
+      (500L, jitter(vec(100), 0.001f)), // near-dup of committed 100 → reject
+      (501L, jitter(vec(110), 0.002f)), // near-dup of committed 110 → reject
+      (502L, basis(0)), // novel → admit
+      (503L, basis(3)), // novel → admit
+      (120L, vec(120))) // REPLAYED committed cid → refuse, never re-append
+    val adm = Ann.ivfIndexAdmit(spark, dir, batch.toDF("cid", "cvec"),
+      threshold = 0.999, nprobe = 2)
+    val verdicts = adm.decisions.collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(!verdicts(500L)._1 && verdicts(500L)._2 >= 1L, s"near-dup must be rejected: $verdicts")
+    assert(!verdicts(501L)._1, s"near-dup must be rejected: $verdicts")
+    assert(verdicts(502L)._1 && verdicts(502L)._2 == 0L, s"novel must be admitted: $verdicts")
+    assert(verdicts(503L)._1, s"novel must be admitted: $verdicts")
+    // replayed cid: admitted=false even though the same-cid guard keeps
+    // its SELF match out (its exact-dup siblings in the vec() family may
+    // still count as genuine near-dups — that is correct)
+    assert(!verdicts(120L)._1, s"replayed cid must not be admitted: $verdicts")
+    assert(adm.appended == 2L)
+
+    // the updated index holds exactly initial ∪ admitted, once each
+    val ids = Ann.readIvfCells(spark, dir).select("cid")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == (initial.map(_._1) ++ Seq(502L, 503L)).sorted)
+
+    // txn idempotence composes: re-delivering the tick is a no-op (the
+    // replay anti-join would also catch it — belt and suspenders)
+    val m1 = Ann.readIvfManifest(spark, dir)
+    Ann.ivfIndexAdmit(spark, dir,
+      Seq((504L, basis(6))).toDF("cid", "cvec"),
+      threshold = 0.999, nprobe = 2, txn = Some(("admit-spec", 7L)))
+    val m2 = Ann.readIvfManifest(spark, dir)
+    assert(m2.version == m1.version + 1 && m2.txn.contains(("admit-spec", 7L)))
+    Ann.ivfIndexAdmit(spark, dir,
+      Seq((504L, basis(6))).toDF("cid", "cvec"),
+      threshold = 0.999, nprobe = 2, txn = Some(("admit-spec", 7L)))
+    assert(Ann.readIvfManifest(spark, dir) == m2,
+      "re-delivered admission epoch must not append twice")
+  }
+
   test("serve lists only probed cells' committed files") {
     val spark = SparkTest.spark
     import spark.implicits._
