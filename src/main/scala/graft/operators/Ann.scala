@@ -596,18 +596,19 @@ object Ann extends Serializable {
 
   /** One committed IVF index state. `cells` is the trained centroid
     * count; `cellVersions` lists, per materialized cell, every data
-    * version holding rows for it (append order); `txn` is the last
-    * writer transaction ([[ManifestIO.txnAlreadyApplied]] — the
+    * version holding rows for it (append order); `txns` is the
+    * writer-transaction LEDGER (appId → last committed epoch, carried
+    * forward on every commit — [[ManifestIO.txnAlreadyApplied]], the
     * exactly-once gate for streaming maintenance). */
   final case class IvfManifest(version: Long, cells: Int, centroidsVersion: Long,
-      cellVersions: Map[Int, Seq[Long]], txn: Option[(String, Long)] = None)
+      cellVersions: Map[Int, Seq[Long]], txns: Map[String, Long] = Map.empty)
 
   private def renderIvfManifest(m: IvfManifest): String = {
     val cv = m.cellVersions.toSeq.sortBy(_._1)
       .map { case (c, vs) => s"$c:${vs.mkString("|")}" }.mkString(",")
     s"version=${m.version}\ncells=${m.cells}\n" +
       s"centroids=${m.centroidsVersion}\ncellVersions=$cv\n" +
-      ManifestIO.renderTxn(m.txn)
+      ManifestIO.renderTxns(m.txns)
   }
 
   private def parseIvfManifest(text: String): IvfManifest = {
@@ -618,7 +619,7 @@ object Ann extends Serializable {
       c.toInt -> vs.split("\\|").map(_.toLong).toSeq
     }.toMap
     IvfManifest(kv("version").toLong, kv("cells").toInt, kv("centroids").toLong, cv,
-      ManifestIO.parseTxn(kv))
+      ManifestIO.parseTxns(kv))
   }
 
   /** The committed manifest — every reader's one CURRENT read. */
@@ -699,11 +700,15 @@ object Ann extends Serializable {
     require(cents.nonEmpty, "IVF index needs at least one centroid")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val ver: Long = {
+    // a REBUILD carries the txn ledger forward (rebuild-over-union is
+    // the maintenance contract — a re-delivered epoch after the rebuild
+    // must still no-op), same as [[Bm25.buildIndex]]
+    val (ver, priorTxns): (Long, Map[String, Long]) = {
       val f = ManifestIO.fs(spark, dir)
-      if (f.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT")))
-        readIvfManifest(spark, dir).version + 1
-      else 1L
+      if (f.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT"))) {
+        val m0 = readIvfManifest(spark, dir)
+        (m0.version + 1, m0.txns)
+      } else (1L, Map.empty[String, Long])
     }
     assignCells(corpus, cents).write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dir/data/$ver/cells")
@@ -713,7 +718,7 @@ object Ann extends Serializable {
     val present = ManifestIO.partitionIds(spark, s"$dir/data/$ver/cells", "cell=")
       .map(_ -> Seq(ver)).toMap
     ManifestIO.commit(spark, dir, ver,
-      renderIvfManifest(IvfManifest(ver, cents.length, ver, present)))
+      renderIvfManifest(IvfManifest(ver, cents.length, ver, present, priorTxns)))
   }
 
   /** APPEND tick of the committed served-IVF lifecycle
@@ -745,7 +750,7 @@ object Ann extends Serializable {
       corpus: DataFrame, crashPoint: Int,
       txn: Option[(String, Long)] = None): Unit = {
     val m = readIvfManifest(spark, dir)
-    if (ManifestIO.txnAlreadyApplied(m.txn, txn)) return // retried epoch: already committed
+    if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
     val newVer = m.version + 1
     if (corpus.isEmpty) return // the index already is the post-tick state
     val cents = readIvfCentroidsAt(spark, dir, m)
@@ -756,7 +761,8 @@ object Ann extends Serializable {
     val newCells = m.cellVersions ++ touched.map(c =>
       c -> (m.cellVersions.getOrElse(c, Seq.empty) :+ newVer))
     val body = renderIvfManifest(
-      IvfManifest(newVer, m.cells, m.centroidsVersion, newCells, txn))
+      IvfManifest(newVer, m.cells, m.centroidsVersion, newCells,
+        ManifestIO.mergeTxn(m.txns, txn)))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return

@@ -207,18 +207,20 @@ object Bm25 {
   /** One committed index state: the bucket count chosen at build time,
     * the data version owning each bucket's postings (absent bucket =
     * no terms hash there yet), the version owning the stats row, and
-    * the last writer transaction (see [[ManifestIO.txnAlreadyApplied]]
-    * — the exactly-once gate for streaming maintenance). */
+    * the writer-transaction LEDGER (appId → last committed epoch,
+    * carried forward on every commit — see
+    * [[ManifestIO.txnAlreadyApplied]], the exactly-once gate for
+    * streaming maintenance). */
   final case class IndexManifest(version: Long, buckets: Int,
       statsVersion: Long, bucketVersions: Map[Int, Long],
-      txn: Option[(String, Long)] = None)
+      txns: Map[String, Long] = Map.empty)
 
   private def renderManifest(m: IndexManifest): String = {
     val bv = m.bucketVersions.toSeq.sortBy(_._1)
       .map { case (b, v) => s"$b:$v" }.mkString(",")
     s"version=${m.version}\nbuckets=${m.buckets}\n" +
       s"stats=${m.statsVersion}\nbucketVersions=$bv\n" +
-      ManifestIO.renderTxn(m.txn)
+      ManifestIO.renderTxns(m.txns)
   }
 
   private def parseManifest(text: String): IndexManifest = {
@@ -228,7 +230,7 @@ object Bm25 {
       val Array(b, v) = e.split(":"); b.toInt -> v.toLong
     }.toMap
     IndexManifest(kv("version").toLong, kv("buckets").toInt, kv("stats").toLong, bv,
-      ManifestIO.parseTxn(kv))
+      ManifestIO.parseTxns(kv))
   }
 
   /** Read the COMMITTED manifest — the index state every reader serves
@@ -306,11 +308,17 @@ object Bm25 {
       buckets: Int = IndexBuckets): Unit = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
     val spark = docs.sparkSession
-    val ver: Long = {
+    // a REBUILD carries the txn ledger forward: the rebuild corpus is
+    // expected to contain every ingested epoch's documents (rebuild-
+    // over-union is the maintenance contract), so a maintenance stream
+    // re-delivering an already-ingested epoch after the rebuild must
+    // still see its exactly-once record and no-op
+    val (ver, priorTxns): (Long, Map[String, Long]) = {
       val f = ManifestIO.fs(spark, dir)
-      if (f.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT")))
-        readManifest(spark, dir).version + 1
-      else 1L
+      if (f.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT"))) {
+        val m0 = readManifest(spark, dir)
+        (m0.version + 1, m0.txns)
+      } else (1L, Map.empty[String, Long])
     }
     val dl = docs.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
@@ -329,7 +337,7 @@ object Bm25 {
     val present = ManifestIO.partitionIds(spark, s"$dir/data/$ver/postings", "bucket=")
       .map(_ -> ver).toMap
     ManifestIO.commit(spark, dir, ver,
-      renderManifest(IndexManifest(ver, buckets, ver, present)))
+      renderManifest(IndexManifest(ver, buckets, ver, present, priorTxns)))
   }
 
   /** Serve-path regime boundary: up to this many distinct query terms,
@@ -369,8 +377,17 @@ object Bm25 {
     // both resolved from this manifest, so an append committing midway
     // can never pair new (n, avgdl) with old postings or vice versa
     val m = readManifest(spark, indexDir)
+    // pin ONE materialization of the query frame BEFORE anything reads
+    // it: the regime probe, the bucket plan, the term filter/semi-join
+    // and the scoring join must all see the same rows even when the
+    // caller's frame is non-deterministic — without the pin, a term
+    // materializing only at join time is silently dropped (its bucket
+    // was never planned, the isin/semi-join filters it), the bug class
+    // the big regime's r13 fix killed and the small regime still had.
+    // The pin is query-batch-sized, which the serve materializes
+    // anyway (small regime broadcasts q; big regime shuffles it).
     val q = queries.select(col("qid").cast("long").as("qid"),
-      col("term").as("t")).distinct()
+      col("term").as("t")).distinct().localCheckpoint(true)
     val terms0 = q.select(col("t")).distinct()
     // one bounded driver round-trip (≤ maxCollectedTerms+1 (term,
     // bucket) rows — regime-constant, batch-size-independent) decides
@@ -380,15 +397,10 @@ object Bm25 {
       .select(col("t"), pmod(xxhash64(col("t")), lit(m.buckets)).cast("int").as("b"))
       .limit(maxCollectedTerms + 1).collect()
     val smallTerms = probe.length <= maxCollectedTerms
-    // big regime: pin ONE materialization of the distinct-term frame —
-    // bucket planning and the semi-join must see the same rows even if
-    // the caller's query frame is non-deterministic, and the plan/join
-    // re-evaluation would otherwise run the distinct twice anyway
-    val termsPinned = if (smallTerms) terms0 else terms0.localCheckpoint(true)
     val bucketIds: Set[Int] =
       if (smallTerms) probe.map(_.getInt(1)).toSet
       // ≤ m.buckets ints cross the driver — batch-size-independent
-      else termsPinned
+      else terms0
         .select(pmod(xxhash64(col("t")), lit(m.buckets)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
     val stats = readStatsAt(spark, indexDir, m).select(col("n"),
@@ -398,7 +410,7 @@ object Bm25 {
       if (smallTerms)
         pruned.filter(col("t").isin(
           probe.toIndexedSeq.map(_.getString(0).asInstanceOf[Any]): _*))
-      else pruned.join(termsPinned, Seq("t"), "left_semi")
+      else pruned.join(terms0, Seq("t"), "left_semi")
     val kept = post
       .crossJoin(broadcast(stats.select(col("n"))))
       .filter(col("df") * PruneDfDen < col("n") * PruneDfNum)
@@ -487,7 +499,7 @@ object Bm25 {
     // concurrent commit illegal anyway; the pin keeps the tick correct
     // even against a misbehaving second writer)
     val m = readManifest(spark, dir)
-    if (ManifestIO.txnAlreadyApplied(m.txn, txn)) return // retried epoch: already committed
+    if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
     val newVer = m.version + 1
     val newDl = newDocs.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
@@ -532,7 +544,8 @@ object Bm25 {
     if (crashPoint == 1) return // simulated writer death: data written, nothing committed
     val newOwners = m.bucketVersions ++ touched.map(_ -> newVer)
     val body = renderManifest(
-      IndexManifest(newVer, m.buckets, newVer, newOwners, txn))
+      IndexManifest(newVer, m.buckets, newVer, newOwners,
+        ManifestIO.mergeTxn(m.txns, txn)))
     if (crashPoint == 2) {
       // simulated death between manifest write and CURRENT flip: the
       // manifest file exists but is unreferenced garbage

@@ -79,33 +79,55 @@ private[graft] object ManifestIO {
     (v, readText(f, new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.txt")))
   }
 
-  /** Writer-transaction manifest line (`txn=<appId>:<epoch>`) — the
-    * Delta-style idempotence token for STREAMING index maintenance:
-    * each committed tick records the (application id, epoch) that
-    * produced it, and a retried micro-batch (foreachBatch re-delivers
-    * the same epoch after a failure between the sink call and the
-    * engine's own commit) is recognized and skipped. Epochs per app id
-    * must be monotone, which Structured Streaming's batchId is. */
-  def renderTxn(txn: Option[(String, Long)]): String =
-    txn.map { case (app, epoch) => s"txn=$app:$epoch\n" }.getOrElse("")
+  /** Writer-transaction LEDGER manifest line
+    * (`txns=<appId>:<epoch>;<appId>:<epoch>;…`) — the Delta-style
+    * `txnAppId`→`txnVersion` idempotence map for STREAMING index
+    * maintenance: every committed tick carries the WHOLE ledger
+    * forward (its own entry merged in via [[mergeTxn]]), so a tick
+    * from one writer — a manual txn-free append interleaved with a
+    * maintenance stream, a second stream on its own appId — can never
+    * erase another app's exactly-once record. A retried micro-batch
+    * (foreachBatch re-delivers the same epoch after a failure between
+    * the sink call and the engine's own commit) is recognized and
+    * skipped. Epochs per app id must be monotone, which Structured
+    * Streaming's batchId is. */
+  def renderTxns(txns: Map[String, Long]): String =
+    if (txns.isEmpty) ""
+    else "txns=" + txns.toSeq.sorted
+      .map { case (app, epoch) => s"$app:$epoch" }.mkString(";") + "\n"
 
-  /** The txn line back out of a parsed key→value manifest map. App ids
-    * may contain ':'; the epoch is everything after the LAST colon. */
-  def parseTxn(kv: Map[String, String]): Option[(String, Long)] =
-    kv.get("txn").map { v =>
+  /** The ledger back out of a parsed key→value manifest map. App ids
+    * may contain ':' (each entry's epoch is everything after its LAST
+    * colon) but not ';' — [[mergeTxn]] enforces that at write time. */
+  def parseTxns(kv: Map[String, String]): Map[String, Long] =
+    kv.get("txns").iterator.flatMap(_.split(";")).filter(_.nonEmpty).map { v =>
       val i = v.lastIndexOf(':')
       (v.take(i), v.drop(i + 1).toLong)
-    }
+    }.toMap
 
-  /** True iff a committed manifest's `txn` proves this (appId, epoch)
-    * tick already ran: same app, committed epoch >= this epoch. A tick
-    * that crashed BEFORE its commit left no txn record, so its retry
+  /** The ledger a committing tick writes: the previous manifest's map
+    * carried forward, this tick's own (appId, epoch) — if it has one —
+    * merged in. Carrying the map forward on EVERY commit (including
+    * txn-free manual ticks and rebuilds) is the whole point: the
+    * exactly-once record must survive writers that don't know about
+    * the stream that made it. */
+  def mergeTxn(previous: Map[String, Long],
+      txn: Option[(String, Long)]): Map[String, Long] = {
+    txn.foreach { case (app, _) =>
+      require(!app.contains(";") && !app.contains("\n"),
+        s"txn appId must not contain ';' or newlines: $app")
+    }
+    previous ++ txn
+  }
+
+  /** True iff the committed ledger proves this (appId, epoch) tick
+    * already ran: the app's recorded epoch >= this epoch. A tick that
+    * crashed BEFORE its commit left no ledger entry, so its retry
     * applies cleanly — at-most-once commit + at-least-once delivery =
     * exactly-once index maintenance. */
-  def txnAlreadyApplied(committed: Option[(String, Long)],
-      txn: Option[(String, Long)]): Boolean = (committed, txn) match {
-    case (Some((app0, e0)), Some((app, e))) => app0 == app && e0 >= e
-    case _ => false
+  def txnAlreadyApplied(committed: Map[String, Long],
+      txn: Option[(String, Long)]): Boolean = txn.exists { case (app, e) =>
+    committed.get(app).exists(_ >= e)
   }
 
   /** Garbage-collect an index dir: delete `data/<v>` trees and

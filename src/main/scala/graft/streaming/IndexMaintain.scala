@@ -16,12 +16,14 @@ import graft.operators.{Ann, Bm25}
   * on restart. The tick makes the pair exactly-once by recording
   * (appId, batchId) in the index manifest INSIDE the same atomic
   * CURRENT flip that publishes the data ([[graft.operators.ManifestIO]]
-  * `txn` line, the Delta `txnAppId`/`txnVersion` discipline): a
+  * `txns` LEDGER, the Delta `txnAppId`/`txnVersion` discipline): a
   * re-delivered epoch the manifest already records is a no-op, and a
   * tick that crashed before its flip left no record — so its retry
-  * applies cleanly. `appId` must be stable across restarts (choose it
-  * like a Delta txnAppId) and epochs per appId monotone, which
-  * batchId is.
+  * applies cleanly. The ledger is a MAP carried forward on every
+  * commit, so an interleaved manual tick (or a second stream on its
+  * own appId, or a rebuild) can never erase this stream's record.
+  * `appId` must be stable across restarts (choose it like a Delta
+  * txnAppId) and epochs per appId monotone, which batchId is.
   *
   * Single writer per index dir, as everywhere in the lifecycle: one
   * maintenance stream per index. */

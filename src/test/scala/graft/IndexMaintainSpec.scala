@@ -34,7 +34,7 @@ class IndexMaintainSpec extends AnyFunSuite {
 
     Bm25.appendToIndexTxn(spark, dir, batch, "doc_id", "text", "appA", 0L)
     val after1 = Bm25.readManifest(spark, dir)
-    assert(after1.txn.contains(("appA", 0L)))
+    assert(after1.txns.get("appA").contains(0L))
     // the at-least-once retry: same app, same epoch → nothing moves
     Bm25.appendToIndexTxn(spark, dir, batch, "doc_id", "text", "appA", 0L)
     assert(Bm25.readManifest(spark, dir) == after1,
@@ -50,7 +50,7 @@ class IndexMaintainSpec extends AnyFunSuite {
     assert(Bm25.readManifest(spark, dir) == after1, "crashed tick must not commit")
     Bm25.appendToIndexTxn(spark, dir, batch2, "doc_id", "text", "appA", 1L)
     val after2 = Bm25.readManifest(spark, dir)
-    assert(after2.txn.contains(("appA", 1L)) && after2.version == after1.version + 1)
+    assert(after2.txns.get("appA").contains(1L) && after2.version == after1.version + 1)
     assert(Bm25.readStats(spark, dir).select("n").head().getLong(0) ==
       stats1 + batch2.count())
   }
@@ -69,7 +69,7 @@ class IndexMaintainSpec extends AnyFunSuite {
       appId = "bm25-maint-spec", checkpoint = ckpt)
     try {
       assert(StreamSync.drain(qy) {
-        Bm25.readManifest(spark, dir).txn.exists(_._2 >= 1L)
+        Bm25.readManifest(spark, dir).txns.values.exists(_ >= 1L)
       })
     } finally qy.stop()
 
@@ -82,7 +82,7 @@ class IndexMaintainSpec extends AnyFunSuite {
     assert(Bm25.readStats(spark, dir).select("n", "sdl").head().toSeq ==
       Bm25.readStats(spark, dirU).select("n", "sdl").head().toSeq)
     // each drop file committed as its own recorded epoch
-    assert(Bm25.readManifest(spark, dir).txn.contains(("bm25-maint-spec", 1L)))
+    assert(Bm25.readManifest(spark, dir).txns.get("bm25-maint-spec").contains(1L))
   }
 
   test("bm25: maintenance stream RESTART from its checkpoint continues epochs exactly once") {
@@ -99,7 +99,7 @@ class IndexMaintainSpec extends AnyFunSuite {
     drops.head.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dropDir)
     val q1 = startStream()
     try assert(StreamSync.drain(q1) {
-      Bm25.readManifest(spark, dir).txn.contains(("bm25-restart-spec", 0L))
+      Bm25.readManifest(spark, dir).txns.get("bm25-restart-spec").contains(0L)
     }) finally q1.stop()
     val afterFirst = Bm25.readManifest(spark, dir)
 
@@ -109,8 +109,7 @@ class IndexMaintainSpec extends AnyFunSuite {
     drops(1).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dropDir)
     val q2 = startStream()
     try assert(StreamSync.drain(q2) {
-      Bm25.readManifest(spark, dir).txn.exists(t =>
-        t._1 == "bm25-restart-spec" && t._2 >= 1L)
+      Bm25.readManifest(spark, dir).txns.get("bm25-restart-spec").exists(_ >= 1L)
     }) finally q2.stop()
     val afterSecond = Bm25.readManifest(spark, dir)
     assert(afterSecond.version == afterFirst.version + 1,
@@ -155,7 +154,7 @@ class IndexMaintainSpec extends AnyFunSuite {
     val qy = IndexMaintain.maintainIvf(stream, dir, "ivf-maint-spec", ckpt)
     try {
       assert(StreamSync.drain(qy) {
-        Ann.readIvfManifest(spark, dir).txn.exists(_._1 == "ivf-maint-spec")
+        Ann.readIvfManifest(spark, dir).txns.contains("ivf-maint-spec")
       })
     } finally qy.stop()
 
@@ -165,5 +164,58 @@ class IndexMaintainSpec extends AnyFunSuite {
     def serve(d: String) = Ann.ivfServedTopK(spark, d, q, k = 5, nprobe = 2)
       .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
     assert(serve(dir) == serve(dirU) && serve(dir).nonEmpty)
+  }
+
+  test("bm25: a manual txn-free tick cannot erase the stream's exactly-once record") {
+    val dir = Files.createTempDirectory("bm25ledger").toString
+    Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", dir)
+    // maintenance stream commits epoch 7
+    val epoch7 = drops.head.toDF("doc_id", "text")
+    Bm25.appendToIndexTxn(spark, dir, epoch7, "doc_id", "text", "streamA", 7L)
+    // an operator interleaves a MANUAL tick (txn = None) — legal under
+    // the single-writer discipline (writers are sequential, not
+    // single-purpose); before the ledger this erased streamA's record
+    Bm25.appendToIndex(spark, dir,
+      Seq((40L, "papaya papaya")).toDF("doc_id", "text"), "doc_id", "text")
+    val m = Bm25.readManifest(spark, dir)
+    assert(m.txns.get("streamA").contains(7L),
+      "the manual tick must carry the ledger forward")
+    // stream crashed post-sink pre-commit: epoch 7 re-delivered → no-op
+    val before = Bm25.readManifest(spark, dir)
+    Bm25.appendToIndexTxn(spark, dir, epoch7, "doc_id", "text", "streamA", 7L)
+    assert(Bm25.readManifest(spark, dir) == before,
+      "re-delivered epoch must no-op across an interleaved manual tick")
+    // two independent streams keep independent ledger entries
+    Bm25.appendToIndexTxn(spark, dir, drops(1).toDF("doc_id", "text"),
+      "doc_id", "text", "streamB", 2L)
+    val m2 = Bm25.readManifest(spark, dir)
+    assert(m2.txns.get("streamA").contains(7L) && m2.txns.get("streamB").contains(2L))
+    // and a REBUILD over the union corpus keeps the whole ledger: a
+    // late re-delivery of any committed epoch still no-ops
+    Bm25.buildIndex((initial ++ drops.flatten :+ ((40L, "papaya papaya")))
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    val m3 = Bm25.readManifest(spark, dir)
+    assert(m3.txns == m2.txns, "rebuild must carry the txn ledger forward")
+    val afterRebuild = Bm25.readManifest(spark, dir)
+    Bm25.appendToIndexTxn(spark, dir, epoch7, "doc_id", "text", "streamA", 7L)
+    assert(Bm25.readManifest(spark, dir) == afterRebuild)
+  }
+
+  test("ivf: a manual txn-free tick cannot erase the stream's exactly-once record") {
+    val cents = Array.tabulate(4)(c => vec(c * 7 + 1).toArray)
+    val dir = Files.createTempDirectory("ivfledger").toString
+    Ann.ivfIndexBuild((100 until 120).map(i => (i.toLong, vec(i)))
+      .toDF("cid", "cvec"), dir, cents)
+    val epoch3 = (10 until 15).map(i => (i.toLong, vec(i))).toDF("cid", "cvec")
+    Ann.ivfIndexAppendTxn(spark, dir, epoch3, "streamV", 3L)
+    // interleaved manual tick (txn = None)
+    Ann.ivfIndexAppend(spark, dir,
+      Seq((50L, vec(50))).toDF("cid", "cvec"))
+    assert(Ann.readIvfManifest(spark, dir).txns.get("streamV").contains(3L),
+      "the manual tick must carry the ledger forward")
+    val before = Ann.readIvfManifest(spark, dir)
+    Ann.ivfIndexAppendTxn(spark, dir, epoch3, "streamV", 3L)
+    assert(Ann.readIvfManifest(spark, dir) == before,
+      "re-delivered epoch must no-op across an interleaved manual tick")
   }
 }

@@ -159,7 +159,7 @@ class IvfAppendSpec extends AnyFunSuite {
       Seq((504L, basis(6))).toDF("cid", "cvec"),
       threshold = 0.999, nprobe = 2, txn = Some(("admit-spec", 7L)))
     val m2 = Ann.readIvfManifest(spark, dir)
-    assert(m2.version == m1.version + 1 && m2.txn.contains(("admit-spec", 7L)))
+    assert(m2.version == m1.version + 1 && m2.txns.get("admit-spec").contains(7L))
     Ann.ivfIndexAdmit(spark, dir,
       Seq((504L, basis(6))).toDF("cid", "cvec"),
       threshold = 0.999, nprobe = 2, txn = Some(("admit-spec", 7L)))
