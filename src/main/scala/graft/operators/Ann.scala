@@ -635,17 +635,25 @@ object Ann extends Serializable {
     * IMMUTABLE (ticks only write new versions; vacuum only deletes
     * unreferenced ones), so the cached geometry can never go stale —
     * a rebuild commits a new centroidsVersion and misses the cache by
-    * key. Driver-sized: cells×dim floats per distinct index. Spares
-    * every serve after the first its centroid parquet read. */
+    * key. BOUNDED to one live geometry per dir: every insert evicts
+    * the dir's superseded versions, so a long-lived serving JVM that
+    * rebuilds an index N times holds one cells×dim copy, not N
+    * (a reader still pinned to an evicted version just re-reads its
+    * parquet — correctness never depended on the cache). */
   private val ivfCentroidCache = scala.collection.concurrent.TrieMap
     .empty[(String, Long), Array[Array[Float]]]
+
+  /** The dir's cached centroid versions — the cache-bound spec's
+    * observation hook. */
+  private[graft] def cachedCentroidVersions(dir: String): Set[Long] =
+    ivfCentroidCache.keys.collect { case (d, v) if d == dir => v }.toSet
 
   /** [[readIvfCentroids]] against an already-read manifest — serve and
     * append read CURRENT once and thread the manifest through every
     * artifact read (the [[Bm25.readPostingsAt]] discipline). */
   def readIvfCentroidsAt(spark: SparkSession, dir: String,
-      m: IvfManifest): Array[Array[Float]] =
-    ivfCentroidCache.getOrElseUpdate((dir, m.centroidsVersion), {
+      m: IvfManifest): Array[Array[Float]] = {
+    val got = ivfCentroidCache.getOrElseUpdate((dir, m.centroidsVersion), {
       val rows = spark.read.parquet(s"$dir/data/${m.centroidsVersion}/centroids")
         .select(col("cell"), col("cvec")).collect()
         .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
@@ -653,6 +661,12 @@ object Ann extends Serializable {
         s"IVF centroid artifact holds ${rows.size} cells, manifest says ${m.cells}")
       Array.tabulate(m.cells)(rows(_))
     })
+    val latest = cachedCentroidVersions(dir).max
+    ivfCentroidCache.keys
+      .filter { case (d, v) => d == dir && v < latest }
+      .foreach(ivfCentroidCache.remove)
+    got
+  }
 
   /** The committed inverted file (cid, cvec, cell): each wanted cell
     * read from the explicit data-version paths its manifest entry

@@ -29,36 +29,61 @@ import graft.operators.{Ann, Bm25}
   * maintenance stream per index. */
 object IndexMaintain {
 
+  /** True when epoch `epoch` is a vacuum tick under cadence
+    * `vacuumEvery` (0 = auto-vacuum off). Epoch-keyed, so a re-started
+    * stream re-delivering an epoch re-runs the same (idempotent)
+    * vacuum decision — deleting already-deleted garbage is a no-op. */
+  private def vacuumDue(vacuumEvery: Int, epoch: Long): Boolean =
+    vacuumEvery > 0 && epoch % vacuumEvery == (vacuumEvery - 1).toLong
+
   /** The BM25 foreachBatch sink body: one idempotent committed append
-    * tick per micro-batch. */
-  def bm25Sink(dir: String, idCol: String, textCol: String,
-      appId: String): (DataFrame, Long) => Unit =
-    (batch, epoch) =>
+    * tick per micro-batch, plus — every `vacuumEvery` epochs — a
+    * vacuum tick ([[Bm25.vacuumIndex]]): a standing index under
+    * continuous ingest supersedes bucket files every tick and would
+    * otherwise accumulate unbounded version history between manual
+    * vacuums. The sink IS the index's single writer, so running
+    * maintenance here honors the vacuum's writer discipline. */
+  def bm25Sink(dir: String, idCol: String, textCol: String, appId: String,
+      vacuumEvery: Int = 0, graceVersions: Long = 2L): (DataFrame, Long) => Unit =
+    (batch, epoch) => {
       Bm25.appendToIndexTxn(batch.sparkSession, dir, batch, idCol, textCol,
         appId, epoch)
+      if (vacuumDue(vacuumEvery, epoch))
+        Bm25.vacuumIndex(batch.sparkSession, dir, graceVersions)
+    }
 
   /** Maintain a standing BM25 index from a streaming document frame.
     * `checkpoint` must be durable and paired with `appId` for the
-    * exactly-once contract to hold across restarts. */
+    * exactly-once contract to hold across restarts. `vacuumEvery` > 0
+    * runs [[Bm25.vacuumIndex]] every that-many epochs (grace counted
+    * in versions, see [[graft.operators.ManifestIO.vacuum]]). */
   def maintainBm25(docs: DataFrame, dir: String, idCol: String,
-      textCol: String, appId: String, checkpoint: String): StreamingQuery =
+      textCol: String, appId: String, checkpoint: String,
+      vacuumEvery: Int = 0, graceVersions: Long = 2L): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(bm25Sink(dir, idCol, textCol, appId))
+      .foreachBatch(bm25Sink(dir, idCol, textCol, appId, vacuumEvery, graceVersions))
       .start()
 
   /** The IVF foreachBatch sink body: arriving vectors are assigned
     * under the index's own committed centroids, one idempotent tick
-    * per micro-batch. Batch frame needs (cid, cvec). */
-  def ivfSink(dir: String, appId: String): (DataFrame, Long) => Unit =
-    (batch, epoch) =>
+    * per micro-batch. Batch frame needs (cid, cvec). Appends never
+    * supersede data, so the optional vacuum cadence only recycles
+    * crashed ticks' orphans and replaced rebuilds. */
+  def ivfSink(dir: String, appId: String, vacuumEvery: Int = 0,
+      graceVersions: Long = 2L): (DataFrame, Long) => Unit =
+    (batch, epoch) => {
       Ann.ivfIndexAppendTxn(batch.sparkSession, dir, batch, appId, epoch)
+      if (vacuumDue(vacuumEvery, epoch))
+        Ann.ivfVacuum(batch.sparkSession, dir, graceVersions)
+    }
 
   /** Maintain a committed IVF index from a streaming vector frame. */
   def maintainIvf(vecs: DataFrame, dir: String, appId: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, vacuumEvery: Int = 0,
+      graceVersions: Long = 2L): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(ivfSink(dir, appId))
+      .foreachBatch(ivfSink(dir, appId, vacuumEvery, graceVersions))
       .start()
 }

@@ -166,6 +166,88 @@ class IndexMaintainSpec extends AnyFunSuite {
     assert(serve(dir) == serve(dirU) && serve(dir).nonEmpty)
   }
 
+  private def dataVersions(dir: String): Set[Long] = {
+    val root = new java.io.File(s"$dir/data")
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName.toLong).toSet
+  }
+
+  test("bm25: auto-vacuum keeps a 10-epoch maintenance stream's history bounded, serving intact") {
+    val grace = 1L
+    val dir = Files.createTempDirectory("bm25autovac").toString
+    Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val tenDrops = (0 until 10).map(i =>
+      Seq((100L + i, s"plum pear quince word$i word$i")))
+    val dropDir = Files.createTempDirectory("bm25autovacdrop").toString
+    tenDrops.foreach(_.toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dropDir))
+    val ckpt = Files.createTempDirectory("bm25autovacckpt").toString
+    val qy = IndexMaintain.maintainBm25(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(dropDir),
+      dir, "doc_id", "text", appId = "bm25-autovac-spec", checkpoint = ckpt,
+      vacuumEvery = 3, graceVersions = grace)
+    try assert(StreamSync.drain(qy) {
+      Bm25.readManifest(spark, dir).txns.get("bm25-autovac-spec").exists(_ >= 9L)
+    }) finally qy.stop()
+
+    // every tick superseded bucket files; without the cadence all 11
+    // data versions would sit on disk. What remains must be referenced
+    // or inside the last vacuum's grace window.
+    val m = Bm25.readManifest(spark, dir)
+    val referenced = m.bucketVersions.values.toSet + m.statsVersion + m.version
+    val onDisk = dataVersions(dir)
+    assert(referenced.subsetOf(onDisk), "vacuum must never touch referenced versions")
+    // epochs 0..9 + build = versions 1..11; the last vacuum ran at
+    // epoch 8 (cutoff version-at-the-time - 1 - grace), so anything
+    // older than that cutoff survives only by being referenced
+    assert(onDisk.forall(v => referenced(v) || v > m.version - 3 - grace),
+      s"unbounded history: $onDisk vs referenced $referenced (current ${m.version})")
+
+    // serving is bit-identical to the one-shot rebuild over everything
+    val dirU = Files.createTempDirectory("bm25autovacU").toString
+    Bm25.buildIndex((initial ++ tenDrops.flatten).toDF("doc_id", "text"),
+      "doc_id", "text", dirU)
+    val q = Seq((1L, "plum"), (1L, "banana"), (2L, "word7")).toDF("qid", "term")
+    assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq ==
+      Bm25.serveTopK(spark, dirU, q, 5).collect().map(_.toSeq).toSeq)
+  }
+
+  test("ivf: auto-vacuum retires a replaced rebuild's history under streaming ingest") {
+    val cents = Array.tabulate(4)(c => vec(c * 7 + 1).toArray)
+    val dir = Files.createTempDirectory("ivfautovac").toString
+    Ann.ivfIndexBuild((100 until 120).map(i => (i.toLong, vec(i)))
+      .toDF("cid", "cvec"), dir, cents)
+    // a rebuild leaves v1 as unreferenced history
+    Ann.ivfIndexBuild((100 until 125).map(i => (i.toLong, vec(i)))
+      .toDF("cid", "cvec"), dir, cents)
+    assert(dataVersions(dir).contains(1L))
+    val dropDir = Files.createTempDirectory("ivfautovacdrop").toString
+    (0 until 3).foreach(i => Seq((10L + i, vec(10 + i))).toDF("cid", "cvec")
+      .coalesce(1).write.mode("append").parquet(dropDir))
+    val ckpt = Files.createTempDirectory("ivfautovacckpt").toString
+    val qy = IndexMaintain.maintainIvf(
+      spark.readStream.schema("cid LONG, cvec ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(dropDir),
+      dir, "ivf-autovac-spec", ckpt, vacuumEvery = 1, graceVersions = 0L)
+    try assert(StreamSync.drain(qy) {
+      Ann.readIvfManifest(spark, dir).txns.get("ivf-autovac-spec").exists(_ >= 2L)
+    }) finally qy.stop()
+    val m = Ann.readIvfManifest(spark, dir)
+    val referenced = m.cellVersions.values.flatten.toSet + m.centroidsVersion + m.version
+    assert(!dataVersions(dir).contains(1L), "replaced rebuild history must be vacuumed")
+    assert(dataVersions(dir) == referenced,
+      s"grace 0 leaves exactly the referenced versions: ${dataVersions(dir)} vs $referenced")
+    // the maintained index serves like the one-shot union build
+    val dirU = Files.createTempDirectory("ivfautovacU").toString
+    Ann.ivfIndexBuild(((100 until 125) ++ (10 until 13)).map(i => (i.toLong, vec(i)))
+      .toDF("cid", "cvec"), dirU, cents)
+    val q = (0 until 4).map(i => (i.toLong, vec(i + 500))).toDF("qid", "qvec")
+    def serve(d: String) = Ann.ivfServedTopK(spark, d, q, k = 5, nprobe = 2)
+      .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(serve(dir) == serve(dirU) && serve(dir).nonEmpty)
+  }
+
   test("bm25: a manual txn-free tick cannot erase the stream's exactly-once record") {
     val dir = Files.createTempDirectory("bm25ledger").toString
     Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", dir)

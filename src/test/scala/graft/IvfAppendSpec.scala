@@ -184,4 +184,24 @@ class IvfAppendSpec extends AnyFunSuite {
     assert(read.nonEmpty && read.subsetOf(allowed),
       s"serve read cells $read beyond the probed $allowed")
   }
+
+  test("centroid cache holds one live geometry per dir across rebuilds") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivfcache").toString
+    Ann.ivfIndexBuild(initial.toDF("cid", "cvec"), dir, cents)
+    Ann.ivfServedTopK(spark, dir, queries(spark), k = 3, nprobe = 2).count()
+    val v1 = Ann.readIvfManifest(spark, dir).centroidsVersion
+    assert(Ann.cachedCentroidVersions(dir) == Set(v1))
+    // rebuild N times with fresh geometry: without eviction the JVM
+    // would retain every superseded cells×dim copy forever
+    (1 to 3).foreach { r =>
+      val cents2 = Array.tabulate(4)(c => vec(c * 11 + r).toArray)
+      Ann.ivfIndexBuild((initial ++ appended).toDF("cid", "cvec"), dir, cents2)
+      Ann.ivfServedTopK(spark, dir, queries(spark), k = 3, nprobe = 2).count()
+    }
+    val vN = Ann.readIvfManifest(spark, dir).centroidsVersion
+    assert(vN > v1 && Ann.cachedCentroidVersions(dir) == Set(vN),
+      s"cache must hold only the latest version, saw ${Ann.cachedCentroidVersions(dir)}")
+  }
 }
