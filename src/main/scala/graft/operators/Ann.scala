@@ -799,6 +799,58 @@ object Ann extends Serializable {
       graceVersions)
   }
 
+  /** Geometry-drift report of the committed IVF index, computed from
+    * the COMMITTED ARTIFACTS ALONE — one CURRENT read pins manifest,
+    * centroid artifact and cell files; no source corpus, no retrain.
+    * One row per contributing data version: the member count and the
+    * fixed-point mean cosine of that version's vectors to their
+    * assigned (frozen) centroids.
+    *
+    * Why it exists: the committed lifecycle deliberately freezes
+    * centroids ([[ivfIndexBuild]]'s maintenance split) — appended
+    * batches land in trained geometry. As the appended distribution
+    * drifts, members sit farther from their centroids, cell pruning
+    * loses recall, and a REBUILD is due. This report is the alarm a
+    * standing deployment monitors: per-version mean-cos falling below
+    * the build version's is drift made visible, from artifacts a
+    * monitoring job can read without touching the corpus.
+    *
+    * Determinism: each member contributes floor(cos·10⁶) as BIGINT —
+    * an order-independent integer sum (double sums through groupBy are
+    * accumulation-order-dependent); `mean_cos_fp` is BIGINT integral
+    * division. Scale shape: one scan of the committed cells, shuffling
+    * only (version, cos_fp) aggregates; centroids broadcast. */
+  def ivfGeometryDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = readIvfManifest(spark, dir)
+    val cents = readIvfCentroidsAt(spark, dir, m)
+    val byVer = m.cellVersions.toSeq
+      .flatMap { case (c, vs) => vs.map(v => (v, c)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val members = byVer.map { case (v, cs) =>
+      spark.read.option("basePath", s"$dir/data/$v/cells")
+        .parquet(cs.map(_._2).sorted.map(c => s"$dir/data/$v/cells/cell=$c"): _*)
+        .select(lit(v).as("version"), col("cvec"),
+          col("cell").cast("int").as("cell"))
+    }.reduce(_ unionByName _)
+    val centDf = cents.toSeq.zipWithIndex
+      .map { case (cv, c) => (c, cv.toSeq) }.toDF("cell", "centvec")
+    val perRow = members.join(broadcast(centDf), "cell")
+      .select(col("version"),
+        floor(cosine(col("cvec"), col("centvec")) * lit(1000000.0)).cast("long")
+          .as("cos_fp"))
+    val agg = perRow.groupBy(col("version"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("cos_fp")).as("sum_cos_fp"))
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide}
+    agg.select(col("version"), col("n_vectors"), col("sum_cos_fp"),
+        GraftBridge.column(IntegralDivide(
+          GraftBridge.expression(col("sum_cos_fp")),
+          GraftBridge.expression(col("n_vectors")),
+          evalMode = EvalMode.LEGACY)).as("mean_cos_fp"))
+      .orderBy(col("version"))
+  }
+
   /** Result of one IVF admission tick: per-batch-vector verdicts
     * (cid, admitted, n_ref_matches) and whether anything was appended. */
   final case class IvfAdmission(decisions: DataFrame, appended: Long)

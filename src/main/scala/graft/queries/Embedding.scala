@@ -986,9 +986,44 @@ object Embedding {
       dir
     })
 
+  /** Geometry-drift report of v19's committed build+append index
+    * ([[graft.operators.Ann.ivfGeometryDrift]]): per contributing data
+    * version (1 = the trained build, 2 = the appended batch), member
+    * count and fixed-point mean cosine to the assigned frozen
+    * centroid — the rebuild alarm a standing IVF deployment monitors,
+    * computed from the committed artifacts alone. The oracle replays
+    * per-version assignment from the persisted centroid artifact and
+    * folds the same floor(cos·10⁶) integers — a vector drifting to a
+    * different cell, a lost append row, or any float divergence in the
+    * artifact round-trip breaks the hash. */
+  val v21IvfDrift: Q = Q(
+    "v21_ivf_drift",
+    s"""WITH cent AS (SELECT cent_id, cvec FROM ${artifact("v21_centroids")}),
+       |corpus AS (SELECT vec_id, embedding,
+       |                  CASE WHEN vec_id >= $AppendSplit THEN 1 ELSE 2 END AS version
+       |           FROM embeddings WHERE vec_id >= $NumQueries),
+       |assign AS (
+       |  SELECT version, cos FROM (
+       |    SELECT c0.version, ${sqlCosine("c0.embedding", "c.cvec")} AS cos,
+       |           row_number() OVER (PARTITION BY c0.vec_id
+       |             ORDER BY ${sqlCosine("c0.embedding", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM corpus c0, cent c)
+       |  WHERE rn = 1),
+       |fp AS (SELECT version, CAST(floor(cos * 1000000.0e0) AS BIGINT) AS cos_fp FROM assign)
+       |SELECT CAST(version AS BIGINT) AS version,
+       |       CAST(count(*) AS BIGINT) AS n_vectors,
+       |       CAST(sum(cos_fp) AS BIGINT) AS sum_cos_fp,
+       |       CAST(sum(cos_fp) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_cos_fp
+       |FROM fp GROUP BY version
+       |ORDER BY version""".stripMargin) { (s, d) =>
+    val dir = ivfAppendedIndex(s, d)
+    writeCentroids(s, "v21_centroids", Ann.readIvfCentroids(s, dir))
+    Ann.ivfGeometryDrift(s, dir)
+  }
+
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,
     v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
     v9KnnPq, v10KnnIvfPq, v11IvfServed, v12IvfPqServed, v13KnnLshAmplified,
     v14SemDedup, v15HardNegatives, v16KnnSq8, v17RandomProjection,
-    v18ClusterSample, v19IvfAppend, v20VecClusters)
+    v18ClusterSample, v19IvfAppend, v20VecClusters, v21IvfDrift)
 }
