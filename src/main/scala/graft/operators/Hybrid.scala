@@ -118,4 +118,43 @@ object Hybrid {
       .select(col("qid"), col("cid").as("doc_id"), col("rank"))
     rrfFuse(Seq(lexLeg.select(col("qid"), col("doc_id"), col("rank")), vecLeg), k)
   }
+
+  /** Hybrid top-k served ENTIRELY from the standing committed indexes —
+    * the corpus-scale deployment shape [[hybridTopK]]'s scaladoc points
+    * at, packaged: the lexical leg reads only the query terms' buckets
+    * of a [[Bm25.buildIndex]] index (manifest-selected paths, serve ==
+    * batch bit-identically), the vector leg probes only `nprobe` cells
+    * of a committed [[Ann.ivfIndexBuild]] index, and the BIGINT RRF
+    * fusion touches top-kLeg-per-query rows only. Neither leg re-scans
+    * a corpus, so the cost per query batch is the probed index slices —
+    * this is what a retrieval front end runs per arriving batch while
+    * [[graft.streaming.IndexMaintain]] grows both indexes underneath.
+    *
+    * Each leg pins ONE manifest for its whole serve (the CURRENT-read
+    * discipline of [[Bm25.serveTopK]] / [[Ann.ivfServedTopK]]); a
+    * maintenance tick committing midway is invisible. The two legs may
+    * pin DIFFERENT commit points of their respective indexes — they are
+    * independent indexes, and RRF fuses legs of different coverage by
+    * construction.
+    *
+    * With `nprobe` >= the index's cell count the vector leg is the
+    * exact scan, and this equals [[hybridTopK]] over the indexed corpus
+    * row-for-row (the parity spec's configuration); production sets
+    * nprobe to the recall target. `queries` carries (qid, term, qvec)
+    * rows — the [[hybridTopK]] contract. */
+  def servedTopK(spark: SparkSession, bm25Dir: String, ivfDir: String,
+      queries0: DataFrame, kLeg: Int, k: Int, nprobe: Int): DataFrame = {
+    val queries = queries0.filter(col("qid").isNotNull &&
+      col("term").isNotNull && col("qvec").isNotNull)
+    val lexLeg = dropSelf(
+      Bm25.serveTopK(spark, bm25Dir,
+        queries.select(col("qid"), col("term")), kLeg + 1),
+      kLeg)
+    val qVecs = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
+      .groupBy(col("qid")).agg(first(col("qvec")).as("qvec"))
+    // ivfServedTopK excludes self pairs (qid != cid), like the brute leg
+    val vecLeg = Ann.ivfServedTopK(spark, ivfDir, qVecs, kLeg, nprobe)
+      .select(col("qid"), col("cid").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lexLeg.select(col("qid"), col("doc_id"), col("rank")), vecLeg), k)
+  }
 }

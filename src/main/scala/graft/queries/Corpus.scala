@@ -847,18 +847,27 @@ object Corpus {
     * get one contribution). The oracle replays the t40 BM25 CTEs
     * (serve == batch bit-identically), the IVF serve math from the
     * persisted centroids, and the BIGINT fusion. */
-  val t51HybridServed: Q = {
-    val qMod = 50
-    val qRem = 9
-    val positions = Seq(2, 5, 7, 9)
-    val kLeg = 10
-    val k = 10
-    val nprobe = 12
+  private val HsQMod = 50
+  private val HsQRem = 9
+  private val HsPositions = Seq(2, 5, 7, 9)
+  private val HsKLeg = 10
+  private val HsK = 10
+  private val HsNprobe = 12
+
+  /** Shared served-hybrid oracle (t51 and t54 — same math, different
+    * vector-leg storage on the Spark side): replays the t40 BM25 CTEs
+    * (serve == batch bit-identically), the IVF serve from the named
+    * persisted centroid artifact, and the BIGINT fusion. */
+  private def hybridServedSql(centArtifact: String): String = {
+    val qMod = HsQMod
+    val qRem = HsQRem
+    val positions = HsPositions
+    val kLeg = HsKLeg
+    val k = HsK
+    val nprobe = HsNprobe
     val kap = graft.operators.Hybrid.RrfKappa
     val scale = graft.operators.Hybrid.RrfScale
-    Q(
-      "t51_hybrid_served",
-      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+    s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
          |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
          |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
          |q AS (SELECT DISTINCT doc_id AS qid, t FROM (
@@ -882,7 +891,7 @@ object Corpus {
          |lex AS (SELECT qid, doc_id,
          |          CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          |        FROM lexagg WHERE doc_id <> qid),
-         |cent AS (SELECT cent_id, cvec FROM ${Embedding.artifact("t51_centroids")}),
+         |cent AS (SELECT cent_id, cvec FROM ${Embedding.artifact(centArtifact)}),
          |assign AS (
          |  SELECT vec_id, embedding, cent_id FROM (
          |    SELECT e.vec_id, e.embedding, c.cent_id,
@@ -919,28 +928,80 @@ object Corpus {
          |         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
          |  FROM fused)
          |WHERE rank <= $k
-         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val emb = Tables.embeddings(s, d)
-      val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
-        .select(docs("doc_id"), docs("text"), emb("embedding"))
-      val w = graft.functions.TextFunctions.tokens(col("text"))
-      val q = joined.filter(col("doc_id") % qMod === qRem)
-      val qTerms = q.select(col("doc_id").as("qid"),
-        explode(array(positions.map(p => element_at(w, p)): _*)).as("term"))
-      val qVecs = q.select(col("doc_id").as("qid"), col("embedding").as("qvec"))
-      val lexLeg = graft.operators.Hybrid.dropSelf(
-        Bm25.serveTopK(s, bm25Index(s, d), qTerms, kLeg + 1), kLeg)
-      val (ivfDir, cents) = Embedding.ivfServedIndex(s, d)
-      Embedding.writeCentroids(s, "t51_centroids", cents)
-      val index = s.read.parquet(ivfDir).withColumn("cell", col("cell").cast("int"))
-      val vecLeg = graft.operators.Ann
-        .ivfTopKAssigned(index, qVecs, cents, kLeg, nprobe)
-        .select(col("qid"), col("cid").as("doc_id"), col("rank"))
-      graft.operators.Hybrid.rrfFuse(
-          Seq(lexLeg.select(col("qid"), col("doc_id"), col("rank")), vecLeg), k)
-        .orderBy(col("qid"), col("rank"))
-    }
+         |ORDER BY qid, rank""".stripMargin
+  }
+
+  private def hybridQueryDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), docs("text"), emb("embedding"))
+      .filter(col("doc_id") % HsQMod === HsQRem)
+  }
+
+  val t51HybridServed: Q = Q(
+    "t51_hybrid_served",
+    hybridServedSql("t51_centroids")) { (s, d) =>
+    val w = graft.functions.TextFunctions.tokens(col("text"))
+    val q = hybridQueryDocs(s, d)
+    val qTerms = q.select(col("doc_id").as("qid"),
+      explode(array(HsPositions.map(p => element_at(w, p)): _*)).as("term"))
+    val qVecs = q.select(col("doc_id").as("qid"), col("embedding").as("qvec"))
+    val lexLeg = graft.operators.Hybrid.dropSelf(
+      Bm25.serveTopK(s, bm25Index(s, d), qTerms, HsKLeg + 1), HsKLeg)
+    val (ivfDir, cents) = Embedding.ivfServedIndex(s, d)
+    Embedding.writeCentroids(s, "t51_centroids", cents)
+    val index = s.read.parquet(ivfDir).withColumn("cell", col("cell").cast("int"))
+    val vecLeg = graft.operators.Ann
+      .ivfTopKAssigned(index, qVecs, cents, HsKLeg, HsNprobe)
+      .select(col("qid"), col("cid").as("doc_id"), col("rank"))
+    graft.operators.Hybrid.rrfFuse(
+        Seq(lexLeg.select(col("qid"), col("doc_id"), col("rank")), vecLeg), HsK)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Build-once cache of the COMMITTED IVF index over the embeddings
+    * table (t54): v11/t51's frozen inverted file, re-homed on the
+    * versioned-manifest lifecycle with the same trained centroids, so
+    * [[graft.operators.Hybrid.servedTopK]] can serve its vector leg
+    * from committed cells. */
+  private val ivfCommittedCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[Array[Float]])]
+
+  private def ivfCommittedIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Array[Array[Float]]) =
+    ivfCommittedCache.getOrElseUpdate(d, {
+      val (_, cents) = Embedding.ivfServedIndex(s, d)
+      val dir = s"/tmp/graft_ivf_committed_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.operators.Ann.ivfIndexBuild(
+        Tables.embeddings(s, d).select(col("vec_id").as("cid"),
+          col("embedding").as("cvec")), dir, cents)
+      (dir, cents)
+    })
+
+  /** Hybrid retrieval served ENTIRELY from the standing committed
+    * indexes ([[graft.operators.Hybrid.servedTopK]]) — t51 composes
+    * the legs by hand from the term-bucketed BM25 index and a frozen
+    * inverted file; this row exercises the packaged one-call shape
+    * whose vector leg probes the COMMITTED IVF index (manifest-pinned
+    * cells, the v19 lifecycle). Same oracle math as t51: the fused
+    * output must be identical whether the inverted file is frozen
+    * parquet or committed cells. */
+  val t54HybridIndexed: Q = Q(
+    "t54_hybrid_indexed",
+    hybridServedSql("t54_centroids")) { (s, d) =>
+    val w = graft.functions.TextFunctions.tokens(col("text"))
+    val q = hybridQueryDocs(s, d)
+    val qRows = q.select(col("doc_id").as("qid"),
+      explode(array(HsPositions.map(p => element_at(w, p)): _*)).as("term"),
+      col("embedding").as("qvec"))
+    val (ivfDir, cents) = ivfCommittedIndex(s, d)
+    Embedding.writeCentroids(s, "t54_centroids", cents)
+    graft.operators.Hybrid.servedTopK(s, bm25Index(s, d), ivfDir, qRows,
+        HsKLeg, HsK, HsNprobe)
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** Mixture-rate planner ([[graft.operators.Layout.mixtureRates]]):
@@ -981,5 +1042,5 @@ object Corpus {
     t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
     t34PhraseTags, t35Boilerplate, t36EpochUpsample, t37DsirSelect,
     t38StratifiedEval, t40Bm25Batch, t41Bm25Served, t48HybridRrf,
-    t50Bm25Append, t51HybridServed, t53MixtureRates)
+    t50Bm25Append, t51HybridServed, t53MixtureRates, t54HybridIndexed)
 }

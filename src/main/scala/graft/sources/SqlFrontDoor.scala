@@ -619,6 +619,18 @@ object SqlFrontDoor {
       ("ivf_serve", 4, a =>
         graft.operators.Ann.ivfServedTopK(s, a.head, s.read.parquet(a(1)),
           a(2).trim.toInt, a(3).trim.toInt)),
+      // hybrid_served(bm25_dir, ivf_dir, queries_path, k_leg, k,
+      // nprobe): hybrid retrieval served ENTIRELY from the standing
+      // committed indexes — the lexical leg reads only the query
+      // terms' buckets of a bm25_index_build index, the vector leg
+      // probes nprobe committed IVF cells, integer RRF fuses; the
+      // corpus-scale deployment shape hybrid_rrf's usage note points
+      // at, as one call. Queries parquet needs (qid BIGINT, term
+      // STRING, qvec ARRAY<FLOAT>); emits (qid, doc_id, rrf, rank)
+      ("hybrid_served", 6, a =>
+        graft.operators.Hybrid.servedTopK(s, a.head, a(1),
+          s.read.parquet(a(2)), a(3).trim.toInt, a(4).trim.toInt,
+          a(5).trim.toInt)),
       // hybrid_snapshot(ref_path, queries_path, docs_path, k_leg, k):
       // the streaming hybrid-retrieval operator applied to a batch
       // frame (the bm25_decontam_gate shape) — train the frozen
@@ -703,8 +715,8 @@ object SqlFrontDoor {
     "hybrid_rrf" ->
       ("Correctness-baseline hybrid: the vector leg is an exact " +
         "broadcast scan (Q*N cosines). At corpus scales where that is " +
-        "unpayable, serve the legs from the standing indexes " +
-        "(bm25_serve + ivf_serve) and fuse — the t51 deployment shape."),
+        "unpayable, use hybrid_served (both legs from the standing " +
+        "committed indexes — the t51 deployment shape, one call)."),
     "hybrid_snapshot" ->
       ("Streaming hybrid gate applied to a batch frame: every doc is " +
         "scored against EVERY query on both modalities (the " +

@@ -192,4 +192,40 @@ object HybridStream {
       .flatMapGroupsWithState[HybridState, FusedSnapshot](
         OutputMode.Update, GroupStateTimeout.NoTimeout)(updateGroup(model))
   }
+
+  /** The foreachBatch sink body of [[serveStream]]: one committed-index
+    * hybrid serve per micro-batch, results landing as
+    * `outDir/epoch=<id>` in overwrite mode — a re-delivered epoch
+    * REWRITES its own directory, so at-least-once delivery cannot
+    * duplicate output rows (if an index tick committed between the
+    * original run and the retry, the rewrite serves the newer commit —
+    * still one consistent answer per epoch). */
+  def serveSink(bm25Dir: String, ivfDir: String, kLeg: Int, k: Int,
+      nprobe: Int, outDir: String): (DataFrame, Long) => Unit =
+    (batch, epoch) =>
+      Hybrid.servedTopK(batch.sparkSession, bm25Dir, ivfDir, batch,
+        kLeg, k, nprobe)
+        .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+
+  /** Served streaming hybrid retrieval — the committed-index sibling of
+    * [[topK]], closing the other half of the batch/stream symmetry:
+    * [[topK]] freezes an EVAL-SIZED query set offline and scores every
+    * arriving document against it (state = queries × kLeg); this one
+    * streams CORPUS-SCALE query batches against the standing committed
+    * indexes ([[Hybrid.servedTopK]] per micro-batch — the BM25 leg
+    * re-pins stats + postings from the index manifest EVERY micro-batch,
+    * the vector leg probes only its queries' `nprobe` committed IVF
+    * cells), so index growth from a concurrent
+    * [[IndexMaintain]] stream is picked up at the next micro-batch and
+    * no query state is held at all (the indexes ARE the state).
+    * `queries` carries (qid, term, qvec) rows; fused top-k lands under
+    * `outDir/epoch=<id>` (read the root as parquet for an `epoch`
+    * partition column). */
+  def serveStream(queries: DataFrame, bm25Dir: String, ivfDir: String,
+      kLeg: Int, k: Int, nprobe: Int, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(serveSink(bm25Dir, ivfDir, kLeg, k, nprobe, outDir))
+      .start()
 }

@@ -677,6 +677,49 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("hybrid_served TVF: both standing indexes built and fused from pure SQL == hybrid_rrf") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftsqlhsrv")
+    val corpus = (100 until 140).map { i =>
+      val words = Vector("apple", "banana", "cherry", "date", "fig", "grape")
+      (i.toLong, s"${words(i % 6)} ${words((i / 2) % 6)} ${words((i * 3 + 1) % 6)}",
+        Seq.tabulate(8)(j => (((i * 31 + j * 17) % 13) - 6).toFloat / 3f))
+    }
+    val corpP = dir.resolve("corp").toString
+    corpus.toDF("doc_id", "text", "embedding").write.mode("overwrite").parquet(corpP)
+    val qP = dir.resolve("q").toString
+    Seq((1L, "apple", corpus(3)._3), (1L, "fig", corpus(3)._3),
+        (2L, "cherry", corpus(8)._3))
+      .toDF("qid", "term", "qvec").write.mode("overwrite").parquet(qP)
+    val bm25Idx = dir.resolve("bm25idx").toString
+    val ivfIdx = dir.resolve("ivfidx").toString
+    val centP = dir.resolve("cent").toString
+    // 4 trained cells persisted as the centroid artifact
+    (0 until 4).map(c => (c,
+        Seq.tabulate(8)(j => (((c * 7 + 1) * 31 + j * 17) % 13 - 6).toFloat / 3f)))
+      .toDF("cell", "cvec").write.mode("overwrite").parquet(centP)
+    val vecsP = dir.resolve("vecs").toString
+    corpus.map(c => (c._1, c._3)).toDF("cid", "cvec")
+      .write.mode("overwrite").parquet(vecsP)
+    spark.sql(s"SELECT * FROM bm25_index('$corpP', '$bm25Idx')").collect()
+    spark.sql(s"SELECT * FROM ivf_index_build('$vecsP', '$ivfIdx', '$centP')")
+      .collect()
+
+    val sql = spark.sql(
+      s"SELECT qid, doc_id, rrf, rank FROM hybrid_served(" +
+        s"'$bm25Idx', '$ivfIdx', '$qP', '5', '5', '4') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq
+    val api = graft.operators.Hybrid.servedTopK(spark, bm25Idx, ivfIdx,
+        spark.read.parquet(qP), 5, 5, 4)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(sql == api && sql.nonEmpty)
+    // nprobe covers every cell → equals the correctness-baseline TVF
+    val baseline = spark.sql(
+      s"SELECT qid, doc_id, rrf, rank FROM hybrid_rrf('$corpP', '$qP', '5', '5') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq
+    assert(sql == baseline)
+  }
+
   test("hybrid_snapshot TVF equals hybrid_rrf on the same corpus from pure SQL") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graftsqlhyb")
