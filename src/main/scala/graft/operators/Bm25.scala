@@ -424,6 +424,39 @@ object Bm25 {
       .select(col("qid"), col("doc_id"), col("score"), col("rank"))
   }
 
+  /** Monitoring profile of the committed BM25 index, computed from the
+    * COMMITTED ARTIFACTS ALONE (one CURRENT read pins stats and every
+    * postings bucket) — the 1-row invariants a standing deployment
+    * alarms on: doc count, token mass (avgdl drift), vocabulary size,
+    * postings mass, the serving-pruned stopword count
+    * (df ≥ [[PruneDfNum]]/[[PruneDfDen]] of n — prune pressure is the
+    * skew defense's health meter), and the max df.
+    *
+    * It is also the lifecycle's INTEGRITY SENTINEL: the index
+    * denormalizes df onto every postings row, so `distinct_terms` /
+    * `sum_df` are counted over distinct (term, df) pairs and
+    * `postings_rows` over raw rows — all three match the same profile
+    * recomputed from the source corpus IFF every append tick kept df
+    * fresh and exactly one df value exists per term (the staleness
+    * class [[appendToIndex]] exists to prevent). One postings scan;
+    * only integer aggregates shuffle. */
+  def indexProfile(spark: SparkSession, dir: String): DataFrame = {
+    val m = readManifest(spark, dir)
+    val stats = readStatsAt(spark, dir, m).select(col("n"), col("sdl"))
+    val post = readPostingsAt(spark, dir, m)
+    val rows = post.agg(count(lit(1)).as("postings_rows"))
+    val terms = post.select(col("t"), col("df")).distinct()
+      .crossJoin(broadcast(stats.select(col("n"))))
+      .agg(count(lit(1)).as("distinct_terms"),
+        coalesce(sum(col("df")), lit(0L)).as("sum_df"),
+        coalesce(sum(when(col("df") * PruneDfDen >= col("n") * PruneDfNum, 1L)
+          .otherwise(0L)), lit(0L)).as("pruned_terms"),
+        coalesce(max(col("df")), lit(0L)).as("max_df"))
+    stats.crossJoin(rows).crossJoin(terms)
+      .select(col("n"), col("sdl"), col("distinct_terms"),
+        col("postings_rows"), col("sum_df"), col("pruned_terms"), col("max_df"))
+  }
+
   /** VACUUM tick of the standing-index lifecycle: delete data versions
     * and manifests the committed manifest no longer references —
     * superseded bucket rewrites, crashed ticks' orphans, replaced

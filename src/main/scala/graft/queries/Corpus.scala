@@ -758,6 +758,36 @@ object Corpus {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Index-profile monitoring row ([[Bm25.indexProfile]]) over the
+    * build-then-append standing index (t50's dir): doc count, token
+    * mass, vocabulary size, postings mass, serving-prune pressure and
+    * max df — the avgdl-drift / vocabulary-growth / skew alarms a
+    * standing BM25 deployment monitors, computed from the committed
+    * artifacts alone. INTEGRITY SENTINEL: `distinct_terms`/`sum_df`
+    * count distinct (term, df) pairs from the DENORMALIZED postings
+    * while `postings_rows` counts raw rows; the oracle recomputes all
+    * of them from the source corpus, so a single stale df after the
+    * append (two (t, df) pairs for one term) breaks three aggregates
+    * at once. */
+  val t55Bm25Profile: Q = Q(
+    "t55_bm25_profile",
+    s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+       |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, unnest(w) AS t FROM w) GROUP BY doc_id, t),
+       |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+       |ta AS (SELECT CAST(count(*) AS BIGINT) AS distinct_terms,
+       |              CAST(sum(df) AS BIGINT) AS sum_df,
+       |              CAST(max(df) AS BIGINT) AS max_df FROM dfreq),
+       |pr AS (SELECT CAST(count(*) AS BIGINT) AS pruned_terms
+       |       FROM dfreq, st WHERE df * ${Bm25.PruneDfDen} >= n * ${Bm25.PruneDfNum})
+       |SELECT n, sdl, distinct_terms, sum_df AS postings_rows, sum_df, pruned_terms, max_df
+       |FROM st, ta, pr
+       |ORDER BY n""".stripMargin) { (s, d) =>
+    Bm25.indexProfile(s, bm25AppendedIndex(s, d)).orderBy(col("n"))
+  }
+
   /** Hybrid-retrieval fusion constants (t48): query set, per-leg depth,
     * fused depth. Shared verbatim by the oracle SQL. */
   private val HybridQMod = 40
@@ -1042,5 +1072,6 @@ object Corpus {
     t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
     t34PhraseTags, t35Boilerplate, t36EpochUpsample, t37DsirSelect,
     t38StratifiedEval, t40Bm25Batch, t41Bm25Served, t48HybridRrf,
-    t50Bm25Append, t51HybridServed, t53MixtureRates, t54HybridIndexed)
+    t50Bm25Append, t51HybridServed, t53MixtureRates, t54HybridIndexed,
+    t55Bm25Profile)
 }

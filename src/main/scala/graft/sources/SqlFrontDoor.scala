@@ -146,6 +146,14 @@ object SqlFrontDoor {
         graft.operators.Bm25.vacuumIndex(sp, a.head, a(1).trim.toLong)
           .toDF("deleted_version")
       }),
+      // bm25_index_profile(index_dir): the standing index's monitoring
+      // row from the committed artifacts alone — n/sdl (avgdl drift),
+      // vocabulary size, postings mass, serving-prune pressure, max
+      // df; distinct_terms/sum_df fold the DENORMALIZED per-term df,
+      // so a stale df after an append breaks the row vs a corpus
+      // recount (the t55 integrity sentinel)
+      ("bm25_index_profile", 1, a =>
+        graft.operators.Bm25.indexProfile(s, a.head)),
       // retrieval-based decontamination, deployment split: train the
       // frozen scoring model on ref_path + queries_path offline, gate
       // docs_path statelessly (the Bm25Stream shape from SQL) —
