@@ -627,6 +627,13 @@ object SqlFrontDoor {
       ("ivf_serve", 4, a =>
         graft.operators.Ann.ivfServedTopK(s, a.head, s.read.parquet(a(1)),
           a(2).trim.toInt, a(3).trim.toInt)),
+      // ivf_index_drift(index_dir): the rebuild alarm from the
+      // committed artifacts alone — per contributing data version,
+      // member count + fixed-point mean cosine to the assigned frozen
+      // centroid (falls as appended mass drifts from the trained
+      // geometry; the bm25_index_profile sibling for the vector index)
+      ("ivf_index_drift", 1, a =>
+        graft.operators.Ann.ivfGeometryDrift(s, a.head)),
       // hybrid_served(bm25_dir, ivf_dir, queries_path, k_leg, k,
       // nprobe): hybrid retrieval served ENTIRELY from the standing
       // committed indexes — the lexical leg reads only the query

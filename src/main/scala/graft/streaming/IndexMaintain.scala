@@ -29,12 +29,22 @@ import graft.operators.{Ann, Bm25}
   * maintenance stream per index. */
 object IndexMaintain {
 
-  /** True when epoch `epoch` is a vacuum tick under cadence
-    * `vacuumEvery` (0 = auto-vacuum off). Epoch-keyed, so a re-started
-    * stream re-delivering an epoch re-runs the same (idempotent)
-    * vacuum decision — deleting already-deleted garbage is a no-op. */
-  private def vacuumDue(vacuumEvery: Int, epoch: Long): Boolean =
-    vacuumEvery > 0 && epoch % vacuumEvery == (vacuumEvery - 1).toLong
+  /** True when epoch `epoch` is a maintenance-cadence tick (vacuum or
+    * monitoring) under cadence `every` (0 = off). Epoch-keyed, so a
+    * re-started stream re-delivering an epoch re-runs the same
+    * decision — and every cadence action here is idempotent (deleting
+    * deleted garbage, overwriting an epoch's own monitoring dir). */
+  private def due(every: Int, epoch: Long): Boolean =
+    every > 0 && epoch % every == (every - 1).toLong
+
+  /** The monitoring half of the cadence: write a 1-shot report frame
+    * under `alarmDir/epoch=<id>` in overwrite mode — re-delivery
+    * rewrites the same dir, so at-least-once cannot duplicate alarm
+    * rows. A monitoring job tails the alarm dir instead of scanning
+    * the index. */
+  private def writeAlarm(report: org.apache.spark.sql.DataFrame,
+      alarmDir: String, epoch: Long): Unit =
+    report.write.mode("overwrite").parquet(s"$alarmDir/epoch=$epoch")
 
   /** The BM25 foreachBatch sink body: one idempotent committed append
     * tick per micro-batch, plus — every `vacuumEvery` epochs — a
@@ -44,12 +54,15 @@ object IndexMaintain {
     * vacuums. The sink IS the index's single writer, so running
     * maintenance here honors the vacuum's writer discipline. */
   def bm25Sink(dir: String, idCol: String, textCol: String, appId: String,
-      vacuumEvery: Int = 0, graceVersions: Long = 2L): (DataFrame, Long) => Unit =
+      vacuumEvery: Int = 0, graceVersions: Long = 2L,
+      profileEvery: Int = 0, alarmDir: String = ""): (DataFrame, Long) => Unit =
     (batch, epoch) => {
       Bm25.appendToIndexTxn(batch.sparkSession, dir, batch, idCol, textCol,
         appId, epoch)
-      if (vacuumDue(vacuumEvery, epoch))
+      if (due(vacuumEvery, epoch))
         Bm25.vacuumIndex(batch.sparkSession, dir, graceVersions)
+      if (due(profileEvery, epoch))
+        writeAlarm(Bm25.indexProfile(batch.sparkSession, dir), alarmDir, epoch)
     }
 
   /** Maintain a standing BM25 index from a streaming document frame.
@@ -59,10 +72,12 @@ object IndexMaintain {
     * in versions, see [[graft.operators.ManifestIO.vacuum]]). */
   def maintainBm25(docs: DataFrame, dir: String, idCol: String,
       textCol: String, appId: String, checkpoint: String,
-      vacuumEvery: Int = 0, graceVersions: Long = 2L): StreamingQuery =
+      vacuumEvery: Int = 0, graceVersions: Long = 2L,
+      profileEvery: Int = 0, alarmDir: String = ""): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(bm25Sink(dir, idCol, textCol, appId, vacuumEvery, graceVersions))
+      .foreachBatch(bm25Sink(dir, idCol, textCol, appId, vacuumEvery,
+        graceVersions, profileEvery, alarmDir))
       .start()
 
   /** The IVF foreachBatch sink body: arriving vectors are assigned
@@ -71,19 +86,29 @@ object IndexMaintain {
     * supersede data, so the optional vacuum cadence only recycles
     * crashed ticks' orphans and replaced rebuilds. */
   def ivfSink(dir: String, appId: String, vacuumEvery: Int = 0,
-      graceVersions: Long = 2L): (DataFrame, Long) => Unit =
+      graceVersions: Long = 2L, driftEvery: Int = 0,
+      alarmDir: String = ""): (DataFrame, Long) => Unit =
     (batch, epoch) => {
       Ann.ivfIndexAppendTxn(batch.sparkSession, dir, batch, appId, epoch)
-      if (vacuumDue(vacuumEvery, epoch))
+      if (due(vacuumEvery, epoch))
         Ann.ivfVacuum(batch.sparkSession, dir, graceVersions)
+      // the rebuild alarm on a cadence: per-version mean cosine to the
+      // FROZEN centroids, from the committed artifacts alone — the
+      // signal a deployment watches to schedule the offline retrain
+      if (due(driftEvery, epoch))
+        writeAlarm(Ann.ivfGeometryDrift(batch.sparkSession, dir), alarmDir, epoch)
     }
 
-  /** Maintain a committed IVF index from a streaming vector frame. */
+  /** Maintain a committed IVF index from a streaming vector frame.
+    * `driftEvery` > 0 writes [[Ann.ivfGeometryDrift]] to
+    * `alarmDir/epoch=<id>` every that-many epochs — the rebuild alarm
+    * produced by the maintenance stream itself. */
   def maintainIvf(vecs: DataFrame, dir: String, appId: String,
-      checkpoint: String, vacuumEvery: Int = 0,
-      graceVersions: Long = 2L): StreamingQuery =
+      checkpoint: String, vacuumEvery: Int = 0, graceVersions: Long = 2L,
+      driftEvery: Int = 0, alarmDir: String = ""): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(ivfSink(dir, appId, vacuumEvery, graceVersions))
+      .foreachBatch(ivfSink(dir, appId, vacuumEvery, graceVersions,
+        driftEvery, alarmDir))
       .start()
 }

@@ -248,6 +248,50 @@ class IndexMaintainSpec extends AnyFunSuite {
     assert(serve(dir) == serve(dirU) && serve(dir).nonEmpty)
   }
 
+  test("monitoring cadence: maintenance streams emit the drift/profile alarms per epoch dir") {
+    val cents = Array.tabulate(4)(c => vec(c * 7 + 1).toArray)
+    val dir = Files.createTempDirectory("ivfalarm").toString
+    Ann.ivfIndexBuild((100 until 120).map(i => (i.toLong, vec(i)))
+      .toDF("cid", "cvec"), dir, cents)
+    val dropDir = Files.createTempDirectory("ivfalarmdrop").toString
+    (0 until 2).foreach(i => Seq((10L + i, vec(10 + i))).toDF("cid", "cvec")
+      .coalesce(1).write.mode("append").parquet(dropDir))
+    val alarmDir = Files.createTempDirectory("ivfalarmout").toString
+    val ckpt = Files.createTempDirectory("ivfalarmckpt").toString
+    val qy = IndexMaintain.maintainIvf(
+      spark.readStream.schema("cid LONG, cvec ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(dropDir),
+      dir, "ivf-alarm-spec", ckpt, driftEvery = 1, alarmDir = alarmDir)
+    try assert(StreamSync.drain(qy) {
+      new java.io.File(s"$alarmDir/epoch=1/_SUCCESS").exists()
+    }) finally qy.stop()
+    // the last alarm is the drift report of the index as of that epoch
+    // — which, with no writer since, is the report computed now
+    val lastAlarm = spark.read.parquet(s"$alarmDir/epoch=1")
+      .orderBy(col("version")).collect().map(_.toSeq).toSeq
+    val nowReport = Ann.ivfGeometryDrift(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(lastAlarm == nowReport && lastAlarm.size == 3,
+      "one row per contributing version: build + two appended epochs")
+
+    // BM25 sibling: profile alarms on the same cadence machinery
+    val bdir = Files.createTempDirectory("bm25alarm").toString
+    Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", bdir)
+    val bdrop = Files.createTempDirectory("bm25alarmdrop").toString
+    drops.head.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(bdrop)
+    val balarm = Files.createTempDirectory("bm25alarmout").toString
+    val bckpt = Files.createTempDirectory("bm25alarmckpt").toString
+    val qb = IndexMaintain.maintainBm25(
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(bdrop),
+      bdir, "doc_id", "text", "bm25-alarm-spec", bckpt,
+      profileEvery = 1, alarmDir = balarm)
+    try assert(StreamSync.drain(qb) {
+      new java.io.File(s"$balarm/epoch=0/_SUCCESS").exists()
+    }) finally qb.stop()
+    assert(spark.read.parquet(s"$balarm/epoch=0").collect().map(_.toSeq).toSeq ==
+      Bm25.indexProfile(spark, bdir).collect().map(_.toSeq).toSeq)
+  }
+
   test("bm25: a manual txn-free tick cannot erase the stream's exactly-once record") {
     val dir = Files.createTempDirectory("bm25ledger").toString
     Bm25.buildIndex(initial.toDF("doc_id", "text"), "doc_id", "text", dir)

@@ -667,6 +667,12 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     // the appended batch is retrievable through SQL serving
     assert(sqlServe.exists { r =>
       val id = r(2).asInstanceOf[Long]; id >= 5L && id < 20L })
+    // the rebuild alarm from SQL: one drift row per contributing
+    // data version (build + append), matching the operator
+    assert(spark.sql(s"SELECT * FROM ivf_index_drift('$idx') ORDER BY version")
+      .collect().map(_.toSeq).toSeq ==
+      graft.operators.Ann.ivfGeometryDrift(spark, idx)
+        .collect().map(_.toSeq).toSeq)
     // vacuum from SQL: pure appends supersede nothing → zero rows
     assert(spark.sql(s"SELECT * FROM ivf_index_vacuum('$idx', '0')").count() == 0L)
     // rebuild retires the history; vacuum then reports the dead versions
