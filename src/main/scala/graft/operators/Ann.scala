@@ -784,6 +784,70 @@ object Ann extends Serializable {
     ManifestIO.commit(spark, dir, newVer, body)
   }
 
+  /** DELETE tick of the committed-IVF lifecycle — the takedown /
+    * opt-out verb, inverse of [[ivfIndexAppend]]: `batch` carries the
+    * (cid, cvec) rows to remove WITH their vectors, so the affected
+    * cells are known by ASSIGNMENT under the index's own committed
+    * centroids (broadcast geometry, no index scan — the same locality
+    * argument as BM25's term buckets). Those cells' full version lists
+    * are read, the batch's cids filtered out, and each affected cell
+    * consolidated into the new data version (its manifest entry
+    * collapses to the single new version — the superseded history is
+    * the next vacuum's food); untouched cells are never listed. A cell
+    * emptied by the delete leaves the manifest. Serving afterwards
+    * equals an index built over the corpus minus the batch. Contract:
+    * the batch must be previously ingested (cid, cvec) rows — the
+    * vector is what locates the cell; re-deliveries are the txn
+    * ledger's job. CRASH-ATOMIC: new version + one CURRENT rename. */
+  def ivfIndexDelete(spark: SparkSession, dir: String, batch: DataFrame): Unit =
+    ivfIndexDeleteHooked(spark, dir, batch, crashPoint = 0)
+
+  /** [[ivfIndexDelete]] carrying a writer transaction — exactly-once
+    * under re-delivery, like [[ivfIndexAppendTxn]]. */
+  def ivfIndexDeleteTxn(spark: SparkSession, dir: String, batch: DataFrame,
+      appId: String, epoch: Long): Unit =
+    ivfIndexDeleteHooked(spark, dir, batch, crashPoint = 0,
+      txn = Some((appId, epoch)))
+
+  /** [[ivfIndexDelete]] with the standard injectable writer-death
+    * points (1 = after the data write; 2 = after manifest, before
+    * flip). */
+  private[graft] def ivfIndexDeleteHooked(spark: SparkSession, dir: String,
+      batch: DataFrame, crashPoint: Int,
+      txn: Option[(String, Long)] = None): Unit = {
+    val m = readIvfManifest(spark, dir)
+    if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
+    val newVer = m.version + 1
+    if (batch.isEmpty) return // the index already is the post-tick state
+    val cents = readIvfCentroidsAt(spark, dir, m)
+    val assigned = assignCells(batch.select(col("cid").cast("long").as("cid"),
+      col("cvec")), cents)
+    val touched = assigned.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)) // ≤ cell count values
+      .filter(m.cellVersions.contains)
+    if (touched.nonEmpty) {
+      val delIds = assigned.select(col("cid")).distinct()
+      readIvfCellsAt(spark, dir, m, Some(touched.toSet))
+        .join(delIds, Seq("cid"), "left_anti")
+        .select(col("cid"), col("cvec"), col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$dir/data/$newVer/cells")
+    }
+    if (crashPoint == 1) return // simulated death: data written, nothing committed
+    val present =
+      if (touched.isEmpty) Set.empty[Int]
+      else ManifestIO.partitionIds(spark, s"$dir/data/$newVer/cells", "cell=").toSet
+    val newCells = (m.cellVersions -- touched) ++ present.map(_ -> Seq(newVer))
+    val body = renderIvfManifest(
+      IvfManifest(newVer, m.cells, m.centroidsVersion, newCells,
+        ManifestIO.mergeTxn(m.txns, txn)))
+    if (crashPoint == 2) {
+      ManifestIO.writeManifestOnly(spark, dir, newVer, body)
+      return
+    }
+    ManifestIO.commit(spark, dir, newVer, body)
+  }
+
   /** VACUUM tick of the committed-IVF lifecycle: delete data versions
     * and manifests the committed manifest no longer references —
     * replaced rebuilds and crashed ticks' orphans (cell appends never

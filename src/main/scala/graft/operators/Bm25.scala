@@ -587,4 +587,97 @@ object Bm25 {
     }
     ManifestIO.commit(spark, dir, newVer, body)
   }
+
+  /** DELETE tick of the standing-index lifecycle — the takedown /
+    * opt-out verb a training-data deployment legally needs, and the
+    * exact INVERSE of [[appendToIndex]]: `docs` carries the documents
+    * to remove, WITH their text (a takedown request has the content;
+    * the text is what locates the work — a term lives in exactly one
+    * bucket, so only the buckets of the batch's terms are read,
+    * filtered and rewritten, with df recomputed inside the remaining
+    * union; no full-index scan). The 1-row stats roll BACK by the
+    * batch's (count, Σdl). Serving afterwards is bit-identical to an
+    * index built over the corpus MINUS the batch — delete == rebuild
+    * is the contract, mirroring append == rebuild (so deleted docs
+    * stop influencing df/avgdl immediately, not at some later merge —
+    * stricter than Lucene's tombstone-until-merge model, bought at the
+    * cost of the same bucket rewrite an append pays).
+    *
+    * A bucket whose postings are ALL removed drops out of the manifest
+    * (the empty-bucket rule of [[buildIndex]]). Contract: the batch
+    * must be documents previously ingested with the same (id, text) —
+    * the tick trusts it like append trusts its batch; re-deliveries
+    * are the txn ledger's job, not row checks. Zero-token docs carry
+    * no postings but still roll (n, sdl) back — rebuild-over-remaining
+    * would not count them. CRASH-ATOMIC like every tick: new data
+    * version + one CURRENT rename. */
+  def deleteFromIndex(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit =
+    deleteFromIndexHooked(spark, dir, docs, idCol, textCol, crashPoint = 0)
+
+  /** [[deleteFromIndex]] carrying a writer transaction — exactly-once
+    * under re-delivery, like [[appendToIndexTxn]]. */
+  def deleteFromIndexTxn(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, appId: String, epoch: Long): Unit =
+    deleteFromIndexHooked(spark, dir, docs, idCol, textCol, crashPoint = 0,
+      txn = Some((appId, epoch)))
+
+  /** [[deleteFromIndex]] with the standard injectable writer-death
+    * points (1 = after data writes; 2 = after manifest, before flip). */
+  private[graft] def deleteFromIndexHooked(spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String, crashPoint: Int,
+      txn: Option[(String, Long)] = None): Unit = {
+    val m = readManifest(spark, dir)
+    if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
+    val newVer = m.version + 1
+    val delDl = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    val batch = delDl
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .select(col("n"), col("sdl")).head()
+    if (batch.getLong(0) == 0L) return // empty batch: the index already is the post-tick state
+    val old = readStatsAt(spark, dir, m).select(col("n"), col("sdl")).head()
+    require(old.getLong(0) >= batch.getLong(0) && old.getLong(1) >= batch.getLong(1),
+      s"delete batch (${batch.getLong(0)} docs, ${batch.getLong(1)} tokens) exceeds " +
+        s"the index stats (${old.getLong(0)}, ${old.getLong(1)}) — " +
+        "the batch must be previously ingested documents")
+    val touched = docs
+      .select(explode(tokens(col(textCol))).as("t"))
+      .select(pmod(xxhash64(col("t")), lit(m.buckets)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)) // ≤ manifest bucket count values
+      .filter(m.bucketVersions.contains) // only materialized buckets hold rows
+    if (touched.nonEmpty) {
+      val delIds = delDl.select(col("doc_id")).distinct()
+      val remaining = readPostingsAt(spark, dir, m, Some(touched.toSet))
+        .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+        .join(delIds, Seq("doc_id"), "left_anti")
+      val winDf = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+      remaining
+        .withColumn("df", count(lit(1)).over(winDf))
+        .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
+        .write.partitionBy("bucket")
+        .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
+    }
+    val statsDf = {
+      import spark.implicits._
+      Seq((old.getLong(0) - batch.getLong(0), old.getLong(1) - batch.getLong(1)))
+        .toDF("n", "sdl")
+    }
+    statsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$newVer/stats")
+    if (crashPoint == 1) return // simulated writer death: data written, nothing committed
+    // a touched bucket that emptied never materialized under newVer —
+    // it leaves the manifest entirely (no terms hash there anymore)
+    val present =
+      if (touched.isEmpty) Set.empty[Int]
+      else ManifestIO.partitionIds(spark, s"$dir/data/$newVer/postings", "bucket=").toSet
+    val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> newVer)
+    val body = renderManifest(
+      IndexManifest(newVer, m.buckets, newVer, newOwners,
+        ManifestIO.mergeTxn(m.txns, txn)))
+    if (crashPoint == 2) {
+      ManifestIO.writeManifestOnly(spark, dir, newVer, body)
+      return
+    }
+    ManifestIO.commit(spark, dir, newVer, body)
+  }
 }

@@ -650,8 +650,9 @@ object Corpus {
     * idf, e0-suffixed double literals, ≥ 80 %-df stopword prune, and
     * per-term scores floored into the 10⁶ fixed-point domain so the
     * per-(query, doc) total is an order-independent integer sum. */
-  private def bm25BatchSql(mod: Int, rem: Int, positions: Seq[Int], k: Int): String =
-    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+  private def bm25BatchSql(mod: Int, rem: Int, positions: Seq[Int], k: Int,
+      corpusWhere: String = "TRUE"): String =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents WHERE $corpusWhere),
        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
        |q AS (SELECT DISTINCT doc_id AS qid, t FROM (
@@ -755,6 +756,41 @@ object Corpus {
     val docs = Tables.documents(s, d)
     Bm25.serveTopK(s, bm25AppendedIndex(s, d),
         bm25Queries(docs, 100, 13, Seq(1, 4, 6, 9)), k = 6)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Build-then-DELETE cache backing [[t56Bm25Delete]]: index built on
+    * the FULL corpus, then the doc_id % 9 = 4 slice removed by the
+    * takedown tick ([[Bm25.deleteFromIndex]]) — only the slice's term
+    * buckets rewritten, df recomputed inside the remaining union,
+    * stats rolled back. */
+  private val bm25DeleteCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def bm25DeletedIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25DeleteCache.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d)
+      val dir = s"/tmp/graft_bm25_delete_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Bm25.buildIndex(docs, "doc_id", "text", dir)
+      Bm25.deleteFromIndex(s, dir, docs.filter(col("doc_id") % 9 === 4),
+        "doc_id", "text")
+      dir
+    })
+
+  /** Standing-BM25-index DELETE tick ([[Bm25.deleteFromIndex]]) — the
+    * takedown/opt-out verb: t50 grows the index, this shrinks it. The
+    * oracle is the one-shot index over the corpus MINUS the deleted
+    * slice — a surviving posting row, stale df, or unrolled stats after
+    * the delete breaks the hash (delete == rebuild, the inverse of
+    * t50's append == rebuild). */
+  val t56Bm25Delete: Q = Q(
+    "t56_bm25_delete",
+    bm25BatchSql(mod = 100, rem = 21, positions = Seq(2, 3, 8), k = 6,
+      corpusWhere = "doc_id % 9 <> 4")) { (s, d) =>
+    val remaining = Tables.documents(s, d).filter(col("doc_id") % 9 =!= 4)
+    Bm25.serveTopK(s, bm25DeletedIndex(s, d),
+        bm25Queries(remaining, 100, 21, Seq(2, 3, 8)), k = 6)
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1073,5 +1109,5 @@ object Corpus {
     t34PhraseTags, t35Boilerplate, t36EpochUpsample, t37DsirSelect,
     t38StratifiedEval, t40Bm25Batch, t41Bm25Served, t48HybridRrf,
     t50Bm25Append, t51HybridServed, t53MixtureRates, t54HybridIndexed,
-    t55Bm25Profile)
+    t55Bm25Profile, t56Bm25Delete)
 }

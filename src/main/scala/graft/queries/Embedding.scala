@@ -1021,9 +1021,55 @@ object Embedding {
     Ann.ivfGeometryDrift(s, dir)
   }
 
+  /** Build-then-DELETE cache backing [[v22IvfDelete]]: committed index
+    * over ALL embeddings (centroids trained on the full corpus — the
+    * delete does not retrain, like every tick), then the
+    * vec_id % 11 = 5 slice removed by the takedown tick — affected
+    * cells located by assignment and consolidated. */
+  private val ivfDeleteCache = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+
+  private def ivfDeletedIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ivfDeleteCache.getOrElseUpdate(d, {
+      val e = Tables.embeddings(s, d)
+      val numCells = 16
+      val init = Ann.kmeansParallelInit(e, "vec_id", "embedding", numCells)
+      val cents = Ann.kmeansCentroids(e, "embedding", init, iters = 5)
+      val dir = s"/tmp/graft_ivf_delete_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Ann.ivfIndexBuild(e.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec")), dir, cents)
+      Ann.ivfIndexDelete(s, dir,
+        e.filter(col("vec_id") % 11 === 5)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+      dir
+    })
+
+  /** Committed-IVF DELETE tick ([[graft.operators.Ann.ivfIndexDelete]])
+    * — the takedown verb: v19 grows the committed index, this shrinks
+    * it. Affected cells are located by assignment under the committed
+    * centroids and consolidated without them; the oracle replays the
+    * serve over the corpus MINUS the deleted slice from the persisted
+    * geometry — a surviving vector (or one lost from an untouched
+    * cell) breaks the hash. */
+  val v22IvfDelete: Q = Q(
+    "v22_ivf_delete",
+    ivfServeSql("v22_centroids", nprobe = 12,
+      corpusWhere = "e.vec_id % 11 <> 5")) { (s, d) =>
+    val dir = ivfDeletedIndex(s, d)
+    writeCentroids(s, "v22_centroids", Ann.readIvfCentroids(s, dir))
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.ivfServedTopK(s, dir, queries, K, nprobe = 12)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,
     v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
     v9KnnPq, v10KnnIvfPq, v11IvfServed, v12IvfPqServed, v13KnnLshAmplified,
     v14SemDedup, v15HardNegatives, v16KnnSq8, v17RandomProjection,
-    v18ClusterSample, v19IvfAppend, v20VecClusters, v21IvfDrift)
+    v18ClusterSample, v19IvfAppend, v20VecClusters, v21IvfDrift,
+    v22IvfDelete)
 }

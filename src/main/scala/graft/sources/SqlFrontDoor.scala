@@ -146,6 +146,17 @@ object SqlFrontDoor {
         graft.operators.Bm25.vacuumIndex(sp, a.head, a(1).trim.toLong)
           .toDF("deleted_version")
       }),
+      // bm25_index_delete(index_dir, docs_path): the takedown tick —
+      // remove previously ingested documents (docs parquet carries
+      // doc_id + text; the text locates the term buckets, so only
+      // those are rewritten with df recomputed); returns the
+      // rolled-back stats. Serve-after-delete == rebuild over the
+      // remaining corpus.
+      ("bm25_index_delete", 2, a => {
+        graft.operators.Bm25.deleteFromIndex(s, a.head, s.read.parquet(a(1)),
+          "doc_id", "text")
+        graft.operators.Bm25.readStats(s, a.head)
+      }),
       // bm25_index_profile(index_dir): the standing index's monitoring
       // row from the committed artifacts alone — n/sdl (avgdl drift),
       // vocabulary size, postings mass, serving-prune pressure, max
@@ -627,6 +638,15 @@ object SqlFrontDoor {
       ("ivf_serve", 4, a =>
         graft.operators.Ann.ivfServedTopK(s, a.head, s.read.parquet(a(1)),
           a(2).trim.toInt, a(3).trim.toInt)),
+      // ivf_index_delete(index_dir, batch_path): the takedown tick —
+      // remove previously ingested (cid, cvec) rows; the vectors
+      // locate the affected cells by assignment under the committed
+      // centroids, so only those cells are consolidated; returns the
+      // commit receipt
+      ("ivf_index_delete", 2, a => {
+        graft.operators.Ann.ivfIndexDelete(s, a.head, s.read.parquet(a(1)))
+        ivfManifestSummary(a.head)
+      }),
       // ivf_index_drift(index_dir): the rebuild alarm from the
       // committed artifacts alone — per contributing data version,
       // member count + fixed-point mean cosine to the assigned frozen

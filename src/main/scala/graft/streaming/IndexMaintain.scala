@@ -111,4 +111,46 @@ object IndexMaintain {
       .foreachBatch(ivfSink(dir, appId, vacuumEvery, graceVersions,
         driftEvery, alarmDir))
       .start()
+
+  // ── takedown streams: the DELETE verb on the same exactly-once rail ──
+  //
+  // A live deployment receives takedown / opt-out requests as a stream;
+  // each micro-batch runs one committed DELETE tick
+  // ([[graft.operators.Bm25.deleteFromIndex]] /
+  // [[graft.operators.Ann.ivfIndexDelete]]), idempotent under
+  // re-delivery through the same manifest txn ledger the append streams
+  // use. Run ONE maintenance stream per index dir (single-writer
+  // discipline) — ingest and takedown for the same index belong in one
+  // stream's foreachBatch, or in separate epochs of separate streams
+  // that never run concurrently; use DISTINCT appIds if they alternate.
+
+  /** The BM25 takedown sink: one committed delete tick per micro-batch
+    * of (idCol, textCol) rows — the text locates the term buckets. */
+  def bm25DeleteSink(dir: String, idCol: String, textCol: String,
+      appId: String): (DataFrame, Long) => Unit =
+    (batch, epoch) =>
+      Bm25.deleteFromIndexTxn(batch.sparkSession, dir, batch, idCol, textCol,
+        appId, epoch)
+
+  /** Apply a streaming takedown-request frame to a standing BM25 index. */
+  def takedownBm25(docs: DataFrame, dir: String, idCol: String,
+      textCol: String, appId: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(bm25DeleteSink(dir, idCol, textCol, appId))
+      .start()
+
+  /** The IVF takedown sink: one committed delete tick per micro-batch
+    * of (cid, cvec) rows — the vector locates the cell. */
+  def ivfDeleteSink(dir: String, appId: String): (DataFrame, Long) => Unit =
+    (batch, epoch) =>
+      Ann.ivfIndexDeleteTxn(batch.sparkSession, dir, batch, appId, epoch)
+
+  /** Apply a streaming takedown-request frame to a committed IVF index. */
+  def takedownIvf(vecs: DataFrame, dir: String, appId: String,
+      checkpoint: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(ivfDeleteSink(dir, appId))
+      .start()
 }

@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Bm25}
+
+/** The DELETE ticks of both standing-index lifecycles
+  * ([[Bm25.deleteFromIndex]], [[Ann.ivfIndexDelete]]): delete ==
+  * rebuild-over-remaining (serve, stats, profile), emptied
+  * buckets/cells leave the manifest, crash injection leaves readers
+  * unmoved, txn re-delivery no-ops, and the superseded history is
+  * vacuumable.
+  */
+class IndexDeleteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private val keep = Seq(
+    (1L, "apple banana cherry date"),
+    (2L, "banana cherry date elderberry fig"),
+    (3L, "apple grape melon"),
+    (4L, "banana banana melon"))
+  private val gone = Seq(
+    (10L, "banana grape kiwi kiwi"),
+    (11L, "melon date apple apple apple"),
+    (12L, "zzzunique zzzunique")) // a term (likely) alone in its bucket
+
+  private val queries = Seq((1L, "banana"), (1L, "kiwi"), (2L, "apple"),
+    (3L, "zzzunique")).toDF("qid", "term")
+
+  test("bm25: delete == rebuild over the remaining corpus; emptied buckets leave the manifest") {
+    val dir = Files.createTempDirectory("bm25del").toString
+    Bm25.buildIndex((keep ++ gone).toDF("doc_id", "text"), "doc_id", "text", dir,
+      buckets = 64) // enough buckets that zzzunique sits alone in one
+    val before = Bm25.readManifest(spark, dir)
+    Bm25.deleteFromIndex(spark, dir, gone.toDF("doc_id", "text"), "doc_id", "text")
+
+    val dirU = Files.createTempDirectory("bm25delU").toString
+    Bm25.buildIndex(keep.toDF("doc_id", "text"), "doc_id", "text", dirU, buckets = 64)
+    assert(Bm25.serveTopK(spark, dir, queries, 5).collect().map(_.toSeq).toSeq ==
+      Bm25.serveTopK(spark, dirU, queries, 5).collect().map(_.toSeq).toSeq)
+    assert(Bm25.readStats(spark, dir).select("n", "sdl").head().toSeq ==
+      Bm25.readStats(spark, dirU).select("n", "sdl").head().toSeq)
+    // the profile sentinel agrees bucket-for-bucket with the rebuild
+    assert(Bm25.indexProfile(spark, dir).collect().map(_.toSeq).toSeq ==
+      Bm25.indexProfile(spark, dirU).collect().map(_.toSeq).toSeq)
+    // zzzunique's bucket emptied and left the manifest
+    val after = Bm25.readManifest(spark, dir)
+    val zzzBucket = spark.range(1)
+      .select(pmod(xxhash64(lit("zzzunique")), lit(after.buckets)).cast("int"))
+      .head().getInt(0)
+    assert(before.bucketVersions.contains(zzzBucket),
+      "fixture must materialize the unique term's bucket")
+    if (!Bm25.readPostingsAt(spark, dirU, Bm25.readManifest(spark, dirU))
+        .filter(col("bucket") === zzzBucket).limit(1).collect().nonEmpty)
+      assert(!after.bucketVersions.contains(zzzBucket),
+        "an emptied bucket must leave the manifest")
+  }
+
+  test("bm25: delete crash injection + txn re-delivery no-op; guard on over-delete") {
+    val dir = Files.createTempDirectory("bm25delcrash").toString
+    Bm25.buildIndex((keep ++ gone).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val before = Bm25.readManifest(spark, dir)
+    // death after data writes: readers unmoved
+    Bm25.deleteFromIndexHooked(spark, dir, gone.toDF("doc_id", "text"),
+      "doc_id", "text", crashPoint = 1, txn = Some(("delA", 0L)))
+    assert(Bm25.readManifest(spark, dir) == before)
+    // death after manifest, before flip: still unmoved
+    Bm25.deleteFromIndexHooked(spark, dir, gone.toDF("doc_id", "text"),
+      "doc_id", "text", crashPoint = 2, txn = Some(("delA", 0L)))
+    assert(Bm25.readManifest(spark, dir) == before)
+    // the retry applies once; the re-delivery no-ops
+    Bm25.deleteFromIndexTxn(spark, dir, gone.toDF("doc_id", "text"),
+      "doc_id", "text", "delA", 0L)
+    val after = Bm25.readManifest(spark, dir)
+    assert(after.version > before.version && after.txns.get("delA").contains(0L))
+    Bm25.deleteFromIndexTxn(spark, dir, gone.toDF("doc_id", "text"),
+      "doc_id", "text", "delA", 0L)
+    assert(Bm25.readManifest(spark, dir) == after)
+    // deleting more docs than the index holds fails loudly
+    val tooMany = (100 until 120).map(i => (i.toLong, "a b c"))
+    intercept[IllegalArgumentException] {
+      Bm25.deleteFromIndex(spark, dir, tooMany.toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+  }
+
+  private def vec(seed: Int) = Seq.tabulate(8)(j =>
+    (((seed * 31 + j * 17) % 13) - 6).toFloat / 3f)
+
+  test("ivf: delete == rebuild over the remaining corpus; history vacuums away") {
+    val cents = Array.tabulate(4)(c => vec(c * 7 + 1).toArray)
+    val keepV = (100 until 140).map(i => (i.toLong, vec(i)))
+    val goneV = (10 until 30).map(i => (i.toLong, vec(i)))
+    val dir = Files.createTempDirectory("ivfdel").toString
+    Ann.ivfIndexBuild(keepV.toDF("cid", "cvec"), dir, cents)
+    Ann.ivfIndexAppend(spark, dir, goneV.toDF("cid", "cvec"))
+    Ann.ivfIndexDelete(spark, dir, goneV.toDF("cid", "cvec"))
+
+    val dirU = Files.createTempDirectory("ivfdelU").toString
+    Ann.ivfIndexBuild(keepV.toDF("cid", "cvec"), dirU, cents)
+    def cells(d: String) = Ann.readIvfCells(spark, d)
+      .select(col("cid"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(dir) == cells(dirU) && cells(dir).size == keepV.size)
+    val q = (0 until 4).map(i => (i.toLong, vec(i + 500))).toDF("qid", "qvec")
+    def serve(d: String) = Ann.ivfServedTopK(spark, d, q, k = 5, nprobe = 2)
+      .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(serve(dir) == serve(dirU) && serve(dir).nonEmpty)
+
+    // txn re-delivery no-ops
+    val m = Ann.readIvfManifest(spark, dir)
+    Ann.ivfIndexDeleteTxn(spark, dir, goneV.toDF("cid", "cvec"), "delV", 3L)
+    val m2 = Ann.readIvfManifest(spark, dir)
+    assert(m2.txns.get("delV").contains(3L))
+    Ann.ivfIndexDeleteTxn(spark, dir, goneV.toDF("cid", "cvec"), "delV", 3L)
+    assert(Ann.readIvfManifest(spark, dir) == m2)
+    assert(m2.version > m.version, "a delete of absent rows still commits its tick")
+
+    // the consolidation superseded history: vacuum retires it, serving intact
+    val served = serve(dir)
+    val deleted = Ann.ivfVacuum(spark, dir, graceVersions = 0L)
+    assert(deleted.nonEmpty, "consolidated cells must leave vacuumable history")
+    assert(serve(dir) == served)
+  }
+
+  test("takedown streams: drop-dir delete requests fold exactly-once into both indexes") {
+    import graft.streaming.IndexMaintain
+    // BM25 takedown stream
+    val dir = Files.createTempDirectory("bm25takedown").toString
+    Bm25.buildIndex((keep ++ gone).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val dropDir = Files.createTempDirectory("bm25takedowndrop").toString
+    gone.grouped(2).foreach(_.toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dropDir))
+    val ckpt = Files.createTempDirectory("bm25takedownckpt").toString
+    val qy = IndexMaintain.takedownBm25(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(dropDir),
+      dir, "doc_id", "text", appId = "bm25-takedown-spec", checkpoint = ckpt)
+    try assert(StreamSync.drain(qy) {
+      Bm25.readManifest(spark, dir).txns.get("bm25-takedown-spec").exists(_ >= 1L)
+    }) finally qy.stop()
+    val dirU = Files.createTempDirectory("bm25takedownU").toString
+    Bm25.buildIndex(keep.toDF("doc_id", "text"), "doc_id", "text", dirU)
+    assert(Bm25.serveTopK(spark, dir, queries, 5).collect().map(_.toSeq).toSeq ==
+      Bm25.serveTopK(spark, dirU, queries, 5).collect().map(_.toSeq).toSeq)
+    assert(Bm25.readStats(spark, dir).select("n", "sdl").head().toSeq ==
+      Bm25.readStats(spark, dirU).select("n", "sdl").head().toSeq)
+
+    // IVF takedown stream
+    val cents = Array.tabulate(4)(c => vec(c * 7 + 1).toArray)
+    val keepV = (100 until 130).map(i => (i.toLong, vec(i)))
+    val goneV = (10 until 20).map(i => (i.toLong, vec(i)))
+    val vdir = Files.createTempDirectory("ivftakedown").toString
+    Ann.ivfIndexBuild((keepV ++ goneV).toDF("cid", "cvec"), vdir, cents)
+    val vdrop = Files.createTempDirectory("ivftakedowndrop").toString
+    goneV.toDF("cid", "cvec").coalesce(1).write.mode("append").parquet(vdrop)
+    val vckpt = Files.createTempDirectory("ivftakedownckpt").toString
+    val qv = IndexMaintain.takedownIvf(
+      spark.readStream.schema("cid LONG, cvec ARRAY<FLOAT>").parquet(vdrop),
+      vdir, "ivf-takedown-spec", vckpt)
+    try assert(StreamSync.drain(qv) {
+      Ann.readIvfManifest(spark, vdir).txns.contains("ivf-takedown-spec")
+    }) finally qv.stop()
+    assert(Ann.readIvfCells(spark, vdir).select(col("cid")).collect()
+      .map(_.getLong(0)).toSet == keepV.map(_._1).toSet)
+  }
+
+  test("ivf: delete crash injection leaves readers unmoved") {
+    val cents = Array.tabulate(4)(c => vec(c * 7 + 1).toArray)
+    val dir = Files.createTempDirectory("ivfdelcrash").toString
+    Ann.ivfIndexBuild((100 until 130).map(i => (i.toLong, vec(i)))
+      .toDF("cid", "cvec"), dir, cents)
+    val before = Ann.readIvfManifest(spark, dir)
+    val batch = (100 until 110).map(i => (i.toLong, vec(i))).toDF("cid", "cvec")
+    Ann.ivfIndexDeleteHooked(spark, dir, batch, crashPoint = 1)
+    assert(Ann.readIvfManifest(spark, dir) == before)
+    Ann.ivfIndexDeleteHooked(spark, dir, batch, crashPoint = 2)
+    assert(Ann.readIvfManifest(spark, dir) == before)
+    Ann.ivfIndexDelete(spark, dir, batch)
+    assert(Ann.readIvfCells(spark, dir).count() == 20L)
+  }
+}

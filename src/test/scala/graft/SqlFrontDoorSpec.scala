@@ -587,6 +587,26 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(served == sqlTop)
 
+    // takedown tick from SQL: delete half the corpus, serve == the
+    // batch scorer over the remainder; profile matches a fresh build
+    val delP = dir.resolve("del").toString
+    val keptP = dir.resolve("kept").toString
+    spark.read.parquet(docs).filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(delP)
+    spark.read.parquet(docs).filter(col("doc_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(keptP)
+    val nAfter = spark.sql(s"SELECT n FROM bm25_index_delete('$idx', '$delP')")
+      .collect().head.getLong(0)
+    assert(nAfter == spark.read.parquet(keptP).count())
+    assert(spark.sql(
+      s"SELECT qid, doc_id, score, rank FROM bm25_serve('$idx', '$qP', '5') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq ==
+      spark.sql(
+        s"SELECT qid, doc_id, score, rank FROM bm25_batch_topk('$keptP', '$qP', '5') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq)
+    assert(spark.sql(s"SELECT * FROM bm25_index_profile('$idx')")
+      .collect().head.toSeq.head == nAfter)
+
     // decontamination gate: scoring the corpus against its own queries
     // emits a hit for every (doc, query) sharing an unpruned term
     val hits = spark.sql(
@@ -681,6 +701,13 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 3L)
     assert(spark.sql(s"SELECT * FROM ivf_index_vacuum('$idx', '0')")
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // the takedown tick from SQL: a delete batch commits its own
+    // version and its cids are gone from the committed cells
+    assert(spark.sql(s"SELECT * FROM ivf_index_delete('$idx', '$batchP')")
+      .collect().head.getLong(0) == 4L, "delete must commit version 4")
+    assert(graft.operators.Ann.readIvfCells(spark, idx)
+      .filter(col("cid") >= 5 && col("cid") < 20).count() == 0L,
+      "deleted cids must be gone from the committed cells")
   }
 
   test("hybrid_served TVF: both standing indexes built and fused from pure SQL == hybrid_rrf") {
