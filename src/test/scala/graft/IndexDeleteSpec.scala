@@ -37,6 +37,16 @@ class IndexDeleteSpec extends AnyFunSuite {
       buckets = 64) // enough buckets that zzzunique sits alone in one
     val before = Bm25.readManifest(spark, dir)
     Bm25.deleteFromIndex(spark, dir, gone.toDF("doc_id", "text"), "doc_id", "text")
+    // rewrite locality: buckets holding none of the batch's terms keep
+    // their version-1 files — the delete never read or rewrote them
+    val delBuckets = gone.flatMap(_._2.split(" ")).distinct.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(before.buckets)).cast("int"))
+      .collect().map(_.getInt(0)).toSet
+    val untouched = before.bucketVersions.keySet -- delBuckets
+    assert(untouched.nonEmpty, "fixture must leave some buckets untouched")
+    val afterOwners = Bm25.readManifest(spark, dir).bucketVersions
+    assert(untouched.forall(b => afterOwners.get(b) == before.bucketVersions.get(b)),
+      "untouched buckets must keep their pre-delete owning version")
 
     val dirU = Files.createTempDirectory("bm25delU").toString
     Bm25.buildIndex(keep.toDF("doc_id", "text"), "doc_id", "text", dirU, buckets = 64)
@@ -98,7 +108,18 @@ class IndexDeleteSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("ivfdel").toString
     Ann.ivfIndexBuild(keepV.toDF("cid", "cvec"), dir, cents)
     Ann.ivfIndexAppend(spark, dir, goneV.toDF("cid", "cvec"))
+    val preDelete = Ann.readIvfManifest(spark, dir)
     Ann.ivfIndexDelete(spark, dir, goneV.toDF("cid", "cvec"))
+    // rewrite locality: cells none of the batch assigns to keep their
+    // pre-delete version lists — the delete never listed them
+    val delCells = goneV.map(v => Ann.nearestCell(cents, v._2.toArray)).toSet
+    val untouchedCells = preDelete.cellVersions.keySet -- delCells
+    if (untouchedCells.nonEmpty) {
+      val afterCells = Ann.readIvfManifest(spark, dir).cellVersions
+      assert(untouchedCells.forall(c =>
+        afterCells.get(c) == preDelete.cellVersions.get(c)),
+        "untouched cells must keep their pre-delete version lists")
+    }
 
     val dirU = Files.createTempDirectory("ivfdelU").toString
     Ann.ivfIndexBuild(keepV.toDF("cid", "cvec"), dirU, cents)
