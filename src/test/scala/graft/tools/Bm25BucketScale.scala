@@ -77,6 +77,13 @@ object Bm25BucketScale {
       val rewritten = m.bucketVersions.count(_._2 == m.version)
       val rewriteBytes = dirBytes(s"$dir/data/${m.version}/postings")
       val totalBytes = dirBytes(s"$dir/data/1/postings")
+      // the takedown tick pays the same bucket-granular cost: deleting
+      // the skewed batch back out rewrites only its terms' buckets
+      val deleteT = time(graft.operators.Bm25
+        .deleteFromIndex(spark, dir, batch, "doc_id", "text"))
+      val md = graft.operators.Bm25.readManifest(spark, dir)
+      val delRewritten = md.bucketVersions.count(_._2 == md.version)
+      val delBytes = dirBytes(s"$dir/data/${md.version}/postings")
       val q = queryTerms.toDF("qid", "term")
       val served = graft.operators.Bm25.serveTopK(spark, dir, q, 10)
       val serveT = med(Seq.fill(3)(time(served.count())))
@@ -88,6 +95,8 @@ object Bm25BucketScale {
       println(f"bm25_bucket_scale buckets=$buckets%4d build=$buildT%5.1fs " +
         f"append=$appendT%5.1fs rewritten_buckets=$rewritten%3d " +
         f"rewrite_kb=${rewriteBytes / 1024}%6d of_total_kb=${totalBytes / 1024}%6d " +
+        f"delete=$deleteT%5.1fs del_rewritten=$delRewritten%3d " +
+        f"del_kb=${delBytes / 1024}%6d " +
         f"serve=$serveT%5.2fs listed_buckets=$listedBuckets%3d " +
         f"listed_kb=${listedBytes / 1024}%5d")
     }
