@@ -891,6 +891,14 @@ object Ann extends Serializable {
     val byVer = m.cellVersions.toSeq
       .flatMap { case (c, vs) => vs.map(v => (v, c)) }
       .groupBy(_._1).toSeq.sortBy(_._1)
+    if (byVer.isEmpty) {
+      // an index with no materialized cells (empty build, or fully
+      // deleted) has nothing to drift
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "version BIGINT, n_vectors BIGINT, sum_cos_fp BIGINT, mean_cos_fp BIGINT"))
+    }
     val members = byVer.map { case (v, cs) =>
       spark.read.option("basePath", s"$dir/data/$v/cells")
         .parquet(cs.map(_._2).sorted.map(c => s"$dir/data/$v/cells/cell=$c"): _*)

@@ -49,5 +49,9 @@ class IvfDriftSpec extends AnyFunSuite {
     assert(rows.keySet == Set(1L, 2L))
     assert(rows(1L) == expect(initial), s"build version drift row: ${rows(1L)}")
     assert(rows(2L) == expect(appended), s"appended version drift row: ${rows(2L)}")
+
+    // a fully-deleted index has nothing to drift — empty, not a crash
+    Ann.ivfIndexDelete(spark, dir, (initial ++ appended).toDF("cid", "cvec"))
+    assert(Ann.ivfGeometryDrift(spark, dir).collect().isEmpty)
   }
 }
