@@ -635,11 +635,11 @@ object Ann extends Serializable {
     * IMMUTABLE (ticks only write new versions; vacuum only deletes
     * unreferenced ones), so the cached geometry can never go stale —
     * a rebuild commits a new centroidsVersion and misses the cache by
-    * key. BOUNDED to one live geometry per dir: every insert evicts
-    * the dir's superseded versions, so a long-lived serving JVM that
-    * rebuilds an index N times holds one cells×dim copy, not N
-    * (a reader still pinned to an evicted version just re-reads its
-    * parquet — correctness never depended on the cache). */
+    * key. BOUNDED: a miss that inserts a version evicts the dir's
+    * OLDER versions, so a long-lived serving JVM that rebuilds an
+    * index N times holds one cells×dim copy per version still being
+    * served, not N (a reader still pinned to an evicted version just
+    * re-reads its parquet — correctness never depended on the cache). */
   private val ivfCentroidCache = scala.collection.concurrent.TrieMap
     .empty[(String, Long), Array[Array[Float]]]
 
@@ -650,23 +650,28 @@ object Ann extends Serializable {
 
   /** [[readIvfCentroids]] against an already-read manifest — serve and
     * append read CURRENT once and thread the manifest through every
-    * artifact read (the [[Bm25.readPostingsAt]] discipline). */
+    * artifact read (the [[Bm25.readPostingsAt]] discipline). Cache
+    * hits (the steady state) never scan the key set; the eviction of
+    * the dir's superseded versions runs only when a NEWER version's
+    * miss inserts, so a reader pinned inside the vacuum grace window
+    * keeps its geometry cached until a rebuild actually lands. */
   def readIvfCentroidsAt(spark: SparkSession, dir: String,
-      m: IvfManifest): Array[Array[Float]] = {
-    val got = ivfCentroidCache.getOrElseUpdate((dir, m.centroidsVersion), {
-      val rows = spark.read.parquet(s"$dir/data/${m.centroidsVersion}/centroids")
-        .select(col("cell"), col("cvec")).collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
-      require(rows.size == m.cells,
-        s"IVF centroid artifact holds ${rows.size} cells, manifest says ${m.cells}")
-      Array.tabulate(m.cells)(rows(_))
-    })
-    val latest = cachedCentroidVersions(dir).max
-    ivfCentroidCache.keys
-      .filter { case (d, v) => d == dir && v < latest }
-      .foreach(ivfCentroidCache.remove)
-    got
-  }
+      m: IvfManifest): Array[Array[Float]] =
+    ivfCentroidCache.get((dir, m.centroidsVersion)) match {
+      case Some(v) => v
+      case None =>
+        val rows = spark.read.parquet(s"$dir/data/${m.centroidsVersion}/centroids")
+          .select(col("cell"), col("cvec")).collect()
+          .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+        require(rows.size == m.cells,
+          s"IVF centroid artifact holds ${rows.size} cells, manifest says ${m.cells}")
+        val loaded = Array.tabulate(m.cells)(rows(_))
+        ivfCentroidCache.putIfAbsent((dir, m.centroidsVersion), loaded)
+        ivfCentroidCache.keys
+          .filter { case (d, v) => d == dir && v < m.centroidsVersion }
+          .foreach(ivfCentroidCache.remove)
+        loaded
+    }
 
   /** The committed inverted file (cid, cvec, cell): each wanted cell
     * read from the explicit data-version paths its manifest entry
@@ -766,9 +771,12 @@ object Ann extends Serializable {
     val m = readIvfManifest(spark, dir)
     if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
     val newVer = m.version + 1
-    if (corpus.isEmpty) return // the index already is the post-tick state
+    // pin ONE materialization of the batch: the no-op gate and the
+    // cell write must see the same rows for non-deterministic frames
+    val batch = corpus.select(col("cid"), col("cvec")).localCheckpoint(true)
+    if (batch.isEmpty) return // the index already is the post-tick state
     val cents = readIvfCentroidsAt(spark, dir, m)
-    assignCells(corpus, cents).write.partitionBy("cell").mode("overwrite")
+    assignCells(batch, cents).write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dir/data/$newVer/cells")
     val touched = ManifestIO.partitionIds(spark, s"$dir/data/$newVer/cells", "cell=")
     if (crashPoint == 1) return // simulated death: data written, nothing committed
@@ -818,10 +826,15 @@ object Ann extends Serializable {
     val m = readIvfManifest(spark, dir)
     if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
     val newVer = m.version + 1
-    if (batch.isEmpty) return // the index already is the post-tick state
+    // pin ONE materialization of the takedown batch: the touched-cell
+    // plan and the anti-join must see the same rows, or a torn batch
+    // could leave a legally deleted vector servable while its epoch is
+    // recorded as applied (the Bm25.deleteFromIndex rationale)
+    val pinned = batch.select(col("cid").cast("long").as("cid"), col("cvec"))
+      .localCheckpoint(true)
+    if (pinned.isEmpty) return // the index already is the post-tick state
     val cents = readIvfCentroidsAt(spark, dir, m)
-    val assigned = assignCells(batch.select(col("cid").cast("long").as("cid"),
-      col("cvec")), cents)
+    val assigned = assignCells(pinned, cents)
     val touched = assigned.select(col("cell")).distinct()
       .collect().map(_.getInt(0)) // ≤ cell count values
       .filter(m.cellVersions.contains)

@@ -534,7 +534,13 @@ object Bm25 {
     val m = readManifest(spark, dir)
     if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
     val newVer = m.version + 1
-    val newDl = newDocs.select(col(idCol).cast("long").as("doc_id"),
+    // pin ONE materialization of the batch: the stats roll, the
+    // touched-bucket plan and the postings write must all see the same
+    // rows even for a non-deterministic caller frame — the serveTopK
+    // pin's rationale, applied to the tick (a torn batch would commit
+    // stats counting rows the postings never gained)
+    val docs = newDocs.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val newDl = docs.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
     // the no-op gate is the batch ROW count, not the touched-bucket
     // count: a nonempty batch of zero-token docs rewrites no postings
@@ -544,7 +550,7 @@ object Bm25 {
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .select(col("n"), col("sdl")).head()
     if (batch.getLong(0) == 0L) return // empty batch: the index already is the post-tick state
-    val newTf = newDocs.select(col(idCol).cast("long").as("doc_id"),
+    val newTf = docs.select(col(idCol).cast("long").as("doc_id"),
         size(tokens(col(textCol))).cast("long").as("dl"),
         explode(tokens(col(textCol))).as("t"))
       .groupBy(col("doc_id"), col("t"))
@@ -630,7 +636,13 @@ object Bm25 {
     val m = readManifest(spark, dir)
     if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
     val newVer = m.version + 1
-    val delDl = docs.select(col(idCol).cast("long").as("doc_id"),
+    // pin ONE materialization of the takedown batch (the append tick's
+    // pin, inverted): a torn batch could plan buckets for one row set,
+    // anti-join another, and roll stats back by a third — silently
+    // leaving a legally deleted document servable with its epoch
+    // recorded as applied
+    val pinned = docs.select(col(idCol), col(textCol)).localCheckpoint(true)
+    val delDl = pinned.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
     val batch = delDl
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
@@ -641,7 +653,7 @@ object Bm25 {
       s"delete batch (${batch.getLong(0)} docs, ${batch.getLong(1)} tokens) exceeds " +
         s"the index stats (${old.getLong(0)}, ${old.getLong(1)}) — " +
         "the batch must be previously ingested documents")
-    val touched = docs
+    val touched = pinned
       .select(explode(tokens(col(textCol))).as("t"))
       .select(pmod(xxhash64(col("t")), lit(m.buckets)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)) // ≤ manifest bucket count values

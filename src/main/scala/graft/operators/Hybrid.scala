@@ -144,8 +144,12 @@ object Hybrid {
     * rows — the [[hybridTopK]] contract. */
   def servedTopK(spark: SparkSession, bm25Dir: String, ivfDir: String,
       queries0: DataFrame, kLeg: Int, k: Int, nprobe: Int): DataFrame = {
+    // pin ONE materialization of the query frame: both legs must fuse
+    // the SAME query set even for a non-deterministic caller frame
+    // (Bm25.serveTopK pins its own copy internally, but the vector
+    // leg's collect would otherwise re-evaluate the original)
     val queries = queries0.filter(col("qid").isNotNull &&
-      col("term").isNotNull && col("qvec").isNotNull)
+      col("term").isNotNull && col("qvec").isNotNull).localCheckpoint(true)
     val lexLeg = dropSelf(
       Bm25.serveTopK(spark, bm25Dir,
         queries.select(col("qid"), col("term")), kLeg + 1),

@@ -98,12 +98,21 @@ private[graft] object ManifestIO {
 
   /** The ledger back out of a parsed key→value manifest map. App ids
     * may contain ':' (each entry's epoch is everything after its LAST
-    * colon) but not ';' — [[mergeTxn]] enforces that at write time. */
-  def parseTxns(kv: Map[String, String]): Map[String, Long] =
-    kv.get("txns").iterator.flatMap(_.split(";")).filter(_.nonEmpty).map { v =>
+    * colon) but not ';' — [[mergeTxn]] enforces that at write time.
+    * A legacy single-slot `txn=` record (the pre-ledger manifest
+    * format) is read too, so an index committed by the old writer
+    * keeps its exactly-once record across the upgrade — without it, a
+    * maintenance stream restarting on the new code would re-apply its
+    * last re-delivered epoch. */
+  def parseTxns(kv: Map[String, String]): Map[String, Long] = {
+    def entry(v: String): (String, Long) = {
       val i = v.lastIndexOf(':')
       (v.take(i), v.drop(i + 1).toLong)
-    }.toMap
+    }
+    kv.get("txn").map(entry).toMap ++
+      kv.get("txns").iterator.flatMap(_.split(";")).filter(_.nonEmpty)
+        .map(entry).toMap
+  }
 
   /** The ledger a committing tick writes: the previous manifest's map
     * carried forward, this tick's own (appId, epoch) — if it has one —

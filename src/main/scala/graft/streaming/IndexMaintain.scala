@@ -55,7 +55,9 @@ object IndexMaintain {
     * maintenance here honors the vacuum's writer discipline. */
   def bm25Sink(dir: String, idCol: String, textCol: String, appId: String,
       vacuumEvery: Int = 0, graceVersions: Long = 2L,
-      profileEvery: Int = 0, alarmDir: String = ""): (DataFrame, Long) => Unit =
+      profileEvery: Int = 0, alarmDir: String = ""): (DataFrame, Long) => Unit = {
+    require(profileEvery <= 0 || alarmDir.nonEmpty,
+      "profileEvery needs an alarmDir — the cadence would write to the filesystem root")
     (batch, epoch) => {
       Bm25.appendToIndexTxn(batch.sparkSession, dir, batch, idCol, textCol,
         appId, epoch)
@@ -64,6 +66,7 @@ object IndexMaintain {
       if (due(profileEvery, epoch))
         writeAlarm(Bm25.indexProfile(batch.sparkSession, dir), alarmDir, epoch)
     }
+  }
 
   /** Maintain a standing BM25 index from a streaming document frame.
     * `checkpoint` must be durable and paired with `appId` for the
@@ -87,7 +90,9 @@ object IndexMaintain {
     * crashed ticks' orphans and replaced rebuilds. */
   def ivfSink(dir: String, appId: String, vacuumEvery: Int = 0,
       graceVersions: Long = 2L, driftEvery: Int = 0,
-      alarmDir: String = ""): (DataFrame, Long) => Unit =
+      alarmDir: String = ""): (DataFrame, Long) => Unit = {
+    require(driftEvery <= 0 || alarmDir.nonEmpty,
+      "driftEvery needs an alarmDir — the cadence would write to the filesystem root")
     (batch, epoch) => {
       Ann.ivfIndexAppendTxn(batch.sparkSession, dir, batch, appId, epoch)
       if (due(vacuumEvery, epoch))
@@ -98,6 +103,7 @@ object IndexMaintain {
       if (due(driftEvery, epoch))
         writeAlarm(Ann.ivfGeometryDrift(batch.sparkSession, dir), alarmDir, epoch)
     }
+  }
 
   /** Maintain a committed IVF index from a streaming vector frame.
     * `driftEvery` > 0 writes [[Ann.ivfGeometryDrift]] to

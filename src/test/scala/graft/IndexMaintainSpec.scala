@@ -248,6 +248,16 @@ class IndexMaintainSpec extends AnyFunSuite {
     assert(serve(dir) == serve(dirU) && serve(dir).nonEmpty)
   }
 
+  test("monitoring cadence without an alarm dir fails fast at sink construction") {
+    intercept[IllegalArgumentException] {
+      IndexMaintain.ivfSink("/tmp/nowhere", "app", driftEvery = 1)
+    }
+    intercept[IllegalArgumentException] {
+      IndexMaintain.bm25Sink("/tmp/nowhere", "doc_id", "text", "app",
+        profileEvery = 2)
+    }
+  }
+
   test("monitoring cadence: maintenance streams emit the drift/profile alarms per epoch dir") {
     val cents = Array.tabulate(4)(c => vec(c * 7 + 1).toArray)
     val dir = Files.createTempDirectory("ivfalarm").toString

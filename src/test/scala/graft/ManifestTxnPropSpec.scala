@@ -67,6 +67,15 @@ class ManifestTxnPropSpec extends AnyFunSuite {
       "a txn-free tick is never gated")
   }
 
+  test("a legacy single-slot txn= record reads into the ledger across the upgrade") {
+    assert(ManifestIO.parseTxns(Map("txn" -> "app:7")) == Map("app" -> 7L),
+      "a pre-ledger manifest's record must survive the format upgrade")
+    // when both are present (a new writer committed over the old
+    // record), the ledger wins for its apps
+    assert(ManifestIO.parseTxns(Map("txn" -> "app:7", "txns" -> "app:9;b:1")) ==
+      Map("app" -> 9L, "b" -> 1L))
+  }
+
   test("mergeTxn rejects app ids that would corrupt the ledger line") {
     intercept[IllegalArgumentException] {
       ManifestIO.mergeTxn(Map.empty, Some(("bad;app", 1L)))

@@ -17,6 +17,13 @@ object ServePinSpec {
   val evals = new AtomicInteger(0)
   val fullRows: Seq[(Long, String)] =
     Seq((1L, "apple"), (1L, "kiwi"), (2L, "banana"), (2L, "kiwi"))
+  val docEvals = new AtomicInteger(0)
+  val docRows: Seq[(Long, String)] =
+    Seq((50L, "papaya quince"), (51L, "papaya melon melon"))
+  val vecEvals = new AtomicInteger(0)
+  val vecRows: Seq[(Long, Seq[Float])] =
+    Seq((50L, Seq.tabulate(8)(j => (j + 1).toFloat)),
+      (51L, Seq.tabulate(8)(j => (8 - j).toFloat)))
 }
 
 /** [[Bm25.serveTopKBounded]] pins ONE materialization of the query
@@ -79,5 +86,49 @@ class ServePinSpec extends AnyFunSuite {
     assert(ServePinSpec.evals.get() == 1,
       s"query frame must be evaluated exactly once, saw ${ServePinSpec.evals.get()}")
     assert(got == want)
+  }
+
+  /** Doc frame evaluated exactly once per mutation tick — counts
+    * evaluations like [[flakyQueries]] but with stable rows (the
+    * assertion is the count; a torn tick would need >1). */
+  private def countedDocs(): org.apache.spark.sql.DataFrame =
+    spark.range(0, 1, 1, numPartitions = 1).mapPartitions { _ =>
+      ServePinSpec.docEvals.getAndIncrement()
+      ServePinSpec.docRows.iterator
+    }.toDF("doc_id", "text")
+
+  private def countedVecs(): org.apache.spark.sql.DataFrame =
+    spark.range(0, 1, 1, numPartitions = 1).mapPartitions { _ =>
+      ServePinSpec.vecEvals.getAndIncrement()
+      ServePinSpec.vecRows.iterator
+    }.toDF("cid", "cvec")
+
+  test("every index mutation tick evaluates its batch frame exactly once") {
+    import graft.operators.Ann
+    val dir = Files.createTempDirectory("tickpin").toString
+    Bm25.buildIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    ServePinSpec.docEvals.set(0)
+    Bm25.appendToIndex(spark, dir, countedDocs(), "doc_id", "text")
+    assert(ServePinSpec.docEvals.get() == 1,
+      s"append must evaluate its batch once, saw ${ServePinSpec.docEvals.get()}")
+    ServePinSpec.docEvals.set(0)
+    Bm25.deleteFromIndex(spark, dir, countedDocs(), "doc_id", "text")
+    assert(ServePinSpec.docEvals.get() == 1,
+      s"delete must evaluate its batch once, saw ${ServePinSpec.docEvals.get()}")
+
+    val cents = Array.tabulate(4)(c =>
+      Array.tabulate(8)(j => (((c * 7 + 1) * 31 + j * 17) % 13 - 6).toFloat / 3f))
+    val vdir = Files.createTempDirectory("tickpinivf").toString
+    Ann.ivfIndexBuild((100 until 110).map(i =>
+        (i.toLong, Seq.tabulate(8)(j => (((i * 31 + j * 17) % 13) - 6).toFloat / 3f)))
+      .toDF("cid", "cvec"), vdir, cents)
+    ServePinSpec.vecEvals.set(0)
+    Ann.ivfIndexAppend(spark, vdir, countedVecs())
+    assert(ServePinSpec.vecEvals.get() == 1,
+      s"ivf append must evaluate its batch once, saw ${ServePinSpec.vecEvals.get()}")
+    ServePinSpec.vecEvals.set(0)
+    Ann.ivfIndexDelete(spark, vdir, countedVecs())
+    assert(ServePinSpec.vecEvals.get() == 1,
+      s"ivf delete must evaluate its batch once, saw ${ServePinSpec.vecEvals.get()}")
   }
 }
