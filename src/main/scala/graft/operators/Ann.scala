@@ -729,6 +729,7 @@ object Ann extends Serializable {
         (m0.version + 1, m0.txns)
       } else (1L, Map.empty[String, Long])
     }
+    ManifestIO.guardSlot(spark, dir, ver)
     assignCells(corpus, cents).write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dir/data/$ver/cells")
     cents.toSeq.zipWithIndex.map { case (v, c) => (c, v.toSeq) }
@@ -776,6 +777,7 @@ object Ann extends Serializable {
     val batch = corpus.select(col("cid"), col("cvec")).localCheckpoint(true)
     if (batch.isEmpty) return // the index already is the post-tick state
     val cents = readIvfCentroidsAt(spark, dir, m)
+    ManifestIO.guardSlot(spark, dir, newVer)
     assignCells(batch, cents).write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dir/data/$newVer/cells")
     val touched = ManifestIO.partitionIds(spark, s"$dir/data/$newVer/cells", "cell=")
@@ -806,7 +808,15 @@ object Ann extends Serializable {
     * equals an index built over the corpus minus the batch. Contract:
     * the batch must be previously ingested (cid, cvec) rows — the
     * vector is what locates the cell; re-deliveries are the txn
-    * ledger's job. CRASH-ATOMIC: new version + one CURRENT rename. */
+    * ledger's job. LIMITATION, stated for the legal-takedown use: the
+    * cell is found by RE-ASSIGNING the batch's vector under the
+    * committed centroids, so if a cid was ever ingested with a
+    * DIFFERENT vector (update-by-append), that stale copy sits in
+    * another cell and survives this tick silently — the txn ledger
+    * gates epochs, not row coverage. An id-level takedown that must
+    * catch every copy belongs on [[ivfIndexDeleteByIds]], which
+    * anti-joins ALL materialized cells by cid at full-scan cost.
+    * CRASH-ATOMIC: new version + one CURRENT rename. */
   def ivfIndexDelete(spark: SparkSession, dir: String, batch: DataFrame): Unit =
     ivfIndexDeleteHooked(spark, dir, batch, crashPoint = 0)
 
@@ -838,6 +848,7 @@ object Ann extends Serializable {
     val touched = assigned.select(col("cell")).distinct()
       .collect().map(_.getInt(0)) // ≤ cell count values
       .filter(m.cellVersions.contains)
+    ManifestIO.guardSlot(spark, dir, newVer)
     if (touched.nonEmpty) {
       val delIds = assigned.select(col("cid")).distinct()
       readIvfCellsAt(spark, dir, m, Some(touched.toSet))
@@ -850,6 +861,67 @@ object Ann extends Serializable {
     val present =
       if (touched.isEmpty) Set.empty[Int]
       else ManifestIO.partitionIds(spark, s"$dir/data/$newVer/cells", "cell=").toSet
+    val newCells = (m.cellVersions -- touched) ++ present.map(_ -> Seq(newVer))
+    val body = renderIvfManifest(
+      IvfManifest(newVer, m.cells, m.centroidsVersion, newCells,
+        ManifestIO.mergeTxn(m.txns, txn)))
+    if (crashPoint == 2) {
+      ManifestIO.writeManifestOnly(spark, dir, newVer, body)
+      return
+    }
+    ManifestIO.commit(spark, dir, newVer, body)
+  }
+
+  /** ID-ONLY (strict) takedown of the committed IVF index — the
+    * [[Bm25.deleteByIds]] sibling: `ids` carries bare cids (the real
+    * opt-out feed shape, no vectors), and the tick anti-joins EVERY
+    * materialized cell by cid, so a cid's every copy is removed —
+    * including a stale vector from an update-by-append sitting in a
+    * different cell, the copy [[ivfIndexDelete]]'s assignment-local
+    * locate cannot see. COST: one full scan of the committed cells
+    * (vs ~nbatch cells for the vector-carrying tick); the REWRITE
+    * stays local — only cells that actually held a matched cid
+    * consolidate into the new version, untouched cells keep their
+    * version lists. Ids never ingested (or already deleted) match
+    * nothing and change nothing — re-delete-proof by construction.
+    * CRASH-ATOMIC + exactly-once like every tick. */
+  def ivfIndexDeleteByIds(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit =
+    ivfIndexDeleteByIdsHooked(spark, dir, ids, crashPoint = 0)
+
+  /** [[ivfIndexDeleteByIds]] carrying a writer transaction. */
+  def ivfIndexDeleteByIdsTxn(spark: SparkSession, dir: String,
+      ids: DataFrame, appId: String, epoch: Long): Unit =
+    ivfIndexDeleteByIdsHooked(spark, dir, ids, crashPoint = 0,
+      txn = Some((appId, epoch)))
+
+  /** [[ivfIndexDeleteByIds]] with the standard injectable writer-death
+    * points. */
+  private[graft] def ivfIndexDeleteByIdsHooked(spark: SparkSession,
+      dir: String, ids: DataFrame, crashPoint: Int,
+      txn: Option[(String, Long)] = None): Unit = {
+    val m = readIvfManifest(spark, dir)
+    if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
+    val newVer = m.version + 1
+    val delIds = ids.select(col("cid").cast("long").as("cid"))
+      .distinct().localCheckpoint(true)
+    if (delIds.isEmpty) return // empty request: the index already is the post-tick state
+    // ONE full scan (the id-only price) finds every cell holding a
+    // matched cid — cid-sized output, batch-size-independent driver read
+    val touched = readIvfCellsAt(spark, dir, m)
+      .join(delIds, Seq("cid"), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)) // ≤ cell count values
+    if (touched.isEmpty) return // no id matched: nothing to remove
+    ManifestIO.guardSlot(spark, dir, newVer)
+    readIvfCellsAt(spark, dir, m, Some(touched.toSet))
+      .join(delIds, Seq("cid"), "left_anti")
+      .select(col("cid"), col("cvec"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/data/$newVer/cells")
+    if (crashPoint == 1) return // simulated death: data written, nothing committed
+    val present =
+      ManifestIO.partitionIds(spark, s"$dir/data/$newVer/cells", "cell=").toSet
     val newCells = (m.cellVersions -- touched) ++ present.map(_ -> Seq(newVer))
     val body = renderIvfManifest(
       IvfManifest(newVer, m.cells, m.centroidsVersion, newCells,
@@ -897,9 +969,16 @@ object Ann extends Serializable {
     * accumulation-order-dependent); `mean_cos_fp` is BIGINT integral
     * division. Scale shape: one scan of the committed cells, shuffling
     * only (version, cos_fp) aggregates; centroids broadcast. */
-  def ivfGeometryDrift(spark: SparkSession, dir: String): DataFrame = {
+  def ivfGeometryDrift(spark: SparkSession, dir: String): DataFrame =
+    ivfGeometryDriftAt(spark, dir, readIvfManifest(spark, dir))
+
+  /** [[ivfGeometryDrift]] against an already-read manifest (the
+    * multi-artifact-reader pin discipline — [[ivfDriftVerdict]] needs
+    * the report and the manifest's centroidsVersion from ONE commit
+    * point). */
+  private def ivfGeometryDriftAt(spark: SparkSession, dir: String,
+      m: IvfManifest): DataFrame = {
     import spark.implicits._
-    val m = readIvfManifest(spark, dir)
     val cents = readIvfCentroidsAt(spark, dir, m)
     val byVer = m.cellVersions.toSeq
       .flatMap { case (c, vs) => vs.map(v => (v, c)) }
@@ -934,6 +1013,51 @@ object Ann extends Serializable {
           GraftBridge.expression(col("n_vectors")),
           evalMode = EvalMode.LEGACY)).as("mean_cos_fp"))
       .orderBy(col("version"))
+  }
+
+  /** The drift alarm as a VERDICT, not a time series: one row saying
+    * whether a rebuild is due, so a monitoring job tails a boolean
+    * instead of re-deriving the comparison from
+    * [[ivfGeometryDrift]]'s per-version rows every poll. The REFERENCE
+    * is the version that trained the committed geometry
+    * (centroidsVersion — its own members are the trained
+    * distribution); if a delete consolidated that version away, the
+    * oldest surviving version stands in (closest to trained). The
+    * LATEST version is the most recent appended mass. `rebuild_due`
+    * fires when the latest version's mean cosine has fallen more than
+    * `rebuildDropPct` percent below the reference's — the threshold
+    * the IvfDriftScale receipt calibrated (recall@5 bled 0.97→0.75
+    * while mean_cos_fp fell 57%; ~25% is the alarm point). All-BIGINT
+    * comparison (`latest·100 < ref·(100-pct)`), assuming a positive
+    * reference mean (normalized-embedding corpora; a non-positive
+    * reference reports rebuild_due = false — geometry that bad needs a
+    * human, not a threshold). A single-version index (nothing appended
+    * yet) is its own reference: rebuild_due = false. Empty index →
+    * empty frame. One committed-cells scan, like the report. */
+  def ivfDriftVerdict(spark: SparkSession, dir: String,
+      rebuildDropPct: Int = 25): DataFrame = {
+    require(rebuildDropPct >= 0 && rebuildDropPct < 100,
+      s"rebuildDropPct must be in [0, 100), got $rebuildDropPct")
+    val m = readIvfManifest(spark, dir)
+    // the report is ≤ |versions| rows — pin it so the ref/latest
+    // selections below don't re-run the cells scan per branch
+    val drift = ivfGeometryDriftAt(spark, dir, m).localCheckpoint(true)
+    val hasBuildRow = !drift.filter(col("version") === m.centroidsVersion).isEmpty
+    val ref0 =
+      if (hasBuildRow) drift.filter(col("version") === m.centroidsVersion)
+      else drift.orderBy(col("version")).limit(1)
+    val ref = ref0.select(col("version").as("ref_version"),
+      col("mean_cos_fp").as("ref_mean_cos_fp"))
+    val latest = drift.orderBy(col("version").desc).limit(1)
+      .select(col("version").as("latest_version"),
+        col("mean_cos_fp").as("latest_mean_cos_fp"))
+    ref.crossJoin(latest)
+      .select(col("ref_version"), col("ref_mean_cos_fp"),
+        col("latest_version"), col("latest_mean_cos_fp"),
+        (col("ref_mean_cos_fp") > 0L &&
+          col("latest_mean_cos_fp") * lit(100L) <
+            col("ref_mean_cos_fp") * lit(100L - rebuildDropPct))
+          .as("rebuild_due"))
   }
 
   /** Result of one IVF admission tick: per-batch-vector verdicts

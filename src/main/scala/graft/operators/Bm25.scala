@@ -329,6 +329,7 @@ object Bm25 {
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val rows = tf.join(broadcast(dfreq), "t").join(dl, "doc_id")
       .withColumn("bucket", pmod(xxhash64(col("t")), lit(buckets)).cast("int"))
+    ManifestIO.guardSlot(spark, dir, ver)
     rows.write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data/$ver/postings")
     dl.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$ver/stats")
@@ -372,11 +373,7 @@ object Bm25 {
   /** [[serveTopK]] with an injectable small-batch bound (specs force
     * the distributed term-join path on small frames through it). */
   private[graft] def serveTopKBounded(spark: SparkSession, indexDir: String,
-      queries: DataFrame, k: Int, maxCollectedTerms: Int): DataFrame = {
-    // ONE CURRENT read pins the whole serve: stats and postings are
-    // both resolved from this manifest, so an append committing midway
-    // can never pair new (n, avgdl) with old postings or vice versa
-    val m = readManifest(spark, indexDir)
+      queries: DataFrame, k: Int, maxCollectedTerms: Int): DataFrame =
     // pin ONE materialization of the query frame BEFORE anything reads
     // it: the regime probe, the bucket plan, the term filter/semi-join
     // and the scoring join must all see the same rows even when the
@@ -386,8 +383,35 @@ object Bm25 {
     // the big regime's r13 fix killed and the small regime still had.
     // The pin is query-batch-sized, which the serve materializes
     // anyway (small regime broadcasts q; big regime shuffles it).
-    val q = queries.select(col("qid").cast("long").as("qid"),
-      col("term").as("t")).distinct().localCheckpoint(true)
+    servePlanned(spark, indexDir,
+      queries.select(col("qid").cast("long").as("qid"),
+        col("term").as("t")).distinct().localCheckpoint(true),
+      k, maxCollectedTerms)
+
+  /** [[serveTopK]] for a caller that ALREADY pinned the query frame
+    * (one localCheckpoint upstream, e.g. [[Hybrid.servedTopK]] pinning
+    * once for both legs): skips the internal pin — every frame the
+    * serve derives from an already-pinned input is deterministic, so a
+    * second materialization buys nothing and costs one checkpoint per
+    * serve (per micro-batch in
+    * [[graft.streaming.HybridStream.serveStream]]). Contract: `queries`
+    * (qid, term) must be a pinned frame or a deterministic derivation
+    * of one. */
+  private[graft] def serveTopKPinned(spark: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int): DataFrame =
+    servePlanned(spark, indexDir,
+      queries.select(col("qid").cast("long").as("qid"),
+        col("term").as("t")).distinct(),
+      k, MaxServeTerms)
+
+  /** The serve body over a deterministic (qid, t) frame `q` — see
+    * [[serveTopKBounded]] for the pin rationale. */
+  private def servePlanned(spark: SparkSession, indexDir: String,
+      q: DataFrame, k: Int, maxCollectedTerms: Int): DataFrame = {
+    // ONE CURRENT read pins the whole serve: stats and postings are
+    // both resolved from this manifest, so an append committing midway
+    // can never pair new (n, avgdl) with old postings or vice versa
+    val m = readManifest(spark, indexDir)
     val terms0 = q.select(col("t")).distinct()
     // one bounded driver round-trip (≤ maxCollectedTerms+1 (term,
     // bucket) rows — regime-constant, batch-size-independent) decides
@@ -523,16 +547,22 @@ object Bm25 {
   /** [[appendToIndex]] with an injectable writer-death point for the
     * crash-atomicity spec: 1 = die after the data writes, before the
     * manifest; 2 = die after the manifest, before the CURRENT flip.
-    * Production path is crashPoint = 0. */
+    * `interleave` runs after the manifest pin — the lost-update spec's
+    * hook for committing a second writer mid-tick. Production path is
+    * crashPoint = 0, interleave a no-op. */
   private[graft] def appendToIndexHooked(spark: SparkSession, dir: String,
       newDocs: DataFrame, idCol: String, textCol: String, crashPoint: Int,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      interleave: () => Unit = () => ()): Unit = {
     // one CURRENT read pins the tick: existing postings AND old stats
     // resolve from this manifest (single-writer discipline makes a
     // concurrent commit illegal anyway; the pin keeps the tick correct
-    // even against a misbehaving second writer)
+    // even against a misbehaving second writer — and the commit's
+    // lost-update guard makes that second writer's interleaved commit
+    // fail THIS tick's flip loudly instead of silently undoing it)
     val m = readManifest(spark, dir)
     if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
+    interleave()
     val newVer = m.version + 1
     // pin ONE materialization of the batch: the stats roll, the
     // touched-bucket plan and the postings write must all see the same
@@ -558,6 +588,7 @@ object Bm25 {
       .withColumn("bucket", pmod(xxhash64(col("t")), lit(m.buckets)).cast("int"))
     val touched = newTf.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)) // ≤ manifest bucket count values
+    ManifestIO.guardSlot(spark, dir, newVer)
     if (touched.nonEmpty) {
       val existing = readPostingsAt(spark, dir, m, Some(touched.toSet))
         .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
@@ -612,8 +643,15 @@ object Bm25 {
     * A bucket whose postings are ALL removed drops out of the manifest
     * (the empty-bucket rule of [[buildIndex]]). Contract: the batch
     * must be documents previously ingested with the same (id, text) —
-    * the tick trusts it like append trusts its batch; re-deliveries
-    * are the txn ledger's job, not row checks. Zero-token docs carry
+    * the tick trusts it like append trusts its batch; INTRA-BATCH
+    * duplicate rows are collapsed by id (an opt-out re-submitted
+    * within one micro-batch rolls stats once, matching the postings
+    * anti-join's set semantics), but a CROSS-EPOCH re-delete — a doc
+    * already removed by an earlier committed tick — is outside this
+    * tick's sight and would double-roll the stats: epoch re-deliveries
+    * are the txn ledger's job, and an id-level re-delete feed belongs
+    * on [[deleteByIds]], whose stats roll derives from the index
+    * itself and is therefore re-delete-proof. Zero-token docs carry
     * no postings but still roll (n, sdl) back — rebuild-over-remaining
     * would not count them. CRASH-ATOMIC like every tick: new data
     * version + one CURRENT rename. */
@@ -640,8 +678,15 @@ object Bm25 {
     // pin, inverted): a torn batch could plan buckets for one row set,
     // anti-join another, and roll stats back by a third — silently
     // leaving a legally deleted document servable with its epoch
-    // recorded as applied
-    val pinned = docs.select(col(idCol), col(textCol)).localCheckpoint(true)
+    // recorded as applied. DEDUPED BY ID first: a takedown feed that
+    // re-submits an opt-out within one micro-batch (which the txn
+    // ledger cannot catch — it gates epochs, not rows) must roll
+    // (n, sdl) back ONCE per document, the same set semantics the
+    // postings anti-join applies — a raw-row roll would subtract the
+    // duplicate twice while removing its postings once, silently
+    // corrupting N/avgdl for every later score
+    val pinned = docs.select(col(idCol), col(textCol))
+      .dropDuplicates(Seq(idCol)).localCheckpoint(true)
     val delDl = pinned.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
     val batch = delDl
@@ -658,6 +703,7 @@ object Bm25 {
       .select(pmod(xxhash64(col("t")), lit(m.buckets)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)) // ≤ manifest bucket count values
       .filter(m.bucketVersions.contains) // only materialized buckets hold rows
+    ManifestIO.guardSlot(spark, dir, newVer)
     if (touched.nonEmpty) {
       val delIds = delDl.select(col("doc_id")).distinct()
       val remaining = readPostingsAt(spark, dir, m, Some(touched.toSet))
@@ -682,6 +728,111 @@ object Bm25 {
     val present =
       if (touched.isEmpty) Set.empty[Int]
       else ManifestIO.partitionIds(spark, s"$dir/data/$newVer/postings", "bucket=").toSet
+    val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> newVer)
+    val body = renderManifest(
+      IndexManifest(newVer, m.buckets, newVer, newOwners,
+        ManifestIO.mergeTxn(m.txns, txn)))
+    if (crashPoint == 2) {
+      ManifestIO.writeManifestOnly(spark, dir, newVer, body)
+      return
+    }
+    ManifestIO.commit(spark, dir, newVer, body)
+  }
+
+  /** ID-ONLY takedown — the fallback for the real opt-out feed shape
+    * ([[deleteFromIndex]] needs the document TEXT to locate its term
+    * buckets; legal takedown requests often carry only ids/URLs).
+    *
+    * COST CONTRAST, stated plainly: with no text there is no term to
+    * hash, so the tick must SCAN the whole committed postings index
+    * once to find the ids' rows (every bucket read — vs
+    * [[deleteFromIndex]] reading only the batch's term buckets, ~1/B
+    * of the index per term). The REWRITE stays local: only buckets
+    * that actually held a matched doc's postings rewrite, so a batch
+    * of niche documents still rewrites few buckets. At 100 TB the scan
+    * is the price of an id-only request; a deployment that takes
+    * id-only takedowns at volume should maintain a doc→bucket reverse
+    * index (one (doc_id, bucket) row per posting bucket per doc,
+    * id-hash-partitioned) and join the request against it — then the
+    * read collapses back to the affected buckets. This operator is the
+    * documented-cost fallback that needs no extra artifact.
+    *
+    * WHAT ROLLS BACK derives from the INDEX, not the request: matched
+    * docs' dl rides denormalized on their postings rows, so (n, sdl)
+    * roll by exactly the docs the index actually held — ids never
+    * ingested, already deleted in an earlier epoch, or re-submitted
+    * within the batch roll NOTHING (re-delete-proof, unlike the
+    * text-carrying tick whose stats trust its batch). The one blind
+    * spot: a doc ingested with ZERO tokens left no postings rows, so
+    * an id-only request cannot see it — its (1, 0) stats contribution
+    * survives until a text-carrying delete or a rebuild (documented
+    * deviation from delete == rebuild; token-bearing docs, the
+    * entirety of real corpora, are exact).
+    *
+    * Same lifecycle contract as every tick: delete == rebuild-over-
+    * remaining for token-bearing docs, emptied buckets leave the
+    * manifest, df recomputed inside the remaining union of touched
+    * buckets, CRASH-ATOMIC via new data version + one CURRENT rename,
+    * exactly-once under [[deleteByIdsTxn]]. */
+  def deleteByIds(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Unit =
+    deleteByIdsHooked(spark, dir, ids, idCol, crashPoint = 0)
+
+  /** [[deleteByIds]] carrying a writer transaction — exactly-once under
+    * re-delivery, like [[deleteFromIndexTxn]]. */
+  def deleteByIdsTxn(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String, appId: String, epoch: Long): Unit =
+    deleteByIdsHooked(spark, dir, ids, idCol, crashPoint = 0,
+      txn = Some((appId, epoch)))
+
+  /** [[deleteByIds]] with the standard injectable writer-death points
+    * (1 = after data writes; 2 = after manifest, before flip). */
+  private[graft] def deleteByIdsHooked(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String, crashPoint: Int,
+      txn: Option[(String, Long)] = None): Unit = {
+    val m = readManifest(spark, dir)
+    if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
+    val newVer = m.version + 1
+    // pin the request ids once (set semantics; the scan, the stats
+    // roll and the anti-join must agree on one id set)
+    val delIds = ids.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    if (delIds.isEmpty) return // empty request: the index already is the post-tick state
+    // ONE full-index scan (the id-only price) finds the matched docs'
+    // postings; everything after derives from this doc-sized frame —
+    // per-doc dl via first() (constant per doc, denormalized on every
+    // row) and the touched-bucket plan
+    val matched = readPostingsAt(spark, dir, m)
+      .join(delIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(first(col("dl")).as("dl"), collect_set(col("bucket")).as("buckets"))
+      .localCheckpoint(true)
+    val rm = matched
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .select(col("n"), col("sdl")).head()
+    if (rm.getLong(0) == 0L) return // no id matched: nothing to remove, nothing to roll
+    val touched = matched.select(explode(col("buckets")).as("bucket"))
+      .distinct().collect().map(_.getInt(0)) // ≤ manifest bucket count values
+    ManifestIO.guardSlot(spark, dir, newVer)
+    val remaining = readPostingsAt(spark, dir, m, Some(touched.toSet))
+      .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+      .join(delIds, Seq("doc_id"), "left_anti")
+    val winDf = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+    remaining
+      .withColumn("df", count(lit(1)).over(winDf))
+      .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
+      .write.partitionBy("bucket")
+      .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
+    val old = readStatsAt(spark, dir, m).select(col("n"), col("sdl")).head()
+    val statsDf = {
+      import spark.implicits._
+      Seq((old.getLong(0) - rm.getLong(0), old.getLong(1) - rm.getLong(1)))
+        .toDF("n", "sdl")
+    }
+    statsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$newVer/stats")
+    if (crashPoint == 1) return // simulated writer death: data written, nothing committed
+    val present =
+      ManifestIO.partitionIds(spark, s"$dir/data/$newVer/postings", "bucket=").toSet
     val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> newVer)
     val body = renderManifest(
       IndexManifest(newVer, m.buckets, newVer, newOwners,

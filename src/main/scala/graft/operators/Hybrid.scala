@@ -101,16 +101,23 @@ object Hybrid {
   def hybridTopK(corpus0: DataFrame, idCol: String, textCol: String, vecCol: String,
       queries0: DataFrame, kLeg: Int, k: Int): DataFrame = {
     // user-facing TVF over arbitrary parquet: null ids/text/vectors
-    // carry nothing to retrieve (the Phrases.tag convention)
+    // carry nothing to retrieve (the Phrases.tag convention). Null
+    // modality inputs are filtered PER LEG, not conjunctively: the
+    // legs are independent by design (RRF fuses legs of different
+    // coverage), so a qid whose term rows are all null — e.g. query
+    // terms drawn by element_at past a short doc's token count — still
+    // retrieves on its vector leg, and a null-qvec qid on its lexical
+    // leg. A row-level AND would silently drop such qids from BOTH.
     val corpus = corpus0.filter(col(idCol).isNotNull &&
       col(textCol).isNotNull && col(vecCol).isNotNull)
-    val queries = queries0.filter(col("qid").isNotNull &&
-      col("term").isNotNull && col("qvec").isNotNull)
+    val queries = queries0.filter(col("qid").isNotNull)
     val lexLeg = dropSelf(
       Bm25.batchTopK(corpus, idCol, textCol,
-        queries.select(col("qid"), col("term")), kLeg + 1),
+        queries.filter(col("term").isNotNull)
+          .select(col("qid"), col("term")), kLeg + 1),
       kLeg)
-    val qVecs = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
+    val qVecs = queries.filter(col("qvec").isNotNull)
+      .select(col("qid").cast("long").as("qid"), col("qvec"))
       .groupBy(col("qid")).agg(first(col("qvec")).as("qvec"))
     val vecLeg = Ann.bruteForceTopK(
         corpus.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec")),
@@ -144,17 +151,24 @@ object Hybrid {
     * rows — the [[hybridTopK]] contract. */
   def servedTopK(spark: SparkSession, bm25Dir: String, ivfDir: String,
       queries0: DataFrame, kLeg: Int, k: Int, nprobe: Int): DataFrame = {
-    // pin ONE materialization of the query frame: both legs must fuse
-    // the SAME query set even for a non-deterministic caller frame
-    // (Bm25.serveTopK pins its own copy internally, but the vector
-    // leg's collect would otherwise re-evaluate the original)
-    val queries = queries0.filter(col("qid").isNotNull &&
-      col("term").isNotNull && col("qvec").isNotNull).localCheckpoint(true)
+    // pin ONE materialization of the query frame — and only one: both
+    // legs must fuse the SAME query set even for a non-deterministic
+    // caller frame, and every frame both legs derive from this pin is
+    // deterministic, so the lexical leg enters through
+    // [[Bm25.serveTopKPinned]] (no second internal checkpoint — the
+    // redundant pin cost one materialization per serve, and
+    // [[graft.streaming.HybridStream.serveStream]] paid it per
+    // micro-batch). Null modality inputs filter PER LEG off the pin
+    // (the [[hybridTopK]] rule): a qid with all-null terms still
+    // serves on its vector leg, a null-qvec qid on its lexical leg.
+    val queries = queries0.filter(col("qid").isNotNull).localCheckpoint(true)
     val lexLeg = dropSelf(
-      Bm25.serveTopK(spark, bm25Dir,
-        queries.select(col("qid"), col("term")), kLeg + 1),
+      Bm25.serveTopKPinned(spark, bm25Dir,
+        queries.filter(col("term").isNotNull)
+          .select(col("qid"), col("term")), kLeg + 1),
       kLeg)
-    val qVecs = queries.select(col("qid").cast("long").as("qid"), col("qvec"))
+    val qVecs = queries.filter(col("qvec").isNotNull)
+      .select(col("qid").cast("long").as("qid"), col("qvec"))
       .groupBy(col("qid")).agg(first(col("qvec")).as("qvec"))
     // ivfServedTopK excludes self pairs (qid != cid), like the brute leg
     val vecLeg = Ann.ivfServedTopK(spark, ivfDir, qVecs, kLeg, nprobe)

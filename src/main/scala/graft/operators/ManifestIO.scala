@@ -46,17 +46,57 @@ private[graft] object ManifestIO {
   }
 
   /** Write manifest v<version>, then flip CURRENT atomically — the one
-    * operation that makes a tick's data files visible. */
+    * operation that makes a tick's data files visible.
+    *
+    * LOST-UPDATE GUARD: every tick allocates `version` as the committed
+    * version it pinned at start + 1 (a fresh dir commits 1), so at flip
+    * time CURRENT must still read `version - 1`. If another writer
+    * committed in between — a violated single-writer discipline — the
+    * stale tick's flip would silently REPLACE the interloper's commit
+    * (last CURRENT wins, its data unreferenced); this check turns that
+    * quiet data loss into an exception, and the loser's uncommitted
+    * data dir is ordinary vacuum food. Detection, not locking: two
+    * writers can still race inside the check-to-rename window, but any
+    * interleaving where one tick COMMITS while another is mid-tick —
+    * the operator error the discipline forbids — now fails loudly. */
   def commit(spark: SparkSession, dir: String, version: Long,
       manifestBody: String): Unit = {
-    val f = fs(spark, dir)
+    checkParent(spark, dir, version, "committing")
     writeManifestOnly(spark, dir, version, manifestBody)
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/CURRENT.tmp$version")
-    writeText(f, tmp, version.toString)
+    writeText(fs(spark, dir), tmp, version.toString)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       new org.apache.hadoop.fs.Path(dir).toUri, spark.sessionState.newHadoopConf())
     fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/CURRENT"),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Pre-write half of the lost-update guard: a tick calls this with
+    * the data version it is ABOUT TO WRITE (its pinned committed
+    * version + 1), before the first byte lands under `data/<version>`.
+    * If an interleaved writer committed since the pin, that slot is
+    * now referenced by the LIVE manifest — writing into it would
+    * clobber committed files, strictly worse than a lost flip — so the
+    * stale tick dies here, before any destruction, and the interloper's
+    * commit keeps serving. A commit landing between this check and the
+    * tick's writes still stops at the flip guard (detection, not
+    * locking — see [[commit]]). */
+  def guardSlot(spark: SparkSession, dir: String, version: Long): Unit =
+    checkParent(spark, dir, version, "writing data slot")
+
+  private def checkParent(spark: SparkSession, dir: String, version: Long,
+      doing: String): Unit = {
+    val f = fs(spark, dir)
+    val curPath = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
+    val committed =
+      if (f.exists(curPath)) Some(readText(f, curPath).trim.toLong) else None
+    if (committed != Some(version - 1) && !(committed.isEmpty && version == 1L))
+      throw new IllegalStateException(
+        s"lost-update detected $doing version $version at $dir: expected " +
+          s"committed version ${version - 1}, found ${committed.getOrElse("none")} — " +
+          "another writer committed since this tick pinned its manifest " +
+          "(single-writer discipline violated); this tick's files are " +
+          "uncommitted garbage for the next vacuum")
   }
 
   /** The manifest write alone, WITHOUT the CURRENT flip — the
@@ -94,16 +134,33 @@ private[graft] object ManifestIO {
   def renderTxns(txns: Map[String, Long]): String =
     if (txns.isEmpty) ""
     else "txns=" + txns.toSeq.sorted
-      .map { case (app, epoch) => s"$app:$epoch" }.mkString(";") + "\n"
+      .map { case (app, epoch) => s"${escapeTxnKey(app)}:$epoch" }.mkString(";") + "\n"
+
+  /** Percent-escape the ledger's structural bytes in an app id. New
+    * entries are kept clean by [[mergeTxn]]'s validation, but a LEGACY
+    * single-slot `txn=` record predates that rule: an old appId
+    * containing ';' or a newline, carried forward verbatim, would
+    * render a `txns=` line the next read cannot parse
+    * (NumberFormatException on the mangled epoch field) — bricking the
+    * index dir. Escaping at render + unescaping at parse makes
+    * render∘parse the identity for ANY legacy key instead. ':' needs no
+    * escape (the epoch is everything after the LAST colon). */
+  private def escapeTxnKey(app: String): String = app
+    .replace("%", "%25").replace(";", "%3B")
+    .replace("\n", "%0A").replace("\r", "%0D")
+
+  private def unescapeTxnKey(s: String): String = s
+    .replace("%3B", ";").replace("%0A", "\n").replace("%0D", "\r")
+    .replace("%25", "%")
 
   /** The ledger back out of a parsed key→value manifest map. App ids
     * may contain ':' (each entry's epoch is everything after its LAST
-    * colon) but not ';' — [[mergeTxn]] enforces that at write time.
+    * colon); ';'/newlines survive via [[escapeTxnKey]].
     * A legacy single-slot `txn=` record (the pre-ledger manifest
-    * format) is read too, so an index committed by the old writer
-    * keeps its exactly-once record across the upgrade — without it, a
-    * maintenance stream restarting on the new code would re-apply its
-    * last re-delivered epoch. */
+    * format) is read too — RAW, the old writer never escaped — so an
+    * index committed by the old writer keeps its exactly-once record
+    * across the upgrade; without it, a maintenance stream restarting on
+    * the new code would re-apply its last re-delivered epoch. */
   def parseTxns(kv: Map[String, String]): Map[String, Long] = {
     def entry(v: String): (String, Long) = {
       val i = v.lastIndexOf(':')
@@ -111,7 +168,7 @@ private[graft] object ManifestIO {
     }
     kv.get("txn").map(entry).toMap ++
       kv.get("txns").iterator.flatMap(_.split(";")).filter(_.nonEmpty)
-        .map(entry).toMap
+        .map(entry).map { case (app, e) => unescapeTxnKey(app) -> e }.toMap
   }
 
   /** The ledger a committing tick writes: the previous manifest's map

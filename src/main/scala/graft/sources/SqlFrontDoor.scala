@@ -157,6 +157,17 @@ object SqlFrontDoor {
           "doc_id", "text")
         graft.operators.Bm25.readStats(s, a.head)
       }),
+      // bm25_index_delete_ids(index_dir, ids_path): the ID-ONLY
+      // takedown fallback — the request parquet carries bare doc_ids
+      // (the real opt-out feed shape); one full postings scan locates
+      // them, only buckets that held their rows rewrite, and the
+      // stats roll derives from the index itself (re-delete-proof).
+      // Returns the rolled-back stats.
+      ("bm25_index_delete_ids", 2, a => {
+        graft.operators.Bm25.deleteByIds(s, a.head, s.read.parquet(a(1)),
+          "doc_id")
+        graft.operators.Bm25.readStats(s, a.head)
+      }),
       // bm25_index_profile(index_dir): the standing index's monitoring
       // row from the committed artifacts alone — n/sdl (avgdl drift),
       // vocabulary size, postings mass, serving-prune pressure, max
@@ -654,6 +665,24 @@ object SqlFrontDoor {
       // geometry; the bm25_index_profile sibling for the vector index)
       ("ivf_index_drift", 1, a =>
         graft.operators.Ann.ivfGeometryDrift(s, a.head)),
+      // ivf_index_delete_ids(index_dir, ids_path): the STRICT id-only
+      // takedown — anti-joins every materialized cell by cid (full
+      // scan), so a cid's every copy is removed, including a stale
+      // vector an update-by-append left in another cell (the gap the
+      // assignment-local ivf_index_delete documents); returns the
+      // commit receipt
+      ("ivf_index_delete_ids", 2, a => {
+        graft.operators.Ann.ivfIndexDeleteByIds(s, a.head, s.read.parquet(a(1)))
+        ivfManifestSummary(a.head)
+      }),
+      // ivf_drift_verdict(index_dir, rebuild_drop_pct): the drift
+      // alarm as a VERDICT — one row comparing the latest appended
+      // version's mean cosine to the trained reference version's,
+      // rebuild_due flipping when the drop exceeds the given percent;
+      // what a monitoring job tails instead of re-deriving the
+      // comparison from ivf_index_drift's time series
+      ("ivf_drift_verdict", 2, a =>
+        graft.operators.Ann.ivfDriftVerdict(s, a.head, a(1).trim.toInt)),
       // hybrid_served(bm25_dir, ivf_dir, queries_path, k_leg, k,
       // nprobe): hybrid retrieval served ENTIRELY from the standing
       // committed indexes — the lexical leg reads only the query

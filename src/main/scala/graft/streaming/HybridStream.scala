@@ -201,11 +201,31 @@ object HybridStream {
     * original run and the retry, the rewrite serves the newer commit —
     * still one consistent answer per epoch). */
   def serveSink(bm25Dir: String, ivfDir: String, kLeg: Int, k: Int,
-      nprobe: Int, outDir: String): (DataFrame, Long) => Unit =
-    (batch, epoch) =>
+      nprobe: Int, outDir: String,
+      keepEpochs: Int = 0): (DataFrame, Long) => Unit =
+    (batch, epoch) => {
       Hybrid.servedTopK(batch.sparkSession, bm25Dir, ivfDir, batch,
         kLeg, k, nprobe)
         .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+      // RETENTION: a long-running query stream would otherwise
+      // accumulate one epoch dir per micro-batch without bound. With
+      // keepEpochs > 0, prune every epoch dir whose id trails the
+      // current epoch by keepEpochs or more — idempotent (a
+      // re-delivered epoch re-makes the same decision; deleting
+      // deleted dirs is a no-op) and the current epoch's dir is by
+      // construction never in range, so the latest answer survives.
+      if (keepEpochs > 0) {
+        val fs = graft.operators.ManifestIO.fs(batch.sparkSession, outDir)
+        val root = new org.apache.hadoop.fs.Path(outDir)
+        if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("epoch=")) {
+            val id = scala.util.Try(n.stripPrefix("epoch=").toLong).toOption
+            if (id.exists(_ <= epoch - keepEpochs)) fs.delete(st.getPath, true)
+          }
+        }
+      }
+    }
 
   /** Served streaming hybrid retrieval — the committed-index sibling of
     * [[topK]], closing the other half of the batch/stream symmetry:
@@ -220,12 +240,17 @@ object HybridStream {
     * no query state is held at all (the indexes ARE the state).
     * `queries` carries (qid, term, qvec) rows; fused top-k lands under
     * `outDir/epoch=<id>` (read the root as parquet for an `epoch`
-    * partition column). */
+    * partition column). `keepEpochs` > 0 bounds the output dir: only
+    * the latest that-many epoch dirs are retained (pruned from inside
+    * the sink, idempotently — the vacuum-cadence discipline); 0 keeps
+    * everything. */
   def serveStream(queries: DataFrame, bm25Dir: String, ivfDir: String,
       kLeg: Int, k: Int, nprobe: Int, outDir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      keepEpochs: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(serveSink(bm25Dir, ivfDir, kLeg, k, nprobe, outDir))
+      .foreachBatch(serveSink(bm25Dir, ivfDir, kLeg, k, nprobe, outDir,
+        keepEpochs))
       .start()
 }

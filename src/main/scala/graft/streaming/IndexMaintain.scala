@@ -90,32 +90,41 @@ object IndexMaintain {
     * crashed ticks' orphans and replaced rebuilds. */
   def ivfSink(dir: String, appId: String, vacuumEvery: Int = 0,
       graceVersions: Long = 2L, driftEvery: Int = 0,
-      alarmDir: String = ""): (DataFrame, Long) => Unit = {
+      alarmDir: String = "",
+      rebuildDropPct: Int = 25): (DataFrame, Long) => Unit = {
     require(driftEvery <= 0 || alarmDir.nonEmpty,
       "driftEvery needs an alarmDir — the cadence would write to the filesystem root")
     (batch, epoch) => {
       Ann.ivfIndexAppendTxn(batch.sparkSession, dir, batch, appId, epoch)
       if (due(vacuumEvery, epoch))
         Ann.ivfVacuum(batch.sparkSession, dir, graceVersions)
-      // the rebuild alarm on a cadence: per-version mean cosine to the
-      // FROZEN centroids, from the committed artifacts alone — the
-      // signal a deployment watches to schedule the offline retrain
+      // the rebuild alarm on a cadence — a VERDICT, not a time series:
+      // one row comparing the latest appended mass's mean cosine to
+      // the trained reference version's under the FROZEN centroids,
+      // with `rebuild_due` flipping when the drop exceeds
+      // `rebuildDropPct` percent ([[Ann.ivfDriftVerdict]]) — the
+      // monitoring job tails a boolean; the per-version series stays
+      // available via [[Ann.ivfGeometryDrift]] / the ivf_index_drift
+      // TVF for the deep dive
       if (due(driftEvery, epoch))
-        writeAlarm(Ann.ivfGeometryDrift(batch.sparkSession, dir), alarmDir, epoch)
+        writeAlarm(Ann.ivfDriftVerdict(batch.sparkSession, dir, rebuildDropPct),
+          alarmDir, epoch)
     }
   }
 
   /** Maintain a committed IVF index from a streaming vector frame.
-    * `driftEvery` > 0 writes [[Ann.ivfGeometryDrift]] to
-    * `alarmDir/epoch=<id>` every that-many epochs — the rebuild alarm
-    * produced by the maintenance stream itself. */
+    * `driftEvery` > 0 writes [[Ann.ivfDriftVerdict]] (threshold
+    * `rebuildDropPct`) to `alarmDir/epoch=<id>` every that-many
+    * epochs — the rebuild verdict produced by the maintenance stream
+    * itself. */
   def maintainIvf(vecs: DataFrame, dir: String, appId: String,
       checkpoint: String, vacuumEvery: Int = 0, graceVersions: Long = 2L,
-      driftEvery: Int = 0, alarmDir: String = ""): StreamingQuery =
+      driftEvery: Int = 0, alarmDir: String = "",
+      rebuildDropPct: Int = 25): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(ivfSink(dir, appId, vacuumEvery, graceVersions,
-        driftEvery, alarmDir))
+        driftEvery, alarmDir, rebuildDropPct))
       .start()
 
   // ── takedown streams: the DELETE verb on the same exactly-once rail ──

@@ -89,6 +89,64 @@ class HybridServedSpec extends AnyFunSuite {
       s"lexical leg read buckets $readBuckets beyond queried $allowedBuckets")
   }
 
+  test("legs are null-independent: an all-null-term qid still serves on its vector leg") {
+    // the r14 advice finding: servedTopK's row-level AND dropped a qid
+    // whose term rows are all null (e.g. terms drawn by element_at
+    // past a short doc's token count) from the VECTOR leg too; the
+    // legs filter per-modality now, matching the batch oracle's shape
+    // (its vector CTE never looked at terms)
+    val (bm25Dir, ivfDir) = buildIndexes()
+    val rows: Seq[(java.lang.Long, String, Seq[Float])] = Seq(
+      (1L, words(1), vec(501)), (1L, words(4), vec(501)), // both legs
+      (2L, null, vec(502)), (2L, null, vec(502)),         // vector only
+      (3L, words(3), null), (3L, words(6), null))         // lexical only
+    val q = rows.toDF("qid", "term", "qvec")
+    for (fused <- Seq(
+      Hybrid.servedTopK(spark, bm25Dir, ivfDir, q, kLeg, k, nprobe = cents.length),
+      Hybrid.hybridTopK(corpus.toDF("doc_id", "text", "vec"),
+        "doc_id", "text", "vec", q, kLeg, k))) {
+      val byQid = fused.collect().map(_.getLong(0)).toSet
+      assert(byQid == Set(1L, 2L, 3L),
+        s"every qid must serve on whichever leg has valid inputs, got $byQid")
+    }
+    // and served == batch on this frame too (parity holds under nulls)
+    assert(Hybrid.servedTopK(spark, bm25Dir, ivfDir, q, kLeg, k,
+        nprobe = cents.length).orderBy("qid", "rank").collect().map(_.toSeq).toSeq ==
+      Hybrid.hybridTopK(corpus.toDF("doc_id", "text", "vec"),
+        "doc_id", "text", "vec", q, kLeg, k)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq)
+  }
+
+  test("serveStream retention: keepEpochs bounds the output dir, latest epoch intact") {
+    val (bm25Dir, ivfDir) = buildIndexes()
+    val dropDir = Files.createTempDirectory("hsrvretdrop").toString
+    val outDir = Files.createTempDirectory("hsrvretout").toString
+    val ckpt = Files.createTempDirectory("hsrvretckpt").toString
+    val perEpoch = Seq(Seq(1L), Seq(2L), Seq(3L), Seq(4L), Seq(5L))
+    perEpoch.foreach(qs => queryRows(qs).toDF("qid", "term", "qvec")
+      .coalesce(1).write.mode("append").parquet(dropDir))
+    val qy = HybridStream.serveStream(
+      spark.readStream.schema("qid LONG, term STRING, qvec ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(dropDir),
+      bm25Dir, ivfDir, kLeg, k, nprobe = cents.length, outDir, ckpt,
+      keepEpochs = 2)
+    try assert(StreamSync.drain(qy) {
+      new java.io.File(s"$outDir/epoch=4/_SUCCESS").exists()
+    }) finally qy.stop()
+    val held = new java.io.File(outDir).listFiles().map(_.getName)
+      .filter(_.startsWith("epoch=")).toSet
+    assert(held == Set("epoch=3", "epoch=4"),
+      s"a 5-epoch stream at keepEpochs=2 must hold the latest two, got $held")
+    // the surviving latest epoch is a complete, correct answer
+    assert(spark.read.parquet(s"$outDir/epoch=4")
+        .select(col("qid"), col("doc_id"), col("rrf"), col("rank"))
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq ==
+      Hybrid.servedTopK(spark, bm25Dir, ivfDir,
+          queryRows(Seq(5L)).toDF("qid", "term", "qvec"), kLeg, k,
+          nprobe = cents.length)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq)
+  }
+
   test("streamed query batches == one-shot served batch; appends land between epochs") {
     // fused depth 10 > kLeg: vector-leg ranks 4-5 (where the appended
     // cosine-1.0 ties land after the old 1.0 ties win on id) are

@@ -54,4 +54,66 @@ class IvfDriftSpec extends AnyFunSuite {
     Ann.ivfIndexDelete(spark, dir, (initial ++ appended).toDF("cid", "cvec"))
     assert(Ann.ivfGeometryDrift(spark, dir).collect().isEmpty)
   }
+
+  test("drift verdict: a drifted append flips rebuild_due at the configured threshold") {
+    // controlled geometry: build mass sits EXACTLY on the centroids
+    // (mean_cos_fp = 10^6), the appended mass at 45° between them
+    // (cos = 1/√2 → mean ≈ 707106, a ~29% drop)
+    val cents2 = Array(Array(1f, 0f), Array(0f, 1f))
+    val onCent = (0 until 20).map(i =>
+      (100L + i, if (i % 2 == 0) Seq(1f, 0f) else Seq(0f, 1f)))
+    val drifted = (0 until 20).map(i => (200L + i, Seq(0.7071f, 0.7071f)))
+    val dir = Files.createTempDirectory("ivfverdict").toString
+    Ann.ivfIndexBuild(onCent.toDF("cid", "cvec"), dir, cents2)
+    // a single-version index is its own reference: never due
+    assert(!Ann.ivfDriftVerdict(spark, dir)
+      .select("rebuild_due").head().getBoolean(0))
+    Ann.ivfIndexAppend(spark, dir, drifted.toDF("cid", "cvec"))
+    val v = Ann.ivfDriftVerdict(spark, dir, rebuildDropPct = 25).head()
+    assert(v.getAs[Long]("ref_version") == 1L &&
+      v.getAs[Long]("latest_version") == 2L)
+    assert(v.getAs[Long]("ref_mean_cos_fp") == 1000000L)
+    assert(v.getAs[Boolean]("rebuild_due"),
+      "a ~29% drop must flip at the 25% threshold")
+    assert(!Ann.ivfDriftVerdict(spark, dir, rebuildDropPct = 40)
+      .head().getAs[Boolean]("rebuild_due"),
+      "the same drop must NOT flip at a 40% threshold")
+
+    // reference fallback: deleting the whole build batch consolidates
+    // the trained version away — the oldest surviving version stands
+    // in, and with ref == latest the verdict cannot fire
+    Ann.ivfIndexDelete(spark, dir, onCent.toDF("cid", "cvec"))
+    val fb = Ann.ivfDriftVerdict(spark, dir, rebuildDropPct = 25).head()
+    assert(fb.getAs[Long]("ref_version") == fb.getAs[Long]("latest_version") &&
+      !fb.getAs[Boolean]("rebuild_due"))
+    // fully deleted: empty verdict, not a crash
+    Ann.ivfIndexDeleteByIds(spark, dir,
+      drifted.map(_._1).toDF("cid"))
+    assert(Ann.ivfDriftVerdict(spark, dir).collect().isEmpty)
+  }
+
+  test("drift verdict rides the maintenance stream's alarm cadence") {
+    import graft.streaming.IndexMaintain
+    val cents2 = Array(Array(1f, 0f), Array(0f, 1f))
+    val onCent = (0 until 20).map(i =>
+      (100L + i, if (i % 2 == 0) Seq(1f, 0f) else Seq(0f, 1f)))
+    val drifted = (0 until 20).map(i => (200L + i, Seq(0.7071f, 0.7071f)))
+    val dir = Files.createTempDirectory("ivfverdictstream").toString
+    Ann.ivfIndexBuild(onCent.toDF("cid", "cvec"), dir, cents2)
+    val dropDir = Files.createTempDirectory("ivfverdictdrop").toString
+    drifted.toDF("cid", "cvec").coalesce(1).write.mode("append").parquet(dropDir)
+    val alarm = Files.createTempDirectory("ivfverdictalarm").toString
+    val ckpt = Files.createTempDirectory("ivfverdictckpt").toString
+    val qy = IndexMaintain.maintainIvf(
+      spark.readStream.schema("cid LONG, cvec ARRAY<FLOAT>").parquet(dropDir),
+      dir, "drift-verdict-spec", ckpt,
+      driftEvery = 1, alarmDir = alarm, rebuildDropPct = 25)
+    try assert(StreamSync.drain(qy) {
+      new java.io.File(s"$alarm/epoch=0/_SUCCESS").exists()
+    }) finally qy.stop()
+    // the drifted-distribution append stream flips rebuild_due in the
+    // alarm a monitoring job tails
+    assert(spark.read.parquet(s"$alarm/epoch=0")
+      .select("rebuild_due").head().getBoolean(0))
+  }
 }

@@ -76,6 +76,23 @@ class ManifestTxnPropSpec extends AnyFunSuite {
       Map("app" -> 9L, "b" -> 1L))
   }
 
+  test("a hostile legacy appId (';'/'%'/newline-laden) carries forward without bricking the manifest") {
+    // the pre-ledger single-slot format never forbade ';' in appIds;
+    // carried forward into the txns= map, such a key must render a
+    // line the NEXT manifest read can still parse — before the
+    // percent-escape, the embedded ';' split the entry mid-key and the
+    // epoch field threw NumberFormatException, bricking the index dir
+    val legacy = ManifestIO.parseTxns(Map("txn" -> "we;rd:5"))
+    assert(legacy == Map("we;rd" -> 5L))
+    assert(roundTrip(legacy) == legacy)
+    val hostileGen = Gen.nonEmptyListOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 1 -> Gen.const(';'), 1 -> Gen.const('%'),
+      1 -> Gen.const(':'), 1 -> Gen.const('\n')))
+      .map(_.mkString)
+    samples(Gen.mapOf(Gen.zip(hostileGen, Gen.chooseNum(0L, 1000L))), 200, 44L)
+      .foreach { m => assert(roundTrip(m) == m, s"hostile round-trip broke for $m") }
+  }
+
   test("mergeTxn rejects app ids that would corrupt the ledger line") {
     intercept[IllegalArgumentException] {
       ManifestIO.mergeTxn(Map.empty, Some(("bad;app", 1L)))

@@ -24,6 +24,11 @@ object ServePinSpec {
   val vecRows: Seq[(Long, Seq[Float])] =
     Seq((50L, Seq.tabulate(8)(j => (j + 1).toFloat)),
       (51L, Seq.tabulate(8)(j => (8 - j).toFloat)))
+  val hybEvals = new AtomicInteger(0)
+  val hybRows: Seq[(Long, String, Seq[Float])] =
+    Seq((1L, "apple", Seq.tabulate(8)(j => (j + 1).toFloat)),
+      (1L, "kiwi", Seq.tabulate(8)(j => (j + 1).toFloat)),
+      (2L, "banana", Seq.tabulate(8)(j => (8 - j).toFloat)))
 }
 
 /** [[Bm25.serveTopKBounded]] pins ONE materialization of the query
@@ -130,5 +135,39 @@ class ServePinSpec extends AnyFunSuite {
     Ann.ivfIndexDelete(spark, vdir, countedVecs())
     assert(ServePinSpec.vecEvals.get() == 1,
       s"ivf delete must evaluate its batch once, saw ${ServePinSpec.vecEvals.get()}")
+  }
+
+  /** One (qid, term, qvec) evaluation feeds BOTH legs of a served
+    * hybrid — the r14 verdict's "pins the query frame twice" fix: the
+    * lexical leg now enters through Bm25.serveTopKPinned, so the
+    * single outer checkpoint is the only materialization and the
+    * source is still evaluated exactly once. */
+  private def countedHybridQueries(): DataFrame =
+    spark.range(0, 1, 1, numPartitions = 1).mapPartitions { _ =>
+      ServePinSpec.hybEvals.getAndIncrement()
+      ServePinSpec.hybRows.iterator
+    }.toDF("qid", "term", "qvec")
+
+  test("served hybrid evaluates the query frame exactly once through one pin") {
+    import graft.operators.{Ann, Hybrid}
+    val bm25Dir = Files.createTempDirectory("hybpinbm25").toString
+    Bm25.buildIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", bm25Dir)
+    val cents = Array.tabulate(4)(c =>
+      Array.tabulate(8)(j => (((c * 7 + 1) * 31 + j * 17) % 13 - 6).toFloat / 3f))
+    val ivfDir = Files.createTempDirectory("hybpinivf").toString
+    Ann.ivfIndexBuild(corpus.map { case (id, _) =>
+        (id, Seq.tabulate(8)(j => (((id * 31 + j * 17) % 13) - 6).toFloat / 3f))
+      }.toDF("cid", "cvec"), ivfDir, cents)
+    ServePinSpec.hybEvals.set(0)
+    val got = Hybrid.servedTopK(spark, bm25Dir, ivfDir, countedHybridQueries(),
+        kLeg = 3, k = 3, nprobe = cents.length)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(ServePinSpec.hybEvals.get() == 1,
+      s"hybrid query frame must be evaluated exactly once, saw ${ServePinSpec.hybEvals.get()}")
+    val want = Hybrid.servedTopK(spark, bm25Dir, ivfDir,
+        ServePinSpec.hybRows.toDF("qid", "term", "qvec"),
+        kLeg = 3, k = 3, nprobe = cents.length)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
   }
 }
