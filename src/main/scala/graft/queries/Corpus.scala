@@ -794,6 +794,44 @@ object Corpus {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Build-then-DELETE-BY-IDS cache backing [[t57Bm25DeleteIds]]: index
+    * built on the FULL corpus, then the doc_id % 7 = 3 slice removed by
+    * the ID-ONLY takedown tick ([[Bm25.deleteByIds]]) — the real
+    * opt-out feed shape (no text): one full postings scan locates the
+    * ids, only buckets that held their rows rewrite, and the stats
+    * roll derives from the index itself. */
+  private val bm25DeleteIdsCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def bm25DeletedByIdsIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25DeleteIdsCache.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d)
+      val dir = s"/tmp/graft_bm25_delids_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Bm25.buildIndex(docs, "doc_id", "text", dir)
+      Bm25.deleteByIds(s, dir,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
+      dir
+    })
+
+  /** ID-ONLY standing-index DELETE tick ([[Bm25.deleteByIds]]) — the
+    * takedown fallback for requests that carry only ids: t56 deletes
+    * with the text locating the buckets, this one locates by scanning
+    * the committed postings and rolls stats by what the index actually
+    * held. The oracle is the same one-shot rebuild over the remaining
+    * corpus — a surviving posting, stale df, or wrong stats roll after
+    * the id-only tick breaks the hash (deleteByIds == rebuild for
+    * token-bearing corpora, which this one is). */
+  val t57Bm25DeleteIds: Q = Q(
+    "t57_bm25_delete_ids",
+    bm25BatchSql(mod = 100, rem = 33, positions = Seq(1, 5, 9), k = 6,
+      corpusWhere = "doc_id % 7 <> 3")) { (s, d) =>
+    val remaining = Tables.documents(s, d).filter(col("doc_id") % 7 =!= 3)
+    Bm25.serveTopK(s, bm25DeletedByIdsIndex(s, d),
+        bm25Queries(remaining, 100, 33, Seq(1, 5, 9)), k = 6)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Index-profile monitoring row ([[Bm25.indexProfile]]) over the
     * build-then-append standing index (t50's dir): doc count, token
     * mass, vocabulary size, postings mass, serving-prune pressure and
@@ -1109,5 +1147,5 @@ object Corpus {
     t34PhraseTags, t35Boilerplate, t36EpochUpsample, t37DsirSelect,
     t38StratifiedEval, t40Bm25Batch, t41Bm25Served, t48HybridRrf,
     t50Bm25Append, t51HybridServed, t53MixtureRates, t54HybridIndexed,
-    t55Bm25Profile, t56Bm25Delete)
+    t55Bm25Profile, t56Bm25Delete, t57Bm25DeleteIds)
 }

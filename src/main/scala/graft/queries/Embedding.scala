@@ -1021,6 +1021,49 @@ object Embedding {
     Ann.ivfGeometryDrift(s, dir)
   }
 
+  /** The drift alarm as a VERDICT ([[graft.operators.Ann.ivfDriftVerdict]])
+    * over v19's committed build+append index: one row comparing the
+    * LATEST contributing data version's fixed-point mean
+    * cosine-to-assigned-frozen-centroid against the TRAINED reference
+    * version's, with `rebuild_due` firing when the drop exceeds 25 % —
+    * what a monitoring job tails instead of re-deriving the comparison
+    * from v21's time series. The oracle replays the whole chain from
+    * the persisted centroid artifact: per-version assignment,
+    * floor(cos·10⁶) BIGINT folds, integral-divide means, and the
+    * integer threshold comparison (`latest·100 < ref·75`) bit-for-bit.
+    * The reference is the oldest version (the build — the index's
+    * centroidsVersion), the latest the newest append. */
+  val v23IvfDriftVerdict: Q = Q(
+    "v23_ivf_drift_verdict",
+    s"""WITH cent AS (SELECT cent_id, cvec FROM ${artifact("v23_centroids")}),
+       |corpus AS (SELECT vec_id, embedding,
+       |                  CASE WHEN vec_id >= $AppendSplit THEN 1 ELSE 2 END AS version
+       |           FROM embeddings WHERE vec_id >= $NumQueries),
+       |assign AS (
+       |  SELECT version, cos FROM (
+       |    SELECT c0.version, ${sqlCosine("c0.embedding", "c.cvec")} AS cos,
+       |           row_number() OVER (PARTITION BY c0.vec_id
+       |             ORDER BY ${sqlCosine("c0.embedding", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM corpus c0, cent c)
+       |  WHERE rn = 1),
+       |fp AS (SELECT version, CAST(floor(cos * 1000000.0e0) AS BIGINT) AS cos_fp FROM assign),
+       |agg AS (SELECT CAST(version AS BIGINT) AS version,
+       |               CAST(sum(cos_fp) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_cos_fp
+       |        FROM fp GROUP BY version),
+       |ref AS (SELECT version AS ref_version, mean_cos_fp AS ref_mean_cos_fp
+       |        FROM agg ORDER BY version LIMIT 1),
+       |lat AS (SELECT version AS latest_version, mean_cos_fp AS latest_mean_cos_fp
+       |        FROM agg ORDER BY version DESC LIMIT 1)
+       |SELECT ref_version, ref_mean_cos_fp, latest_version, latest_mean_cos_fp,
+       |       (ref_mean_cos_fp > 0 AND latest_mean_cos_fp * 100 < ref_mean_cos_fp * 75)
+       |         AS rebuild_due
+       |FROM ref, lat
+       |ORDER BY ref_version""".stripMargin) { (s, d) =>
+    val dir = ivfAppendedIndex(s, d)
+    writeCentroids(s, "v23_centroids", Ann.readIvfCentroids(s, dir))
+    Ann.ivfDriftVerdict(s, dir, rebuildDropPct = 25).orderBy(col("ref_version"))
+  }
+
   /** Build-then-DELETE cache backing [[v22IvfDelete]]: committed index
     * over ALL embeddings (centroids trained on the full corpus — the
     * delete does not retrain, like every tick), then the
@@ -1071,5 +1114,5 @@ object Embedding {
     v9KnnPq, v10KnnIvfPq, v11IvfServed, v12IvfPqServed, v13KnnLshAmplified,
     v14SemDedup, v15HardNegatives, v16KnnSq8, v17RandomProjection,
     v18ClusterSample, v19IvfAppend, v20VecClusters, v21IvfDrift,
-    v22IvfDelete)
+    v22IvfDelete, v23IvfDriftVerdict)
 }
