@@ -599,7 +599,7 @@ object Dedup {
   /** Shared pairing stage of the cross-corpus kernels: one shuffle on
     * (band, bucket), boundary-only pairing (new×new / ref×ref never
     * form), canonical-band single emission. */
-  private def acrossPairs(
+  private[operators] def acrossPairs(
       rows: Dataset[(Int, Long, Long, Array[Long], Array[Long], Boolean)],
       threshold: Double, maxBucket: Int = Int.MaxValue,
       skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
@@ -697,7 +697,7 @@ object Dedup {
   /** Band rows fanned back out from persisted [[minhashDocIndex]] rows —
     * bucket = bhs(b), the same value [[minhashBandRowsOf]] assigns, so
     * index-derived and text-derived rows bucket identically. */
-  private def indexBandRows(index: DataFrame, bands: Int,
+  private[operators] def indexBandRows(index: DataFrame, bands: Int,
       isNew: Boolean): Dataset[(Int, Long, Long, Array[Long], Array[Long], Boolean)] = {
     val spark = index.sparkSession
     import spark.implicits._

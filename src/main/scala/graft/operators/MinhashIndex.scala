@@ -1,0 +1,324 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The THIRD committed standing-index lifecycle: the minhash/LSH
+  * signature index behind cross-corpus near-dup gating, promoted from
+  * a caller-persisted frame ([[Dedup.minhashDocIndex]] +
+  * [[Dedup.minhashIndexAdmit]], the t29/t49 deployment split) to the
+  * same crash-atomic, exactly-once, versioned-manifest lifecycle the
+  * BM25 term-bucket index and the IVF cell index run
+  * ([[ManifestIO]]): BUILD writes signature rows under a committed
+  * manifest, ADMIT gates an arriving batch and appends only the
+  * non-duplicates as one committed tick, GATE serves probe batches
+  * from the committed rows, DELETE takes documents back out
+  * bucket-locally, VACUUM retires superseded history — all with one
+  * atomic CURRENT rename per tick and the per-app txn LEDGER for
+  * streaming maintenance.
+  *
+  * Layout under the index dir:
+  *   data/<v>/rows/bucket=<b>/…   signature rows (sid, gs, bhs) written
+  *                                by tick v, partitioned by
+  *                                bucket = pmod(xxhash64(sid), buckets)
+  *   manifest/v<v>.txt            version, buckets, minhash params
+  *                                (n:bands:rowsPerBand — serve and
+  *                                admit read the SIGNATURE SCHEME from
+  *                                the index, so a caller cannot probe
+  *                                with mismatched hashing), per-bucket
+  *                                contributing-version lists
+  *                                (ACCRETIVE, like IVF cells), txns
+  *   CURRENT                      the committed version
+  *
+  * WHY sid-hash buckets when the GATE cannot prune on them (LSH band
+  * buckets are a different key): the bucket is the DELETE tick's
+  * rewrite unit. A takedown request carries document ids; sid→bucket
+  * is a pure function, so — unlike [[Bm25.deleteByIds]]'s full-scan
+  * locate — the minhash delete reads and rewrites ONLY the requests'
+  * buckets (~1/B of the index per batch) with no scan at all. The
+  * gate reads all signature rows column-pruned per probe batch, the
+  * documented t29 cost model (signature rows are ~8·|shingles| bytes,
+  * not text).
+  */
+object MinhashIndex {
+
+  /** Committed index state: minhash params ride the manifest so every
+    * reader/writer derives the signature scheme from the index. */
+  final case class Manifest(version: Long, buckets: Int, n: Int,
+      bands: Int, rowsPerBand: Int, bucketVersions: Map[Int, Seq[Long]],
+      txns: Map[String, Long] = Map.empty)
+
+  private def render(m: Manifest): String = {
+    val bv = m.bucketVersions.toSeq.sortBy(_._1)
+      .map { case (b, vs) => s"$b:${vs.mkString("|")}" }.mkString(",")
+    s"version=${m.version}\nbuckets=${m.buckets}\n" +
+      s"params=${m.n}:${m.bands}:${m.rowsPerBand}\n" +
+      s"bucketVersions=$bv\n" + ManifestIO.renderTxns(m.txns)
+  }
+
+  private def parse(text: String): Manifest = {
+    val kv = text.linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    val Array(n, bands, rpb) = kv("params").split(":").map(_.toInt)
+    val bv = kv("bucketVersions").split(",").filter(_.nonEmpty).map { e =>
+      val Array(b, vs) = e.split(":")
+      b.toInt -> vs.split("\\|").map(_.toLong).toSeq
+    }.toMap
+    Manifest(kv("version").toLong, kv("buckets").toInt, n, bands, rpb, bv,
+      ManifestIO.parseTxns(kv))
+  }
+
+  /** The committed manifest — every reader's one CURRENT read. */
+  def readManifest(spark: SparkSession, dir: String): Manifest =
+    parse(ManifestIO.readCurrent(spark, dir, "minhash index")._2)
+
+  private def bucketOf(buckets: Int) =
+    pmod(xxhash64(col("sid")), lit(buckets)).cast("int").as("bucket")
+
+  /** The committed signature rows (sid, gs, bhs, bucket), each wanted
+    * bucket read from the explicit data-version paths its manifest
+    * entry lists; with `onlyBuckets` the others are never listed (the
+    * delete tick's partition pruning, made literal). */
+  def readRowsAt(spark: SparkSession, dir: String, m: Manifest,
+      onlyBuckets: Option[Set[Int]] = None): DataFrame = {
+    val wanted = onlyBuckets match {
+      case Some(bs) => m.bucketVersions.filter { case (b, _) => bs(b) }
+      case None => m.bucketVersions
+    }
+    val byVer = wanted.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    if (byVer.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "sid BIGINT, gs ARRAY<BIGINT>, bhs ARRAY<BIGINT>, bucket INT"))
+    } else {
+      byVer.map { case (v, bs) =>
+        spark.read.option("basePath", s"$dir/data/$v/rows")
+          .parquet(bs.map(_._2).sorted.map(b => s"$dir/data/$v/rows/bucket=$b"): _*)
+          .select(col("sid"), col("gs"), col("bhs"),
+            col("bucket").cast("int").as("bucket"))
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** [[readRowsAt]] against a fresh CURRENT read. */
+  def readRows(spark: SparkSession, dir: String,
+      onlyBuckets: Option[Set[Int]] = None): DataFrame =
+    readRowsAt(spark, dir, readManifest(spark, dir), onlyBuckets)
+
+  /** BUILD (or offline rebuild): compute the corpus's signature rows
+    * once ([[Dedup.minhashDocIndex]] — docs with < n tokens have no
+    * shingle set, hence no row, the family's totality convention),
+    * write them sid-bucket-partitioned under a fresh data version,
+    * commit with one CURRENT rename. A rebuild over a committed index
+    * allocates committed+1 and carries the txn ledger forward, like
+    * its two siblings. */
+  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
+      n: Int, bands: Int, rowsPerBand: Int,
+      buckets: Int = Bm25.IndexBuckets): Unit = {
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    val spark = docs.sparkSession
+    val (ver, priorTxns): (Long, Map[String, Long]) = {
+      val f = ManifestIO.fs(spark, dir)
+      if (f.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT"))) {
+        val m0 = readManifest(spark, dir)
+        (m0.version + 1, m0.txns)
+      } else (1L, Map.empty[String, Long])
+    }
+    ManifestIO.guardSlot(spark, dir, ver)
+    Dedup.minhashDocIndex(docs, idCol, textCol, n, bands, rowsPerBand)
+      .select(col("sid"), col("gs"), col("bhs"), bucketOf(buckets))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/data/$ver/rows")
+    val present = ManifestIO.partitionIds(spark, s"$dir/data/$ver/rows", "bucket=")
+      .map(_ -> Seq(ver)).toMap
+    ManifestIO.commit(spark, dir, ver,
+      render(Manifest(ver, buckets, n, bands, rowsPerBand, present, priorTxns)))
+  }
+
+  /** GATE (serve): which batch documents near-duplicate the committed
+    * corpus — [[Dedup.minhashLshPairsAcrossIndexed]] against the
+    * committed signature rows, one pinned manifest for the whole
+    * probe. Emits (da = batch id, db = committed id, jaccard ≥
+    * `threshold`); the signature scheme comes from the manifest. */
+  def gate(spark: SparkSession, dir: String, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val m = readManifest(spark, dir)
+    Dedup.minhashLshPairsAcrossIndexed(newDocs, readRowsAt(spark, dir, m),
+      idCol, textCol, m.n, m.bands, m.rowsPerBand, threshold, maxBucket)
+  }
+
+  /** ADMISSION tick — the committed form of
+    * [[Dedup.minhashIndexAdmit]]: gate the batch against the committed
+    * rows, ADMIT every batch doc with no qualifying near-dup (and no
+    * replayed sid — the same defense), and append the admitted docs'
+    * signature rows as ONE committed tick (new data version accreting
+    * onto the touched buckets' version lists + one CURRENT rename,
+    * `txn`-capable for exactly-once streaming). Returns the per-doc
+    * verdicts (sid, admitted, n_ref_matches) — computed and pinned
+    * BEFORE the commit, so a caller routing admitted docs downstream
+    * and the index always agree. The batch pays one tokenize+minhash
+    * scan ([[Dedup.minhashDocIndex]], pinned); the committed side is a
+    * column-pruned signature read. */
+  final case class Admission(decisions: DataFrame, appended: Long)
+
+  def admit(spark: SparkSession, dir: String, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      maxBucket: Int = Int.MaxValue): Admission =
+    admitHooked(spark, dir, newDocs, idCol, textCol, threshold, maxBucket,
+      crashPoint = 0)
+
+  /** [[admit]] carrying a writer transaction (appId, epoch) — a
+    * re-delivered epoch returns the no-op verdict frame (nothing
+    * admitted twice); see [[ManifestIO.txnAlreadyApplied]]. */
+  def admitTxn(spark: SparkSession, dir: String, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      appId: String, epoch: Long, maxBucket: Int = Int.MaxValue,
+      onDecisions: DataFrame => Unit = _ => ()): Admission =
+    admitHooked(spark, dir, newDocs, idCol, textCol, threshold, maxBucket,
+      crashPoint = 0, txn = Some((appId, epoch)), onDecisions = onDecisions)
+
+  /** [[admit]] with the standard injectable writer-death points
+    * (1 = after the data write; 2 = after manifest, before flip). */
+  private[graft] def admitHooked(spark: SparkSession, dir: String,
+      newDocs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      maxBucket: Int, crashPoint: Int,
+      txn: Option[(String, Long)] = None,
+      onDecisions: DataFrame => Unit = _ => ()): Admission = {
+    import spark.implicits._
+    val m = readManifest(spark, dir)
+    val emptyDecisions = Seq.empty[(Long, Boolean, Long)]
+      .toDF("sid", "admitted", "n_ref_matches")
+    if (ManifestIO.txnAlreadyApplied(m.txns, txn))
+      return Admission(emptyDecisions, 0L) // retried epoch: already committed
+    val newVer = m.version + 1
+    // ONE tokenize+minhash scan of the batch, pinned: the gate probe,
+    // the verdicts and the admitted-subset write all see the same rows
+    val batchIndex = Dedup.minhashDocIndex(newDocs, idCol, textCol,
+      m.n, m.bands, m.rowsPerBand).localCheckpoint(true)
+    if (batchIndex.isEmpty) return Admission(emptyDecisions, 0L)
+    val committed = readRowsAt(spark, dir, m)
+    val gatePairs = Dedup.acrossPairs(
+      Dedup.indexBandRows(batchIndex, m.bands, isNew = true)
+        .unionAll(Dedup.indexBandRows(committed, m.bands, isNew = false)),
+      threshold, maxBucket)
+    val matches = gatePairs.groupBy(col("da").as("sid"))
+      .agg(count(lit(1)).as("n_ref_matches"))
+    // a replayed sid (already committed) pairs with nothing through the
+    // same-id guard; its verdict must still be admitted=false or the
+    // caller would double-ingest it — the minhashIndexAdmit defense,
+    // kept verbatim on the committed rail
+    val replayed = committed.select(col("sid")).distinct()
+      .withColumn("replayed", lit(true))
+    // decisions are batch-sized and consumed twice (returned + the
+    // admitted-subset anti-join): pin them so verdicts and the written
+    // rows cannot diverge
+    val decisions = batchIndex.select(col("sid"))
+      .join(matches, Seq("sid"), "left")
+      .join(replayed, Seq("sid"), "left")
+      .select(col("sid"),
+        (col("n_ref_matches").isNull && col("replayed").isNull).as("admitted"),
+        coalesce(col("n_ref_matches"), lit(0L)).as("n_ref_matches"))
+      .localCheckpoint(true)
+    // the verdict sink runs BEFORE the commit: a writer dying between
+    // the two re-delivers the epoch, recomputes the identical verdicts
+    // against the unchanged committed state and rewrites them — dying
+    // after the commit leaves them already written; either way the
+    // epoch's verdicts survive (the streaming sink's exactly-once
+    // pairing of decisions dir + txn ledger)
+    onDecisions(decisions)
+    val admittedRows = batchIndex
+      .join(decisions.filter(col("admitted")).select(col("sid")), Seq("sid"))
+      .select(col("sid"), col("gs"), col("bhs"), bucketOf(m.buckets))
+    val appended = admittedRows.count()
+    if (appended == 0L) return Admission(decisions, 0L) // nothing admitted: index already post-tick
+    ManifestIO.guardSlot(spark, dir, newVer)
+    admittedRows.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/data/$newVer/rows")
+    if (crashPoint == 1) return Admission(decisions, appended)
+    val touched = ManifestIO.partitionIds(spark, s"$dir/data/$newVer/rows", "bucket=")
+    val newBuckets = m.bucketVersions ++ touched.map(b =>
+      b -> (m.bucketVersions.getOrElse(b, Seq.empty) :+ newVer))
+    val body = render(Manifest(newVer, m.buckets, m.n, m.bands, m.rowsPerBand,
+      newBuckets, ManifestIO.mergeTxn(m.txns, txn)))
+    if (crashPoint == 2) {
+      ManifestIO.writeManifestOnly(spark, dir, newVer, body)
+      return Admission(decisions, appended)
+    }
+    ManifestIO.commit(spark, dir, newVer, body)
+    Admission(decisions, appended)
+  }
+
+  /** DELETE tick — id-only takedown with NO scan at all: sid→bucket is
+    * a pure function (pmod(xxhash64(sid), buckets)), so only the
+    * requests' buckets are read, anti-joined and consolidated into the
+    * new version (~1/B of the index per batch — better locality than
+    * either sibling's id-only path). Ids never ingested match nothing;
+    * a bucket emptied by the delete leaves the manifest; superseded
+    * version history is the next vacuum's food. CRASH-ATOMIC +
+    * exactly-once like every tick. */
+  def deleteByIds(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    deleteByIdsHooked(spark, dir, ids, crashPoint = 0)
+
+  /** [[deleteByIds]] carrying a writer transaction. */
+  def deleteByIdsTxn(spark: SparkSession, dir: String, ids: DataFrame,
+      appId: String, epoch: Long): Unit =
+    deleteByIdsHooked(spark, dir, ids, crashPoint = 0,
+      txn = Some((appId, epoch)))
+
+  /** [[deleteByIds]] with the standard injectable writer-death points. */
+  private[graft] def deleteByIdsHooked(spark: SparkSession, dir: String,
+      ids: DataFrame, crashPoint: Int,
+      txn: Option[(String, Long)] = None): Unit = {
+    val m = readManifest(spark, dir)
+    if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
+    val newVer = m.version + 1
+    val delIds = ids.select(col("sid").cast("long").as("sid"))
+      .distinct().localCheckpoint(true)
+    if (delIds.isEmpty) return
+    // the requests' buckets by the pure sid→bucket function — no scan
+    // participates in locating the CANDIDATE buckets; one read of just
+    // those buckets then confirms which actually hold a matching row,
+    // so ids never ingested (or already deleted) commit nothing — the
+    // re-delete-proof contract, at candidate-buckets cost (~1/B)
+    val candidates = delIds.select(bucketOf(m.buckets))
+      .distinct().collect().map(_.getInt(0)) // ≤ bucket count values
+      .filter(m.bucketVersions.contains)
+    if (candidates.isEmpty) return // no materialized bucket can hold these ids
+    val touched = readRowsAt(spark, dir, m, Some(candidates.toSet))
+      .join(delIds, Seq("sid"), "left_semi")
+      .select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)) // ≤ candidate count values
+    if (touched.isEmpty) return // no id matched: the index already is the post-tick state
+    ManifestIO.guardSlot(spark, dir, newVer)
+    readRowsAt(spark, dir, m, Some(touched.toSet))
+      .join(delIds, Seq("sid"), "left_anti")
+      .select(col("sid"), col("gs"), col("bhs"), col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/data/$newVer/rows")
+    if (crashPoint == 1) return
+    val present =
+      ManifestIO.partitionIds(spark, s"$dir/data/$newVer/rows", "bucket=").toSet
+    val newBuckets = (m.bucketVersions -- touched) ++ present.map(_ -> Seq(newVer))
+    val body = render(Manifest(newVer, m.buckets, m.n, m.bands, m.rowsPerBand,
+      newBuckets, ManifestIO.mergeTxn(m.txns, txn)))
+    if (crashPoint == 2) {
+      ManifestIO.writeManifestOnly(spark, dir, newVer, body)
+      return
+    }
+    ManifestIO.commit(spark, dir, newVer, body)
+  }
+
+  /** VACUUM tick: retire data versions and manifests the committed
+    * manifest no longer references ([[ManifestIO.vacuum]] semantics —
+    * single-writer maintenance, grace counted in versions). Admissions
+    * accrete (nothing superseded until a delete consolidates or a
+    * rebuild replaces); deletes and rebuilds feed this. */
+  def vacuum(spark: SparkSession, dir: String,
+      graceVersions: Long = 2L): Seq[Long] = {
+    val m = readManifest(spark, dir)
+    ManifestIO.vacuum(spark, dir, m.version,
+      m.bucketVersions.values.flatten.toSet + m.version, graceVersions)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Components, Dedup, Layout, Prefix}
+import graft.operators.{Components, Dedup, Layout, MinhashIndex, Prefix}
 
 /** Text-analysis + dedup operator surface over the `documents` table —
   * the training-data-pipeline half of the engine (BASELINE.json
@@ -417,6 +417,70 @@ object Text {
       Dedup.minhashLshPairsAcrossIndexed(docs.filter(m === 2),
         adm.updatedIndex, "doc_id", "text",
         ShingleN, Bands, RowsPerBand, JaccardThreshold)
+        .orderBy(col("da"), col("db"))
+    }
+
+  /** Oracle for [[t58MinhashLifecycle]] — the COMMITTED minhash index's
+    * full lifecycle in one hash: build over the standing corpus
+    * (doc_id % 7 ∉ {1, 2}), ADMIT batch A (≡ 1) as a committed tick
+    * (gated against the index AS OF ADMISSION TIME, which still
+    * includes the % 7 = 3 slice), then DELETE the % 7 = 3 slice by
+    * bare ids (bucket-local consolidation), then GATE batch B (≡ 2)
+    * against what remains. B's pair set is sensitive to every step:
+    * a wrong admission verdict, a survivor of the delete, or a lost
+    * row from an untouched bucket each changes which pairs exist. */
+  private lazy val minhashLifecycleSql: String = {
+    s"""WITH $minhashBandCtes,
+       |candA AS (
+       |  SELECT DISTINCT a.sid AS da, b.sid AS db
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.sid % 7 = 1 AND b.sid % 7 NOT IN (1, 2)),
+       |interA AS (
+       |  SELECT da, db, count(*) AS i
+       |  FROM candA JOIN sh sa ON sa.sid = da JOIN sh sb ON sb.sid = db AND sb.g = sa.g
+       |  GROUP BY 1, 2),
+       |flaggedA AS (
+       |  SELECT DISTINCT da FROM interA
+       |  JOIN sizes za ON da = za.sid JOIN sizes zb ON db = zb.sid
+       |  WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= $JaccardThreshold),
+       |candB AS (
+       |  SELECT DISTINCT a.sid AS da, b.sid AS db
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.sid % 7 = 2 AND (b.sid % 7 NOT IN (1, 2, 3)
+       |     OR (b.sid % 7 = 1 AND b.sid NOT IN (SELECT da FROM flaggedA)))),
+       |interB AS (
+       |  SELECT da, db, count(*) AS i
+       |  FROM candB JOIN sh sa ON sa.sid = da JOIN sh sb ON sb.sid = db AND sb.g = sa.g
+       |  GROUP BY 1, 2)
+       |SELECT da, db, CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+       |FROM interB JOIN sizes za ON da = za.sid JOIN sizes zb ON db = zb.sid
+       |WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= $JaccardThreshold
+       |ORDER BY da, db""".stripMargin
+  }
+
+  /** The COMMITTED minhash-index lifecycle
+    * ([[graft.operators.MinhashIndex]]) — t49's admission tick promoted
+    * to the same crash-atomic versioned-manifest rail as the BM25 and
+    * IVF indexes, exercised end-to-end: build → committed admission of
+    * batch A → id-only bucket-local DELETE of the % 7 = 3 slice →
+    * serve batch B's gate from the committed rows. One hash pins the
+    * whole chain (see [[minhashLifecycleSql]]). */
+  val t58MinhashLifecycle: Q =
+    Q("t58_minhash_lifecycle", minhashLifecycleSql) { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      val m = col("doc_id") % 7
+      val dir = s"/tmp/graft_mh_index_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      if (!new java.io.File(s"$dir/CURRENT").exists()) {
+        MinhashIndex.build(docs.filter(m =!= 1 && m =!= 2), "doc_id", "text",
+          dir, ShingleN, Bands, RowsPerBand)
+        MinhashIndex.admit(s, dir, docs.filter(m === 1), "doc_id", "text",
+          JaccardThreshold)
+        MinhashIndex.deleteByIds(s, dir,
+          docs.filter(m === 3).select(col("doc_id").as("sid")))
+      }
+      MinhashIndex.gate(s, dir, docs.filter(m === 2), "doc_id", "text",
+        JaccardThreshold)
         .orderBy(col("da"), col("db"))
     }
 
@@ -1013,5 +1077,5 @@ object Text {
     t14DupClusters, t15SequencePack, t16Profile, t23CrossDedup,
     t29CrossDedupServed, t30CurateE2e, t39GopherGates, t42TextNormalize,
     t43CmsCounts, t44HllDistinct, t45HeavyHitters, t46Quantiles,
-    t47HllBySource, t49IndexAdmit, t52LeakAudit)
+    t47HllBySource, t49IndexAdmit, t52LeakAudit, t58MinhashLifecycle)
 }

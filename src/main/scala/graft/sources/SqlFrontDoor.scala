@@ -592,6 +592,44 @@ object SqlFrontDoor {
         adm.updatedIndex.write.mode("overwrite").parquet(a(2))
         adm.decisions
       }),
+      // ── the COMMITTED minhash-index lifecycle (the third standing
+      // index: crash-atomic manifest commits, exactly-once txn rail —
+      // graft.operators.MinhashIndex; lsh_index_admit above is the
+      // uncommitted caller-persisted shape) ──
+      // minhash_index_build(corpus_path, index_dir, "n:bands:rpb"):
+      // signature scheme persists in the manifest; returns the receipt
+      ("minhash_index_build", 3, a => {
+        val Array(n, bands, rpb) = a(2).split(":").map(_.trim.toInt)
+        graft.operators.MinhashIndex.build(s.read.parquet(a.head),
+          "doc_id", "text", a(1), n, bands, rpb)
+        minhashManifestSummary(a(1))
+      }),
+      // minhash_index_gate(index_dir, docs_path, threshold): which batch
+      // docs near-dup the committed corpus — (da, db, jaccard >= t)
+      ("minhash_index_gate", 3, a =>
+        graft.operators.MinhashIndex.gate(s, a.head, s.read.parquet(a(1)),
+          "doc_id", "text", a(2).trim.toDouble)),
+      // minhash_index_admit(index_dir, docs_path, threshold): one
+      // committed admission tick — gate, append only the
+      // non-duplicates, return the per-doc verdicts
+      ("minhash_index_admit", 3, a =>
+        graft.operators.MinhashIndex.admit(s, a.head, s.read.parquet(a(1)),
+          "doc_id", "text", a(2).trim.toDouble).decisions),
+      // minhash_index_delete_ids(index_dir, ids_path): id-only takedown
+      // — sid→bucket is a pure function, so only the requests' buckets
+      // are read and consolidated (no scan); returns the receipt
+      ("minhash_index_delete_ids", 2, a => {
+        graft.operators.MinhashIndex.deleteByIds(s, a.head,
+          s.read.parquet(a(1)))
+        minhashManifestSummary(a.head)
+      }),
+      // minhash_index_vacuum(index_dir, grace_versions)
+      ("minhash_index_vacuum", 2, a => {
+        val sp = s
+        import sp.implicits._
+        graft.operators.MinhashIndex.vacuum(sp, a.head, a(1).trim.toLong)
+          .toDF("deleted_version")
+      }),
       // hybrid_rrf(corpus_path, queries_path, k_leg, k): hybrid
       // retrieval — BM25 lexical leg + exact-cosine vector leg over
       // one corpus, fused by integer Reciprocal-Rank Fusion
@@ -746,6 +784,18 @@ object SqlFrontDoor {
     Seq((m.version, m.cells, m.centroidsVersion,
       m.cellVersions.size.toLong)).toDF(
       "version", "cells", "centroids_version", "materialized_cells")
+  }
+
+  /** The committed minhash manifest as a 1-row receipt (the
+    * [[ivfManifestSummary]] analog for the third index). */
+  private def minhashManifestSummary(dir: String): DataFrame = {
+    val s = SparkSession.active
+    import s.implicits._
+    val m = graft.operators.MinhashIndex.readManifest(s, dir)
+    Seq((m.version, m.buckets, m.n, m.bands, m.rowsPerBand,
+      m.bucketVersions.size.toLong)).toDF(
+      "version", "buckets", "n", "bands", "rows_per_band",
+      "materialized_buckets")
   }
 
   private def tvfBuilder(name: String, nArgs: Int,

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{Ann, Bm25}
+import graft.operators.{Ann, Bm25, MinhashIndex}
 
 /** Streaming maintenance of the standing indexes — the ingest-time
   * form of the append ticks ([[Bm25.appendToIndex]],
@@ -167,5 +167,97 @@ object IndexMaintain {
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(ivfDeleteSink(dir, appId))
+      .start()
+
+  // ── id-only takedown streams: the fallback rail for request feeds
+  // that carry bare ids (the common legal opt-out shape) — one
+  // full-scan-locate, local-rewrite delete tick per micro-batch
+  // ([[graft.operators.Bm25.deleteByIds]] /
+  // [[graft.operators.Ann.ivfIndexDeleteByIds]]), exactly-once through
+  // the same txn ledger, re-delete-proof by construction (the stats /
+  // coverage derive from what the index actually holds, so an id
+  // already taken down in an earlier epoch folds to a no-op).
+
+  /** The BM25 id-only takedown sink: batch frame carries `idCol`. */
+  def bm25DeleteIdsSink(dir: String, idCol: String,
+      appId: String): (DataFrame, Long) => Unit =
+    (batch, epoch) =>
+      Bm25.deleteByIdsTxn(batch.sparkSession, dir, batch, idCol, appId, epoch)
+
+  /** Apply a streaming id-only takedown feed to a standing BM25 index. */
+  def takedownBm25ByIds(ids: DataFrame, dir: String, idCol: String,
+      appId: String, checkpoint: String): StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(bm25DeleteIdsSink(dir, idCol, appId))
+      .start()
+
+  /** The IVF id-only (strict) takedown sink: batch frame carries cid. */
+  def ivfDeleteIdsSink(dir: String, appId: String): (DataFrame, Long) => Unit =
+    (batch, epoch) =>
+      Ann.ivfIndexDeleteByIdsTxn(batch.sparkSession, dir, batch, appId, epoch)
+
+  /** Apply a streaming id-only takedown feed to a committed IVF index. */
+  def takedownIvfByIds(ids: DataFrame, dir: String, appId: String,
+      checkpoint: String): StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(ivfDeleteIdsSink(dir, appId))
+      .start()
+
+  // ── minhash-index maintenance: the third committed lifecycle on the
+  // same rail ([[graft.operators.MinhashIndex]]) — each micro-batch of
+  // arriving documents runs one committed ADMISSION tick (gate against
+  // the committed corpus, append only the non-duplicates), with the
+  // per-doc verdicts landing under `decisionsDir/epoch=<id>` in
+  // overwrite mode (idempotent under re-delivery, the alarm-dir
+  // discipline) so a downstream router can act on them. Takedown
+  // requests run the sid-bucket-local delete tick.
+
+  /** The minhash admission foreachBatch sink body. */
+  def minhashSink(dir: String, idCol: String, textCol: String,
+      threshold: Double, appId: String, decisionsDir: String,
+      vacuumEvery: Int = 0,
+      graceVersions: Long = 2L): (DataFrame, Long) => Unit =
+    (batch, epoch) => {
+      // verdicts land from INSIDE the tick, before its commit: a crash
+      // on either side of the commit re-delivers the epoch and leaves
+      // the decisions dir correct (recomputed-and-rewritten before an
+      // uncommitted tick; already-written after a committed one, whose
+      // retry no-ops through the ledger without touching the dir)
+      MinhashIndex.admitTxn(batch.sparkSession, dir, batch,
+        idCol, textCol, threshold, appId, epoch,
+        onDecisions = d => d.write.mode("overwrite")
+          .parquet(s"$decisionsDir/epoch=$epoch"))
+      if (due(vacuumEvery, epoch))
+        MinhashIndex.vacuum(batch.sparkSession, dir, graceVersions)
+    }
+
+  /** Maintain a committed minhash index from a streaming document
+    * frame: one exactly-once admission tick per micro-batch, verdicts
+    * under `decisionsDir/epoch=<id>`. */
+  def maintainMinhash(docs: DataFrame, dir: String, idCol: String,
+      textCol: String, threshold: Double, appId: String,
+      decisionsDir: String, checkpoint: String, vacuumEvery: Int = 0,
+      graceVersions: Long = 2L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(minhashSink(dir, idCol, textCol, threshold, appId,
+        decisionsDir, vacuumEvery, graceVersions))
+      .start()
+
+  /** The minhash id-only takedown sink: batch frame carries `sid`. */
+  def minhashDeleteIdsSink(dir: String,
+      appId: String): (DataFrame, Long) => Unit =
+    (batch, epoch) =>
+      MinhashIndex.deleteByIdsTxn(batch.sparkSession, dir, batch, appId, epoch)
+
+  /** Apply a streaming id-only takedown feed to a committed minhash
+    * index (bucket-local: sid→bucket is a pure function, no scan). */
+  def takedownMinhashByIds(ids: DataFrame, dir: String, appId: String,
+      checkpoint: String): StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(minhashDeleteIdsSink(dir, appId))
       .start()
 }

@@ -298,6 +298,48 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(Ann.readIvfCells(spark, dir).count() == 0L)
   }
 
+  test("id-only takedown streams fold exactly-once into both indexes") {
+    import graft.streaming.IndexMaintain
+    // BM25: a bare-ids drop dir drives deleteByIds per micro-batch
+    val dir = Files.createTempDirectory("bm25tdids").toString
+    Bm25.buildIndex((keep ++ gone).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val dropDir = Files.createTempDirectory("bm25tdidsdrop").toString
+    gone.map(_._1).grouped(2).foreach(_.toDF("doc_id")
+      .coalesce(1).write.mode("append").parquet(dropDir))
+    val ckpt = Files.createTempDirectory("bm25tdidsckpt").toString
+    val qy = IndexMaintain.takedownBm25ByIds(
+      spark.readStream.schema("doc_id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(dropDir),
+      dir, "doc_id", appId = "bm25-tdids-spec", checkpoint = ckpt)
+    try assert(StreamSync.drain(qy) {
+      Bm25.readManifest(spark, dir).txns.get("bm25-tdids-spec").exists(_ >= 1L)
+    }) finally qy.stop()
+    val dirU = Files.createTempDirectory("bm25tdidsU").toString
+    Bm25.buildIndex(keep.toDF("doc_id", "text"), "doc_id", "text", dirU)
+    assert(Bm25.serveTopK(spark, dir, queries, 5).collect().map(_.toSeq).toSeq ==
+      Bm25.serveTopK(spark, dirU, queries, 5).collect().map(_.toSeq).toSeq)
+    assert(Bm25.readStats(spark, dir).select("n", "sdl").head().toSeq ==
+      Bm25.readStats(spark, dirU).select("n", "sdl").head().toSeq)
+
+    // IVF: the strict id-only stream removes every copy of each cid
+    val cents = Array.tabulate(4)(c => vec(c * 7 + 1).toArray)
+    val keepV = (100 until 130).map(i => (i.toLong, vec(i)))
+    val goneV = (10 until 20).map(i => (i.toLong, vec(i)))
+    val vdir = Files.createTempDirectory("ivftdids").toString
+    Ann.ivfIndexBuild((keepV ++ goneV).toDF("cid", "cvec"), vdir, cents)
+    val vdrop = Files.createTempDirectory("ivftdidsdrop").toString
+    goneV.map(_._1).toDF("cid").coalesce(1).write.mode("append").parquet(vdrop)
+    val vckpt = Files.createTempDirectory("ivftdidsckpt").toString
+    val qv = IndexMaintain.takedownIvfByIds(
+      spark.readStream.schema("cid LONG").parquet(vdrop),
+      vdir, "ivf-tdids-spec", vckpt)
+    try assert(StreamSync.drain(qv) {
+      Ann.readIvfManifest(spark, vdir).txns.contains("ivf-tdids-spec")
+    }) finally qv.stop()
+    assert(Ann.readIvfCells(spark, vdir).select(col("cid")).collect()
+      .map(_.getLong(0)).toSet == keepV.map(_._1).toSet)
+  }
+
   test("ivf: delete crash injection leaves readers unmoved") {
     val cents = Array.tabulate(4)(c => vec(c * 7 + 1).toArray)
     val dir = Files.createTempDirectory("ivfdelcrash").toString

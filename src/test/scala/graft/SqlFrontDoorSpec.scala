@@ -883,4 +883,48 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getString(0) == "http://x/a.png")
     assert(rows.head.getAs[Array[Byte]](1).toSeq == png.toSeq)
   }
+
+  test("committed minhash-index lifecycle from pure SQL") {
+    val dir = Files.createTempDirectory("graftsqlmh")
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val refP = dir.resolve("ref").toString
+    val batchP = dir.resolve("batch").toString
+    spark.read.parquet(docs).filter(col("doc_id") % 5 =!= 0)
+      .write.mode("overwrite").parquet(refP)
+    spark.read.parquet(docs).filter(col("doc_id") % 5 === 0)
+      .write.mode("overwrite").parquet(batchP)
+    val idx = dir.resolve("mhidx").toString
+    // build: the signature scheme rides the manifest receipt
+    val receipt = spark.sql(
+      s"SELECT * FROM minhash_index_build('$refP', '$idx', '3:4:4')")
+      .collect().head
+    assert(receipt.getAs[Long]("version") == 1L &&
+      receipt.getAs[Int]("n") == 3 && receipt.getAs[Int]("bands") == 4)
+    // gate from the committed rows == the recompute-both-sides kernel
+    val gateSql =
+      s"SELECT da, db, jaccard FROM minhash_index_gate('$idx', '$batchP', '0.5') ORDER BY da, db"
+    val direct = spark.sql(
+      s"SELECT da, db, jaccard FROM cross_dedup('$batchP', '$refP') ORDER BY da, db")
+      .collect().map(_.toSeq).toSeq
+    assert(spark.sql(gateSql).collect().map(_.toSeq).toSeq == direct &&
+      direct.nonEmpty)
+    // one committed admission tick: near-dups rejected, the rest appended
+    val dec = spark.sql(
+      s"SELECT * FROM minhash_index_admit('$idx', '$batchP', '0.5')").collect()
+    val flagged = direct.map(_.head).toSet
+    assert(dec.nonEmpty && dec.forall(r =>
+      r.getAs[Boolean]("admitted") == !flagged.contains(r.getAs[Long]("sid"))))
+    // id-only takedown of the admitted batch: gate == the original index
+    val idsP = dir.resolve("ids").toString
+    spark.read.parquet(batchP).selectExpr("doc_id AS sid")
+      .write.mode("overwrite").parquet(idsP)
+    val after = spark.sql(
+      s"SELECT * FROM minhash_index_delete_ids('$idx', '$idsP')").collect().head
+    assert(after.getAs[Long]("version") == 3L)
+    assert(spark.sql(gateSql).collect().map(_.toSeq).toSeq == direct)
+    // the consolidated admission history vacuums away
+    assert(spark.sql(s"SELECT count(*) FROM minhash_index_vacuum('$idx', '0')")
+      .collect().head.getLong(0) >= 1L)
+    assert(spark.sql(gateSql).collect().map(_.toSeq).toSeq == direct)
+  }
 }
