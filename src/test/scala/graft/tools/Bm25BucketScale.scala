@@ -84,6 +84,19 @@ object Bm25BucketScale {
       val md = graft.operators.Bm25.readManifest(spark, dir)
       val delRewritten = md.bucketVersions.count(_._2 == md.version)
       val delBytes = dirBytes(s"$dir/data/${md.version}/postings")
+      // the ID-ONLY fallback (round 15): re-append the batch, then take
+      // it back out by bare ids — pays one full-index SCAN to locate
+      // (scanned_kb = the committed postings mass) but the same
+      // bucket-granular REWRITE (only buckets that held the docs)
+      graft.operators.Bm25.appendToIndex(spark, dir, batch, "doc_id", "text")
+      val mPre = graft.operators.Bm25.readManifest(spark, dir)
+      val scannedKb = mPre.bucketVersions.map { case (b, v) =>
+        dirBytes(s"$dir/data/$v/postings/bucket=$b") }.sum / 1024
+      val delIdsT = time(graft.operators.Bm25.deleteByIds(spark, dir,
+        batch.select(col("doc_id")), "doc_id"))
+      val mIds = graft.operators.Bm25.readManifest(spark, dir)
+      val idsRewritten = mIds.bucketVersions.count(_._2 == mIds.version)
+      val idsBytes = dirBytes(s"$dir/data/${mIds.version}/postings")
       val q = queryTerms.toDF("qid", "term")
       val served = graft.operators.Bm25.serveTopK(spark, dir, q, 10)
       val serveT = med(Seq.fill(3)(time(served.count())))
@@ -97,6 +110,8 @@ object Bm25BucketScale {
         f"rewrite_kb=${rewriteBytes / 1024}%6d of_total_kb=${totalBytes / 1024}%6d " +
         f"delete=$deleteT%5.1fs del_rewritten=$delRewritten%3d " +
         f"del_kb=${delBytes / 1024}%6d " +
+        f"del_ids=$delIdsT%5.1fs ids_rewritten=$idsRewritten%3d " +
+        f"ids_kb=${idsBytes / 1024}%6d scanned_kb=$scannedKb%6d " +
         f"serve=$serveT%5.2fs listed_buckets=$listedBuckets%3d " +
         f"listed_kb=${listedBytes / 1024}%5d")
     }
