@@ -213,13 +213,18 @@ object Bm25 {
     * streaming maintenance). */
   final case class IndexManifest(version: Long, buckets: Int,
       statsVersion: Long, bucketVersions: Map[Int, Long],
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      docVersions: Map[Int, Long] = Map.empty)
 
   private def renderManifest(m: IndexManifest): String = {
     val bv = m.bucketVersions.toSeq.sortBy(_._1)
       .map { case (b, v) => s"$b:$v" }.mkString(",")
+    val dv =
+      if (m.docVersions.isEmpty) ""
+      else "docVersions=" + m.docVersions.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k:$v" }.mkString(",") + "\n"
     s"version=${m.version}\nbuckets=${m.buckets}\n" +
-      s"stats=${m.statsVersion}\nbucketVersions=$bv\n" +
+      s"stats=${m.statsVersion}\nbucketVersions=$bv\n" + dv +
       ManifestIO.renderTxns(m.txns)
   }
 
@@ -229,8 +234,15 @@ object Bm25 {
     val bv = kv("bucketVersions").split(",").filter(_.nonEmpty).map { e =>
       val Array(b, v) = e.split(":"); b.toInt -> v.toLong
     }.toMap
+    // docVersions is OPTIONAL: a manifest committed before the docmap
+    // existed parses to an empty map, and every reader treats that as
+    // "no reverse index" (deleteByIds falls back to its postings scan)
+    val dv = kv.get("docVersions").iterator
+      .flatMap(_.split(",")).filter(_.nonEmpty).map { e =>
+        val Array(k, v) = e.split(":"); k.toInt -> v.toLong
+      }.toMap
     IndexManifest(kv("version").toLong, kv("buckets").toInt, kv("stats").toLong, bv,
-      ManifestIO.parseTxns(kv))
+      ManifestIO.parseTxns(kv), dv)
   }
 
   /** Read the COMMITTED manifest — the index state every reader serves
@@ -270,6 +282,56 @@ object Bm25 {
           .parquet(bks.keys.toSeq.sorted.map(b => s"$dir/data/$v/postings/bucket=$b"): _*)
           .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"),
             col("bucket").cast("int").as("bucket"))
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** The doc→bucket REVERSE INDEX rows of one tick's documents — the
+    * scale path for id-only takedowns: one row per ingested doc
+    * (doc_id, dl, tbuckets = the distinct term buckets its tokens hash
+    * to), partitioned by dbucket = pmod(xxhash64(doc_id), buckets), so
+    * a takedown request's rows are found by a PURE FUNCTION of its ids
+    * (read ≤ |ids| dbucket dirs — no postings scan) and carry
+    * everything the tick needs: the term buckets to rewrite and the dl
+    * to roll stats by. Null-text docs get dl = 0 and an empty bucket
+    * set — which is exactly their contribution, so the id-only delete
+    * over a docmap'd index has NO zero-token blind spot. One narrow
+    * pass, no shuffle (array_distinct(transform(...)) folds in-task). */
+  private def docmapRows(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        coalesce(size(tokens(col(textCol))).cast("long"), lit(0L)).as("dl"),
+        coalesce(
+          array_distinct(transform(tokens(col(textCol)),
+            t => pmod(xxhash64(t), lit(buckets)).cast("int"))),
+          array().cast("array<int>")).as("tbuckets"))
+      .withColumn("dbucket", pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int"))
+
+  /** The committed docmap frame (doc_id, dl, tbuckets, dbucket), each
+    * wanted dbucket read from its owning version's path — dbuckets are
+    * single-owner like term buckets (appends REWRITE the batch's
+    * dbuckets with the union, deletes consolidate rows out), so
+    * superseded versions retire through the ordinary vacuum instead of
+    * being pinned by an ever-growing reference list. Empty for a
+    * pre-docmap legacy index. */
+  def readDocmapAt(spark: SparkSession, dir: String, m: IndexManifest,
+      onlyDbuckets: Option[Set[Int]] = None): DataFrame = {
+    val wanted = onlyDbuckets match {
+      case Some(ks) => m.docVersions.filter { case (k, _) => ks(k) }
+      case None => m.docVersions
+    }
+    val byVer = wanted.toSeq.map { case (k, v) => (v, k) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    if (byVer.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, dl BIGINT, tbuckets ARRAY<INT>, dbucket INT"))
+    } else {
+      byVer.map { case (v, ks) =>
+        spark.read.option("basePath", s"$dir/data/$v/docmap")
+          .parquet(ks.map(_._2).sorted.map(k => s"$dir/data/$v/docmap/dbucket=$k"): _*)
+          .select(col("doc_id"), col("dl"), col("tbuckets"),
+            col("dbucket").cast("int").as("dbucket"))
       }.reduce(_ unionByName _)
     }
   }
@@ -333,12 +395,19 @@ object Bm25 {
     rows.write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data/$ver/postings")
     dl.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$ver/stats")
+    // the doc→bucket reverse index rides every build (doc-sized — one
+    // row per doc, no per-term rows): id-only takedowns locate their
+    // work through it instead of scanning the postings
+    docmapRows(docs, idCol, textCol, buckets)
+      .write.partitionBy("dbucket").mode("overwrite").parquet(s"$dir/data/$ver/docmap")
     // only buckets that materialized get an owner (a tiny corpus at a
     // large bucket count leaves most buckets empty)
     val present = ManifestIO.partitionIds(spark, s"$dir/data/$ver/postings", "bucket=")
       .map(_ -> ver).toMap
+    val presentD = ManifestIO.partitionIds(spark, s"$dir/data/$ver/docmap", "dbucket=")
+      .map(_ -> ver).toMap
     ManifestIO.commit(spark, dir, ver,
-      renderManifest(IndexManifest(ver, buckets, ver, present, priorTxns)))
+      renderManifest(IndexManifest(ver, buckets, ver, present, priorTxns, presentD)))
   }
 
   /** Serve-path regime boundary: up to this many distinct query terms,
@@ -490,8 +559,20 @@ object Bm25 {
   def vacuumIndex(spark: SparkSession, dir: String,
       graceVersions: Long = 2L): Seq[Long] = {
     val m = readManifest(spark, dir)
+    // artifact-scoped pre-pass: the three artifacts supersede
+    // INDEPENDENTLY (an append can re-own every postings bucket while
+    // old dbuckets keep live docmap rows), so a version's superseded
+    // postings/stats mass reclaims even while its docmap keeps the
+    // version dir alive — without this, one live kilobyte of reverse
+    // map would pin gigabytes of dead postings
+    ManifestIO.vacuumArtifacts(spark, dir, m.version,
+      Map("postings" -> m.bucketVersions.values.toSet,
+        "docmap" -> m.docVersions.values.toSet,
+        "stats" -> Set(m.statsVersion)),
+      graceVersions)
     ManifestIO.vacuum(spark, dir, m.version,
-      m.bucketVersions.values.toSet + m.statsVersion + m.version, graceVersions)
+      m.bucketVersions.values.toSet ++ m.docVersions.values +
+        m.statsVersion + m.version, graceVersions)
   }
 
   /** APPEND tick of the standing-index lifecycle ([[buildIndex]]
@@ -611,11 +692,33 @@ object Bm25 {
         .toDF("n", "sdl")
     }
     statsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$newVer/stats")
+    // docmap maintenance: the batch's dbuckets REWRITE with the union
+    // of their existing rows and the batch's (single-owner dbuckets,
+    // the term-bucket discipline — superseded docmap files stay
+    // ordinary vacuum food instead of pinning old versions forever);
+    // each dbucket is ~1/B of a doc-sized artifact, so the rewrite is
+    // batch-bounded. Maintained iff the index HAS a docmap (or is
+    // empty — a fresh lifecycle starts one): accreting onto a
+    // pre-docmap legacy index would leave a map that silently misses
+    // every older doc, worse than no map at all.
+    val maintainDocmap = m.docVersions.nonEmpty || m.bucketVersions.isEmpty
+    val newDocVers = if (maintainDocmap) {
+      val batchRows = docmapRows(docs, idCol, textCol, m.buckets)
+      val candD = batchRows.select(col("dbucket")).distinct()
+        .collect().map(_.getInt(0)) // ≤ bucket count values
+      readDocmapAt(spark, dir, m, Some(candD.toSet.filter(m.docVersions.contains)))
+        .unionByName(batchRows)
+        .write.partitionBy("dbucket").mode("overwrite")
+        .parquet(s"$dir/data/$newVer/docmap")
+      val presentD =
+        ManifestIO.partitionIds(spark, s"$dir/data/$newVer/docmap", "dbucket=")
+      m.docVersions ++ presentD.map(_ -> newVer)
+    } else m.docVersions
     if (crashPoint == 1) return // simulated writer death: data written, nothing committed
     val newOwners = m.bucketVersions ++ touched.map(_ -> newVer)
     val body = renderManifest(
       IndexManifest(newVer, m.buckets, newVer, newOwners,
-        ManifestIO.mergeTxn(m.txns, txn)))
+        ManifestIO.mergeTxn(m.txns, txn), newDocVers))
     if (crashPoint == 2) {
       // simulated death between manifest write and CURRENT flip: the
       // manifest file exists but is unreferenced garbage
@@ -722,6 +825,27 @@ object Bm25 {
         .toDF("n", "sdl")
     }
     statsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$newVer/stats")
+    // docmap maintenance: the deleted docs' reverse-index rows leave
+    // their dbuckets (located by the pure id→dbucket function, read
+    // only those, consolidated into the new version)
+    val newDocVers = if (m.docVersions.nonEmpty) {
+      val delIds = delDl.select(col("doc_id"))
+      val candD = delDl
+        .select(pmod(xxhash64(col("doc_id")), lit(m.buckets)).cast("int").as("k"))
+        .distinct().collect().map(_.getInt(0)) // ≤ bucket count values
+        .filter(m.docVersions.contains)
+      if (candD.isEmpty) m.docVersions
+      else {
+        readDocmapAt(spark, dir, m, Some(candD.toSet))
+          .join(delIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("dl"), col("tbuckets"), col("dbucket"))
+          .write.partitionBy("dbucket").mode("overwrite")
+          .parquet(s"$dir/data/$newVer/docmap")
+        val presentD =
+          ManifestIO.partitionIds(spark, s"$dir/data/$newVer/docmap", "dbucket=").toSet
+        (m.docVersions -- candD) ++ presentD.map(_ -> newVer)
+      }
+    } else m.docVersions
     if (crashPoint == 1) return // simulated writer death: data written, nothing committed
     // a touched bucket that emptied never materialized under newVer —
     // it leaves the manifest entirely (no terms hash there anymore)
@@ -731,7 +855,7 @@ object Bm25 {
     val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> newVer)
     val body = renderManifest(
       IndexManifest(newVer, m.buckets, newVer, newOwners,
-        ManifestIO.mergeTxn(m.txns, txn)))
+        ManifestIO.mergeTxn(m.txns, txn), newDocVers))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return
@@ -739,41 +863,40 @@ object Bm25 {
     ManifestIO.commit(spark, dir, newVer, body)
   }
 
-  /** ID-ONLY takedown — the fallback for the real opt-out feed shape
+  /** ID-ONLY takedown — the real opt-out feed shape
     * ([[deleteFromIndex]] needs the document TEXT to locate its term
     * buckets; legal takedown requests often carry only ids/URLs).
     *
-    * COST CONTRAST, stated plainly: with no text there is no term to
-    * hash, so the tick must SCAN the whole committed postings index
-    * once to find the ids' rows (every bucket read — vs
-    * [[deleteFromIndex]] reading only the batch's term buckets, ~1/B
-    * of the index per term). The REWRITE stays local: only buckets
-    * that actually held a matched doc's postings rewrite, so a batch
-    * of niche documents still rewrites few buckets. At 100 TB the scan
-    * is the price of an id-only request; a deployment that takes
-    * id-only takedowns at volume should maintain a doc→bucket reverse
-    * index (one (doc_id, bucket) row per posting bucket per doc,
-    * id-hash-partitioned) and join the request against it — then the
-    * read collapses back to the affected buckets. This operator is the
-    * documented-cost fallback that needs no extra artifact.
+    * HOW THE WORK IS LOCATED: every index this lifecycle builds
+    * carries a doc→bucket REVERSE INDEX (the docmap — one
+    * (doc_id, dl, term-buckets) row per doc, partitioned by
+    * dbucket = pmod(xxhash64(doc_id), buckets) and maintained by
+    * build/append/delete ticks alike), so the requests' rows are
+    * found by a PURE FUNCTION of their ids: read ≤ |ids| dbucket
+    * dirs of a doc-sized artifact, then rewrite only the term buckets
+    * those docs actually used — NO postings scan at any corpus size.
+    * A pre-docmap legacy index dir falls back to ONE full postings
+    * scan to locate (the rewrite stays bucket-local either way), the
+    * documented legacy price.
     *
-    * WHAT ROLLS BACK derives from the INDEX, not the request: matched
-    * docs' dl rides denormalized on their postings rows, so (n, sdl)
-    * roll by exactly the docs the index actually held — ids never
-    * ingested, already deleted in an earlier epoch, or re-submitted
-    * within the batch roll NOTHING (re-delete-proof, unlike the
-    * text-carrying tick whose stats trust its batch). The one blind
-    * spot: a doc ingested with ZERO tokens left no postings rows, so
-    * an id-only request cannot see it — its (1, 0) stats contribution
-    * survives until a text-carrying delete or a rebuild (documented
-    * deviation from delete == rebuild; token-bearing docs, the
-    * entirety of real corpora, are exact).
+    * WHAT ROLLS BACK derives from the INDEX, not the request: the
+    * matched docs' dl comes off their docmap rows (legacy: off the
+    * denormalized postings rows), so (n, sdl) roll by exactly the
+    * docs the index actually held — ids never ingested, already
+    * deleted in an earlier epoch, or re-submitted within the batch
+    * roll NOTHING (re-delete-proof, unlike the text-carrying tick
+    * whose stats trust its batch). Null-text docs have a docmap row
+    * with dl = 0 and no term buckets, so even their (1, 0) stats
+    * contribution rolls back exactly; only the LEGACY scan path
+    * cannot see them (no postings rows — its documented deviation
+    * from delete == rebuild).
     *
     * Same lifecycle contract as every tick: delete == rebuild-over-
-    * remaining for token-bearing docs, emptied buckets leave the
-    * manifest, df recomputed inside the remaining union of touched
-    * buckets, CRASH-ATOMIC via new data version + one CURRENT rename,
-    * exactly-once under [[deleteByIdsTxn]]. */
+    * remaining, emptied buckets leave the manifest, df recomputed
+    * inside the remaining union of touched buckets, docmap rows
+    * consolidated out of their dbuckets, CRASH-ATOMIC via new data
+    * version + one CURRENT rename, exactly-once under
+    * [[deleteByIdsTxn]]. */
   def deleteByIds(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String): Unit =
     deleteByIdsHooked(spark, dir, ids, idCol, crashPoint = 0)
@@ -793,36 +916,55 @@ object Bm25 {
     val m = readManifest(spark, dir)
     if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
     val newVer = m.version + 1
-    // pin the request ids once (set semantics; the scan, the stats
+    // pin the request ids once (set semantics; the locate, the stats
     // roll and the anti-join must agree on one id set)
     val delIds = ids.select(col(idCol).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
     if (delIds.isEmpty) return // empty request: the index already is the post-tick state
-    // ONE full-index scan (the id-only price) finds the matched docs'
-    // postings; everything after derives from this doc-sized frame —
-    // per-doc dl via first() (constant per doc, denormalized on every
-    // row) and the touched-bucket plan
-    val matched = readPostingsAt(spark, dir, m)
-      .join(delIds, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(first(col("dl")).as("dl"), collect_set(col("bucket")).as("buckets"))
-      .localCheckpoint(true)
+    val hasDocmap = m.docVersions.nonEmpty
+    // LOCATE, two regimes, one doc-sized (doc_id, dl, buckets) frame:
+    //   - docmap (the scale path, any index this lifecycle built): the
+    //     requests' dbuckets are a PURE FUNCTION of their ids — read
+    //     ≤ |ids| dbucket dirs, no postings scan anywhere; dl comes
+    //     from the docmap row, so even a null-text doc's (1, 0) stats
+    //     contribution rolls back (no zero-token blind spot);
+    //   - legacy fallback (a pre-docmap index dir): ONE full postings
+    //     scan, per-doc dl via first() off the denormalized rows —
+    //     zero-token docs are invisible here (documented deviation).
+    val matched = (if (hasDocmap) {
+      val candD = delIds
+        .select(pmod(xxhash64(col("doc_id")), lit(m.buckets)).cast("int").as("k"))
+        .distinct().collect().map(_.getInt(0)) // ≤ bucket count values
+        .filter(m.docVersions.contains)
+      readDocmapAt(spark, dir, m, Some(candD.toSet))
+        .join(delIds, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(first(col("dl")).as("dl"), first(col("tbuckets")).as("buckets"))
+    } else {
+      readPostingsAt(spark, dir, m)
+        .join(delIds, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(first(col("dl")).as("dl"), collect_set(col("bucket")).as("buckets"))
+    }).localCheckpoint(true)
     val rm = matched
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .select(col("n"), col("sdl")).head()
     if (rm.getLong(0) == 0L) return // no id matched: nothing to remove, nothing to roll
     val touched = matched.select(explode(col("buckets")).as("bucket"))
       .distinct().collect().map(_.getInt(0)) // ≤ manifest bucket count values
+      .filter(m.bucketVersions.contains)
     ManifestIO.guardSlot(spark, dir, newVer)
-    val remaining = readPostingsAt(spark, dir, m, Some(touched.toSet))
-      .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
-      .join(delIds, Seq("doc_id"), "left_anti")
-    val winDf = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
-    remaining
-      .withColumn("df", count(lit(1)).over(winDf))
-      .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
-      .write.partitionBy("bucket")
-      .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
+    if (touched.nonEmpty) {
+      val remaining = readPostingsAt(spark, dir, m, Some(touched.toSet))
+        .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+        .join(delIds, Seq("doc_id"), "left_anti")
+      val winDf = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+      remaining
+        .withColumn("df", count(lit(1)).over(winDf))
+        .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
+        .write.partitionBy("bucket")
+        .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
+    }
     val old = readStatsAt(spark, dir, m).select(col("n"), col("sdl")).head()
     val statsDf = {
       import spark.implicits._
@@ -830,13 +972,29 @@ object Bm25 {
         .toDF("n", "sdl")
     }
     statsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$newVer/stats")
+    // docmap consolidation: the matched docs' rows leave their dbuckets
+    val newDocVers = if (hasDocmap) {
+      val matchedD = matched
+        .select(pmod(xxhash64(col("doc_id")), lit(m.buckets)).cast("int").as("k"))
+        .distinct().collect().map(_.getInt(0))
+        .filter(m.docVersions.contains)
+      readDocmapAt(spark, dir, m, Some(matchedD.toSet))
+        .join(delIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("dl"), col("tbuckets"), col("dbucket"))
+        .write.partitionBy("dbucket").mode("overwrite")
+        .parquet(s"$dir/data/$newVer/docmap")
+      val presentD =
+        ManifestIO.partitionIds(spark, s"$dir/data/$newVer/docmap", "dbucket=").toSet
+      (m.docVersions -- matchedD) ++ presentD.map(_ -> newVer)
+    } else m.docVersions
     if (crashPoint == 1) return // simulated writer death: data written, nothing committed
     val present =
-      ManifestIO.partitionIds(spark, s"$dir/data/$newVer/postings", "bucket=").toSet
+      if (touched.isEmpty) Set.empty[Int]
+      else ManifestIO.partitionIds(spark, s"$dir/data/$newVer/postings", "bucket=").toSet
     val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> newVer)
     val body = renderManifest(
       IndexManifest(newVer, m.buckets, newVer, newOwners,
-        ManifestIO.mergeTxn(m.txns, txn)))
+        ManifestIO.mergeTxn(m.txns, txn), newDocVers))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return

@@ -244,6 +244,40 @@ private[graft] object ManifestIO {
     dataDead.map(_._1).sorted
   }
 
+  /** ARTIFACT-scoped vacuum pre-pass, for indexes whose version dirs
+    * hold several artifacts with independent supersession (the BM25
+    * dir holds postings, stats AND the doc→bucket reverse map; a tick
+    * can re-own every postings bucket while old docmap dbuckets stay
+    * live): delete `data/<v>/<artifact>` SUBTREES whose version that
+    * artifact's reference set no longer contains, under the same
+    * grace rule as [[vacuum]] — so a version's multi-gigabyte
+    * superseded postings reclaim even while its kilobytes of live
+    * docmap rows keep the version dir itself alive. Returns the
+    * deleted (artifact, version) pairs; run the whole-version
+    * [[vacuum]] after it to retire dirs with nothing left referenced. */
+  def vacuumArtifacts(spark: SparkSession, dir: String, currentVersion: Long,
+      artifactRefs: Map[String, Set[Long]],
+      graceVersions: Long): Seq[(String, Long)] = {
+    require(graceVersions >= 0, s"graceVersions must be >= 0, got $graceVersions")
+    val f = fs(spark, dir)
+    val cutoff = currentVersion - 1 - graceVersions
+    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+    if (!f.exists(dataPath)) return Seq.empty
+    val out = Seq.newBuilder[(String, Long)]
+    f.listStatus(dataPath).foreach { st =>
+      scala.util.Try(st.getPath.getName.toLong).toOption.foreach { v =>
+        if (v <= cutoff) artifactRefs.foreach { case (art, refs) =>
+          val sub = new org.apache.hadoop.fs.Path(st.getPath, art)
+          if (!refs(v) && f.exists(sub)) {
+            f.delete(sub, true)
+            out += ((art, v))
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Partition subdirectory names of `dataDir` with the given partition
     * column prefix, e.g. `bucket=` → the bucket ids materialized by a
     * write (partitionBy skips empty partitions). */

@@ -298,6 +298,73 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(Ann.readIvfCells(spark, dir).count() == 0L)
   }
 
+  test("docmap: every tick maintains the reverse index; id-only delete is scan-free and null-text-exact") {
+    val withNull = keep ++ gone :+ (99L, null.asInstanceOf[String])
+    val dir = Files.createTempDirectory("bm25docmap").toString
+    Bm25.buildIndex(withNull.toDF("doc_id", "text"), "doc_id", "text", dir,
+      buckets = 64)
+    def docmap(d: String) = Bm25.readDocmapAt(spark, d, Bm25.readManifest(spark, d))
+    // build writes one row per doc, null-text docs included (dl 0, no buckets)
+    val built = docmap(dir).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2).toSet))).toMap
+    assert(built.keySet == withNull.map(_._1).toSet)
+    assert(built(99L) == ((0L, Set.empty[Int])))
+    assert(built(1L)._1 == 4L && built(1L)._2.nonEmpty)
+    // append accretes; text-carrying delete consolidates rows out
+    Bm25.appendToIndex(spark, dir, Seq((200L, "papaya papaya")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(docmap(dir).filter(col("doc_id") === 200L).count() == 1L)
+    Bm25.deleteFromIndex(spark, dir, gone.toDF("doc_id", "text"), "doc_id", "text")
+    assert(docmap(dir).select(col("doc_id")).collect().map(_.getLong(0)).toSet ==
+      keep.map(_._1).toSet + 99L + 200L)
+    // id-only delete of the NULL-TEXT doc: its (1, 0) stats contribution
+    // rolls back exactly — the blind spot the docmap closes
+    val preStats = Bm25.readStats(spark, dir).select("n", "sdl").head()
+    Bm25.deleteByIds(spark, dir, Seq(99L).toDF("doc_id"), "doc_id")
+    val postStats = Bm25.readStats(spark, dir).select("n", "sdl").head()
+    assert(postStats.getLong(0) == preStats.getLong(0) - 1L &&
+      postStats.getLong(1) == preStats.getLong(1))
+    // delete == rebuild over the remainder, through the docmap path
+    Bm25.deleteByIds(spark, dir, Seq(200L).toDF("doc_id"), "doc_id")
+    val dirU = Files.createTempDirectory("bm25docmapU").toString
+    Bm25.buildIndex(keep.toDF("doc_id", "text"), "doc_id", "text", dirU, buckets = 64)
+    assert(Bm25.serveTopK(spark, dir, queries, 5).collect().map(_.toSeq).toSeq ==
+      Bm25.serveTopK(spark, dirU, queries, 5).collect().map(_.toSeq).toSeq)
+    assert(Bm25.readStats(spark, dir).select("n", "sdl").head().toSeq ==
+      Bm25.readStats(spark, dirU).select("n", "sdl").head().toSeq)
+    assert(docmap(dir).select(col("doc_id")).collect().map(_.getLong(0)).toSet ==
+      keep.map(_._1).toSet)
+  }
+
+  test("docmap: a pre-docmap legacy index falls back to the locate scan") {
+    val dir = Files.createTempDirectory("bm25legacy").toString
+    Bm25.buildIndex((keep ++ gone).toDF("doc_id", "text"), "doc_id", "text", dir,
+      buckets = 64)
+    // surgically strip the docVersions line — the manifest shape every
+    // pre-docmap build committed (parse treats the missing key as
+    // "no reverse index")
+    val f = graft.operators.ManifestIO.fs(spark, dir)
+    val (v, body) = graft.operators.ManifestIO.readCurrent(spark, dir, "legacy spec")
+    graft.operators.ManifestIO.writeText(f,
+      new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.txt"),
+      body.linesIterator.filterNot(_.startsWith("docVersions="))
+        .mkString("", "\n", "\n"))
+    assert(Bm25.readManifest(spark, dir).docVersions.isEmpty)
+    // the id-only delete still works — one full postings scan locates
+    Bm25.deleteByIds(spark, dir, gone.map(_._1).toDF("doc_id"), "doc_id")
+    val dirU = Files.createTempDirectory("bm25legacyU").toString
+    Bm25.buildIndex(keep.toDF("doc_id", "text"), "doc_id", "text", dirU, buckets = 64)
+    assert(Bm25.serveTopK(spark, dir, queries, 5).collect().map(_.toSeq).toSeq ==
+      Bm25.serveTopK(spark, dirU, queries, 5).collect().map(_.toSeq).toSeq)
+    assert(Bm25.readStats(spark, dir).select("n", "sdl").head().toSeq ==
+      Bm25.readStats(spark, dirU).select("n", "sdl").head().toSeq)
+    // and an append onto the legacy index does NOT start an incomplete
+    // docmap (accreting only new docs would silently miss old ones)
+    Bm25.appendToIndex(spark, dir, Seq((300L, "papaya quince")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(Bm25.readManifest(spark, dir).docVersions.isEmpty)
+  }
+
   test("id-only takedown streams fold exactly-once into both indexes") {
     import graft.streaming.IndexMaintain
     // BM25: a bare-ids drop dir drives deleteByIds per micro-batch

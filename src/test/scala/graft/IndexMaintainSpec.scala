@@ -194,15 +194,33 @@ class IndexMaintainSpec extends AnyFunSuite {
     // every tick superseded bucket files; without the cadence all 11
     // data versions would sit on disk. What remains must be referenced
     // or inside the last vacuum's grace window.
+    // a version can become unreferenced BETWEEN cadence fires (the
+    // last epoch's tick rewrites a dbucket the last vacuum still saw
+    // referenced) — that residue is the NEXT vacuum's food, so bound
+    // the history as of one trailing tick, exactly what the next
+    // cadence fire would run
+    Bm25.vacuumIndex(spark, dir, grace)
     val m = Bm25.readManifest(spark, dir)
-    val referenced = m.bucketVersions.values.toSet + m.statsVersion + m.version
+    val referenced = m.bucketVersions.values.toSet ++ m.docVersions.values +
+      m.statsVersion + m.version
     val onDisk = dataVersions(dir)
     assert(referenced.subsetOf(onDisk), "vacuum must never touch referenced versions")
-    // epochs 0..9 + build = versions 1..11; the last vacuum ran at
-    // epoch 8 (cutoff version-at-the-time - 1 - grace), so anything
-    // older than that cutoff survives only by being referenced
-    assert(onDisk.forall(v => referenced(v) || v > m.version - 3 - grace),
+    // epochs 0..9 + build = versions 1..11; anything older than the
+    // cutoff survives only by being referenced (docmap dbuckets
+    // included — their rows are live reverse-index data for docs later
+    // batches' dbuckets never rewrote)
+    assert(onDisk.forall(v => referenced(v) || v > m.version - 1 - grace),
       s"unbounded history: $onDisk vs referenced $referenced (current ${m.version})")
+    // and the MASS is bounded by the artifact pass: postings subtrees
+    // exist only for versions a term bucket (or stats) still references
+    // or inside the vacuum window
+    val postRefs = m.bucketVersions.values.toSet + m.statsVersion
+    onDisk.foreach { v =>
+      if (!postRefs(v) && v <= m.version - 1 - grace)
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/data/$v/postings")),
+          s"superseded postings of v$v must not outlive the vacuum")
+    }
 
     // serving is bit-identical to the one-shot rebuild over everything
     val dirU = Files.createTempDirectory("bm25autovacU").toString

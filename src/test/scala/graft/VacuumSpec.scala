@@ -40,8 +40,20 @@ class VacuumSpec extends AnyFunSuite {
 
     // full grace: nothing deletable
     assert(Bm25.vacuumIndex(spark, dir, graceVersions = 10L).isEmpty)
-    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L) == Seq(1L))
-    assert(dataVersions(dir) == Set(2L))
+    // zero grace: the ARTIFACT pass reclaims v1's superseded postings
+    // and stats (the mass), while v1's docmap dbuckets — LIVE reverse
+    // rows for docs 0..29, untouched by the append — keep the version
+    // dir itself alive (whole-version deletions: none)
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L).isEmpty)
+    assert(dataVersions(dir) == Set(1L, 2L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/data/1/postings")),
+      "v1's superseded postings must reclaim even while its docmap lives")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/data/1/stats")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/data/1/docmap")),
+      "live docmap rows are data, not garbage")
     assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq == before,
       "vacuum must not change serving")
     assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L).isEmpty,
@@ -49,20 +61,26 @@ class VacuumSpec extends AnyFunSuite {
     // the committed manifest file survives
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/manifest/v${m.version}.txt")))
+    // deleting the original docs consolidates their docmap rows out of
+    // v1 — NOW the version is fully unreferenced and the whole dir goes
+    Bm25.deleteFromIndex(spark, dir, docs.toDF("doc_id", "text"), "doc_id", "text")
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L).contains(1L))
+    assert(!dataVersions(dir).contains(1L))
 
     // a crashed tick's orphan lives at current+1 — NEWER than current,
     // so vacuum's grace rule never touches it; the next successful
     // tick overwrites the same slot (orphans self-heal, they cannot
     // accumulate)
+    val cur = Bm25.readManifest(spark, dir).version
     Bm25.appendToIndexHooked(spark, dir,
       Seq((102L, "w4 orphan")).toDF("doc_id", "text"), "doc_id", "text",
       crashPoint = 1)
-    assert(dataVersions(dir) == Set(2L, 3L))
+    assert(dataVersions(dir).contains(cur + 1))
     assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L).isEmpty,
       "an orphan newer than CURRENT must survive vacuum")
     Bm25.appendToIndex(spark, dir,
       Seq((103L, "w4 healed")).toDF("doc_id", "text"), "doc_id", "text")
-    assert(Bm25.readManifest(spark, dir).version == 3L,
+    assert(Bm25.readManifest(spark, dir).version == cur + 1,
       "the next tick recycles the orphan's version slot")
     val served = Bm25.serveTopK(spark, dir, Seq((1L, "healed")).toDF("qid", "term"), 3)
       .collect()
@@ -96,9 +114,12 @@ class VacuumSpec extends AnyFunSuite {
     // vacuum with grace keeps v1 alive for that reader...
     assert(Bm25.vacuumIndex(spark, dir, graceVersions = 1L).isEmpty)
     assert(pinned.collect().map(_.toSeq).toSeq == v1Answer)
-    // ...and zero grace is the documented razor: v1 goes, the pinned
-    // plan's files vanish (new serves are unaffected)
-    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L) == Seq(1L))
+    // ...and zero grace is the documented razor: v1's postings go (the
+    // artifact pass — the pinned plan's files vanish even though v1's
+    // live docmap rows keep the dir), new serves unaffected
+    Bm25.vacuumIndex(spark, dir, graceVersions = 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/data/1/postings")))
     assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq == v2Answer)
   }
 

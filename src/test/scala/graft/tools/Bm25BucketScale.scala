@@ -84,14 +84,18 @@ object Bm25BucketScale {
       val md = graft.operators.Bm25.readManifest(spark, dir)
       val delRewritten = md.bucketVersions.count(_._2 == md.version)
       val delBytes = dirBytes(s"$dir/data/${md.version}/postings")
-      // the ID-ONLY fallback (round 15): re-append the batch, then take
-      // it back out by bare ids — pays one full-index SCAN to locate
-      // (scanned_kb = the committed postings mass) but the same
-      // bucket-granular REWRITE (only buckets that held the docs)
+      // the ID-ONLY tick (round 15): re-append the batch, then take it
+      // back out by bare ids. The docmap reverse index makes the locate
+      // a pure-function dbucket read (docmap_kb — a doc-sized artifact)
+      // where the legacy fallback scanned the postings (postings_kb);
+      // the REWRITE is bucket-granular either way.
       graft.operators.Bm25.appendToIndex(spark, dir, batch, "doc_id", "text")
       val mPre = graft.operators.Bm25.readManifest(spark, dir)
-      val scannedKb = mPre.bucketVersions.map { case (b, v) =>
+      val postingsKb = mPre.bucketVersions.map { case (b, v) =>
         dirBytes(s"$dir/data/$v/postings/bucket=$b") }.sum / 1024
+      val docmapKb = mPre.docVersions.toSeq
+        .map { case (k, v) => dirBytes(s"$dir/data/$v/docmap/dbucket=$k") }
+        .sum / 1024
       val delIdsT = time(graft.operators.Bm25.deleteByIds(spark, dir,
         batch.select(col("doc_id")), "doc_id"))
       val mIds = graft.operators.Bm25.readManifest(spark, dir)
@@ -111,7 +115,8 @@ object Bm25BucketScale {
         f"delete=$deleteT%5.1fs del_rewritten=$delRewritten%3d " +
         f"del_kb=${delBytes / 1024}%6d " +
         f"del_ids=$delIdsT%5.1fs ids_rewritten=$idsRewritten%3d " +
-        f"ids_kb=${idsBytes / 1024}%6d scanned_kb=$scannedKb%6d " +
+        f"ids_kb=${idsBytes / 1024}%6d docmap_kb=$docmapKb%5d " +
+        f"vs_postings_kb=$postingsKb%6d " +
         f"serve=$serveT%5.2fs listed_buckets=$listedBuckets%3d " +
         f"listed_kb=${listedBytes / 1024}%5d")
     }
