@@ -168,6 +168,12 @@ object SqlFrontDoor {
           "doc_id")
         graft.operators.Bm25.readStats(s, a.head)
       }),
+      // bm25_index_docmap(index_dir): the committed doc→bucket reverse
+      // index (doc_id, dl, tbuckets, dbucket) — what the id-only
+      // takedown locates through; empty for a pre-docmap legacy dir
+      ("bm25_index_docmap", 1, a =>
+        graft.operators.Bm25.readDocmapAt(s, a.head,
+          graft.operators.Bm25.readManifest(s, a.head))),
       // bm25_index_profile(index_dir): the standing index's monitoring
       // row from the committed artifacts alone — n/sdl (avgdl drift),
       // vocabulary size, postings mass, serving-prune pressure, max

@@ -595,9 +595,15 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(delP)
     spark.read.parquet(docs).filter(col("doc_id") % 2 =!= 0)
       .write.mode("overwrite").parquet(keptP)
+    // the reverse index mirrors the corpus before the delete...
+    assert(spark.sql(s"SELECT count(*) FROM bm25_index_docmap('$idx')")
+      .collect().head.getLong(0) == spark.read.parquet(docs).count())
     val nAfter = spark.sql(s"SELECT n FROM bm25_index_delete('$idx', '$delP')")
       .collect().head.getLong(0)
     assert(nAfter == spark.read.parquet(keptP).count())
+    // ...and the deleted docs' rows consolidated out with the tick
+    assert(spark.sql(s"SELECT count(*) FROM bm25_index_docmap('$idx')")
+      .collect().head.getLong(0) == nAfter)
     assert(spark.sql(
       s"SELECT qid, doc_id, score, rank FROM bm25_serve('$idx', '$qP', '5') ORDER BY qid, rank")
       .collect().map(_.toSeq).toSeq ==
