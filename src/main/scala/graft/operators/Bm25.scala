@@ -565,14 +565,18 @@ object Bm25 {
     // postings/stats mass reclaims even while its docmap keeps the
     // version dir alive — without this, one live kilobyte of reverse
     // map would pin gigabytes of dead postings
-    ManifestIO.vacuumArtifacts(spark, dir, m.version,
+    val arts = ManifestIO.vacuumArtifacts(spark, dir, m.version,
       Map("postings" -> m.bucketVersions.values.toSet,
         "docmap" -> m.docVersions.values.toSet,
         "stats" -> Set(m.statsVersion)),
       graceVersions)
-    ManifestIO.vacuum(spark, dir, m.version,
+    val whole = ManifestIO.vacuum(spark, dir, m.version,
       m.bucketVersions.values.toSet ++ m.docVersions.values +
         m.statsVersion + m.version, graceVersions)
+    // the receipt covers BOTH passes: a version appears when it lost
+    // its whole dir or any artifact subtree — a monitoring job tailing
+    // it sees mass reclaimed even when live docmap rows keep a dir
+    (whole ++ arts.map(_._2)).distinct.sorted
   }
 
   /** APPEND tick of the standing-index lifecycle ([[buildIndex]]
@@ -936,10 +940,14 @@ object Bm25 {
         .select(pmod(xxhash64(col("doc_id")), lit(m.buckets)).cast("int").as("k"))
         .distinct().collect().map(_.getInt(0)) // ≤ bucket count values
         .filter(m.docVersions.contains)
+      // one row per docmap ROW, not per doc: a doc the append contract
+      // was violated for (re-ingested under the same id) holds several
+      // rows, each of which contributed to stats and each of whose
+      // bucket sets may differ — keeping them all removes EVERY copy's
+      // postings and rolls back exactly what the index counted
       readDocmapAt(spark, dir, m, Some(candD.toSet))
         .join(delIds, Seq("doc_id"), "left_semi")
-        .groupBy(col("doc_id"))
-        .agg(first(col("dl")).as("dl"), first(col("tbuckets")).as("buckets"))
+        .select(col("doc_id"), col("dl"), col("tbuckets").as("buckets"))
     } else {
       readPostingsAt(spark, dir, m)
         .join(delIds, Seq("doc_id"), "left_semi")

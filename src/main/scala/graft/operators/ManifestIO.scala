@@ -120,7 +120,8 @@ private[graft] object ManifestIO {
   }
 
   /** Writer-transaction LEDGER manifest line
-    * (`txns=<appId>:<epoch>;<appId>:<epoch>;…`) — the Delta-style
+    * (`txns2=<appId>:<epoch>;<appId>:<epoch>;…`, keys escaped) — the
+    * Delta-style
     * `txnAppId`→`txnVersion` idempotence map for STREAMING index
     * maintenance: every committed tick carries the WHOLE ledger
     * forward (its own entry merged in via [[mergeTxn]]), so a tick
@@ -133,18 +134,24 @@ private[graft] object ManifestIO {
     * Streaming's batchId is. */
   def renderTxns(txns: Map[String, Long]): String =
     if (txns.isEmpty) ""
-    else "txns=" + txns.toSeq.sorted
+    else "txns2=" + txns.toSeq.sorted
       .map { case (app, epoch) => s"${escapeTxnKey(app)}:$epoch" }.mkString(";") + "\n"
 
   /** Percent-escape the ledger's structural bytes in an app id. New
     * entries are kept clean by [[mergeTxn]]'s validation, but a LEGACY
     * single-slot `txn=` record predates that rule: an old appId
     * containing ';' or a newline, carried forward verbatim, would
-    * render a `txns=` line the next read cannot parse
+    * render a ledger line the next read cannot parse
     * (NumberFormatException on the mangled epoch field) — bricking the
     * index dir. Escaping at render + unescaping at parse makes
-    * render∘parse the identity for ANY legacy key instead. ':' needs no
-    * escape (the epoch is everything after the LAST colon). */
+    * render∘parse the identity for ANY legacy key instead. The escaped
+    * map renders under its OWN manifest key (`txns2=`): unescaping a
+    * PRE-escape `txns=` line would silently corrupt an appId that
+    * legally contained a literal percent sequence (the old rule forbade
+    * only ';'/newlines — "job%25east" would read back as "job%east"
+    * and its exactly-once record would stop matching), so each format
+    * is parsed with exactly the semantics it was written under. ':'
+    * needs no escape (the epoch is everything after the LAST colon). */
   private def escapeTxnKey(app: String): String = app
     .replace("%", "%25").replace(";", "%3B")
     .replace("\n", "%0A").replace("\r", "%0D")
@@ -166,9 +173,14 @@ private[graft] object ManifestIO {
       val i = v.lastIndexOf(':')
       (v.take(i), v.drop(i + 1).toLong)
     }
+    def entries(key: String): Iterator[(String, Long)] =
+      kv.get(key).iterator.flatMap(_.split(";")).filter(_.nonEmpty).map(entry)
+    // three generations, each read with the semantics it was written
+    // under, newest winning per app: txn= (single slot, raw),
+    // txns= (pre-escape map, raw), txns2= (escaped map)
     kv.get("txn").map(entry).toMap ++
-      kv.get("txns").iterator.flatMap(_.split(";")).filter(_.nonEmpty)
-        .map(entry).map { case (app, e) => unescapeTxnKey(app) -> e }.toMap
+      entries("txns").toMap ++
+      entries("txns2").map { case (app, e) => unescapeTxnKey(app) -> e }.toMap
   }
 
   /** The ledger a committing tick writes: the previous manifest's map

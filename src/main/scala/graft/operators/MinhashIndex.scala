@@ -228,11 +228,14 @@ object MinhashIndex {
     // epoch's verdicts survive (the streaming sink's exactly-once
     // pairing of decisions dir + txn ledger)
     onDecisions(decisions)
+    // the gate counts the PINNED decisions (cheap scan of a batch-sized
+    // checkpoint) so the batchIndex ⋈ decisions join below executes
+    // exactly once, at the write
+    val appended = decisions.filter(col("admitted")).count()
+    if (appended == 0L) return Admission(decisions, 0L) // nothing admitted: index already post-tick
     val admittedRows = batchIndex
       .join(decisions.filter(col("admitted")).select(col("sid")), Seq("sid"))
       .select(col("sid"), col("gs"), col("bhs"), bucketOf(m.buckets))
-    val appended = admittedRows.count()
-    if (appended == 0L) return Admission(decisions, 0L) // nothing admitted: index already post-tick
     ManifestIO.guardSlot(spark, dir, newVer)
     admittedRows.write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/data/$newVer/rows")

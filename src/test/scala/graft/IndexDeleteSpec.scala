@@ -336,6 +336,32 @@ class IndexDeleteSpec extends AnyFunSuite {
       keep.map(_._1).toSet)
   }
 
+  test("docmap: deleteByIds removes EVERY copy of a re-ingested id and rolls all its rows") {
+    // the append contract forbids re-ingesting an id, but a violation
+    // must not leave a legally deleted document partially servable:
+    // two docmap rows exist for the id (different texts → different
+    // bucket sets), and the id-only tick keeps one matched row PER
+    // DOCMAP ROW, so both copies' postings are rewritten away and the
+    // stats roll back by both rows' (1, dl) contributions
+    val dir = Files.createTempDirectory("bm25recopy").toString
+    Bm25.buildIndex(keep.toDF("doc_id", "text"), "doc_id", "text", dir, buckets = 64)
+    Bm25.appendToIndex(spark, dir, Seq((50L, "papaya quince lychee"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    Bm25.appendToIndex(spark, dir, Seq((50L, "rambutan durian mangosteen jackfruit"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    Bm25.deleteByIds(spark, dir, Seq(50L).toDF("doc_id"), "doc_id")
+    assert(Bm25.readPostingsAt(spark, dir, Bm25.readManifest(spark, dir))
+      .filter(col("doc_id") === 50L).count() == 0L,
+      "no copy of the deleted id may survive")
+    val dirU = Files.createTempDirectory("bm25recopyU").toString
+    Bm25.buildIndex(keep.toDF("doc_id", "text"), "doc_id", "text", dirU, buckets = 64)
+    assert(Bm25.readStats(spark, dir).select("n", "sdl").head().toSeq ==
+      Bm25.readStats(spark, dirU).select("n", "sdl").head().toSeq,
+      "both copies' stats contributions must roll back")
+    assert(Bm25.serveTopK(spark, dir, queries, 5).collect().map(_.toSeq).toSeq ==
+      Bm25.serveTopK(spark, dirU, queries, 5).collect().map(_.toSeq).toSeq)
+  }
+
   test("docmap: a pre-docmap legacy index falls back to the locate scan") {
     val dir = Files.createTempDirectory("bm25legacy").toString
     Bm25.buildIndex((keep ++ gone).toDF("doc_id", "text"), "doc_id", "text", dir,

@@ -41,10 +41,10 @@ class VacuumSpec extends AnyFunSuite {
     // full grace: nothing deletable
     assert(Bm25.vacuumIndex(spark, dir, graceVersions = 10L).isEmpty)
     // zero grace: the ARTIFACT pass reclaims v1's superseded postings
-    // and stats (the mass), while v1's docmap dbuckets — LIVE reverse
-    // rows for docs 0..29, untouched by the append — keep the version
-    // dir itself alive (whole-version deletions: none)
-    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L).isEmpty)
+    // and stats (the mass) — and the receipt reports it — while v1's
+    // docmap dbuckets — LIVE reverse rows for docs 0..29, untouched by
+    // the append — keep the version dir itself alive
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L) == Seq(1L))
     assert(dataVersions(dir) == Set(1L, 2L))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/data/1/postings")),
@@ -115,9 +115,10 @@ class VacuumSpec extends AnyFunSuite {
     assert(Bm25.vacuumIndex(spark, dir, graceVersions = 1L).isEmpty)
     assert(pinned.collect().map(_.toSeq).toSeq == v1Answer)
     // ...and zero grace is the documented razor: v1's postings go (the
-    // artifact pass — the pinned plan's files vanish even though v1's
-    // live docmap rows keep the dir), new serves unaffected
-    Bm25.vacuumIndex(spark, dir, graceVersions = 0L)
+    // artifact pass, reported in the receipt — the pinned plan's files
+    // vanish even though v1's live docmap rows keep the dir), new
+    // serves unaffected
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L) == Seq(1L))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/data/1/postings")))
     assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq == v2Answer)
