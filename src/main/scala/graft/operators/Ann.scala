@@ -612,8 +612,7 @@ object Ann extends Serializable {
   }
 
   private def parseIvfManifest(text: String): IvfManifest = {
-    val kv = text.linesIterator.filter(_.contains("="))
-      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    val kv = ManifestIO.parseKv(text)
     val cv = kv("cellVersions").split(",").filter(_.nonEmpty).map { e =>
       val Array(c, vs) = e.split(":")
       c.toInt -> vs.split("\\|").map(_.toLong).toSeq
@@ -689,21 +688,9 @@ object Ann extends Serializable {
       case Some(cs) => m.cellVersions.filter { case (c, _) => cs(c) }
       case None => m.cellVersions
     }
-    // group (cell, version) pairs by version: one explicit-path read
-    // per contributing data version, basePath keeping the cell column
-    val byVer = wanted.toSeq.flatMap { case (c, vs) => vs.map(v => (v, c)) }
-      .groupBy(_._1).toSeq.sortBy(_._1)
-    if (byVer.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "cid BIGINT, cvec ARRAY<FLOAT>, cell INT"))
-    } else {
-      byVer.map { case (v, cs) =>
-        spark.read.option("basePath", s"$dir/data/$v/cells")
-          .parquet(cs.map(_._2).sorted.map(c => s"$dir/data/$v/cells/cell=$c"): _*)
-          .select(col("cid"), col("cvec"), col("cell").cast("int").as("cell"))
-      }.reduce(_ unionByName _)
-    }
+    ManifestIO.readVersionedArtifact(spark, dir, "cells", "cell",
+      "cid BIGINT, cvec ARRAY<FLOAT>, cell INT",
+      wanted.toSeq.flatMap { case (c, vs) => vs.map(v => (v, c)) })
   }
 
   /** BUILD (or offline rebuild) of the committed IVF index: assign the
@@ -719,16 +706,9 @@ object Ann extends Serializable {
     require(cents.nonEmpty, "IVF index needs at least one centroid")
     val spark = corpus.sparkSession
     import spark.implicits._
-    // a REBUILD carries the txn ledger forward (rebuild-over-union is
-    // the maintenance contract — a re-delivered epoch after the rebuild
-    // must still no-op), same as [[Bm25.buildIndex]]
-    val (ver, priorTxns): (Long, Map[String, Long]) = {
-      val f = ManifestIO.fs(spark, dir)
-      if (f.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT"))) {
-        val m0 = readIvfManifest(spark, dir)
-        (m0.version + 1, m0.txns)
-      } else (1L, Map.empty[String, Long])
-    }
+    // a REBUILD carries the txn ledger forward (ManifestIO.buildSlot's
+    // rebuild-over-union contract), same as [[Bm25.buildIndex]]
+    val (ver, priorTxns) = ManifestIO.buildSlot(spark, dir)
     ManifestIO.guardSlot(spark, dir, ver)
     assignCells(corpus, cents).write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dir/data/$ver/cells")

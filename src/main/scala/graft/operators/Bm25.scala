@@ -229,8 +229,7 @@ object Bm25 {
   }
 
   private def parseManifest(text: String): IndexManifest = {
-    val kv = text.linesIterator.filter(_.contains("="))
-      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    val kv = ManifestIO.parseKv(text)
     val bv = kv("bucketVersions").split(",").filter(_.nonEmpty).map { e =>
       val Array(b, v) = e.split(":"); b.toInt -> v.toLong
     }.toMap
@@ -272,18 +271,9 @@ object Bm25 {
       case Some(bs) => m.bucketVersions.filter { case (b, _) => bs(b) }
       case None => m.bucketVersions
     }
-    val schema = "t STRING, doc_id BIGINT, tf BIGINT, df BIGINT, dl BIGINT, bucket INT"
-    if (wanted.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(schema))
-    } else {
-      wanted.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, bks) =>
-        spark.read.option("basePath", s"$dir/data/$v/postings")
-          .parquet(bks.keys.toSeq.sorted.map(b => s"$dir/data/$v/postings/bucket=$b"): _*)
-          .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"),
-            col("bucket").cast("int").as("bucket"))
-      }.reduce(_ unionByName _)
-    }
+    ManifestIO.readVersionedArtifact(spark, dir, "postings", "bucket",
+      "t STRING, doc_id BIGINT, tf BIGINT, df BIGINT, dl BIGINT, bucket INT",
+      wanted.toSeq.map { case (b, v) => (v, b) })
   }
 
   /** The doc→bucket REVERSE INDEX rows of one tick's documents — the
@@ -320,20 +310,9 @@ object Bm25 {
       case Some(ks) => m.docVersions.filter { case (k, _) => ks(k) }
       case None => m.docVersions
     }
-    val byVer = wanted.toSeq.map { case (k, v) => (v, k) }
-      .groupBy(_._1).toSeq.sortBy(_._1)
-    if (byVer.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "doc_id BIGINT, dl BIGINT, tbuckets ARRAY<INT>, dbucket INT"))
-    } else {
-      byVer.map { case (v, ks) =>
-        spark.read.option("basePath", s"$dir/data/$v/docmap")
-          .parquet(ks.map(_._2).sorted.map(k => s"$dir/data/$v/docmap/dbucket=$k"): _*)
-          .select(col("doc_id"), col("dl"), col("tbuckets"),
-            col("dbucket").cast("int").as("dbucket"))
-      }.reduce(_ unionByName _)
-    }
+    ManifestIO.readVersionedArtifact(spark, dir, "docmap", "dbucket",
+      "doc_id BIGINT, dl BIGINT, tbuckets ARRAY<INT>, dbucket INT",
+      wanted.toSeq.map { case (k, v) => (v, k) })
   }
 
   /** The committed 1-row stats table (n, sdl). */
@@ -370,18 +349,9 @@ object Bm25 {
       buckets: Int = IndexBuckets): Unit = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
     val spark = docs.sparkSession
-    // a REBUILD carries the txn ledger forward: the rebuild corpus is
-    // expected to contain every ingested epoch's documents (rebuild-
-    // over-union is the maintenance contract), so a maintenance stream
-    // re-delivering an already-ingested epoch after the rebuild must
-    // still see its exactly-once record and no-op
-    val (ver, priorTxns): (Long, Map[String, Long]) = {
-      val f = ManifestIO.fs(spark, dir)
-      if (f.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT"))) {
-        val m0 = readManifest(spark, dir)
-        (m0.version + 1, m0.txns)
-      } else (1L, Map.empty[String, Long])
-    }
+    // a REBUILD carries the txn ledger forward (ManifestIO.buildSlot's
+    // rebuild-over-union contract)
+    val (ver, priorTxns) = ManifestIO.buildSlot(spark, dir)
     val dl = docs.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
     val tf = docs.select(col(idCol).cast("long").as("doc_id"),

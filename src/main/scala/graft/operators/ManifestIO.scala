@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Versioned-manifest commit protocol shared by the standing indexes
   * ([[Bm25]] term buckets, [[Ann]] IVF segments).
@@ -117,6 +118,62 @@ private[graft] object ManifestIO {
     require(f.exists(cur), s"no committed $what at $dir (missing CURRENT)")
     val v = readText(f, cur).trim.toLong
     (v, readText(f, new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.txt")))
+  }
+
+  /** The `key=value` lines of a manifest body — every index module's
+    * manifest is this shape (values may themselves contain '=': only
+    * the FIRST one splits). */
+  def parseKv(text: String): Map[String, String] =
+    text.linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+
+  /** BUILD/REBUILD slot allocation, shared by the three index builds:
+    * the data version the build writes (committed + 1, or 1 on a fresh
+    * dir) and the committed txn ledger to carry forward — a rebuild's
+    * corpus is expected to contain every ingested epoch's rows
+    * (rebuild-over-union is the maintenance contract), so a stream
+    * re-delivering an already-ingested epoch after the rebuild must
+    * still see its exactly-once record and no-op. Only the generic
+    * manifest lines are read here; the module re-reads its own fields
+    * when it needs them. */
+  def buildSlot(spark: SparkSession, dir: String): (Long, Map[String, Long]) = {
+    val f = fs(spark, dir)
+    if (f.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT"))) {
+      val (v, body) = readCurrent(spark, dir, "index")
+      (v + 1, parseTxns(parseKv(body)))
+    } else (1L, Map.empty[String, Long])
+  }
+
+  /** Shared union reader for the version-owned, partition-pruned index
+    * artifacts (BM25 postings/docmap, IVF cells, minhash rows): each
+    * wanted (version, partition) pair is read from its EXPLICIT
+    * committed path — `dir/data/<v>/<artifact>/<partCol>=<p>` —
+    * grouped into one parquet read per contributing data version
+    * (basePath keeps the partition column), so uncommitted ticks'
+    * files are invisible and unwanted partitions are never even
+    * listed: the serve/delete paths' pruning, made literal.
+    * `schemaDDL` orders the data columns and names the partition
+    * column LAST (cast to int — a path-derived partition value parses
+    * as int); no pairs → an empty frame of that schema. */
+  def readVersionedArtifact(spark: SparkSession, dir: String,
+      artifact: String, partCol: String, schemaDDL: String,
+      pairs: Seq[(Long, Int)]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)
+    require(schema.fields.last.name == partCol,
+      s"schemaDDL must end with the partition column $partCol: $schemaDDL")
+    val byVer = pairs.groupBy(_._1).toSeq.sortBy(_._1)
+    if (byVer.isEmpty) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val dataCols = schema.fields.init.map(f => col(f.name)).toSeq
+      byVer.map { case (v, ps) =>
+        spark.read.option("basePath", s"$dir/data/$v/$artifact")
+          .parquet(ps.map(_._2).distinct.sorted
+            .map(p => s"$dir/data/$v/$artifact/$partCol=$p"): _*)
+          .select(dataCols :+ col(partCol).cast("int").as(partCol): _*)
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** Writer-transaction LEDGER manifest line

@@ -57,8 +57,7 @@ object MinhashIndex {
   }
 
   private def parse(text: String): Manifest = {
-    val kv = text.linesIterator.filter(_.contains("="))
-      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    val kv = ManifestIO.parseKv(text)
     val Array(n, bands, rpb) = kv("params").split(":").map(_.toInt)
     val bv = kv("bucketVersions").split(",").filter(_.nonEmpty).map { e =>
       val Array(b, vs) = e.split(":")
@@ -85,20 +84,9 @@ object MinhashIndex {
       case Some(bs) => m.bucketVersions.filter { case (b, _) => bs(b) }
       case None => m.bucketVersions
     }
-    val byVer = wanted.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) }
-      .groupBy(_._1).toSeq.sortBy(_._1)
-    if (byVer.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "sid BIGINT, gs ARRAY<BIGINT>, bhs ARRAY<BIGINT>, bucket INT"))
-    } else {
-      byVer.map { case (v, bs) =>
-        spark.read.option("basePath", s"$dir/data/$v/rows")
-          .parquet(bs.map(_._2).sorted.map(b => s"$dir/data/$v/rows/bucket=$b"): _*)
-          .select(col("sid"), col("gs"), col("bhs"),
-            col("bucket").cast("int").as("bucket"))
-      }.reduce(_ unionByName _)
-    }
+    ManifestIO.readVersionedArtifact(spark, dir, "rows", "bucket",
+      "sid BIGINT, gs ARRAY<BIGINT>, bhs ARRAY<BIGINT>, bucket INT",
+      wanted.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) })
   }
 
   /** [[readRowsAt]] against a fresh CURRENT read. */
@@ -118,13 +106,7 @@ object MinhashIndex {
       buckets: Int = Bm25.IndexBuckets): Unit = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
     val spark = docs.sparkSession
-    val (ver, priorTxns): (Long, Map[String, Long]) = {
-      val f = ManifestIO.fs(spark, dir)
-      if (f.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT"))) {
-        val m0 = readManifest(spark, dir)
-        (m0.version + 1, m0.txns)
-      } else (1L, Map.empty[String, Long])
-    }
+    val (ver, priorTxns) = ManifestIO.buildSlot(spark, dir)
     ManifestIO.guardSlot(spark, dir, ver)
     Dedup.minhashDocIndex(docs, idCol, textCol, n, bands, rowsPerBand)
       .select(col("sid"), col("gs"), col("bhs"), bucketOf(buckets))
