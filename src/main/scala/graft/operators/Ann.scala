@@ -575,6 +575,9 @@ object Ann extends Serializable {
   // Layout under the index dir:
   //   data/<v>/cells/cell=<c>/…   (cid, cvec) rows assigned by tick v
   //   data/<v>/centroids/         (cell, cvec) — the trained geometry
+  //   data/<v>/cidmap/cbucket=<b>/… (cid, cell) reverse map rows — the
+  //                               [[Bm25]] docmap's IVF sibling; see
+  //                               [[readIvfCidmapAt]]
   //   manifest/v<v>.txt           cell → owning data versions, at v
   //   CURRENT                     the committed manifest version
   //
@@ -599,15 +602,23 @@ object Ann extends Serializable {
     * version holding rows for it (append order); `txns` is the
     * writer-transaction LEDGER (appId → last committed epoch, carried
     * forward on every commit — [[ManifestIO.txnAlreadyApplied]], the
-    * exactly-once gate for streaming maintenance). */
+    * exactly-once gate for streaming maintenance); `cidVersions` maps
+    * each materialized cid-bucket of the cid→cell REVERSE MAP to its
+    * single owning data version (rewrite-on-append, like the BM25
+    * docmap's dbuckets — empty for a pre-cidmap legacy dir, whose
+    * id-only takedowns fall back to the full cells scan). */
   final case class IvfManifest(version: Long, cells: Int, centroidsVersion: Long,
-      cellVersions: Map[Int, Seq[Long]], txns: Map[String, Long] = Map.empty)
+      cellVersions: Map[Int, Seq[Long]], txns: Map[String, Long] = Map.empty,
+      cidVersions: Map[Int, Long] = Map.empty)
 
   private def renderIvfManifest(m: IvfManifest): String = {
     val cv = m.cellVersions.toSeq.sortBy(_._1)
       .map { case (c, vs) => s"$c:${vs.mkString("|")}" }.mkString(",")
+    val dv = if (m.cidVersions.isEmpty) ""
+      else "cidVersions=" + m.cidVersions.toSeq.sortBy(_._1)
+        .map { case (b, v) => s"$b:$v" }.mkString(",") + "\n"
     s"version=${m.version}\ncells=${m.cells}\n" +
-      s"centroids=${m.centroidsVersion}\ncellVersions=$cv\n" +
+      s"centroids=${m.centroidsVersion}\ncellVersions=$cv\n" + dv +
       ManifestIO.renderTxns(m.txns)
   }
 
@@ -617,8 +628,12 @@ object Ann extends Serializable {
       val Array(c, vs) = e.split(":")
       c.toInt -> vs.split("\\|").map(_.toLong).toSeq
     }.toMap
+    val dv = kv.get("cidVersions").map(_.split(",").filter(_.nonEmpty).map { e =>
+      val Array(b, v) = e.split(":")
+      b.toInt -> v.toLong
+    }.toMap).getOrElse(Map.empty[Int, Long])
     IvfManifest(kv("version").toLong, kv("cells").toInt, kv("centroids").toLong, cv,
-      ManifestIO.parseTxns(kv))
+      ManifestIO.parseTxns(kv), dv)
   }
 
   /** The committed manifest — every reader's one CURRENT read. */
@@ -693,6 +708,55 @@ object Ann extends Serializable {
       wanted.toSeq.flatMap { case (c, vs) => vs.map(v => (v, c)) })
   }
 
+  /** [[readIvfCidmapAt]] with its own CURRENT read — the monitoring /
+    * TVF surface; composed readers must thread one manifest instead. */
+  def readIvfCidmap(spark: SparkSession, dir: String): DataFrame =
+    readIvfCidmapAt(spark, dir, readIvfManifest(spark, dir))
+
+  /** The cid-bucket a vector id's reverse-map row lives in — a PURE
+    * FUNCTION of the id (the [[Bm25]] docmap's dbucket rule), so an
+    * id-only takedown finds its rows by reading ≤ |ids| cbucket dirs
+    * instead of scanning the inverted file. Bucket count = the trained
+    * cell count: the reverse map partitions at the same granularity as
+    * the data it points into. */
+  private def cidCbucket(cid: Column, cells: Int): Column =
+    pmod(xxhash64(cid), lit(cells)).cast("int")
+
+  /** The committed cid→cell REVERSE MAP (cid, cell, cbucket): one row
+    * per materialized index member — a cid ingested twice under
+    * different vectors (update-by-append) lists BOTH its cells, which
+    * is exactly what makes [[ivfIndexDeleteByIds]]' every-copy contract
+    * scan-free. cbuckets are single-owner (appends REWRITE the batch's
+    * cbuckets with the union, deletes consolidate rows out), so
+    * superseded versions retire through the ordinary vacuum. Empty for
+    * a pre-cidmap legacy dir. */
+  def readIvfCidmapAt(spark: SparkSession, dir: String, m: IvfManifest,
+      onlyCbuckets: Option[Set[Int]] = None): DataFrame = {
+    val wanted = onlyCbuckets match {
+      case Some(ks) => m.cidVersions.filter { case (k, _) => ks(k) }
+      case None => m.cidVersions
+    }
+    ManifestIO.readVersionedArtifact(spark, dir, "cidmap", "cbucket",
+      "cid BIGINT, cell INT, cbucket INT",
+      wanted.toSeq.map { case (k, v) => (v, k) })
+  }
+
+  /** Write the reverse-map rows of the members just written under
+    * `data/<ver>/cells` (read back from the committed-to-be artifact —
+    * no second corpus assignment) merged with `existing`, and return
+    * the materialized cbucket → version entries. */
+  private def writeCidmap(spark: SparkSession, dir: String, ver: Long,
+      cells: Int, existing: DataFrame): Map[Int, Long] = {
+    val fresh = spark.read.parquet(s"$dir/data/$ver/cells")
+      .select(col("cid"), col("cell").cast("int").as("cell"))
+      .withColumn("cbucket", cidCbucket(col("cid"), cells))
+    existing.unionByName(fresh).distinct()
+      .write.partitionBy("cbucket").mode("overwrite")
+      .parquet(s"$dir/data/$ver/cidmap")
+    ManifestIO.partitionIds(spark, s"$dir/data/$ver/cidmap", "cbucket=")
+      .map(_ -> ver).toMap
+  }
+
   /** BUILD (or offline rebuild) of the committed IVF index: assign the
     * corpus under `cents`, write the cell-partitioned inverted file and
     * the centroid artifact under a fresh data version, commit both with
@@ -717,8 +781,15 @@ object Ann extends Serializable {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$ver/centroids")
     val present = ManifestIO.partitionIds(spark, s"$dir/data/$ver/cells", "cell=")
       .map(_ -> Seq(ver)).toMap
+    // the cid→cell reverse map, fresh with the build (empty prior)
+    val cidVers =
+      if (present.isEmpty) Map.empty[Int, Long]
+      else writeCidmap(spark, dir, ver, cents.length,
+        readIvfCidmapAt(spark, dir,
+          IvfManifest(ver, cents.length, ver, Map.empty)))
     ManifestIO.commit(spark, dir, ver,
-      renderIvfManifest(IvfManifest(ver, cents.length, ver, present, priorTxns)))
+      renderIvfManifest(
+        IvfManifest(ver, cents.length, ver, present, priorTxns, cidVers)))
   }
 
   /** APPEND tick of the committed served-IVF lifecycle
@@ -761,12 +832,25 @@ object Ann extends Serializable {
     assignCells(batch, cents).write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dir/data/$newVer/cells")
     val touched = ManifestIO.partitionIds(spark, s"$dir/data/$newVer/cells", "cell=")
+    // reverse-map maintenance: the batch's cbuckets REWRITE with the
+    // union of their existing rows and the batch's (single-owner
+    // cbuckets — superseded files are vacuum food). Maintained iff the
+    // index HAS a cidmap (or is being born) — starting one mid-life on
+    // a pre-cidmap legacy dir would leave a map that silently misses
+    // every pre-existing member.
+    val maintainCidmap = m.cidVersions.nonEmpty || m.cellVersions.isEmpty
+    val newCidVers = if (maintainCidmap) {
+      val candC = batch.select(cidCbucket(col("cid"), m.cells).as("cbucket"))
+        .distinct().collect().map(_.getInt(0)).toSet // ≤ cells values
+      m.cidVersions ++ writeCidmap(spark, dir, newVer, m.cells,
+        readIvfCidmapAt(spark, dir, m, Some(candC.filter(m.cidVersions.contains))))
+    } else m.cidVersions
     if (crashPoint == 1) return // simulated death: data written, nothing committed
     val newCells = m.cellVersions ++ touched.map(c =>
       c -> (m.cellVersions.getOrElse(c, Seq.empty) :+ newVer))
     val body = renderIvfManifest(
       IvfManifest(newVer, m.cells, m.centroidsVersion, newCells,
-        ManifestIO.mergeTxn(m.txns, txn)))
+        ManifestIO.mergeTxn(m.txns, txn), newCidVers))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return
@@ -829,14 +913,36 @@ object Ann extends Serializable {
       .collect().map(_.getInt(0)) // ≤ cell count values
       .filter(m.cellVersions.contains)
     ManifestIO.guardSlot(spark, dir, newVer)
+    val delIds = assigned.select(col("cid")).distinct()
     if (touched.nonEmpty) {
-      val delIds = assigned.select(col("cid")).distinct()
       readIvfCellsAt(spark, dir, m, Some(touched.toSet))
         .join(delIds, Seq("cid"), "left_anti")
         .select(col("cid"), col("cvec"), col("cell"))
         .write.partitionBy("cell").mode("overwrite")
         .parquet(s"$dir/data/$newVer/cells")
     }
+    // reverse-map consolidation: exactly the member rows the anti-join
+    // removed — (cid ∈ batch) ∧ (cell ∈ touched) — leave their
+    // cbuckets (located by the pure id→cbucket function); a stale copy
+    // in an UNtouched cell keeps its row, mirroring the documented
+    // assignment-local gap
+    val newCidVers = if (m.cidVersions.nonEmpty && touched.nonEmpty) {
+      val candC = pinned.select(cidCbucket(col("cid"), m.cells).as("cbucket"))
+        .distinct().collect().map(_.getInt(0)).toSet
+        .filter(m.cidVersions.contains)
+      if (candC.isEmpty) m.cidVersions
+      else {
+        readIvfCidmapAt(spark, dir, m, Some(candC))
+          .join(delIds.withColumn("_del", lit(true)), Seq("cid"), "left")
+          .filter(col("_del").isNull || !col("cell").isin(touched.toSeq: _*))
+          .select(col("cid"), col("cell"), col("cbucket"))
+          .write.partitionBy("cbucket").mode("overwrite")
+          .parquet(s"$dir/data/$newVer/cidmap")
+        val presentD = ManifestIO
+          .partitionIds(spark, s"$dir/data/$newVer/cidmap", "cbucket=").toSet
+        (m.cidVersions -- candC) ++ presentD.map(_ -> newVer)
+      }
+    } else m.cidVersions
     if (crashPoint == 1) return // simulated death: data written, nothing committed
     val present =
       if (touched.isEmpty) Set.empty[Int]
@@ -844,7 +950,7 @@ object Ann extends Serializable {
     val newCells = (m.cellVersions -- touched) ++ present.map(_ -> Seq(newVer))
     val body = renderIvfManifest(
       IvfManifest(newVer, m.cells, m.centroidsVersion, newCells,
-        ManifestIO.mergeTxn(m.txns, txn)))
+        ManifestIO.mergeTxn(m.txns, txn), newCidVers))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return
@@ -854,17 +960,23 @@ object Ann extends Serializable {
 
   /** ID-ONLY (strict) takedown of the committed IVF index — the
     * [[Bm25.deleteByIds]] sibling: `ids` carries bare cids (the real
-    * opt-out feed shape, no vectors), and the tick anti-joins EVERY
-    * materialized cell by cid, so a cid's every copy is removed —
-    * including a stale vector from an update-by-append sitting in a
-    * different cell, the copy [[ivfIndexDelete]]'s assignment-local
-    * locate cannot see. COST: one full scan of the committed cells
-    * (vs ~nbatch cells for the vector-carrying tick); the REWRITE
-    * stays local — only cells that actually held a matched cid
-    * consolidate into the new version, untouched cells keep their
-    * version lists. Ids never ingested (or already deleted) match
-    * nothing and change nothing — re-delete-proof by construction.
-    * CRASH-ATOMIC + exactly-once like every tick. */
+    * opt-out feed shape, no vectors), and the tick removes a cid's
+    * EVERY copy — including a stale vector from an update-by-append
+    * sitting in a different cell, the copy [[ivfIndexDelete]]'s
+    * assignment-local locate cannot see. LOCATE: an index this
+    * lifecycle built carries the cid→cell REVERSE MAP
+    * ([[readIvfCidmapAt]] — one (cid, cell) row per materialized
+    * member, partitioned by the pure id→cbucket function), so the
+    * matched cells are found by reading ≤ |ids| cbucket dirs of an
+    * id-sized artifact — NO cells scan anywhere; a pre-cidmap legacy
+    * dir falls back to ONE full scan of the committed cells (the
+    * documented legacy price). The REWRITE stays local either way —
+    * only cells that actually held a matched cid consolidate into the
+    * new version, untouched cells keep their version lists, and the
+    * matched cids' reverse rows consolidate out of their cbuckets.
+    * Ids never ingested (or already deleted) match nothing and change
+    * nothing — re-delete-proof by construction. CRASH-ATOMIC +
+    * exactly-once like every tick. */
   def ivfIndexDeleteByIds(spark: SparkSession, dir: String,
       ids: DataFrame): Unit =
     ivfIndexDeleteByIdsHooked(spark, dir, ids, crashPoint = 0)
@@ -886,12 +998,27 @@ object Ann extends Serializable {
     val delIds = ids.select(col("cid").cast("long").as("cid"))
       .distinct().localCheckpoint(true)
     if (delIds.isEmpty) return // empty request: the index already is the post-tick state
-    // ONE full scan (the id-only price) finds every cell holding a
-    // matched cid — cid-sized output, batch-size-independent driver read
-    val touched = readIvfCellsAt(spark, dir, m)
-      .join(delIds, Seq("cid"), "left_semi")
-      .select(col("cell")).distinct()
+    val hasCidmap = m.cidVersions.nonEmpty
+    // candidate cbuckets: a pure function of the request's ids
+    val candC =
+      if (!hasCidmap) Set.empty[Int]
+      else delIds.select(cidCbucket(col("cid"), m.cells).as("cbucket"))
+        .distinct().collect().map(_.getInt(0)).toSet
+        .filter(m.cidVersions.contains)
+    // every cell holding a matched cid — cid-sized output either way;
+    // the cidmap path reads only the request's cbucket dirs
+    val touched = (if (hasCidmap) {
+        readIvfCidmapAt(spark, dir, m, Some(candC))
+          .join(delIds, Seq("cid"), "left_semi")
+          .select(col("cell"))
+      } else {
+        // legacy pre-cidmap dir: ONE full scan, the documented price
+        readIvfCellsAt(spark, dir, m)
+          .join(delIds, Seq("cid"), "left_semi")
+          .select(col("cell"))
+      }).distinct()
       .collect().map(_.getInt(0)) // ≤ cell count values
+      .filter(m.cellVersions.contains)
     if (touched.isEmpty) return // no id matched: nothing to remove
     ManifestIO.guardSlot(spark, dir, newVer)
     readIvfCellsAt(spark, dir, m, Some(touched.toSet))
@@ -899,13 +1026,25 @@ object Ann extends Serializable {
       .select(col("cid"), col("cvec"), col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dir/data/$newVer/cells")
+    // reverse-map consolidation: the matched cids' rows (EVERY copy)
+    // leave their cbuckets
+    val newCidVers = if (hasCidmap && candC.nonEmpty) {
+      readIvfCidmapAt(spark, dir, m, Some(candC))
+        .join(delIds, Seq("cid"), "left_anti")
+        .select(col("cid"), col("cell"), col("cbucket"))
+        .write.partitionBy("cbucket").mode("overwrite")
+        .parquet(s"$dir/data/$newVer/cidmap")
+      val presentD = ManifestIO
+        .partitionIds(spark, s"$dir/data/$newVer/cidmap", "cbucket=").toSet
+      (m.cidVersions -- candC) ++ presentD.map(_ -> newVer)
+    } else m.cidVersions
     if (crashPoint == 1) return // simulated death: data written, nothing committed
     val present =
       ManifestIO.partitionIds(spark, s"$dir/data/$newVer/cells", "cell=").toSet
     val newCells = (m.cellVersions -- touched) ++ present.map(_ -> Seq(newVer))
     val body = renderIvfManifest(
       IvfManifest(newVer, m.cells, m.centroidsVersion, newCells,
-        ManifestIO.mergeTxn(m.txns, txn)))
+        ManifestIO.mergeTxn(m.txns, txn), newCidVers))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return
@@ -917,15 +1056,29 @@ object Ann extends Serializable {
     * and manifests the committed manifest no longer references —
     * replaced rebuilds and crashed ticks' orphans (cell appends never
     * supersede data, so a healthy append-only index deletes nothing
-    * here until a rebuild retires its whole history).
+    * here until a rebuild retires its whole history — but cidmap
+    * cbuckets DO supersede on every append/delete, which the
+    * artifact-scoped pre-pass reclaims even while the version's cells
+    * stay live, and conversely a version's dead cells mass reclaims
+    * even while its live cidmap rows keep the version dir).
     * [[ManifestIO.vacuum]] semantics: single-writer maintenance,
     * `graceVersions` protects recently-pinned readers. */
   def ivfVacuum(spark: SparkSession, dir: String,
       graceVersions: Long = 2L): Seq[Long] = {
     val m = readIvfManifest(spark, dir)
-    ManifestIO.vacuum(spark, dir, m.version,
-      m.cellVersions.values.flatten.toSet + m.centroidsVersion + m.version,
+    // the three artifacts supersede INDEPENDENTLY (the Bm25.vacuumIndex
+    // rationale): cells by rebuild/delete, centroids by rebuild only,
+    // cidmap cbuckets by every append/delete
+    val arts = ManifestIO.vacuumArtifacts(spark, dir, m.version,
+      Map("cells" -> m.cellVersions.values.flatten.toSet,
+        "centroids" -> Set(m.centroidsVersion),
+        "cidmap" -> m.cidVersions.values.toSet),
       graceVersions)
+    val whole = ManifestIO.vacuum(spark, dir, m.version,
+      m.cellVersions.values.flatten.toSet ++ m.cidVersions.values +
+        m.centroidsVersion + m.version,
+      graceVersions)
+    (whole ++ arts.map(_._2)).distinct.sorted
   }
 
   /** Geometry-drift report of the committed IVF index, computed from

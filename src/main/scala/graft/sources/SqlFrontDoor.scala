@@ -710,15 +710,21 @@ object SqlFrontDoor {
       ("ivf_index_drift", 1, a =>
         graft.operators.Ann.ivfGeometryDrift(s, a.head)),
       // ivf_index_delete_ids(index_dir, ids_path): the STRICT id-only
-      // takedown — anti-joins every materialized cell by cid (full
-      // scan), so a cid's every copy is removed, including a stale
+      // takedown — removes a cid's every copy, including a stale
       // vector an update-by-append left in another cell (the gap the
-      // assignment-local ivf_index_delete documents); returns the
-      // commit receipt
+      // assignment-local ivf_index_delete documents); locates through
+      // the cid→cell reverse map (≤ |ids| cbucket dirs read — no cells
+      // scan; legacy pre-cidmap dirs fall back to one full scan);
+      // returns the commit receipt
       ("ivf_index_delete_ids", 2, a => {
         graft.operators.Ann.ivfIndexDeleteByIds(s, a.head, s.read.parquet(a(1)))
         ivfManifestSummary(a.head)
       }),
+      // ivf_index_cidmap(index_dir): the committed cid→cell reverse
+      // map (cid, cell, cbucket) — what the id-only takedown locates
+      // through; empty for a pre-cidmap legacy dir
+      ("ivf_index_cidmap", 1, a =>
+        graft.operators.Ann.readIvfCidmap(s, a.head)),
       // ivf_drift_verdict(index_dir, rebuild_drop_pct): the drift
       // alarm as a VERDICT — one row comparing the latest appended
       // version's mean cosine to the trained reference version's,

@@ -298,6 +298,125 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(Ann.readIvfCells(spark, dir).count() == 0L)
   }
 
+  private def cbucketOf(id: Long, cells: Int): Int =
+    Seq(id).toDF("cid")
+      .select(pmod(xxhash64(col("cid")), lit(cells)).cast("int")).head().getInt(0)
+
+  /** Overwrite a partition dir's parquet files with garbage: any path
+    * that READS them afterwards throws — the structural proof a code
+    * path never listed them is that it still succeeds. */
+  private def corrupt(path: String): Unit = {
+    val d = new java.io.File(path)
+    assert(d.exists, s"audit precondition: $path must exist")
+    d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, "not a parquet file".getBytes)
+    }
+  }
+
+  test("cidmap: every tick maintains the reverse map; a re-ingested id lists every copy's cell") {
+    val cents = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    val dir = Files.createTempDirectory("ivfcidmap").toString
+    Ann.ivfIndexBuild(Seq(
+      (42L, Seq(0.9f, 0.1f, 0f)), (7L, Seq(0f, 0.1f, 0.9f)),
+      (8L, Seq(0f, 0.9f, 0.1f))).toDF("cid", "cvec"), dir, cents)
+    def cidmap() = Ann.readIvfCidmap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cidmap() == Set((42L, 0), (7L, 2), (8L, 1)),
+      "build writes one reverse row per member")
+    // update-by-append: the same id under a drifted vector lands in
+    // another cell — the reverse map lists BOTH copies, which is what
+    // makes the strict takedown's every-copy contract scan-free
+    Ann.ivfIndexAppend(spark, dir, Seq((42L, Seq(0.1f, 0.9f, 0f)))
+      .toDF("cid", "cvec"))
+    assert(cidmap() == Set((42L, 0), (42L, 1), (7L, 2), (8L, 1)))
+    // the assignment-local delete consolidates exactly its copy's row:
+    // deleting with the LATEST vector leaves the stale copy's row (the
+    // documented gap), so the map keeps matching the cells
+    Ann.ivfIndexDelete(spark, dir, Seq((42L, Seq(0.1f, 0.9f, 0f)))
+      .toDF("cid", "cvec"))
+    assert(cidmap() == Set((42L, 0), (7L, 2), (8L, 1)))
+    // the strict tick removes the remaining copy and its row
+    Ann.ivfIndexDeleteByIds(spark, dir, Seq(42L).toDF("cid"))
+    assert(cidmap() == Set((7L, 2), (8L, 1)))
+    assert(Ann.readIvfCells(spark, dir).select(col("cid")).collect()
+      .map(_.getLong(0)).toSet == Set(7L, 8L))
+    // the map equals what a fresh build over the remainder writes
+    val dirU = Files.createTempDirectory("ivfcidmapU").toString
+    Ann.ivfIndexBuild(Seq((7L, Seq(0f, 0.1f, 0.9f)), (8L, Seq(0f, 0.9f, 0.1f)))
+      .toDF("cid", "cvec"), dirU, cents)
+    assert(Ann.readIvfCidmap(spark, dirU).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet == cidmap())
+  }
+
+  test("cidmap: the id-only locate reads neither untouched cells nor untouched cbuckets; the legacy fallback scans") {
+    val cents = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    // a keeper id in a DIFFERENT cbucket than the takedown id (and a
+    // different cell), picked deterministically under the fixed hash
+    val keeper = Seq(7L, 9L, 57L, 101L, 202L)
+      .find(id => cbucketOf(id, 3) != cbucketOf(42L, 3)).get
+    def seed(d: String): Unit =
+      Ann.ivfIndexBuild(Seq((42L, Seq(0.9f, 0.1f, 0f)),
+        (keeper, Seq(0f, 0.1f, 0.9f))).toDF("cid", "cvec"), d, cents)
+    // cidmap path: corrupt the keeper's cell AND its cbucket — the
+    // takedown of 42 must still succeed, because the locate reads only
+    // the request's cbucket dirs and the rewrite only the matched cells
+    val dir = Files.createTempDirectory("ivfcidmapaudit").toString
+    seed(dir)
+    corrupt(s"$dir/data/1/cells/cell=2")
+    corrupt(s"$dir/data/1/cidmap/cbucket=${cbucketOf(keeper, 3)}")
+    Ann.ivfIndexDeleteByIds(spark, dir, Seq(42L).toDF("cid"))
+    val m = Ann.readIvfManifest(spark, dir)
+    assert(!m.cellVersions.contains(0) && m.cellVersions.contains(2),
+      "the matched cell empties out of the manifest; the keeper's stays")
+    assert(Ann.readIvfCidmapAt(spark, dir, m,
+        Some(Set(cbucketOf(42L, 3)))).count() == 0L,
+      "the request's cbucket no longer holds the deleted id")
+    // legacy fallback on the same layout: the locate is a full cells
+    // scan, so the corrupted untouched cell IS read — and throws
+    val dirL = Files.createTempDirectory("ivfcidmaplegacy").toString
+    seed(dirL)
+    val f = graft.operators.ManifestIO.fs(spark, dirL)
+    val (v, body) = graft.operators.ManifestIO.readCurrent(spark, dirL, "legacy spec")
+    graft.operators.ManifestIO.writeText(f,
+      new org.apache.hadoop.fs.Path(s"$dirL/manifest/v$v.txt"),
+      body.linesIterator.filterNot(_.startsWith("cidVersions="))
+        .mkString("", "\n", "\n"))
+    assert(Ann.readIvfManifest(spark, dirL).cidVersions.isEmpty)
+    corrupt(s"$dirL/data/1/cells/cell=2")
+    intercept[Exception] {
+      Ann.ivfIndexDeleteByIds(spark, dirL, Seq(42L).toDF("cid"))
+    }
+  }
+
+  test("cidmap: a pre-cidmap legacy dir keeps working and appends don't start a partial map") {
+    val cents = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    val dir = Files.createTempDirectory("ivfprecidmap").toString
+    Ann.ivfIndexBuild(Seq((42L, Seq(0.9f, 0.1f, 0f)), (7L, Seq(0f, 0.1f, 0.9f)))
+      .toDF("cid", "cvec"), dir, cents)
+    val f = graft.operators.ManifestIO.fs(spark, dir)
+    val (v, body) = graft.operators.ManifestIO.readCurrent(spark, dir, "legacy spec")
+    graft.operators.ManifestIO.writeText(f,
+      new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.txt"),
+      body.linesIterator.filterNot(_.startsWith("cidVersions="))
+        .mkString("", "\n", "\n"))
+    assert(Ann.readIvfManifest(spark, dir).cidVersions.isEmpty)
+    // an append onto the legacy dir does NOT start an incomplete map
+    // (accreting only new members would silently miss old copies)
+    Ann.ivfIndexAppend(spark, dir, Seq((8L, Seq(0f, 0.9f, 0.1f)))
+      .toDF("cid", "cvec"))
+    assert(Ann.readIvfManifest(spark, dir).cidVersions.isEmpty)
+    // the id-only delete still equals the rebuild over the remainder —
+    // through the documented full-scan fallback
+    Ann.ivfIndexDeleteByIds(spark, dir, Seq(42L).toDF("cid"))
+    val dirU = Files.createTempDirectory("ivfprecidmapU").toString
+    Ann.ivfIndexBuild(Seq((7L, Seq(0f, 0.1f, 0.9f)), (8L, Seq(0f, 0.9f, 0.1f)))
+      .toDF("cid", "cvec"), dirU, cents)
+    def cellsOf(d: String) = Ann.readIvfCells(spark, d)
+      .select(col("cid"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellsOf(dir) == cellsOf(dirU))
+  }
+
   test("docmap: every tick maintains the reverse index; id-only delete is scan-free and null-text-exact") {
     val withNull = keep ++ gone :+ (99L, null.asInstanceOf[String])
     val dir = Files.createTempDirectory("bm25docmap").toString

@@ -699,8 +699,14 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq ==
       graft.operators.Ann.ivfGeometryDrift(spark, idx)
         .collect().map(_.toSeq).toSeq)
-    // vacuum from SQL: pure appends supersede nothing → zero rows
-    assert(spark.sql(s"SELECT * FROM ivf_index_vacuum('$idx', '0')").count() == 0L)
+    // the reverse map from SQL: one row per committed member
+    assert(spark.sql(s"SELECT count(*) FROM ivf_index_cidmap('$idx')")
+      .collect().head.getLong(0) ==
+      graft.operators.Ann.readIvfCells(spark, idx).count())
+    // vacuum from SQL: pure appends supersede no cells — at most v1's
+    // re-owned reverse-map cbuckets retire through the artifact pass
+    assert(spark.sql(s"SELECT * FROM ivf_index_vacuum('$idx', '0')")
+      .collect().map(_.getLong(0)).forall(_ == 1L))
     // rebuild retires the history; vacuum then reports the dead versions
     assert(spark.sql(
       s"SELECT * FROM ivf_index_build('$corpP', '$idx', '$centP')")

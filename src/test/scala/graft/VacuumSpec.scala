@@ -150,9 +150,14 @@ class VacuumSpec extends AnyFunSuite {
       .toDF("cid", "cvec"), dir, cents)
     Ann.ivfIndexAppend(spark, dir,
       (10 until 20).map(i => (i.toLong, vec(i))).toDF("cid", "cvec"))
-    // pure appends supersede nothing: vacuum deletes nothing
-    assert(Ann.ivfVacuum(spark, dir, graceVersions = 0L).isEmpty)
+    // pure appends supersede NO CELLS: both versions' member files stay;
+    // only reverse-map cbuckets the append re-owned may retire through
+    // the artifact pass
+    assert(Ann.ivfVacuum(spark, dir, graceVersions = 0L).forall(_ == 1L))
     assert(dataVersions(dir) == Set(1L, 2L))
+    assert(new java.io.File(s"$dir/data/1/cells").exists &&
+      new java.io.File(s"$dir/data/2/cells").exists,
+      "append-only cell history is fully referenced")
 
     // a rebuild retires the whole append history
     Ann.ivfIndexBuild((100 until 140).map(i => (i.toLong, vec(i)))
@@ -164,5 +169,48 @@ class VacuumSpec extends AnyFunSuite {
     assert(dataVersions(dir) == Set(3L))
     assert(Ann.ivfServedTopK(spark, dir, q, k = 5, nprobe = 2)
       .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq == before)
+  }
+
+  test("ivf: the artifact pass reclaims superseded cidmap cbuckets while the cells stay live") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dim = 8
+    def vec(seed: Int) = Seq.tabulate(dim)(j =>
+      (((seed * 31 + j * 17) % 13) - 6).toFloat / 3f)
+    val cents = Array.tabulate(4)(c => vec(c * 7 + 1).toArray)
+    val dir = Files.createTempDirectory("ivfartvac").toString
+    Ann.ivfIndexBuild((100 until 140).map(i => (i.toLong, vec(i)))
+      .toDF("cid", "cvec"), dir, cents)
+    // a broad append re-owns every cbucket (40 ids over 4 cbuckets —
+    // deterministic under the fixed hash; the precondition is asserted)
+    Ann.ivfIndexAppend(spark, dir,
+      (200 until 240).map(i => (i.toLong, vec(i))).toDF("cid", "cvec"))
+    val m = Ann.readIvfManifest(spark, dir)
+    assert(m.cidVersions.values.toSet == Set(2L),
+      s"precondition: the append must re-own all cbuckets, got ${m.cidVersions}")
+    val q = (0 until 3).map(i => (i.toLong, vec(i + 500))).toDF("qid", "qvec")
+    def serve() = Ann.ivfServedTopK(spark, dir, q, k = 5, nprobe = 2)
+      .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
+    val before = serve()
+    // v1's cells are live member data (appends accrete); v1's cidmap is
+    // fully superseded — without the artifact pass one live version dir
+    // would pin the dead reverse-map mass forever
+    assert(Ann.ivfVacuum(spark, dir, graceVersions = 0L) == Seq(1L))
+    assert(dataVersions(dir) == Set(1L, 2L))
+    assert(new java.io.File(s"$dir/data/1/cells").exists,
+      "live member files must survive the artifact pass")
+    assert(!new java.io.File(s"$dir/data/1/cidmap").exists,
+      "the superseded reverse-map subtree must be reclaimed")
+    assert(serve() == before)
+    // the reverse map still locates: an id-only takedown off the
+    // vacuumed index equals the rebuild over the remainder
+    Ann.ivfIndexDeleteByIds(spark, dir, Seq(100L, 210L).toDF("cid"))
+    val dirU = Files.createTempDirectory("ivfartvacU").toString
+    Ann.ivfIndexBuild(((101 until 140) ++ (200 until 210) ++ (211 until 240))
+      .map(i => (i.toLong, vec(i))).toDF("cid", "cvec"), dirU, cents)
+    def cellsOf(d: String) = Ann.readIvfCells(spark, d)
+      .select(col("cid"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellsOf(dir) == cellsOf(dirU))
   }
 }
