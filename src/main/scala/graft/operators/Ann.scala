@@ -1052,6 +1052,59 @@ object Ann extends Serializable {
     ManifestIO.commit(spark, dir, newVer, body)
   }
 
+  /** COMPACT tick of the committed-IVF lifecycle — the read-amplification
+    * bound a long-lived streaming deployment needs: appends ACCRETE, so
+    * a cell ingested by N ticks reads a union of N file groups at every
+    * serve and its manifest entry grows without bound. This tick picks
+    * every cell whose version list has ≥ `minVersions` distinct
+    * contributing versions, rewrites each picked cell's union into ONE
+    * new data version (a pure physical rewrite — membership, vectors
+    * and scores are bit-identical before and after), and collapses the
+    * manifest entries to the single new version; unpicked cells are
+    * never listed. The superseded history is the next vacuum's food.
+    * CRASH-ATOMIC via the standard new-version + CURRENT flip; the txn
+    * ledger is carried forward untouched, so a maintenance stream's
+    * exactly-once record survives a compaction (like a rebuild).
+    * Single-writer maintenance, like vacuum — run it from the index's
+    * one writer (the [[graft.streaming.IndexMaintain.ivfSink]] cadence
+    * does). Returns the compacted cell ids. */
+  def ivfIndexCompact(spark: SparkSession, dir: String,
+      minVersions: Int = 2): Seq[Int] =
+    ivfIndexCompactHooked(spark, dir, minVersions, crashPoint = 0)
+
+  /** [[ivfIndexCompact]] with the standard injectable writer-death
+    * points (1 = after the data write; 2 = after manifest, before
+    * flip). */
+  private[graft] def ivfIndexCompactHooked(spark: SparkSession, dir: String,
+      minVersions: Int, crashPoint: Int): Seq[Int] = {
+    require(minVersions >= 2,
+      s"minVersions < 2 would rewrite single-version cells for nothing: $minVersions")
+    val m = readIvfManifest(spark, dir)
+    val picked = m.cellVersions
+      .filter { case (_, vs) => vs.distinct.size >= minVersions }
+      .keys.toSeq.sorted
+    if (picked.isEmpty) return Seq.empty // nothing fragmented: no tick
+    val newVer = m.version + 1
+    ManifestIO.guardSlot(spark, dir, newVer)
+    readIvfCellsAt(spark, dir, m, Some(picked.toSet))
+      .select(col("cid"), col("cvec"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/data/$newVer/cells")
+    if (crashPoint == 1) return Seq.empty // simulated death: data written, nothing committed
+    val present = ManifestIO
+      .partitionIds(spark, s"$dir/data/$newVer/cells", "cell=").toSet
+    val newCells = (m.cellVersions -- picked) ++ present.map(_ -> Seq(newVer))
+    val body = renderIvfManifest(
+      IvfManifest(newVer, m.cells, m.centroidsVersion, newCells,
+        ManifestIO.mergeTxn(m.txns, None), m.cidVersions))
+    if (crashPoint == 2) {
+      ManifestIO.writeManifestOnly(spark, dir, newVer, body)
+      return Seq.empty
+    }
+    ManifestIO.commit(spark, dir, newVer, body)
+    picked
+  }
+
   /** VACUUM tick of the committed-IVF lifecycle: delete data versions
     * and manifests the committed manifest no longer references —
     * replaced rebuilds and crashed ticks' orphans (cell appends never

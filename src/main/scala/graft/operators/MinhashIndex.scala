@@ -295,6 +295,49 @@ object MinhashIndex {
     ManifestIO.commit(spark, dir, newVer, body)
   }
 
+  /** COMPACT tick — the [[graft.operators.Ann.ivfIndexCompact]]
+    * sibling: admissions ACCRETE, so a signature bucket fed by N ticks
+    * reads a union of N file groups at every gate and its manifest
+    * entry grows without bound. Rewrite every bucket with
+    * ≥ `minVersions` distinct contributing versions into ONE new data
+    * version (a pure physical rewrite — rows bit-identical), collapse
+    * the manifest entries, leave unpicked buckets unlisted; the
+    * superseded history is the next vacuum's food. Crash-atomic, txn
+    * ledger carried forward, single-writer maintenance. Returns the
+    * compacted bucket ids. */
+  def compact(spark: SparkSession, dir: String, minVersions: Int = 2): Seq[Int] =
+    compactHooked(spark, dir, minVersions, crashPoint = 0)
+
+  /** [[compact]] with the standard injectable writer-death points. */
+  private[graft] def compactHooked(spark: SparkSession, dir: String,
+      minVersions: Int, crashPoint: Int): Seq[Int] = {
+    require(minVersions >= 2,
+      s"minVersions < 2 would rewrite single-version buckets for nothing: $minVersions")
+    val m = readManifest(spark, dir)
+    val picked = m.bucketVersions
+      .filter { case (_, vs) => vs.distinct.size >= minVersions }
+      .keys.toSeq.sorted
+    if (picked.isEmpty) return Seq.empty // nothing fragmented: no tick
+    val newVer = m.version + 1
+    ManifestIO.guardSlot(spark, dir, newVer)
+    readRowsAt(spark, dir, m, Some(picked.toSet))
+      .select(col("sid"), col("gs"), col("bhs"), col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/data/$newVer/rows")
+    if (crashPoint == 1) return Seq.empty // simulated death: data written, nothing committed
+    val present = ManifestIO
+      .partitionIds(spark, s"$dir/data/$newVer/rows", "bucket=").toSet
+    val newBuckets = (m.bucketVersions -- picked) ++ present.map(_ -> Seq(newVer))
+    val body = render(Manifest(newVer, m.buckets, m.n, m.bands, m.rowsPerBand,
+      newBuckets, ManifestIO.mergeTxn(m.txns, None)))
+    if (crashPoint == 2) {
+      ManifestIO.writeManifestOnly(spark, dir, newVer, body)
+      return Seq.empty
+    }
+    ManifestIO.commit(spark, dir, newVer, body)
+    picked
+  }
+
   /** VACUUM tick: retire data versions and manifests the committed
     * manifest no longer references ([[ManifestIO.vacuum]] semantics —
     * single-writer maintenance, grace counted in versions). Admissions

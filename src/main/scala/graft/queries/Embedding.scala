@@ -1109,10 +1109,62 @@ object Embedding {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Build → two fragmenting appends → COMPACT → vacuum cache backing
+    * [[v24IvfCompact]]: the appended mass arrives in two ticks so the
+    * touched cells hold multi-version file lists, the compaction
+    * collapses them, and the vacuum deletes the superseded fragments —
+    * the serve that follows runs ENTIRELY on post-compaction files. */
+  private val ivfCompactCache = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+
+  private def ivfCompactedIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ivfCompactCache.getOrElseUpdate(d, {
+      val e = Tables.embeddings(s, d)
+      val initial = e.filter(col("vec_id") >= AppendSplit)
+      val numCells = 16
+      val init = Ann.kmeansParallelInit(initial, "vec_id", "embedding", numCells)
+      val cents = Ann.kmeansCentroids(initial, "embedding", init, iters = 5)
+      val dir = s"/tmp/graft_ivf_compact_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Ann.ivfIndexBuild(initial.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec")), dir, cents)
+      val mid = (NumQueries + AppendSplit) / 2
+      Ann.ivfIndexAppend(s, dir,
+        e.filter(col("vec_id") >= NumQueries && col("vec_id") < mid)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+      Ann.ivfIndexAppend(s, dir,
+        e.filter(col("vec_id") >= mid && col("vec_id") < AppendSplit)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+      Ann.ivfIndexCompact(s, dir, minVersions = 2)
+      Ann.ivfVacuum(s, dir, graceVersions = 0L)
+      dir
+    })
+
+  /** Committed-IVF COMPACT tick ([[graft.operators.Ann.ivfIndexCompact]])
+    * — the read-amplification bound of a long-lived append stream:
+    * cells fragmented across two append ticks are rewritten into one
+    * data version and the superseded fragments vacuumed BEFORE the
+    * serve, so every row here is read from post-compaction files. The
+    * oracle is the SAME union-corpus serve replay as v19 — a vector
+    * lost, duplicated or mis-celled by the rewrite breaks the hash. */
+  val v24IvfCompact: Q = Q(
+    "v24_ivf_compact",
+    ivfServeSql("v24_centroids", nprobe = 12,
+      corpusWhere = s"e.vec_id >= $NumQueries")) { (s, d) =>
+    val dir = ivfCompactedIndex(s, d)
+    writeCentroids(s, "v24_centroids", Ann.readIvfCentroids(s, dir))
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.ivfServedTopK(s, dir, queries, K, nprobe = 12)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,
     v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
     v9KnnPq, v10KnnIvfPq, v11IvfServed, v12IvfPqServed, v13KnnLshAmplified,
     v14SemDedup, v15HardNegatives, v16KnnSq8, v17RandomProjection,
     v18ClusterSample, v19IvfAppend, v20VecClusters, v21IvfDrift,
-    v22IvfDelete, v23IvfDriftVerdict)
+    v22IvfDelete, v23IvfDriftVerdict, v24IvfCompact)
 }

@@ -636,6 +636,17 @@ object SqlFrontDoor {
         graft.operators.MinhashIndex.vacuum(sp, a.head, a(1).trim.toLong)
           .toDF("deleted_version")
       }),
+      // minhash_index_compact(index_dir, min_versions): rewrite every
+      // signature bucket with >= min_versions contributing data
+      // versions into one (pure physical rewrite — the gate is
+      // bit-identical); bounds a long-lived admission stream's
+      // per-bucket read amplification; vacuum eats the history
+      ("minhash_index_compact", 2, a => {
+        val sp = s
+        import sp.implicits._
+        graft.operators.MinhashIndex.compact(sp, a.head, a(1).trim.toInt)
+          .toDF("compacted_bucket")
+      }),
       // hybrid_rrf(corpus_path, queries_path, k_leg, k): hybrid
       // retrieval — BM25 lexical leg + exact-cosine vector leg over
       // one corpus, fused by integer Reciprocal-Rank Fusion
@@ -719,6 +730,17 @@ object SqlFrontDoor {
       ("ivf_index_delete_ids", 2, a => {
         graft.operators.Ann.ivfIndexDeleteByIds(s, a.head, s.read.parquet(a(1)))
         ivfManifestSummary(a.head)
+      }),
+      // ivf_index_compact(index_dir, min_versions): rewrite every cell
+      // with >= min_versions contributing data versions into one (pure
+      // physical rewrite — serving is bit-identical); bounds a
+      // long-lived append stream's per-cell read amplification; the
+      // superseded history is the next vacuum's food
+      ("ivf_index_compact", 2, a => {
+        val sp = s
+        import sp.implicits._
+        graft.operators.Ann.ivfIndexCompact(sp, a.head, a(1).trim.toInt)
+          .toDF("compacted_cell")
       }),
       // ivf_index_cidmap(index_dir): the committed cid→cell reverse
       // map (cid, cell, cbucket) — what the id-only takedown locates

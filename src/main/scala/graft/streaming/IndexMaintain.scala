@@ -91,11 +91,19 @@ object IndexMaintain {
   def ivfSink(dir: String, appId: String, vacuumEvery: Int = 0,
       graceVersions: Long = 2L, driftEvery: Int = 0,
       alarmDir: String = "",
-      rebuildDropPct: Int = 25): (DataFrame, Long) => Unit = {
+      rebuildDropPct: Int = 25, compactEvery: Int = 0,
+      compactMinVersions: Int = 2): (DataFrame, Long) => Unit = {
     require(driftEvery <= 0 || alarmDir.nonEmpty,
       "driftEvery needs an alarmDir — the cadence would write to the filesystem root")
     (batch, epoch) => {
       Ann.ivfIndexAppendTxn(batch.sparkSession, dir, batch, appId, epoch)
+      // compaction BEFORE vacuum: the compaction's freshly superseded
+      // history is the same epoch's vacuum food (grace still guards
+      // pinned readers). A re-delivered cadence epoch re-runs both —
+      // idempotent: the already-compacted cells hold one version, so
+      // the re-run picks nothing
+      if (due(compactEvery, epoch))
+        Ann.ivfIndexCompact(batch.sparkSession, dir, compactMinVersions)
       if (due(vacuumEvery, epoch))
         Ann.ivfVacuum(batch.sparkSession, dir, graceVersions)
       // the rebuild alarm on a cadence — a VERDICT, not a time series:
@@ -120,11 +128,13 @@ object IndexMaintain {
   def maintainIvf(vecs: DataFrame, dir: String, appId: String,
       checkpoint: String, vacuumEvery: Int = 0, graceVersions: Long = 2L,
       driftEvery: Int = 0, alarmDir: String = "",
-      rebuildDropPct: Int = 25): StreamingQuery =
+      rebuildDropPct: Int = 25, compactEvery: Int = 0,
+      compactMinVersions: Int = 2): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(ivfSink(dir, appId, vacuumEvery, graceVersions,
-        driftEvery, alarmDir, rebuildDropPct))
+        driftEvery, alarmDir, rebuildDropPct, compactEvery,
+        compactMinVersions))
       .start()
 
   // ── takedown streams: the DELETE verb on the same exactly-once rail ──
@@ -218,7 +228,8 @@ object IndexMaintain {
   def minhashSink(dir: String, idCol: String, textCol: String,
       threshold: Double, appId: String, decisionsDir: String,
       vacuumEvery: Int = 0,
-      graceVersions: Long = 2L): (DataFrame, Long) => Unit =
+      graceVersions: Long = 2L, compactEvery: Int = 0,
+      compactMinVersions: Int = 2): (DataFrame, Long) => Unit =
     (batch, epoch) => {
       // verdicts land from INSIDE the tick, before its commit: a crash
       // on either side of the commit re-delivers the epoch and leaves
@@ -229,6 +240,10 @@ object IndexMaintain {
         idCol, textCol, threshold, appId, epoch,
         onDecisions = d => d.write.mode("overwrite")
           .parquet(s"$decisionsDir/epoch=$epoch"))
+      // the ivfSink cadence rationale: compact first, vacuum eats the
+      // superseded history; both idempotent under re-delivery
+      if (due(compactEvery, epoch))
+        MinhashIndex.compact(batch.sparkSession, dir, compactMinVersions)
       if (due(vacuumEvery, epoch))
         MinhashIndex.vacuum(batch.sparkSession, dir, graceVersions)
     }
@@ -239,11 +254,13 @@ object IndexMaintain {
   def maintainMinhash(docs: DataFrame, dir: String, idCol: String,
       textCol: String, threshold: Double, appId: String,
       decisionsDir: String, checkpoint: String, vacuumEvery: Int = 0,
-      graceVersions: Long = 2L): StreamingQuery =
+      graceVersions: Long = 2L, compactEvery: Int = 0,
+      compactMinVersions: Int = 2): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(minhashSink(dir, idCol, textCol, threshold, appId,
-        decisionsDir, vacuumEvery, graceVersions))
+        decisionsDir, vacuumEvery, graceVersions, compactEvery,
+        compactMinVersions))
       .start()
 
   /** The minhash id-only takedown sink: batch frame carries `sid`. */
