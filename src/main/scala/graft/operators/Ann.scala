@@ -1052,6 +1052,102 @@ object Ann extends Serializable {
     ManifestIO.commit(spark, dir, newVer, body)
   }
 
+  /** UPSERT tick of the committed-IVF lifecycle — the REFRESH verb
+    * (the [[Bm25.upsertIndex]] sibling): `batch` carries (cid, cvec)
+    * rows that REPLACE every committed copy of the same cid — stale
+    * update-by-append copies in other cells included, the strict
+    * [[ivfIndexDeleteByIds]] contract — and plain-append cids the
+    * index has never seen, in ONE crash-atomic commit (a delete tick
+    * then an append tick would leave a crash window in which the
+    * vector is simply absent). LOCATE rides the cid→cell reverse map
+    * (≤ |ids| cbucket dirs; legacy pre-cidmap dirs pay the one-scan
+    * fallback); REWRITE consolidates the union of the old copies'
+    * cells and the new assignments' cells, each once. The batch is
+    * deduplicated by cid (set semantics). Serving afterwards equals an
+    * index built over (corpus − batch cids) ∪ batch. */
+  def ivfIndexUpsert(spark: SparkSession, dir: String,
+      batch: DataFrame): Unit =
+    ivfIndexUpsertHooked(spark, dir, batch, crashPoint = 0)
+
+  /** [[ivfIndexUpsert]] carrying a writer transaction. */
+  def ivfIndexUpsertTxn(spark: SparkSession, dir: String, batch: DataFrame,
+      appId: String, epoch: Long): Unit =
+    ivfIndexUpsertHooked(spark, dir, batch, crashPoint = 0,
+      txn = Some((appId, epoch)))
+
+  /** [[ivfIndexUpsert]] with the standard injectable writer-death
+    * points. */
+  private[graft] def ivfIndexUpsertHooked(spark: SparkSession, dir: String,
+      batch: DataFrame, crashPoint: Int,
+      txn: Option[(String, Long)] = None): Unit = {
+    val m = readIvfManifest(spark, dir)
+    if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
+    val newVer = m.version + 1
+    val pinned = batch.select(col("cid").cast("long").as("cid"), col("cvec"))
+      .dropDuplicates(Seq("cid")).localCheckpoint(true)
+    if (pinned.isEmpty) return // empty batch: the index already is the post-tick state
+    val upIds = pinned.select(col("cid"))
+    val hasCidmap = m.cidVersions.nonEmpty
+    val candC =
+      if (!hasCidmap) Set.empty[Int]
+      else upIds.select(cidCbucket(col("cid"), m.cells).as("cbucket"))
+        .distinct().collect().map(_.getInt(0)).toSet
+        .filter(m.cidVersions.contains)
+    // every cell holding an OLD copy (the strict locate: reverse map
+    // when the index has one, full scan for a legacy dir)
+    val touchedOld = (if (hasCidmap) {
+        readIvfCidmapAt(spark, dir, m, Some(candC))
+          .join(upIds, Seq("cid"), "left_semi").select(col("cell"))
+      } else {
+        readIvfCellsAt(spark, dir, m)
+          .join(upIds, Seq("cid"), "left_semi").select(col("cell"))
+      }).distinct()
+      .collect().map(_.getInt(0)).filter(m.cellVersions.contains)
+    val cents = readIvfCentroidsAt(spark, dir, m)
+    val assigned = assignCells(pinned, cents).localCheckpoint(true)
+    val touchedNew = assigned.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val touched = (touchedOld ++ touchedNew).distinct // ≤ cell count values
+    ManifestIO.guardSlot(spark, dir, newVer)
+    readIvfCellsAt(spark, dir, m, Some(touched.toSet))
+      .join(upIds, Seq("cid"), "left_anti")
+      .select(col("cid"), col("cvec"), col("cell"))
+      .unionByName(assigned.select(col("cid"), col("cvec"), col("cell")))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/data/$newVer/cells")
+    // reverse-map rewrite: a cid's old rows and its new row live in
+    // the SAME cbucket (pure function of the id) — one rewrite of the
+    // batch's cbuckets with (existing − batch cids) ∪ new assignments
+    val maintainCidmap = m.cidVersions.nonEmpty || m.cellVersions.isEmpty
+    val newCidVers = if (maintainCidmap) {
+      val fresh = assigned.select(col("cid"), col("cell"))
+        .withColumn("cbucket", cidCbucket(col("cid"), m.cells))
+      val allCand = fresh.select(col("cbucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      readIvfCidmapAt(spark, dir, m,
+          Some(allCand.filter(m.cidVersions.contains)))
+        .join(upIds, Seq("cid"), "left_anti")
+        .unionByName(fresh).distinct()
+        .write.partitionBy("cbucket").mode("overwrite")
+        .parquet(s"$dir/data/$newVer/cidmap")
+      val presentD = ManifestIO
+        .partitionIds(spark, s"$dir/data/$newVer/cidmap", "cbucket=").toSet
+      m.cidVersions ++ presentD.map(_ -> newVer)
+    } else m.cidVersions
+    if (crashPoint == 1) return // simulated death: data written, nothing committed
+    val present = ManifestIO
+      .partitionIds(spark, s"$dir/data/$newVer/cells", "cell=").toSet
+    val newCells = (m.cellVersions -- touched) ++ present.map(_ -> Seq(newVer))
+    val body = renderIvfManifest(
+      IvfManifest(newVer, m.cells, m.centroidsVersion, newCells,
+        ManifestIO.mergeTxn(m.txns, txn), newCidVers))
+    if (crashPoint == 2) {
+      ManifestIO.writeManifestOnly(spark, dir, newVer, body)
+      return
+    }
+    ManifestIO.commit(spark, dir, newVer, body)
+  }
+
   /** COMPACT tick of the committed-IVF lifecycle — the read-amplification
     * bound a long-lived streaming deployment needs: appends ACCRETE, so
     * a cell ingested by N ticks reads a union of N file groups at every

@@ -979,4 +979,145 @@ object Bm25 {
     }
     ManifestIO.commit(spark, dir, newVer, body)
   }
+
+  /** UPSERT tick of the standing-index lifecycle — the REFRESH verb:
+    * `docs` carries (id, text) rows that REPLACE any committed copy of
+    * the same id and plain-append ids the index has never seen, in ONE
+    * crash-atomic commit. Without it a refresh feed must run a delete
+    * tick then an append tick — two commits, with a crash window
+    * between them in which the document is simply absent (and two
+    * bucket rewrites for the same term set). Semantics: upsert ==
+    * rebuild over (corpus − batch ids) ∪ batch — the delete contract
+    * and the append contract fused; old copies stop influencing
+    * df/avgdl in the same flip that publishes the new ones.
+    *
+    * LOCATE is [[deleteByIds]]'s: the docmap finds the old copies'
+    * term buckets and dl by a pure function of the ids (≤ |ids|
+    * dbucket dirs read); a pre-docmap legacy dir pays the documented
+    * one-scan fallback (and its zero-token blind spot). REWRITE is the
+    * union of the old copies' buckets and the new texts' buckets —
+    * each rewritten ONCE, df recomputed inside the final union. The
+    * batch is deduplicated BY ID first (set semantics — a feed that
+    * carries one id twice in a batch has no meaningful "both" order;
+    * route ordered feeds through one row per id per tick). An id
+    * re-ingested under a violated append contract loses EVERY old
+    * copy, docmap rows included. CRASH-ATOMIC + exactly-once like
+    * every tick; the index must already exist (build first). */
+  def upsertIndex(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit =
+    upsertIndexHooked(spark, dir, docs, idCol, textCol, crashPoint = 0)
+
+  /** [[upsertIndex]] carrying a writer transaction — exactly-once
+    * under re-delivery, like every tick. */
+  def upsertIndexTxn(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, appId: String, epoch: Long): Unit =
+    upsertIndexHooked(spark, dir, docs, idCol, textCol, crashPoint = 0,
+      txn = Some((appId, epoch)))
+
+  /** [[upsertIndex]] with the standard injectable writer-death points
+    * (1 = after data writes; 2 = after manifest, before flip). */
+  private[graft] def upsertIndexHooked(spark: SparkSession, dir: String,
+      newDocs: DataFrame, idCol: String, textCol: String, crashPoint: Int,
+      txn: Option[(String, Long)] = None): Unit = {
+    val m = readManifest(spark, dir)
+    if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
+    val newVer = m.version + 1
+    // pin ONE materialization, deduplicated by id (set semantics): the
+    // old-copy locate, the stats arithmetic, the postings write and
+    // the docmap rewrite must all see the same rows
+    val docs = newDocs.select(col(idCol), col(textCol))
+      .dropDuplicates(Seq(idCol)).localCheckpoint(true)
+    val upIds = docs.select(col(idCol).cast("long").as("doc_id"))
+    val newDl = docs.select(col(idCol).cast("long").as("doc_id"),
+      coalesce(size(tokens(col(textCol))).cast("long"), lit(0L)).as("dl"))
+    val add = newDl
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .select(col("n"), col("sdl")).head()
+    if (add.getLong(0) == 0L) return // empty batch: the index already is the post-tick state
+    val hasDocmap = m.docVersions.nonEmpty
+    // the OLD copies: the deleteByIds locate, verbatim
+    val matched = (if (hasDocmap) {
+      val candD = upIds
+        .select(pmod(xxhash64(col("doc_id")), lit(m.buckets)).cast("int").as("k"))
+        .distinct().collect().map(_.getInt(0)) // ≤ bucket count values
+        .filter(m.docVersions.contains)
+      readDocmapAt(spark, dir, m, Some(candD.toSet))
+        .join(upIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("dl"), col("tbuckets").as("buckets"))
+    } else {
+      readPostingsAt(spark, dir, m)
+        .join(upIds, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(first(col("dl")).as("dl"), collect_set(col("bucket")).as("buckets"))
+    }).localCheckpoint(true)
+    val rm = matched
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .select(col("n"), col("sdl")).head()
+    val newTf = docs.select(col(idCol).cast("long").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("dl"),
+        explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("bucket", pmod(xxhash64(col("t")), lit(m.buckets)).cast("int"))
+    val touchedNew = newTf.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val touchedOld = matched.select(explode(col("buckets")).as("bucket"))
+      .distinct().collect().map(_.getInt(0))
+      .filter(m.bucketVersions.contains)
+    val touched = (touchedNew ++ touchedOld).distinct // ≤ bucket count values
+    ManifestIO.guardSlot(spark, dir, newVer)
+    if (touched.nonEmpty) {
+      // one rewrite: (existing − old copies) ∪ new rows, df recomputed
+      // inside the final union — what the rebuild-over-modified-corpus
+      // would have written for these buckets
+      val remaining = readPostingsAt(spark, dir, m, Some(touched.toSet))
+        .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+        .join(upIds, Seq("doc_id"), "left_anti")
+      val unioned = remaining.unionByName(
+        newTf.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket")))
+      val winDf = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+      unioned
+        .withColumn("df", count(lit(1)).over(winDf))
+        .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
+        .write.partitionBy("bucket")
+        .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
+    }
+    val old = readStatsAt(spark, dir, m).select(col("n"), col("sdl")).head()
+    val statsDf = {
+      import spark.implicits._
+      Seq((old.getLong(0) - rm.getLong(0) + add.getLong(0),
+        old.getLong(1) - rm.getLong(1) + add.getLong(1))).toDF("n", "sdl")
+    }
+    statsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$newVer/stats")
+    // docmap rewrite: an id's old row and its new row live in the SAME
+    // dbucket (dbucket is a pure function of the id), so the batch's
+    // dbuckets rewrite once with (existing − batch ids) ∪ batch rows
+    val maintainDocmap = m.docVersions.nonEmpty || m.bucketVersions.isEmpty
+    val newDocVers = if (maintainDocmap) {
+      val batchRows = docmapRows(docs, idCol, textCol, m.buckets)
+      val candD = batchRows.select(col("dbucket")).distinct()
+        .collect().map(_.getInt(0)) // ≤ bucket count values
+      readDocmapAt(spark, dir, m, Some(candD.toSet.filter(m.docVersions.contains)))
+        .join(upIds, Seq("doc_id"), "left_anti")
+        .unionByName(batchRows)
+        .write.partitionBy("dbucket").mode("overwrite")
+        .parquet(s"$dir/data/$newVer/docmap")
+      val presentD =
+        ManifestIO.partitionIds(spark, s"$dir/data/$newVer/docmap", "dbucket=")
+      m.docVersions ++ presentD.map(_ -> newVer)
+    } else m.docVersions
+    if (crashPoint == 1) return // simulated writer death: data written, nothing committed
+    val present =
+      if (touched.isEmpty) Set.empty[Int]
+      else ManifestIO.partitionIds(spark, s"$dir/data/$newVer/postings", "bucket=").toSet
+    val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> newVer)
+    val body = renderManifest(
+      IndexManifest(newVer, m.buckets, newVer, newOwners,
+        ManifestIO.mergeTxn(m.txns, txn), newDocVers))
+    if (crashPoint == 2) {
+      ManifestIO.writeManifestOnly(spark, dir, newVer, body)
+      return
+    }
+    ManifestIO.commit(spark, dir, newVer, body)
+  }
 }

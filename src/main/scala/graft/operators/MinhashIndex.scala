@@ -295,6 +295,68 @@ object MinhashIndex {
     ManifestIO.commit(spark, dir, newVer, body)
   }
 
+  /** UPSERT tick — the REFRESH verb (the [[Bm25.upsertIndex]]
+    * sibling): `docs` carries (id, text) rows whose NEW signature rows
+    * REPLACE any committed rows of the same sid, and sids the index
+    * has never seen plain-append — one crash-atomic commit, bypassing
+    * the admission gate (a refresh is a correction, not a candidate).
+    * sid→bucket is a pure function, so both the old rows and the new
+    * rows of an id live in the SAME buckets: the tick reads ≤ |ids|
+    * bucket dirs and rewrites each once with
+    * (existing − batch sids) ∪ new rows. A doc whose new text is too
+    * short to shingle (< n tokens) gets NO new row — its old rows
+    * still leave, the family's totality convention. Batch deduplicated
+    * by id (set semantics). */
+  def upsert(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit =
+    upsertHooked(spark, dir, docs, idCol, textCol, crashPoint = 0)
+
+  /** [[upsert]] carrying a writer transaction. */
+  def upsertTxn(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, appId: String, epoch: Long): Unit =
+    upsertHooked(spark, dir, docs, idCol, textCol, crashPoint = 0,
+      txn = Some((appId, epoch)))
+
+  /** [[upsert]] with the standard injectable writer-death points. */
+  private[graft] def upsertHooked(spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String, crashPoint: Int,
+      txn: Option[(String, Long)] = None): Unit = {
+    val m = readManifest(spark, dir)
+    if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
+    val newVer = m.version + 1
+    val pinned = docs.select(col(idCol), col(textCol))
+      .dropDuplicates(Seq(idCol)).localCheckpoint(true)
+    val upSids = pinned.select(col(idCol).cast("long").as("sid"))
+    if (upSids.isEmpty) return // empty batch: the index already is the post-tick state
+    val newRows = Dedup.minhashDocIndex(pinned, idCol, textCol,
+        m.n, m.bands, m.rowsPerBand)
+      .select(col("sid"), col("gs"), col("bhs"), bucketOf(m.buckets))
+      .localCheckpoint(true)
+    // candidate buckets: a pure function of the batch's ids (the new
+    // rows' sids are a subset of the batch's, so their buckets are too)
+    val candB = upSids.select(bucketOf(m.buckets))
+      .distinct().collect().map(_.getInt(0)) // ≤ bucket count values
+    val candOld = candB.filter(m.bucketVersions.contains).toSet
+    ManifestIO.guardSlot(spark, dir, newVer)
+    readRowsAt(spark, dir, m, Some(candOld))
+      .join(upSids, Seq("sid"), "left_anti")
+      .select(col("sid"), col("gs"), col("bhs"), col("bucket"))
+      .unionByName(newRows)
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/data/$newVer/rows")
+    if (crashPoint == 1) return // simulated death: data written, nothing committed
+    val present = ManifestIO
+      .partitionIds(spark, s"$dir/data/$newVer/rows", "bucket=").toSet
+    val newBuckets = (m.bucketVersions -- candOld) ++ present.map(_ -> Seq(newVer))
+    val body = render(Manifest(newVer, m.buckets, m.n, m.bands, m.rowsPerBand,
+      newBuckets, ManifestIO.mergeTxn(m.txns, txn)))
+    if (crashPoint == 2) {
+      ManifestIO.writeManifestOnly(spark, dir, newVer, body)
+      return
+    }
+    ManifestIO.commit(spark, dir, newVer, body)
+  }
+
   /** COMPACT tick — the [[graft.operators.Ann.ivfIndexCompact]]
     * sibling: admissions ACCRETE, so a signature bucket fed by N ticks
     * reads a union of N file groups at every gate and its manifest

@@ -651,8 +651,9 @@ object Corpus {
     * per-term scores floored into the 10⁶ fixed-point domain so the
     * per-(query, doc) total is an order-independent integer sum. */
   private def bm25BatchSql(mod: Int, rem: Int, positions: Seq[Int], k: Int,
-      corpusWhere: String = "TRUE"): String =
-    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents WHERE $corpusWhere),
+      corpusWhere: String = "TRUE",
+      corpusFrom: String = "documents"): String =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $corpusFrom WHERE $corpusWhere),
        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
        |q AS (SELECT DISTINCT doc_id AS qid, t FROM (
@@ -1141,11 +1142,76 @@ object Corpus {
     }
   }
 
+  /** The UPSERT oracle's corpus: docs with doc_id % 8 = 5 replaced by a
+    * 'upd '-prefixed text (old term set out, new set in — one extra
+    * token shifts dl and df), and a 'fresh '-prefixed copy of the same
+    * slice re-ingested under NEW ids (+10⁶ — the plain-insert half).
+    * Rendered identically as a DuckDB FROM-subquery and as the Spark
+    * batch below. */
+  private val UpsertCorpusSql =
+    """(SELECT doc_id,
+      |        CASE WHEN doc_id % 8 = 5 THEN 'upd ' || text ELSE text END AS text
+      | FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id, 'fresh ' || text AS text
+      | FROM documents WHERE doc_id % 8 = 5) ups""".stripMargin
+
+  private def upsertedCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.withColumn("text",
+        when(col("doc_id") % 8 === 5, concat(lit("upd "), col("text")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 8 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("fresh "), col("text")).as("text")))
+  }
+
+  /** Build-then-UPSERT cache backing [[t59Bm25Upsert]]: index built on
+    * the FULL corpus, then ONE refresh tick ([[Bm25.upsertIndex]])
+    * replaces the doc_id % 8 = 5 slice with modified text AND inserts
+    * the same texts under brand-new ids — the replace half exercises
+    * the old-copy removal (docmap locate, bucket rewrite, stats roll),
+    * the insert half the plain-append path, in one commit. */
+  private val bm25UpsertCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def bm25UpsertedIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25UpsertCache.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d)
+      val dir = s"/tmp/graft_bm25_upsert_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Bm25.buildIndex(docs, "doc_id", "text", dir)
+      val slice = docs.filter(col("doc_id") % 8 === 5)
+      Bm25.upsertIndex(s, dir,
+        slice.select(col("doc_id"), concat(lit("upd "), col("text")).as("text"))
+          .unionByName(slice.select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("fresh "), col("text")).as("text"))),
+        "doc_id", "text")
+      dir
+    })
+
+  /** Standing-BM25-index UPSERT tick ([[Bm25.upsertIndex]]) — the
+    * REFRESH verb: replace-or-insert in ONE crash-atomic commit (t50
+    * grows the index, t56/t57 shrink it, this CORRECTS it). The oracle
+    * is the one-shot index over the modified corpus — a surviving old
+    * posting, a missing new one, stale df anywhere, or a mis-rolled
+    * (n, sdl) after the refresh breaks the hash (upsert == rebuild
+    * over (corpus − batch ids) ∪ batch). */
+  val t59Bm25Upsert: Q = Q(
+    "t59_bm25_upsert",
+    bm25BatchSql(mod = 100, rem = 45, positions = Seq(1, 3, 7), k = 6,
+      corpusFrom = UpsertCorpusSql)) { (s, d) =>
+    Bm25.serveTopK(s, bm25UpsertedIndex(s, d),
+        bm25Queries(upsertedCorpus(s, d), 100, 45, Seq(1, 3, 7)), k = 6)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
     t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
     t34PhraseTags, t35Boilerplate, t36EpochUpsample, t37DsirSelect,
     t38StratifiedEval, t40Bm25Batch, t41Bm25Served, t48HybridRrf,
     t50Bm25Append, t51HybridServed, t53MixtureRates, t54HybridIndexed,
-    t55Bm25Profile, t56Bm25Delete, t57Bm25DeleteIds)
+    t55Bm25Profile, t56Bm25Delete, t57Bm25DeleteIds, t59Bm25Upsert)
 }

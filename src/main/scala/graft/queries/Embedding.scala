@@ -104,14 +104,15 @@ object Embedding {
     * its max-cosine centroid (index tie-break), probe each query's top
     * `nprobe` cells, exact cosine rank within the probed cells. */
   private def ivfServeSql(centArtifact: String, nprobe: Int,
-      corpusWhere: String = "TRUE"): String =
+      corpusWhere: String = "TRUE",
+      corpusFrom: String = "embeddings e"): String =
     s"""WITH cent AS (SELECT cent_id, cvec FROM ${artifact(centArtifact)}),
        |assign AS (
        |  SELECT vec_id, embedding, cent_id FROM (
        |    SELECT e.vec_id, e.embedding, c.cent_id,
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cent_id) AS rn
-       |    FROM embeddings e, cent c WHERE $corpusWhere)
+       |    FROM $corpusFrom, cent c WHERE $corpusWhere)
        |  WHERE rn = 1),
        |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < $NumQueries),
        |probe AS (
@@ -1161,10 +1162,77 @@ object Embedding {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** The UPSERT oracle's corpus: members with vec_id % 13 = 6 replaced
+    * by their NEGATED vector (exact in IEEE — the replaced copy lands
+    * in a different cell, exercising the every-copy removal), and a
+    * copy of the same slice re-ingested under new ids (+10⁶ — the
+    * plain-insert half). Queries (vec_id < NumQueries) stay out of the
+    * corpus on both sides. */
+  private val UpsertVecCorpusSql =
+    s"""(SELECT vec_id,
+       |        CASE WHEN vec_id % 13 = 6
+       |             THEN list_transform(embedding, x -> CAST(-x AS FLOAT))
+       |             ELSE embedding END AS embedding
+       | FROM embeddings
+       | UNION ALL
+       | SELECT vec_id + 1000000 AS vec_id, embedding
+       | FROM embeddings WHERE vec_id % 13 = 6 AND vec_id >= $NumQueries) e""".stripMargin
+
+  /** Build-then-UPSERT cache backing [[v25IvfUpsert]]: centroids
+    * trained and the index built on the FULL serving corpus, then ONE
+    * refresh tick ([[graft.operators.Ann.ivfIndexUpsert]]) replaces
+    * the vec_id % 13 = 6 slice with negated vectors (every old copy
+    * out — the strict cidmap locate) and inserts the original vectors
+    * under new ids. */
+  private val ivfUpsertCache = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+
+  private def ivfUpsertedIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ivfUpsertCache.getOrElseUpdate(d, {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.filter(col("vec_id") >= NumQueries)
+      val numCells = 16
+      val init = Ann.kmeansParallelInit(corpus, "vec_id", "embedding", numCells)
+      val cents = Ann.kmeansCentroids(corpus, "embedding", init, iters = 5)
+      val dir = s"/tmp/graft_ivf_upsert_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Ann.ivfIndexBuild(corpus.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec")), dir, cents)
+      val slice = corpus.filter(col("vec_id") % 13 === 6)
+      Ann.ivfIndexUpsert(s, dir,
+        slice.select(col("vec_id").as("cid"),
+            transform(col("embedding"), x => -x).as("cvec"))
+          .unionByName(slice.select((col("vec_id") + 1000000L).as("cid"),
+            col("embedding").as("cvec"))))
+      dir
+    })
+
+  /** Committed-IVF UPSERT tick ([[graft.operators.Ann.ivfIndexUpsert]])
+    * — the REFRESH verb: v19 grows the index, v22 shrinks it, this
+    * CORRECTS it in one crash-atomic commit (replaced vectors move
+    * cells; every old copy leaves via the reverse-map locate; new ids
+    * plain-append). The oracle replays the serve over the modified
+    * corpus from the persisted geometry — a surviving old vector, a
+    * lost replacement, or a mis-celled insert breaks the hash. */
+  val v25IvfUpsert: Q = Q(
+    "v25_ivf_upsert",
+    ivfServeSql("v25_centroids", nprobe = 12,
+      corpusWhere = s"e.vec_id >= $NumQueries",
+      corpusFrom = UpsertVecCorpusSql)) { (s, d) =>
+    val dir = ivfUpsertedIndex(s, d)
+    writeCentroids(s, "v25_centroids", Ann.readIvfCentroids(s, dir))
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.ivfServedTopK(s, dir, queries, K, nprobe = 12)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,
     v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
     v9KnnPq, v10KnnIvfPq, v11IvfServed, v12IvfPqServed, v13KnnLshAmplified,
     v14SemDedup, v15HardNegatives, v16KnnSq8, v17RandomProjection,
     v18ClusterSample, v19IvfAppend, v20VecClusters, v21IvfDrift,
-    v22IvfDelete, v23IvfDriftVerdict, v24IvfCompact)
+    v22IvfDelete, v23IvfDriftVerdict, v24IvfCompact, v25IvfUpsert)
 }

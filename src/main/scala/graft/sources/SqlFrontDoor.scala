@@ -157,6 +157,15 @@ object SqlFrontDoor {
           "doc_id", "text")
         graft.operators.Bm25.readStats(s, a.head)
       }),
+      // bm25_index_upsert(index_dir, docs_path): the REFRESH verb —
+      // (doc_id, text) rows replace any committed copy of the same id
+      // and plain-append new ids, in ONE crash-atomic commit; returns
+      // the post-tick stats row
+      ("bm25_index_upsert", 2, a => {
+        graft.operators.Bm25.upsertIndex(s, a.head, s.read.parquet(a(1)),
+          "doc_id", "text")
+        graft.operators.Bm25.readStats(s, a.head)
+      }),
       // bm25_index_delete_ids(index_dir, ids_path): the ID-ONLY
       // takedown fallback — the request parquet carries bare doc_ids
       // (the real opt-out feed shape); one full postings scan locates
@@ -636,6 +645,15 @@ object SqlFrontDoor {
         graft.operators.MinhashIndex.vacuum(sp, a.head, a(1).trim.toLong)
           .toDF("deleted_version")
       }),
+      // minhash_index_upsert(index_dir, docs_path): the REFRESH verb —
+      // (doc_id, text) rows whose new signature rows replace any
+      // committed rows of the same sid (admission gate bypassed: a
+      // refresh is a correction, not a candidate)
+      ("minhash_index_upsert", 2, a => {
+        graft.operators.MinhashIndex.upsert(s, a.head, s.read.parquet(a(1)),
+          "doc_id", "text")
+        minhashManifestSummary(a.head)
+      }),
       // minhash_index_compact(index_dir, min_versions): rewrite every
       // signature bucket with >= min_versions contributing data
       // versions into one (pure physical rewrite — the gate is
@@ -729,6 +747,14 @@ object SqlFrontDoor {
       // returns the commit receipt
       ("ivf_index_delete_ids", 2, a => {
         graft.operators.Ann.ivfIndexDeleteByIds(s, a.head, s.read.parquet(a(1)))
+        ivfManifestSummary(a.head)
+      }),
+      // ivf_index_upsert(index_dir, batch_path): the REFRESH verb —
+      // (cid, cvec) rows replace EVERY committed copy of the same cid
+      // (stale update-by-append copies included, the strict locate)
+      // and plain-append new cids, in one crash-atomic commit
+      ("ivf_index_upsert", 2, a => {
+        graft.operators.Ann.ivfIndexUpsert(s, a.head, s.read.parquet(a(1)))
         ivfManifestSummary(a.head)
       }),
       // ivf_index_compact(index_dir, min_versions): rewrite every cell

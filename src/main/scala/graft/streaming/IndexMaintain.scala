@@ -277,4 +277,49 @@ object IndexMaintain {
       .option("checkpointLocation", checkpoint)
       .foreachBatch(minhashDeleteIdsSink(dir, appId))
       .start()
+
+  // ── refresh streams: the UPSERT verb on the same exactly-once rail ──
+  //
+  // A live deployment's corrections arrive as a stream of replacement
+  // documents / vectors; each micro-batch runs one committed UPSERT
+  // tick (old copies out, new rows in, ONE flip —
+  // [[graft.operators.Bm25.upsertIndex]] /
+  // [[graft.operators.Ann.ivfIndexUpsert]] /
+  // [[graft.operators.MinhashIndex.upsert]]), idempotent under
+  // re-delivery through the manifest txn ledger. Single-writer
+  // discipline as everywhere: one maintenance stream per index dir.
+
+  /** Apply a streaming refresh feed (idCol, textCol rows) to a
+    * standing BM25 index: one committed upsert tick per micro-batch. */
+  def refreshBm25(docs: DataFrame, dir: String, idCol: String,
+      textCol: String, appId: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, epoch: Long) =>
+        Bm25.upsertIndexTxn(batch.sparkSession, dir, batch, idCol, textCol,
+          appId, epoch))
+      .start()
+
+  /** Apply a streaming refresh feed (cid, cvec rows) to a committed
+    * IVF index: one committed upsert tick per micro-batch. */
+  def refreshIvf(vecs: DataFrame, dir: String, appId: String,
+      checkpoint: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, epoch: Long) =>
+        Ann.ivfIndexUpsertTxn(batch.sparkSession, dir, batch, appId, epoch))
+      .start()
+
+  /** Apply a streaming refresh feed (idCol, textCol rows) to a
+    * committed minhash index: one committed upsert tick per
+    * micro-batch (bypasses the admission gate — a refresh is a
+    * correction, not a candidate). */
+  def refreshMinhash(docs: DataFrame, dir: String, idCol: String,
+      textCol: String, appId: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, epoch: Long) =>
+        MinhashIndex.upsertTxn(batch.sparkSession, dir, batch, idCol, textCol,
+          appId, epoch))
+      .start()
 }

@@ -939,4 +939,77 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       .collect().head.getLong(0) >= 1L)
     assert(spark.sql(gateSql).collect().map(_.toSeq).toSeq == direct)
   }
+
+  test("upsert and compact TVFs run the refresh and maintenance verbs from pure SQL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftsqlups")
+    // BM25: build, refresh one doc + insert one, compare to the rebuild
+    val corp = Seq((1L, "apple banana cherry"), (2L, "banana date fig"),
+      (3L, "cherry grape melon")).toDF("doc_id", "text")
+    val corpP = dir.resolve("corp").toString
+    corp.write.mode("overwrite").parquet(corpP)
+    val upsP = dir.resolve("ups").toString
+    Seq((2L, "papaya quince"), (9L, "durian rambutan banana"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(upsP)
+    val idx = dir.resolve("bm25idx").toString
+    spark.sql(s"SELECT * FROM bm25_index('$corpP', '$idx')").collect()
+    val stats = spark.sql(
+      s"SELECT n, sdl FROM bm25_index_upsert('$idx', '$upsP')").collect().head
+    assert(stats.getLong(0) == 4L, "3 docs − 1 replaced + 2 batch = 4")
+    val modP = dir.resolve("mod").toString
+    Seq((1L, "apple banana cherry"), (3L, "cherry grape melon"),
+      (2L, "papaya quince"), (9L, "durian rambutan banana"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(modP)
+    val qP = dir.resolve("q").toString
+    Seq((1L, "banana"), (2L, "papaya"), (3L, "durian"))
+      .toDF("qid", "term").write.mode("overwrite").parquet(qP)
+    assert(spark.sql(
+      s"SELECT qid, doc_id, score, rank FROM bm25_serve('$idx', '$qP', '5') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq ==
+      spark.sql(
+        s"SELECT qid, doc_id, score, rank FROM bm25_batch_topk('$modP', '$qP', '5') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq, "upsert == rebuild, served from SQL")
+
+    // IVF: build, append (fragmenting), compact from SQL, then upsert
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f)))
+    val centP = dir.resolve("cent").toString
+    cents.toDF("cell", "cvec").write.mode("overwrite").parquet(centP)
+    val v1P = dir.resolve("v1").toString
+    Seq((10L, Seq(0.9f, 0.1f)), (11L, Seq(0.1f, 0.9f)))
+      .toDF("cid", "cvec").write.mode("overwrite").parquet(v1P)
+    val v2P = dir.resolve("v2").toString
+    Seq((12L, Seq(0.8f, 0.2f))).toDF("cid", "cvec")
+      .write.mode("overwrite").parquet(v2P)
+    val ivfIdx = dir.resolve("ivfidx").toString
+    spark.sql(s"SELECT * FROM ivf_index_build('$v1P', '$ivfIdx', '$centP')").collect()
+    spark.sql(s"SELECT * FROM ivf_index_append('$ivfIdx', '$v2P')").collect()
+    assert(spark.sql(s"SELECT * FROM ivf_index_compact('$ivfIdx', '2')")
+      .collect().map(_.getInt(0)).toSeq == Seq(0),
+      "cell 0 holds two versions (build + append) and must compact")
+    val upsVP = dir.resolve("upsv").toString
+    Seq((10L, Seq(0.2f, 0.8f)), (13L, Seq(0.7f, 0.3f))).toDF("cid", "cvec")
+      .write.mode("overwrite").parquet(upsVP)
+    spark.sql(s"SELECT * FROM ivf_index_upsert('$ivfIdx', '$upsVP')").collect()
+    val cells = graft.operators.Ann.readIvfCells(spark, ivfIdx).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cells == Map(10L -> 1, 11L -> 1, 12L -> 0, 13L -> 0),
+      "10 moved cells, 13 inserted, others untouched")
+
+    // minhash: the refresh verb from SQL bumps the committed version
+    // and replaces the id's rows (parity is IndexUpsertSpec's job)
+    val mhIdx = dir.resolve("mhidx").toString
+    val mhP = dir.resolve("mh").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(mhP)
+    spark.sql(s"SELECT * FROM minhash_index_build('$mhP', '$mhIdx', '3:4:2')").collect()
+    val mhUpsP = dir.resolve("mhups").toString
+    Seq((1L, "an entirely rewritten document with brand new content"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(mhUpsP)
+    val rec = spark.sql(
+      s"SELECT * FROM minhash_index_upsert('$mhIdx', '$mhUpsP')").collect().head
+    assert(rec.getAs[Long]("version") == 2L)
+    assert(graft.operators.MinhashIndex.readRows(spark, mhIdx)
+      .filter(col("sid") === 1L).count() > 0L)
+  }
 }
