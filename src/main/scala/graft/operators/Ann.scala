@@ -1075,18 +1075,77 @@ object Ann extends Serializable {
     ivfIndexUpsertHooked(spark, dir, batch, crashPoint = 0,
       txn = Some((appId, epoch)))
 
+  /** CHANGE-APPLY tick — the CDC verb (the [[Bm25.applyChanges]]
+    * sibling): ONE mixed micro-batch of upserts and deletes folds into
+    * the committed IVF index in ONE crash-atomic commit. `changes`
+    * carries (op, cid, cvec) rows, op `'upsert'`
+    * ([[ivfIndexUpsert]] semantics — cvec required) or `'delete'`
+    * (the strict [[ivfIndexDeleteByIds]] semantics — cvec ignored).
+    * An id carrying both ops in one batch is rejected. Contract:
+    * apply == build over (corpus − all change cids) ∪ upsert rows. */
+  def ivfApplyChanges(spark: SparkSession, dir: String, changes: DataFrame,
+      opCol: String): Unit =
+    ivfApplyChangesHooked(spark, dir, changes, opCol, crashPoint = 0)
+
+  /** [[ivfApplyChanges]] carrying a writer transaction. */
+  def ivfApplyChangesTxn(spark: SparkSession, dir: String,
+      changes: DataFrame, opCol: String, appId: String, epoch: Long): Unit =
+    ivfApplyChangesHooked(spark, dir, changes, opCol, crashPoint = 0,
+      txn = Some((appId, epoch)))
+
+  /** [[ivfApplyChanges]] with the standard injectable writer-death
+    * points. */
+  private[graft] def ivfApplyChangesHooked(spark: SparkSession, dir: String,
+      changes: DataFrame, opCol: String, crashPoint: Int,
+      txn: Option[(String, Long)] = None): Unit = {
+    // pin the RAW batch first: the op validation, the both-ops check
+    // and the verb split must all see the same rows
+    val pinned = changes.select(col(opCol).as("_op"),
+        col("cid").cast("long").as("cid"), col("cvec"))
+      .localCheckpoint(true)
+    val ops = pinned.select(col("_op")).distinct()
+      .collect().map(_.getString(0)).toSet
+    require(ops.subsetOf(Set("upsert", "delete")),
+      s"ops must be 'upsert' or 'delete', got $ops")
+    // an id sent with BOTH ops in one batch is a contract violation a
+    // per-id dedup would silently resolve; reject it loudly instead
+    val dups = pinned.select(col("_op"), col("cid")).distinct()
+      .groupBy(col("cid")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"cid ${dups.headOption.map(_.get(0)).orNull} carries both ops in one batch")
+    ivfUpsertCore(spark, dir,
+      pinned.filter(col("_op") === "upsert").select(col("cid"), col("cvec"))
+        .dropDuplicates(Seq("cid")),
+      pinned.filter(col("_op") === "delete").select(col("cid")),
+      crashPoint, txn)
+  }
+
   /** [[ivfIndexUpsert]] with the standard injectable writer-death
     * points. */
   private[graft] def ivfIndexUpsertHooked(spark: SparkSession, dir: String,
       batch: DataFrame, crashPoint: Int,
       txn: Option[(String, Long)] = None): Unit = {
+    val pinned = batch.select(col("cid").cast("long").as("cid"), col("cvec"))
+      .dropDuplicates(Seq("cid")).localCheckpoint(true)
+    ivfUpsertCore(spark, dir, pinned, pinned.select(col("cid")).limit(0),
+      crashPoint, txn)
+  }
+
+  /** The shared replace-or-insert core: `pinned` (cid, cvec) upserts,
+    * `extraDeleteIds` pure removals folded into the same commit —
+    * empty for a plain [[ivfIndexUpsert]]. `pinned` must already be
+    * pinned and cid-distinct. */
+  private def ivfUpsertCore(spark: SparkSession, dir: String,
+      pinned: DataFrame, extraDeleteIds: DataFrame, crashPoint: Int,
+      txn: Option[(String, Long)]): Unit = {
     val m = readIvfManifest(spark, dir)
     if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
     val newVer = m.version + 1
-    val pinned = batch.select(col("cid").cast("long").as("cid"), col("cvec"))
-      .dropDuplicates(Seq("cid")).localCheckpoint(true)
-    if (pinned.isEmpty) return // empty batch: the index already is the post-tick state
     val upIds = pinned.select(col("cid"))
+      .unionByName(extraDeleteIds.select(col("cid")))
+      .distinct().localCheckpoint(true)
+    if (upIds.isEmpty) return // empty batch: the index already is the post-tick state
     val hasCidmap = m.cidVersions.nonEmpty
     val candC =
       if (!hasCidmap) Set.empty[Int]
@@ -1116,23 +1175,25 @@ object Ann extends Serializable {
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dir/data/$newVer/cells")
     // reverse-map rewrite: a cid's old rows and its new row live in
-    // the SAME cbucket (pure function of the id) — one rewrite of the
-    // batch's cbuckets with (existing − batch cids) ∪ new assignments
+    // the SAME cbucket (pure function of the id) — the affected ids'
+    // cbuckets (upserted AND purely deleted) rewrite once with
+    // (existing − affected cids) ∪ new assignments; a cbucket emptied
+    // by the delete half leaves the manifest
     val maintainCidmap = m.cidVersions.nonEmpty || m.cellVersions.isEmpty
     val newCidVers = if (maintainCidmap) {
       val fresh = assigned.select(col("cid"), col("cell"))
         .withColumn("cbucket", cidCbucket(col("cid"), m.cells))
-      val allCand = fresh.select(col("cbucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      readIvfCidmapAt(spark, dir, m,
-          Some(allCand.filter(m.cidVersions.contains)))
+      val allCand = upIds.select(cidCbucket(col("cid"), m.cells).as("cbucket"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val candTouched = allCand.filter(m.cidVersions.contains)
+      readIvfCidmapAt(spark, dir, m, Some(candTouched))
         .join(upIds, Seq("cid"), "left_anti")
         .unionByName(fresh).distinct()
         .write.partitionBy("cbucket").mode("overwrite")
         .parquet(s"$dir/data/$newVer/cidmap")
       val presentD = ManifestIO
         .partitionIds(spark, s"$dir/data/$newVer/cidmap", "cbucket=").toSet
-      m.cidVersions ++ presentD.map(_ -> newVer)
+      (m.cidVersions -- candTouched) ++ presentD.map(_ -> newVer)
     } else m.cidVersions
     if (crashPoint == 1) return // simulated death: data written, nothing committed
     val present = ManifestIO

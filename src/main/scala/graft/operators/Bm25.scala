@@ -1014,26 +1014,95 @@ object Bm25 {
     upsertIndexHooked(spark, dir, docs, idCol, textCol, crashPoint = 0,
       txn = Some((appId, epoch)))
 
+  /** CHANGE-APPLY tick — the CDC verb: ONE mixed micro-batch of
+    * upserts AND deletes folds into the index in ONE crash-atomic
+    * commit. `changes` carries (opCol, idCol, textCol) rows with op
+    * `'upsert'` (replace-or-insert, the [[upsertIndex]] semantics) or
+    * `'delete'` (id-only takedown, the [[deleteByIds]] semantics —
+    * text ignored). This is what a change-capture maintenance stream
+    * actually delivers: corrections and removals interleaved in one
+    * epoch — two separate verb ticks would need two commits under one
+    * (appId, epoch), which the txn ledger (correctly) forbids, and
+    * would open a window in which only half the batch is live.
+    * Contract: apply == rebuild over
+    * (corpus − all change ids) ∪ upsert rows. An id carrying BOTH ops
+    * in one batch is rejected (no meaningful order inside a set).
+    * Exactly-once, crash-atomic, reverse-map-located like its parts. */
+  def applyChanges(spark: SparkSession, dir: String, changes: DataFrame,
+      opCol: String, idCol: String, textCol: String): Unit =
+    applyChangesHooked(spark, dir, changes, opCol, idCol, textCol,
+      crashPoint = 0)
+
+  /** [[applyChanges]] carrying a writer transaction. */
+  def applyChangesTxn(spark: SparkSession, dir: String, changes: DataFrame,
+      opCol: String, idCol: String, textCol: String,
+      appId: String, epoch: Long): Unit =
+    applyChangesHooked(spark, dir, changes, opCol, idCol, textCol,
+      crashPoint = 0, txn = Some((appId, epoch)))
+
+  /** [[applyChanges]] with the standard injectable writer-death
+    * points. */
+  private[graft] def applyChangesHooked(spark: SparkSession, dir: String,
+      changes: DataFrame, opCol: String, idCol: String, textCol: String,
+      crashPoint: Int, txn: Option[(String, Long)] = None): Unit = {
+    // pin the RAW batch first: the op validation, the both-ops check
+    // and the verb split must all see the same rows
+    val pinned = changes.select(col(opCol).as("_op"), col(idCol), col(textCol))
+      .localCheckpoint(true)
+    val ops = pinned.select(col("_op")).distinct()
+      .collect().map(_.getString(0)).toSet
+    require(ops.subsetOf(Set("upsert", "delete")),
+      s"ops must be 'upsert' or 'delete', got $ops")
+    // an id sent with BOTH ops in one batch is a contract violation a
+    // per-id dedup would silently resolve; reject it loudly instead
+    val dups = pinned.select(col("_op"), col(idCol).cast("long").as("_id"))
+      .distinct()
+      .groupBy(col("_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"id ${dups.headOption.map(_.get(0)).orNull} carries both ops in one batch")
+    upsertCore(spark, dir,
+      pinned.filter(col("_op") === "upsert").select(col(idCol), col(textCol))
+        .dropDuplicates(Seq(idCol)),
+      pinned.filter(col("_op") === "delete")
+        .select(col(idCol).cast("long").as("doc_id")),
+      idCol, textCol, crashPoint, txn)
+  }
+
   /** [[upsertIndex]] with the standard injectable writer-death points
     * (1 = after data writes; 2 = after manifest, before flip). */
   private[graft] def upsertIndexHooked(spark: SparkSession, dir: String,
       newDocs: DataFrame, idCol: String, textCol: String, crashPoint: Int,
       txn: Option[(String, Long)] = None): Unit = {
+    val docs = newDocs.select(col(idCol), col(textCol))
+      .dropDuplicates(Seq(idCol)).localCheckpoint(true)
+    upsertCore(spark, dir, docs,
+      docs.select(col(idCol).cast("long").as("doc_id")).limit(0),
+      idCol, textCol, crashPoint, txn)
+  }
+
+  /** The shared replace-or-insert core: `docs` upsert (old copy out,
+    * new row in), `extraDeleteIds` are pure removals folded into the
+    * same commit ([[applyChanges]]' delete half — empty for a plain
+    * [[upsertIndex]]). `docs` must already be pinned and id-distinct. */
+  private def upsertCore(spark: SparkSession, dir: String,
+      docs: DataFrame, extraDeleteIds: DataFrame,
+      idCol: String, textCol: String, crashPoint: Int,
+      txn: Option[(String, Long)]): Unit = {
     val m = readManifest(spark, dir)
     if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
     val newVer = m.version + 1
-    // pin ONE materialization, deduplicated by id (set semantics): the
-    // old-copy locate, the stats arithmetic, the postings write and
-    // the docmap rewrite must all see the same rows
-    val docs = newDocs.select(col(idCol), col(textCol))
-      .dropDuplicates(Seq(idCol)).localCheckpoint(true)
+    // the ids whose committed copies must leave: the upserted AND the
+    // purely deleted — one locate, one rewrite
     val upIds = docs.select(col(idCol).cast("long").as("doc_id"))
+      .unionByName(extraDeleteIds.select(col("doc_id")))
+      .distinct().localCheckpoint(true)
     val newDl = docs.select(col(idCol).cast("long").as("doc_id"),
       coalesce(size(tokens(col(textCol))).cast("long"), lit(0L)).as("dl"))
     val add = newDl
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .select(col("n"), col("sdl")).head()
-    if (add.getLong(0) == 0L) return // empty batch: the index already is the post-tick state
+    if (upIds.isEmpty) return // empty batch: the index already is the post-tick state
     val hasDocmap = m.docVersions.nonEmpty
     // the OLD copies: the deleteByIds locate, verbatim
     val matched = (if (hasDocmap) {
@@ -1090,21 +1159,25 @@ object Bm25 {
     }
     statsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$newVer/stats")
     // docmap rewrite: an id's old row and its new row live in the SAME
-    // dbucket (dbucket is a pure function of the id), so the batch's
-    // dbuckets rewrite once with (existing − batch ids) ∪ batch rows
+    // dbucket (dbucket is a pure function of the id), so the affected
+    // ids' dbuckets — upserted AND purely deleted — rewrite once with
+    // (existing − affected ids) ∪ batch rows; a dbucket emptied by the
+    // delete half leaves the manifest
     val maintainDocmap = m.docVersions.nonEmpty || m.bucketVersions.isEmpty
     val newDocVers = if (maintainDocmap) {
       val batchRows = docmapRows(docs, idCol, textCol, m.buckets)
-      val candD = batchRows.select(col("dbucket")).distinct()
-        .collect().map(_.getInt(0)) // ≤ bucket count values
-      readDocmapAt(spark, dir, m, Some(candD.toSet.filter(m.docVersions.contains)))
+      val candD = upIds
+        .select(pmod(xxhash64(col("doc_id")), lit(m.buckets)).cast("int").as("dbucket"))
+        .distinct().collect().map(_.getInt(0)) // ≤ bucket count values
+      val candTouched = candD.toSet.filter(m.docVersions.contains)
+      readDocmapAt(spark, dir, m, Some(candTouched))
         .join(upIds, Seq("doc_id"), "left_anti")
         .unionByName(batchRows)
         .write.partitionBy("dbucket").mode("overwrite")
         .parquet(s"$dir/data/$newVer/docmap")
       val presentD =
-        ManifestIO.partitionIds(spark, s"$dir/data/$newVer/docmap", "dbucket=")
-      m.docVersions ++ presentD.map(_ -> newVer)
+        ManifestIO.partitionIds(spark, s"$dir/data/$newVer/docmap", "dbucket=").toSet
+      (m.docVersions -- candTouched) ++ presentD.map(_ -> newVer)
     } else m.docVersions
     if (crashPoint == 1) return // simulated writer death: data written, nothing committed
     val present =

@@ -317,16 +317,77 @@ object MinhashIndex {
     upsertHooked(spark, dir, docs, idCol, textCol, crashPoint = 0,
       txn = Some((appId, epoch)))
 
+  /** CHANGE-APPLY tick — the CDC verb (the [[Bm25.applyChanges]]
+    * sibling): ONE mixed micro-batch of upserts and deletes folds into
+    * the committed signature index in ONE crash-atomic commit.
+    * `changes` carries (opCol, idCol, textCol) rows, op `'upsert'`
+    * ([[upsert]] semantics) or `'delete'` (the [[deleteByIds]]
+    * semantics — text ignored). An id carrying both ops in one batch
+    * is rejected. */
+  def applyChanges(spark: SparkSession, dir: String, changes: DataFrame,
+      opCol: String, idCol: String, textCol: String): Unit =
+    applyChangesHooked(spark, dir, changes, opCol, idCol, textCol,
+      crashPoint = 0)
+
+  /** [[applyChanges]] carrying a writer transaction. */
+  def applyChangesTxn(spark: SparkSession, dir: String, changes: DataFrame,
+      opCol: String, idCol: String, textCol: String,
+      appId: String, epoch: Long): Unit =
+    applyChangesHooked(spark, dir, changes, opCol, idCol, textCol,
+      crashPoint = 0, txn = Some((appId, epoch)))
+
+  /** [[applyChanges]] with the standard injectable writer-death
+    * points. */
+  private[graft] def applyChangesHooked(spark: SparkSession, dir: String,
+      changes: DataFrame, opCol: String, idCol: String, textCol: String,
+      crashPoint: Int, txn: Option[(String, Long)] = None): Unit = {
+    // pin the RAW batch first: the op validation, the both-ops check
+    // and the verb split must all see the same rows
+    val pinnedAll = changes.select(col(opCol).as("_op"), col(idCol), col(textCol))
+      .localCheckpoint(true)
+    val ops = pinnedAll.select(col("_op")).distinct()
+      .collect().map(_.getString(0)).toSet
+    require(ops.subsetOf(Set("upsert", "delete")),
+      s"ops must be 'upsert' or 'delete', got $ops")
+    val dups = pinnedAll.select(col("_op"), col(idCol).cast("long").as("_id"))
+      .distinct()
+      .groupBy(col("_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"id ${dups.headOption.map(_.get(0)).orNull} carries both ops in one batch")
+    upsertCore(spark, dir,
+      pinnedAll.filter(col("_op") === "upsert").select(col(idCol), col(textCol))
+        .dropDuplicates(Seq(idCol)),
+      pinnedAll.filter(col("_op") === "delete")
+        .select(col(idCol).cast("long").as("sid")),
+      idCol, textCol, crashPoint, txn)
+  }
+
   /** [[upsert]] with the standard injectable writer-death points. */
   private[graft] def upsertHooked(spark: SparkSession, dir: String,
       docs: DataFrame, idCol: String, textCol: String, crashPoint: Int,
       txn: Option[(String, Long)] = None): Unit = {
+    val pinned = docs.select(col(idCol), col(textCol))
+      .dropDuplicates(Seq(idCol)).localCheckpoint(true)
+    upsertCore(spark, dir, pinned,
+      pinned.select(col(idCol).cast("long").as("sid")).limit(0),
+      idCol, textCol, crashPoint, txn)
+  }
+
+  /** The shared replace-or-insert core: `pinned` (id, text) upserts,
+    * `extraDeleteSids` pure removals folded into the same commit —
+    * empty for a plain [[upsert]]. `pinned` must already be pinned and
+    * id-distinct. */
+  private def upsertCore(spark: SparkSession, dir: String,
+      pinned: DataFrame, extraDeleteSids: DataFrame,
+      idCol: String, textCol: String, crashPoint: Int,
+      txn: Option[(String, Long)]): Unit = {
     val m = readManifest(spark, dir)
     if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
     val newVer = m.version + 1
-    val pinned = docs.select(col(idCol), col(textCol))
-      .dropDuplicates(Seq(idCol)).localCheckpoint(true)
     val upSids = pinned.select(col(idCol).cast("long").as("sid"))
+      .unionByName(extraDeleteSids.select(col("sid")))
+      .distinct().localCheckpoint(true)
     if (upSids.isEmpty) return // empty batch: the index already is the post-tick state
     val newRows = Dedup.minhashDocIndex(pinned, idCol, textCol,
         m.n, m.bands, m.rowsPerBand)

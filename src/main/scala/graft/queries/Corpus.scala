@@ -1207,11 +1207,82 @@ object Corpus {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** The CDC oracle's corpus after ONE mixed change batch: the
+    * doc_id % 9 = 7 slice DELETED, the surviving doc_id % 8 = 5 slice
+    * REPLACED by 'upd '-prefixed text, and a 'fresh '-prefixed copy of
+    * that replaced slice INSERTED under new ids (+10⁶). Rendered
+    * identically as a DuckDB FROM-subquery and as the Spark change
+    * batch below (the slices are disjoint — delete wins the overlap by
+    * construction, so no id carries both ops). */
+  private val CdcCorpusSql =
+    """(SELECT doc_id,
+      |        CASE WHEN doc_id % 8 = 5 THEN 'upd ' || text ELSE text END AS text
+      | FROM documents WHERE doc_id % 9 <> 7
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id, 'fresh ' || text AS text
+      | FROM documents WHERE doc_id % 8 = 5 AND doc_id % 9 <> 7) chg""".stripMargin
+
+  private def cdcCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val kept = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 9 =!= 7)
+    kept.withColumn("text",
+        when(col("doc_id") % 8 === 5, concat(lit("upd "), col("text")))
+          .otherwise(col("text")))
+      .unionByName(kept.filter(col("doc_id") % 8 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("fresh "), col("text")).as("text")))
+  }
+
+  /** Build-then-APPLY cache backing [[t60Bm25Cdc]]: index built on the
+    * FULL corpus, then ONE mixed change batch
+    * ([[Bm25.applyChanges]]) — deletes, replacements and inserts in a
+    * single crash-atomic commit, the CDC maintenance shape. */
+  private val bm25CdcCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def bm25CdcIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25CdcCache.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d)
+      val dir = s"/tmp/graft_bm25_cdc_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Bm25.buildIndex(docs, "doc_id", "text", dir)
+      val slice = docs.filter(col("doc_id") % 8 === 5 && col("doc_id") % 9 =!= 7)
+      val changes =
+        slice.select(lit("upsert").as("op"), col("doc_id"),
+            concat(lit("upd "), col("text")).as("text"))
+          .unionByName(slice.select(lit("upsert").as("op"),
+            (col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("fresh "), col("text")).as("text")))
+          .unionByName(docs.filter(col("doc_id") % 9 === 7)
+            .select(lit("delete").as("op"), col("doc_id"),
+              lit(null).cast("string").as("text")))
+      Bm25.applyChanges(s, dir, changes, "op", "doc_id", "text")
+      dir
+    })
+
+  /** Standing-BM25-index CHANGE-APPLY tick ([[Bm25.applyChanges]]) —
+    * the CDC verb: one MIXED batch of deletes, replacements and
+    * inserts folds in a single crash-atomic commit (what a
+    * change-capture maintenance stream delivers per epoch). The oracle
+    * is the one-shot index over the post-change corpus — a surviving
+    * deleted posting, an un-replaced text, a lost insert, stale df or
+    * a mis-rolled (n, sdl) anywhere breaks the hash. */
+  val t60Bm25Cdc: Q = Q(
+    "t60_bm25_cdc",
+    bm25BatchSql(mod = 100, rem = 27, positions = Seq(2, 5, 8), k = 6,
+      corpusFrom = CdcCorpusSql)) { (s, d) =>
+    Bm25.serveTopK(s, bm25CdcIndex(s, d),
+        bm25Queries(cdcCorpus(s, d), 100, 27, Seq(2, 5, 8)), k = 6)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
     t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
     t34PhraseTags, t35Boilerplate, t36EpochUpsample, t37DsirSelect,
     t38StratifiedEval, t40Bm25Batch, t41Bm25Served, t48HybridRrf,
     t50Bm25Append, t51HybridServed, t53MixtureRates, t54HybridIndexed,
-    t55Bm25Profile, t56Bm25Delete, t57Bm25DeleteIds, t59Bm25Upsert)
+    t55Bm25Profile, t56Bm25Delete, t57Bm25DeleteIds, t59Bm25Upsert,
+    t60Bm25Cdc)
 }

@@ -166,6 +166,15 @@ object SqlFrontDoor {
           "doc_id", "text")
         graft.operators.Bm25.readStats(s, a.head)
       }),
+      // bm25_index_apply(index_dir, changes_path): the CDC verb — a
+      // MIXED batch of (op 'upsert'|'delete', doc_id, text) rows folds
+      // in ONE crash-atomic commit (both verbs land atomically or
+      // neither); returns the post-tick stats row
+      ("bm25_index_apply", 2, a => {
+        graft.operators.Bm25.applyChanges(s, a.head, s.read.parquet(a(1)),
+          "op", "doc_id", "text")
+        graft.operators.Bm25.readStats(s, a.head)
+      }),
       // bm25_index_delete_ids(index_dir, ids_path): the ID-ONLY
       // takedown fallback — the request parquet carries bare doc_ids
       // (the real opt-out feed shape); one full postings scan locates
@@ -654,6 +663,14 @@ object SqlFrontDoor {
           "doc_id", "text")
         minhashManifestSummary(a.head)
       }),
+      // minhash_index_apply(index_dir, changes_path): the CDC verb —
+      // a MIXED batch of (op 'upsert'|'delete', doc_id, text) rows
+      // folds in one crash-atomic commit
+      ("minhash_index_apply", 2, a => {
+        graft.operators.MinhashIndex.applyChanges(s, a.head,
+          s.read.parquet(a(1)), "op", "doc_id", "text")
+        minhashManifestSummary(a.head)
+      }),
       // minhash_index_compact(index_dir, min_versions): rewrite every
       // signature bucket with >= min_versions contributing data
       // versions into one (pure physical rewrite — the gate is
@@ -755,6 +772,14 @@ object SqlFrontDoor {
       // and plain-append new cids, in one crash-atomic commit
       ("ivf_index_upsert", 2, a => {
         graft.operators.Ann.ivfIndexUpsert(s, a.head, s.read.parquet(a(1)))
+        ivfManifestSummary(a.head)
+      }),
+      // ivf_index_apply(index_dir, changes_path): the CDC verb — a
+      // MIXED batch of (op 'upsert'|'delete', cid, cvec) rows folds in
+      // one crash-atomic commit
+      ("ivf_index_apply", 2, a => {
+        graft.operators.Ann.ivfApplyChanges(s, a.head, s.read.parquet(a(1)),
+          "op")
         ivfManifestSummary(a.head)
       }),
       // ivf_index_compact(index_dir, min_versions): rewrite every cell

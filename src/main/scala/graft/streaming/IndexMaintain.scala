@@ -322,4 +322,49 @@ object IndexMaintain {
         MinhashIndex.upsertTxn(batch.sparkSession, dir, batch, idCol, textCol,
           appId, epoch))
       .start()
+
+  // ── CDC streams: mixed-verb maintenance in one epoch ──
+  //
+  // A change-capture feed interleaves upserts and deletes; running two
+  // verb streams would either need two appIds racing the single-writer
+  // discipline, or two ticks under one (appId, epoch) — which the txn
+  // ledger (correctly) refuses. The CHANGE-APPLY tick
+  // ([[graft.operators.Bm25.applyChanges]] /
+  // [[graft.operators.Ann.ivfApplyChanges]] /
+  // [[graft.operators.MinhashIndex.applyChanges]]) folds the whole
+  // mixed batch in ONE commit: both verbs land atomically or neither.
+
+  /** Apply a streaming change feed (opCol ∈ 'upsert'|'delete', idCol,
+    * textCol) to a standing BM25 index. */
+  def cdcBm25(changes: DataFrame, dir: String, opCol: String, idCol: String,
+      textCol: String, appId: String, checkpoint: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, epoch: Long) =>
+        Bm25.applyChangesTxn(batch.sparkSession, dir, batch, opCol, idCol,
+          textCol, appId, epoch))
+      .start()
+
+  /** Apply a streaming change feed (opCol, cid, cvec) to a committed
+    * IVF index. */
+  def cdcIvf(changes: DataFrame, dir: String, opCol: String,
+      appId: String, checkpoint: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, epoch: Long) =>
+        Ann.ivfApplyChangesTxn(batch.sparkSession, dir, batch, opCol,
+          appId, epoch))
+      .start()
+
+  /** Apply a streaming change feed (opCol, idCol, textCol) to a
+    * committed minhash index. */
+  def cdcMinhash(changes: DataFrame, dir: String, opCol: String,
+      idCol: String, textCol: String, appId: String,
+      checkpoint: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, epoch: Long) =>
+        MinhashIndex.applyChangesTxn(batch.sparkSession, dir, batch, opCol,
+          idCol, textCol, appId, epoch))
+      .start()
 }

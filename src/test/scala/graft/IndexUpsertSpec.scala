@@ -199,6 +199,141 @@ class IndexUpsertSpec extends AnyFunSuite {
     assert(MinhashIndex.readManifest(spark, dir) == m2)
   }
 
+  test("bm25: applyChanges folds a mixed upsert+delete batch in ONE commit == rebuild") {
+    val dir = Files.createTempDirectory("bm25cdc").toString
+    Bm25.buildIndex(base.toDF("doc_id", "text"), "doc_id", "text", dir,
+      buckets = 64)
+    // one mixed batch: replace 1, insert 300, DELETE 3 and 5
+    val changes = Seq(
+      ("upsert", 1L, "papaya quince apple"),
+      ("upsert", 300L, "durian rambutan banana jackfruit"),
+      ("delete", 3L, null.asInstanceOf[String]),
+      ("delete", 5L, null.asInstanceOf[String]))
+    val before = Bm25.readManifest(spark, dir)
+    Bm25.applyChanges(spark, dir, changes.toDF("op", "doc_id", "text"),
+      "op", "doc_id", "text")
+    assert(Bm25.readManifest(spark, dir).version == before.version + 1,
+      "the whole mixed batch is ONE commit")
+    val dirU = Files.createTempDirectory("bm25cdcU").toString
+    val resulting = base.filterNot(d => Seq(1L, 3L, 5L).contains(d._1)) ++
+      Seq((1L, "papaya quince apple"), (300L, "durian rambutan banana jackfruit"))
+    Bm25.buildIndex(resulting.toDF("doc_id", "text"), "doc_id", "text", dirU,
+      buckets = 64)
+    assert(bm25Serve(dir) == bm25Serve(dirU))
+    assert(bm25Stats(dir) == bm25Stats(dirU))
+    assert(Bm25.indexProfile(spark, dir).collect().map(_.toSeq).toSeq ==
+      Bm25.indexProfile(spark, dirU).collect().map(_.toSeq).toSeq)
+    // the reverse index dropped the deleted ids and refreshed the rest
+    assert(Bm25.readDocmapAt(spark, dir, Bm25.readManifest(spark, dir))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet ==
+      resulting.map(_._1).toSet)
+    // an id carrying both ops is rejected loudly
+    intercept[IllegalArgumentException] {
+      Bm25.applyChanges(spark, dir,
+        Seq(("upsert", 2L, "x y z"), ("delete", 2L, null.asInstanceOf[String]))
+          .toDF("op", "doc_id", "text"), "op", "doc_id", "text")
+    }
+    // unknown op rejected
+    intercept[IllegalArgumentException] {
+      Bm25.applyChanges(spark, dir,
+        Seq(("replace", 2L, "x")).toDF("op", "doc_id", "text"),
+        "op", "doc_id", "text")
+    }
+    // txn: one epoch, both verbs exactly-once under re-delivery
+    val m2 = Bm25.readManifest(spark, dir)
+    Bm25.applyChangesTxn(spark, dir,
+      Seq(("delete", 300L, null.asInstanceOf[String]),
+        ("upsert", 4L, "kumquat fig")).toDF("op", "doc_id", "text"),
+      "op", "doc_id", "text", "cdc-spec", 5L)
+    val m3 = Bm25.readManifest(spark, dir)
+    assert(m3.version == m2.version + 1 && m3.txns.get("cdc-spec").contains(5L))
+    Bm25.applyChangesTxn(spark, dir,
+      Seq(("delete", 4L, null.asInstanceOf[String])).toDF("op", "doc_id", "text"),
+      "op", "doc_id", "text", "cdc-spec", 5L)
+    assert(Bm25.readManifest(spark, dir) == m3, "re-delivered epoch no-ops")
+  }
+
+  test("ivf + minhash: applyChanges folds a mixed batch in one commit == rebuild") {
+    // IVF: replace 42 (every copy), insert 9, delete 7 — one commit
+    val dir = Files.createTempDirectory("ivfcdc").toString
+    Ann.ivfIndexBuild(Seq(
+      (42L, vec3(0.9f, 0.1f, 0f)), (7L, vec3(0f, 0.1f, 0.9f)),
+      (8L, vec3(0f, 0.9f, 0.1f))).toDF("cid", "cvec"), dir, cents)
+    Ann.ivfIndexAppend(spark, dir, Seq((42L, vec3(0.1f, 0.9f, 0f)))
+      .toDF("cid", "cvec")) // stale second copy of 42
+    val before = Ann.readIvfManifest(spark, dir)
+    Ann.ivfApplyChanges(spark, dir, Seq(
+      ("upsert", 42L, vec3(0f, 0.2f, 0.8f)),
+      ("upsert", 9L, vec3(0.8f, 0.2f, 0f)),
+      ("delete", 7L, null.asInstanceOf[Seq[Float]]))
+      .toDF("op", "cid", "cvec"), "op")
+    assert(Ann.readIvfManifest(spark, dir).version == before.version + 1)
+    val dirU = Files.createTempDirectory("ivfcdcU").toString
+    Ann.ivfIndexBuild(Seq(
+      (8L, vec3(0f, 0.9f, 0.1f)), (42L, vec3(0f, 0.2f, 0.8f)),
+      (9L, vec3(0.8f, 0.2f, 0f))).toDF("cid", "cvec"), dirU, cents)
+    def cellsOf(d: String) = Ann.readIvfCells(spark, d)
+      .select(col("cid"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellsOf(dir) == cellsOf(dirU))
+    def mapOf(d: String) = Ann.readIvfCidmap(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(mapOf(dir) == mapOf(dirU),
+      "the deleted id's reverse rows must leave with the same commit")
+
+    // minhash: replace 1, delete 2, insert 9 — one commit
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "a completely different sentence about spark engines"))
+    val mdir = Files.createTempDirectory("mhcdc").toString
+    MinhashIndex.build(ref.toDF("doc_id", "text"), "doc_id", "text", mdir,
+      N, Bands, Rpb, buckets = 8)
+    MinhashIndex.applyChanges(spark, mdir, Seq(
+      ("upsert", 1L, "an entirely rewritten first document with new content"),
+      ("delete", 2L, null.asInstanceOf[String]),
+      ("upsert", 9L, "a brand new ninth document joining the standing corpus"))
+      .toDF("op", "doc_id", "text"), "op", "doc_id", "text")
+    val mdirU = Files.createTempDirectory("mhcdcU").toString
+    MinhashIndex.build(Seq(
+      (3L, "a completely different sentence about spark engines"),
+      (1L, "an entirely rewritten first document with new content"),
+      (9L, "a brand new ninth document joining the standing corpus"))
+      .toDF("doc_id", "text"), "doc_id", "text", mdirU, N, Bands, Rpb,
+      buckets = 8)
+    def rowsOf(d: String) = MinhashIndex.readRows(spark, d).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2))).toSet
+    assert(rowsOf(mdir) == rowsOf(mdirU))
+  }
+
+  test("cdc stream folds mixed-verb epochs exactly-once") {
+    val dir = Files.createTempDirectory("bm25cdcstream").toString
+    Bm25.buildIndex(base.toDF("doc_id", "text"), "doc_id", "text", dir,
+      buckets = 64)
+    val dropDir = Files.createTempDirectory("bm25cdcdrop").toString
+    Seq(
+      Seq(("upsert", 1L, "papaya quince apple"), ("delete", 3L, null.asInstanceOf[String])),
+      Seq(("upsert", 300L, "durian rambutan banana jackfruit"),
+        ("delete", 5L, null.asInstanceOf[String]))
+    ).foreach(_.toDF("op", "doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dropDir))
+    val ckpt = Files.createTempDirectory("bm25cdcckpt").toString
+    val qy = IndexMaintain.cdcBm25(
+      spark.readStream.schema("op STRING, doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(dropDir),
+      dir, "op", "doc_id", "text", appId = "bm25-cdc-spec", checkpoint = ckpt)
+    try assert(StreamSync.drain(qy) {
+      Bm25.readManifest(spark, dir).txns.get("bm25-cdc-spec").exists(_ >= 1L)
+    }) finally qy.stop()
+    val dirU = Files.createTempDirectory("bm25cdcstreamU").toString
+    val resulting = base.filterNot(d => Seq(1L, 3L, 5L).contains(d._1)) ++
+      Seq((1L, "papaya quince apple"), (300L, "durian rambutan banana jackfruit"))
+    Bm25.buildIndex(resulting.toDF("doc_id", "text"), "doc_id", "text", dirU,
+      buckets = 64)
+    assert(bm25Serve(dir) == bm25Serve(dirU))
+    assert(bm25Stats(dir) == bm25Stats(dirU))
+  }
+
   test("refresh streams fold exactly-once into the index") {
     val dir = Files.createTempDirectory("bm25refresh").toString
     Bm25.buildIndex(base.toDF("doc_id", "text"), "doc_id", "text", dir,
