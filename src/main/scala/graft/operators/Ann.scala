@@ -1243,8 +1243,13 @@ object Ann extends Serializable {
     if (picked.isEmpty) return Seq.empty // nothing fragmented: no tick
     val newVer = m.version + 1
     ManifestIO.guardSlot(spark, dir, newVer)
+    // one exchange on the cell id so each cell lands in ONE task →
+    // ONE file per cell: without it the rewrite inherits the read's
+    // parallelism and each cell still fans out over every task that
+    // held its rows — compaction exists to kill exactly that
     readIvfCellsAt(spark, dir, m, Some(picked.toSet))
       .select(col("cid"), col("cvec"), col("cell"))
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dir/data/$newVer/cells")
     if (crashPoint == 1) return Seq.empty // simulated death: data written, nothing committed

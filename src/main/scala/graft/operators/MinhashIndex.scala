@@ -443,8 +443,12 @@ object MinhashIndex {
     if (picked.isEmpty) return Seq.empty // nothing fragmented: no tick
     val newVer = m.version + 1
     ManifestIO.guardSlot(spark, dir, newVer)
+    // one exchange on the bucket id → one file per bucket (the
+    // ivfIndexCompact rationale: the rewrite must not inherit the
+    // read's per-task fan-out)
     readRowsAt(spark, dir, m, Some(picked.toSet))
       .select(col("sid"), col("gs"), col("bhs"), col("bucket"))
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/data/$newVer/rows")
     if (crashPoint == 1) return Seq.empty // simulated death: data written, nothing committed
