@@ -1484,9 +1484,30 @@ object Ann extends Serializable {
     * same contract), with the cell pruning made literal: unprobed
     * cells are never listed, let alone read. */
   def ivfServedTopK(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int): DataFrame =
+    ivfServedTopKFrom(spark, dir, readIvfManifest(spark, dir),
+      queries, k, nprobe)
+
+  /** TIME-TRAVEL serve: [[ivfServedTopK]] against the index AS OF a
+    * committed historical `version` ([[ManifestIO.readVersion]]'s
+    * servability rules: orphan manifests refuse, vacuumed versions
+    * fail loudly; reaches as deep as the vacuum grace window). */
+  def ivfServedTopKVersion(spark: SparkSession, dir: String, version: Long,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame =
+    ivfServedTopKFrom(spark, dir,
+      readIvfManifestVersion(spark, dir, version), queries, k, nprobe)
+
+  /** The committed manifest AS OF a historical version (time travel). */
+  def readIvfManifestVersion(spark: SparkSession, dir: String,
+      version: Long): IvfManifest =
+    parseIvfManifest(ManifestIO.readVersion(spark, dir, version, "IVF index"))
+
+  /** The serve body against an already-read manifest — shared by the
+    * CURRENT serve, the time-travel serve and the version-reporting
+    * hybrid caller. */
+  private[graft] def ivfServedTopKFrom(spark: SparkSession, dir: String,
+      m: IvfManifest, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
-    val m = readIvfManifest(spark, dir)
     val cents = readIvfCentroidsAt(spark, dir, m)
     val qRows = collectQueryBatch(queries, MaxDriverQueryRows, "ivfServedTopK")
     val probeRows = qRows.flatMap { case (qid, v) =>

@@ -438,19 +438,54 @@ object Bm25 {
     * of one. */
   private[graft] def serveTopKPinned(spark: SparkSession, indexDir: String,
       queries: DataFrame, k: Int): DataFrame =
-    servePlanned(spark, indexDir,
+    serveTopKPinnedAt(spark, indexDir, queries, k,
+      readManifest(spark, indexDir))
+
+  /** [[serveTopKPinned]] against an already-read manifest — the
+    * version-pinning caller's form ([[Hybrid.servedTopKVersioned]]
+    * reads the manifest once to both serve from it and REPORT it). */
+  private[graft] def serveTopKPinnedAt(spark: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, m: IndexManifest): DataFrame =
+    servePlannedAt(spark, indexDir,
       queries.select(col("qid").cast("long").as("qid"),
         col("term").as("t")).distinct(),
-      k, MaxServeTerms)
+      k, MaxServeTerms, m)
+
+  /** TIME-TRAVEL serve: [[serveTopK]] against the index AS OF a
+    * committed historical `version` — the reproducibility/debugging
+    * read the versioned manifests already pay for (compare a score
+    * before and after a tick, replay yesterday's serving state).
+    * Reaches exactly as deep as the vacuum grace window
+    * ([[ManifestIO.readVersion]]'s contract: orphan manifests refuse,
+    * vacuumed versions fail loudly). */
+  def serveTopKVersion(spark: SparkSession, indexDir: String, version: Long,
+      queries: DataFrame, k: Int): DataFrame =
+    servePlannedAt(spark, indexDir,
+      queries.select(col("qid").cast("long").as("qid"),
+        col("term").as("t")).distinct().localCheckpoint(true),
+      k, MaxServeTerms, readManifestVersion(spark, indexDir, version))
+
+  /** The committed manifest AS OF a historical version (time travel —
+    * see [[ManifestIO.readVersion]] for the servability rules). */
+  def readManifestVersion(spark: SparkSession, dir: String,
+      version: Long): IndexManifest =
+    parseManifest(ManifestIO.readVersion(spark, dir, version, "BM25 index"))
 
   /** The serve body over a deterministic (qid, t) frame `q` — see
     * [[serveTopKBounded]] for the pin rationale. */
   private def servePlanned(spark: SparkSession, indexDir: String,
-      q: DataFrame, k: Int, maxCollectedTerms: Int): DataFrame = {
+      q: DataFrame, k: Int, maxCollectedTerms: Int): DataFrame =
     // ONE CURRENT read pins the whole serve: stats and postings are
     // both resolved from this manifest, so an append committing midway
     // can never pair new (n, avgdl) with old postings or vice versa
-    val m = readManifest(spark, indexDir)
+    servePlannedAt(spark, indexDir, q, k, maxCollectedTerms,
+      readManifest(spark, indexDir))
+
+  /** [[servePlanned]] against an already-read manifest — the shared
+    * body of the CURRENT serve and the time-travel serve. */
+  private def servePlannedAt(spark: SparkSession, indexDir: String,
+      q: DataFrame, k: Int, maxCollectedTerms: Int,
+      m: IndexManifest): DataFrame = {
     val terms0 = q.select(col("t")).distinct()
     // one bounded driver round-trip (≤ maxCollectedTerms+1 (term,
     // bucket) rows — regime-constant, batch-size-independent) decides

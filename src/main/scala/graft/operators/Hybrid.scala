@@ -150,12 +150,51 @@ object Hybrid {
     * nprobe to the recall target. `queries` carries (qid, term, qvec)
     * rows — the [[hybridTopK]] contract. */
   def servedTopK(spark: SparkSession, bm25Dir: String, ivfDir: String,
+      queries0: DataFrame, kLeg: Int, k: Int, nprobe: Int): DataFrame =
+    servedTopKVersioned(spark, bm25Dir, ivfDir, queries0, kLeg, k, nprobe)
+      .results
+
+  /** One hybrid serve's results plus the committed index versions the
+    * two legs actually pinned — what an epoch output must be tagged
+    * with to be REPLAYABLE ([[servedTopKVersion]] re-serves exactly
+    * this answer after any number of later ticks, as long as the
+    * vacuum grace window keeps the versions). */
+  final case class ServedHybrid(results: DataFrame, bm25Version: Long,
+      ivfVersion: Long)
+
+  /** [[servedTopK]], also reporting which committed version of each
+    * index the serve pinned (ONE manifest read per leg — the reported
+    * version IS the served one, never a racy second read). */
+  def servedTopKVersioned(spark: SparkSession, bm25Dir: String,
+      ivfDir: String, queries0: DataFrame, kLeg: Int, k: Int,
+      nprobe: Int): ServedHybrid = {
+    val mB = Bm25.readManifest(spark, bm25Dir)
+    val mV = Ann.readIvfManifest(spark, ivfDir)
+    ServedHybrid(
+      servedTopKAt(spark, bm25Dir, mB, ivfDir, mV, queries0, kLeg, k, nprobe),
+      mB.version, mV.version)
+  }
+
+  /** TIME-TRAVEL hybrid serve: both legs AS OF explicit committed
+    * versions — the replay read for a tagged
+    * [[graft.streaming.HybridStream.serveSink]] epoch
+    * ([[ManifestIO.readVersion]] servability rules on both dirs). */
+  def servedTopKVersion(spark: SparkSession, bm25Dir: String,
+      bm25Version: Long, ivfDir: String, ivfVersion: Long,
+      queries0: DataFrame, kLeg: Int, k: Int, nprobe: Int): DataFrame =
+    servedTopKAt(spark, bm25Dir,
+      Bm25.readManifestVersion(spark, bm25Dir, bm25Version),
+      ivfDir, Ann.readIvfManifestVersion(spark, ivfDir, ivfVersion),
+      queries0, kLeg, k, nprobe)
+
+  private def servedTopKAt(spark: SparkSession, bm25Dir: String,
+      mB: Bm25.IndexManifest, ivfDir: String, mV: Ann.IvfManifest,
       queries0: DataFrame, kLeg: Int, k: Int, nprobe: Int): DataFrame = {
     // pin ONE materialization of the query frame — and only one: both
     // legs must fuse the SAME query set even for a non-deterministic
     // caller frame, and every frame both legs derive from this pin is
     // deterministic, so the lexical leg enters through
-    // [[Bm25.serveTopKPinned]] (no second internal checkpoint — the
+    // [[Bm25.serveTopKPinnedAt]] (no second internal checkpoint — the
     // redundant pin cost one materialization per serve, and
     // [[graft.streaming.HybridStream.serveStream]] paid it per
     // micro-batch). Null modality inputs filter PER LEG off the pin
@@ -163,15 +202,15 @@ object Hybrid {
     // serves on its vector leg, a null-qvec qid on its lexical leg.
     val queries = queries0.filter(col("qid").isNotNull).localCheckpoint(true)
     val lexLeg = dropSelf(
-      Bm25.serveTopKPinned(spark, bm25Dir,
+      Bm25.serveTopKPinnedAt(spark, bm25Dir,
         queries.filter(col("term").isNotNull)
-          .select(col("qid"), col("term")), kLeg + 1),
+          .select(col("qid"), col("term")), kLeg + 1, mB),
       kLeg)
     val qVecs = queries.filter(col("qvec").isNotNull)
       .select(col("qid").cast("long").as("qid"), col("qvec"))
       .groupBy(col("qid")).agg(first(col("qvec")).as("qvec"))
-    // ivfServedTopK excludes self pairs (qid != cid), like the brute leg
-    val vecLeg = Ann.ivfServedTopK(spark, ivfDir, qVecs, kLeg, nprobe)
+    // the vector leg excludes self pairs (qid != cid), like the brute leg
+    val vecLeg = Ann.ivfServedTopKFrom(spark, ivfDir, mV, qVecs, kLeg, nprobe)
       .select(col("qid"), col("cid").as("doc_id"), col("rank"))
     rrfFuse(Seq(lexLeg.select(col("qid"), col("doc_id"), col("rank")), vecLeg), k)
   }

@@ -123,6 +123,48 @@ private[graft] object ManifestIO {
   /** The `key=value` lines of a manifest body — every index module's
     * manifest is this shape (values may themselves contain '=': only
     * the FIRST one splits). */
+  /** TIME-TRAVEL read: the manifest body of a COMMITTED historical
+    * version — the Delta/Iceberg `VERSION AS OF` primitive the
+    * versioned layout already pays for. Only versions ≤ the committed
+    * CURRENT are servable: a crashed tick's orphan manifest at
+    * current+1 exists on disk but was never published, and reading it
+    * would serve a state no reader ever saw. A version retired by
+    * [[vacuum]] (manifest or any referenced data file) fails loudly —
+    * time travel is reliable exactly as deep as the vacuum grace
+    * window, the standard trade. */
+  def readVersion(spark: SparkSession, dir: String, version: Long,
+      what: String): String = {
+    val (current, _) = readCurrent(spark, dir, what)
+    require(version <= current,
+      s"$what at $dir has no committed version $version (CURRENT is " +
+        s"$current; a crashed tick's orphan manifest is not a committed state)")
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest/v$version.txt")
+    require(f.exists(p),
+      s"$what version $version at $dir was vacuumed away (or never " +
+        s"existed); time travel reaches only versions inside the vacuum grace window")
+    readText(f, p)
+  }
+
+  /** The dir's committed history: every manifest version still on
+    * disk, whether it is ≤ the committed CURRENT (servable by
+    * [[readVersion]] — an orphan at current+1 is not), and whether it
+    * IS the current one. The monitoring/debugging surface behind the
+    * index_history TVF; layout-agnostic, so one implementation serves
+    * all three index families. */
+  def history(spark: SparkSession, dir: String): Seq[(Long, Boolean, Boolean)] = {
+    val (current, _) = readCurrent(spark, dir, "index")
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    if (!f.exists(p)) return Seq.empty
+    f.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".txt"))
+        scala.util.Try(n.stripPrefix("v").stripSuffix(".txt").toLong).toOption
+      else None
+    }.sorted.map(v => (v, v <= current, v == current))
+  }
+
   def parseKv(text: String): Map[String, String] =
     text.linesIterator.filter(_.contains("="))
       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap

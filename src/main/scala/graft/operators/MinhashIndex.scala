@@ -131,6 +131,23 @@ object MinhashIndex {
       idCol, textCol, m.n, m.bands, m.rowsPerBand, threshold, maxBucket)
   }
 
+  /** TIME-TRAVEL gate: [[gate]] against the index AS OF a committed
+    * historical `version` ([[ManifestIO.readVersion]]'s servability
+    * rules — "would this batch have deduplicated against last week's
+    * corpus" is answerable as deep as the vacuum grace window). */
+  def gateVersion(spark: SparkSession, dir: String, version: Long,
+      newDocs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val m = readManifestVersion(spark, dir, version)
+    Dedup.minhashLshPairsAcrossIndexed(newDocs, readRowsAt(spark, dir, m),
+      idCol, textCol, m.n, m.bands, m.rowsPerBand, threshold, maxBucket)
+  }
+
+  /** The committed manifest AS OF a historical version (time travel). */
+  def readManifestVersion(spark: SparkSession, dir: String,
+      version: Long): Manifest =
+    parse(ManifestIO.readVersion(spark, dir, version, "minhash index"))
+
   /** ADMISSION tick — the committed form of
     * [[Dedup.minhashIndexAdmit]]: gate the batch against the committed
     * rows, ADMIT every batch doc with no qualifying near-dup (and no

@@ -126,6 +126,12 @@ object SqlFrontDoor {
       }),
       ("bm25_serve", 3, a =>
         graft.operators.Bm25.serveTopK(s, a.head, s.read.parquet(a(1)), a(2).trim.toInt)),
+      // bm25_serve_version(index_dir, version, queries_path, k):
+      // TIME-TRAVEL serve — the index AS OF a committed historical
+      // version (reaches as deep as the vacuum grace window)
+      ("bm25_serve_version", 4, a =>
+        graft.operators.Bm25.serveTopKVersion(s, a.head, a(1).trim.toLong,
+          s.read.parquet(a(2)), a(3).trim.toInt)),
       // bm25_index_append(index_dir, docs_path): grow a standing
       // bm25_index — bucket-granular df refresh (only the batch's term
       // buckets are rewritten into a NEW data version, committed by one
@@ -639,6 +645,12 @@ object SqlFrontDoor {
       ("minhash_index_admit", 3, a =>
         graft.operators.MinhashIndex.admit(s, a.head, s.read.parquet(a(1)),
           "doc_id", "text", a(2).trim.toDouble).decisions),
+      // minhash_index_gate_version(index_dir, version, batch_path,
+      // threshold): TIME-TRAVEL gate — "would this batch have
+      // deduplicated against the corpus AS OF that version"
+      ("minhash_index_gate_version", 4, a =>
+        graft.operators.MinhashIndex.gateVersion(s, a.head, a(1).trim.toLong,
+          s.read.parquet(a(2)), "doc_id", "text", a(3).trim.toDouble)),
       // minhash_index_delete_ids(index_dir, ids_path): id-only takedown
       // — sid→bucket is a pure function, so only the requests' buckets
       // are read and consolidated (no scan); returns the receipt
@@ -739,6 +751,23 @@ object SqlFrontDoor {
       ("ivf_serve", 4, a =>
         graft.operators.Ann.ivfServedTopK(s, a.head, s.read.parquet(a(1)),
           a(2).trim.toInt, a(3).trim.toInt)),
+      // ivf_serve_version(index_dir, version, queries_path, k, nprobe):
+      // TIME-TRAVEL serve — the index AS OF a committed historical
+      // version (reaches as deep as the vacuum grace window; a crashed
+      // tick's orphan manifest refuses)
+      ("ivf_serve_version", 5, a =>
+        graft.operators.Ann.ivfServedTopKVersion(s, a.head, a(1).trim.toLong,
+          s.read.parquet(a(2)), a(3).trim.toInt, a(4).trim.toInt)),
+      // index_history(index_dir): every manifest version still on disk
+      // for ANY of the three committed index families — servable =
+      // committed (≤ CURRENT; a crashed tick's orphan is not),
+      // is_current flags the live one
+      ("index_history", 1, a => {
+        val sp = s
+        import sp.implicits._
+        graft.operators.ManifestIO.history(sp, a.head)
+          .toDF("version", "servable", "is_current")
+      }),
       // ivf_index_delete(index_dir, batch_path): the takedown tick —
       // remove previously ingested (cid, cvec) rows; the vectors
       // locate the affected cells by assignment under the committed
@@ -814,6 +843,14 @@ object SqlFrontDoor {
       // corpus-scale deployment shape hybrid_rrf's usage note points
       // at, as one call. Queries parquet needs (qid BIGINT, term
       // STRING, qvec ARRAY<FLOAT>); emits (qid, doc_id, rrf, rank)
+      // hybrid_served_version(bm25_dir, bm25_version, ivf_dir,
+      // ivf_version, queries_path, k_leg, k, nprobe): the TIME-TRAVEL
+      // hybrid serve — both legs AS OF explicit committed versions;
+      // replays a tagged serve-stream epoch exactly
+      ("hybrid_served_version", 8, a =>
+        graft.operators.Hybrid.servedTopKVersion(s, a.head, a(1).trim.toLong,
+          a(2), a(3).trim.toLong, s.read.parquet(a(4)), a(5).trim.toInt,
+          a(6).trim.toInt, a(7).trim.toInt)),
       ("hybrid_served", 6, a =>
         graft.operators.Hybrid.servedTopK(s, a.head, a(1),
           s.read.parquet(a(2)), a(3).trim.toInt, a(4).trim.toInt,

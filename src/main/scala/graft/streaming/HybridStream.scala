@@ -204,9 +204,20 @@ object HybridStream {
       nprobe: Int, outDir: String,
       keepEpochs: Int = 0): (DataFrame, Long) => Unit =
     (batch, epoch) => {
-      Hybrid.servedTopK(batch.sparkSession, bm25Dir, ivfDir, batch,
-        kLeg, k, nprobe)
+      val served = Hybrid.servedTopKVersioned(batch.sparkSession,
+        bm25Dir, ivfDir, batch, kLeg, k, nprobe)
+      served.results
         .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+      // tag the epoch with the committed index versions both legs
+      // pinned (underscore-prefixed: parquet readers ignore it) — with
+      // the *_version time-travel serves this makes any epoch's answer
+      // REPLAYABLE as long as the vacuum grace window keeps the
+      // versions ([[Hybrid.servedTopKVersion]], [[epochIndexVersions]])
+      graft.operators.ManifestIO.writeText(
+        graft.operators.ManifestIO.fs(batch.sparkSession, outDir),
+        new org.apache.hadoop.fs.Path(
+          s"$outDir/epoch=$epoch/_index_versions.txt"),
+        s"bm25=${served.bm25Version}\nivf=${served.ivfVersion}\n")
       // RETENTION: a long-running query stream would otherwise
       // accumulate one epoch dir per micro-batch without bound. With
       // keepEpochs > 0, prune every epoch dir whose id trails the
@@ -226,6 +237,19 @@ object HybridStream {
         }
       }
     }
+
+  /** The (bm25, ivf) committed index versions a [[serveSink]] epoch
+    * pinned — read back from the epoch dir's tag, for the replay read
+    * ([[Hybrid.servedTopKVersion]]). */
+  def epochIndexVersions(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, epoch: Long): (Long, Long) = {
+    val f = graft.operators.ManifestIO.fs(spark, outDir)
+    val kv = graft.operators.ManifestIO.parseKv(
+      graft.operators.ManifestIO.readText(f,
+        new org.apache.hadoop.fs.Path(
+          s"$outDir/epoch=$epoch/_index_versions.txt")))
+    (kv("bm25").toLong, kv("ivf").toLong)
+  }
 
   /** Served streaming hybrid retrieval — the committed-index sibling of
     * [[topK]], closing the other half of the batch/stream symmetry:
