@@ -1012,4 +1012,31 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(graft.operators.MinhashIndex.readRows(spark, mhIdx)
       .filter(col("sid") === 1L).count() > 0L)
   }
+
+  test("time-travel TVFs: *_serve_version and index_history from pure SQL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftsqltt")
+    val corpP = dir.resolve("corp").toString
+    Seq((1L, "apple banana cherry"), (2L, "banana date fig"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpP)
+    val addP = dir.resolve("add").toString
+    Seq((9L, "banana papaya quince")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(addP)
+    val qP = dir.resolve("q").toString
+    Seq((1L, "banana")).toDF("qid", "term")
+      .write.mode("overwrite").parquet(qP)
+    val idx = dir.resolve("idx").toString
+    spark.sql(s"SELECT * FROM bm25_index('$corpP', '$idx')").collect()
+    val atV1 = spark.sql(
+      s"SELECT qid, doc_id, score, rank FROM bm25_serve('$idx', '$qP', '5') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq
+    spark.sql(s"SELECT * FROM bm25_index_append('$idx', '$addP')").collect()
+    assert(spark.sql(
+      s"SELECT qid, doc_id, score, rank FROM bm25_serve_version('$idx', '1', '$qP', '5') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq == atV1,
+      "version 1 serves what it served when it was CURRENT")
+    assert(spark.sql(s"SELECT * FROM index_history('$idx') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq ==
+      Seq((1L, true, false), (2L, true, true)))
+  }
 }
