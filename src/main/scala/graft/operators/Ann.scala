@@ -1075,6 +1075,34 @@ object Ann extends Serializable {
     ivfIndexUpsertHooked(spark, dir, batch, crashPoint = 0,
       txn = Some((appId, epoch)))
 
+  /** MIGRATION tick — the [[Bm25.buildDocmap]] sibling: retrofit the
+    * cid→cell reverse map onto a pre-cidmap legacy dir with ONE full
+    * cells scan, so every later strict id-only takedown/upsert locates
+    * by the pure id→cbucket function. (Appends refuse to start a
+    * partial map; this builds the complete one in one committed
+    * version.) A dir that already has a cidmap is a no-op (returns
+    * false). CRASH-ATOMIC like every tick. */
+  def ivfBuildCidmap(spark: SparkSession, dir: String): Boolean = {
+    val m = readIvfManifest(spark, dir)
+    if (m.cidVersions.nonEmpty) return false // already maintained: no tick
+    if (m.cellVersions.isEmpty) return false // empty index: the next append starts one
+    val newVer = m.version + 1
+    ManifestIO.guardSlot(spark, dir, newVer)
+    // ONE full cells scan — the price the map exists to retire
+    readIvfCellsAt(spark, dir, m)
+      .select(col("cid"), col("cell")).distinct()
+      .withColumn("cbucket", cidCbucket(col("cid"), m.cells))
+      .repartition(col("cbucket")) // one file per cbucket
+      .write.partitionBy("cbucket").mode("overwrite")
+      .parquet(s"$dir/data/$newVer/cidmap")
+    val presentD = ManifestIO
+      .partitionIds(spark, s"$dir/data/$newVer/cidmap", "cbucket=")
+    ManifestIO.commit(spark, dir, newVer,
+      renderIvfManifest(IvfManifest(newVer, m.cells, m.centroidsVersion,
+        m.cellVersions, m.txns, presentD.map(_ -> newVer).toMap)))
+    true
+  }
+
   /** CHANGE-APPLY tick — the CDC verb (the [[Bm25.applyChanges]]
     * sibling): ONE mixed micro-batch of upserts and deletes folds into
     * the committed IVF index in ONE crash-atomic commit. `changes`

@@ -1015,6 +1015,43 @@ object Bm25 {
     ManifestIO.commit(spark, dir, newVer, body)
   }
 
+  /** MIGRATION tick: retrofit the doc→bucket reverse index onto a
+    * pre-docmap legacy dir, paying the full postings scan ONCE so
+    * every later id-only takedown/upsert locates by the pure
+    * id→dbucket function instead of re-paying it per request. (The
+    * append tick deliberately refuses to START a map mid-life — an
+    * incrementally grown one would silently miss every older doc; this
+    * tick builds the COMPLETE map in one committed version.) The
+    * migrated map covers exactly what the postings know: a zero-token
+    * legacy doc left no rows, so it stays invisible to id-only deletes
+    * — the same blind spot the legacy fallback always had, now frozen
+    * into the map rather than re-derived per scan. A dir that already
+    * has a docmap is a no-op (returns false). CRASH-ATOMIC like every
+    * tick. */
+  def buildDocmap(spark: SparkSession, dir: String): Boolean = {
+    val m = readManifest(spark, dir)
+    if (m.docVersions.nonEmpty) return false // already maintained: no tick
+    if (m.bucketVersions.isEmpty) return false // empty index: the next append starts one
+    val newVer = m.version + 1
+    ManifestIO.guardSlot(spark, dir, newVer)
+    // ONE full postings scan — the price the map exists to retire
+    readPostingsAt(spark, dir, m)
+      .groupBy(col("doc_id"))
+      .agg(first(col("dl")).as("dl"),
+        array_sort(collect_set(col("bucket"))).as("tbuckets"))
+      .withColumn("dbucket",
+        pmod(xxhash64(col("doc_id")), lit(m.buckets)).cast("int"))
+      .repartition(col("dbucket")) // one file per dbucket
+      .write.partitionBy("dbucket").mode("overwrite")
+      .parquet(s"$dir/data/$newVer/docmap")
+    val presentD = ManifestIO
+      .partitionIds(spark, s"$dir/data/$newVer/docmap", "dbucket=")
+    ManifestIO.commit(spark, dir, newVer,
+      renderManifest(IndexManifest(newVer, m.buckets, m.statsVersion,
+        m.bucketVersions, m.txns, presentD.map(_ -> newVer).toMap)))
+    true
+  }
+
   /** UPSERT tick of the standing-index lifecycle — the REFRESH verb:
     * `docs` carries (id, text) rows that REPLACE any committed copy of
     * the same id and plain-append ids the index has never seen, in ONE

@@ -192,6 +192,14 @@ object SqlFrontDoor {
           "doc_id")
         graft.operators.Bm25.readStats(s, a.head)
       }),
+      // bm25_index_build_docmap(index_dir): MIGRATION — retrofit the
+      // doc→bucket reverse map onto a pre-docmap legacy dir (one full
+      // postings scan, paid once; later id-only takedowns are
+      // scan-free)
+      ("bm25_index_build_docmap", 1, a => {
+        graft.operators.Bm25.buildDocmap(s, a.head)
+        graft.operators.Bm25.readStats(s, a.head)
+      }),
       // bm25_index_docmap(index_dir): the committed doc→bucket reverse
       // index (doc_id, dl, tbuckets, dbucket) — what the id-only
       // takedown locates through; empty for a pre-docmap legacy dir
@@ -821,6 +829,13 @@ object SqlFrontDoor {
         import sp.implicits._
         graft.operators.Ann.ivfIndexCompact(sp, a.head, a(1).trim.toInt)
           .toDF("compacted_cell")
+      }),
+      // ivf_index_build_cidmap(index_dir): MIGRATION — retrofit the
+      // cid→cell reverse map onto a pre-cidmap legacy dir (one full
+      // cells scan, paid once; later id-only takedowns are scan-free)
+      ("ivf_index_build_cidmap", 1, a => {
+        graft.operators.Ann.ivfBuildCidmap(s, a.head)
+        ivfManifestSummary(a.head)
       }),
       // ivf_index_cidmap(index_dir): the committed cid→cell reverse
       // map (cid, cell, cbucket) — what the id-only takedown locates

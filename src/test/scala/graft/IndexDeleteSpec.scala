@@ -508,6 +508,58 @@ class IndexDeleteSpec extends AnyFunSuite {
     Bm25.appendToIndex(spark, dir, Seq((300L, "papaya quince")).toDF("doc_id", "text"),
       "doc_id", "text")
     assert(Bm25.readManifest(spark, dir).docVersions.isEmpty)
+    // MIGRATION: one full-scan tick retrofits the COMPLETE map — after
+    // it, the map equals what a fresh build writes (tbuckets compared
+    // as sets: the scan derives them from postings buckets, the build
+    // from token hashes — same set) and appends maintain it again
+    assert(Bm25.buildDocmap(spark, dir))
+    assert(!Bm25.buildDocmap(spark, dir), "a second migration is a no-op")
+    val dirF = Files.createTempDirectory("bm25migF").toString
+    Bm25.buildIndex((keep :+ (300L, "papaya quince")).toDF("doc_id", "text"),
+      "doc_id", "text", dirF, buckets = 64)
+    def docmapSet(d: String) = Bm25.readDocmapAt(spark, d, Bm25.readManifest(spark, d))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSet)).toSet
+    assert(docmapSet(dir) == docmapSet(dirF))
+    Bm25.appendToIndex(spark, dir, Seq((301L, "lychee rambutan"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    assert(Bm25.readDocmapAt(spark, dir, Bm25.readManifest(spark, dir))
+      .filter(col("doc_id") === 301L).count() == 1L,
+      "post-migration appends maintain the map")
+    // the id-only delete now runs the docmap path and still == rebuild
+    Bm25.deleteByIds(spark, dir, Seq(300L, 301L).toDF("doc_id"), "doc_id")
+    assert(Bm25.serveTopK(spark, dir, queries, 5).collect().map(_.toSeq).toSeq ==
+      Bm25.serveTopK(spark, dirU, queries, 5).collect().map(_.toSeq).toSeq)
+  }
+
+  test("cidmap migration: one full-scan tick retrofits a legacy IVF dir; locates scan-free after") {
+    val cents = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    val keeper = Seq(7L, 9L, 57L, 101L, 202L)
+      .find(id => cbucketOf(id, 3) != cbucketOf(42L, 3)).get
+    val dir = Files.createTempDirectory("ivfmig").toString
+    Ann.ivfIndexBuild(Seq((42L, Seq(0.9f, 0.1f, 0f)),
+      (keeper, Seq(0f, 0.1f, 0.9f))).toDF("cid", "cvec"), dir, cents)
+    // strip to the legacy shape
+    val f = graft.operators.ManifestIO.fs(spark, dir)
+    val (v, body) = graft.operators.ManifestIO.readCurrent(spark, dir, "mig spec")
+    graft.operators.ManifestIO.writeText(f,
+      new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.txt"),
+      body.linesIterator.filterNot(_.startsWith("cidVersions="))
+        .mkString("", "\n", "\n"))
+    assert(Ann.readIvfManifest(spark, dir).cidVersions.isEmpty)
+    // migrate: the retrofitted map equals the member set
+    assert(Ann.ivfBuildCidmap(spark, dir))
+    assert(!Ann.ivfBuildCidmap(spark, dir), "a second migration is a no-op")
+    assert(Ann.readIvfCidmap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((42L, 0), (keeper, 2)))
+    // and the strict delete is scan-free again: corrupt the untouched
+    // cell AND cbucket — the tick must still succeed (the audit that
+    // FAILED on this dir before the migration, by the legacy test)
+    corrupt(s"$dir/data/1/cells/cell=2")
+    corrupt(s"$dir/data/2/cidmap/cbucket=${cbucketOf(keeper, 3)}")
+    Ann.ivfIndexDeleteByIds(spark, dir, Seq(42L).toDF("cid"))
+    val m = Ann.readIvfManifest(spark, dir)
+    assert(!m.cellVersions.contains(0) && m.cellVersions.contains(2))
   }
 
   test("id-only takedown streams fold exactly-once into both indexes") {
