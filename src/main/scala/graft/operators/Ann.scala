@@ -751,6 +751,7 @@ object Ann extends Serializable {
       .select(col("cid"), col("cell").cast("int").as("cell"))
       .withColumn("cbucket", cidCbucket(col("cid"), cells))
     existing.unionByName(fresh).distinct()
+      .repartition(col("cbucket")) // one file per cbucket (the compact write shape)
       .write.partitionBy("cbucket").mode("overwrite")
       .parquet(s"$dir/data/$ver/cidmap")
     ManifestIO.partitionIds(spark, s"$dir/data/$ver/cidmap", "cbucket=")
@@ -936,6 +937,7 @@ object Ann extends Serializable {
           .join(delIds.withColumn("_del", lit(true)), Seq("cid"), "left")
           .filter(col("_del").isNull || !col("cell").isin(touched.toSeq: _*))
           .select(col("cid"), col("cell"), col("cbucket"))
+          .repartition(col("cbucket")) // one file per cbucket (the compact write shape)
           .write.partitionBy("cbucket").mode("overwrite")
           .parquet(s"$dir/data/$newVer/cidmap")
         val presentD = ManifestIO
@@ -1032,6 +1034,7 @@ object Ann extends Serializable {
       readIvfCidmapAt(spark, dir, m, Some(candC))
         .join(delIds, Seq("cid"), "left_anti")
         .select(col("cid"), col("cell"), col("cbucket"))
+        .repartition(col("cbucket")) // one file per cbucket (the compact write shape)
         .write.partitionBy("cbucket").mode("overwrite")
         .parquet(s"$dir/data/$newVer/cidmap")
       val presentD = ManifestIO
@@ -1126,27 +1129,10 @@ object Ann extends Serializable {
   private[graft] def ivfApplyChangesHooked(spark: SparkSession, dir: String,
       changes: DataFrame, opCol: String, crashPoint: Int,
       txn: Option[(String, Long)] = None): Unit = {
-    // pin the RAW batch first: the op validation, the both-ops check
-    // and the verb split must all see the same rows
-    val pinned = changes.select(col(opCol).as("_op"),
-        col("cid").cast("long").as("cid"), col("cvec"))
-      .localCheckpoint(true)
-    val ops = pinned.select(col("_op")).distinct()
-      .collect().map(_.getString(0)).toSet
-    require(ops.subsetOf(Set("upsert", "delete")),
-      s"ops must be 'upsert' or 'delete', got $ops")
-    // an id sent with BOTH ops in one batch is a contract violation a
-    // per-id dedup would silently resolve; reject it loudly instead
-    val dups = pinned.select(col("_op"), col("cid")).distinct()
-      .groupBy(col("cid")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).collect()
-    require(dups.isEmpty,
-      s"cid ${dups.headOption.map(_.get(0)).orNull} carries both ops in one batch")
-    ivfUpsertCore(spark, dir,
-      pinned.filter(col("_op") === "upsert").select(col("cid"), col("cvec"))
-        .dropDuplicates(Seq("cid")),
-      pinned.filter(col("_op") === "delete").select(col("cid")),
-      crashPoint, txn)
+    val (ups, dels) = ManifestIO.splitChanges(
+      changes.select(col(opCol), col("cid").cast("long").as("cid"), col("cvec")),
+      opCol, "cid", Seq("cvec"))
+    ivfUpsertCore(spark, dir, ups, dels, crashPoint, txn)
   }
 
   /** [[ivfIndexUpsert]] with the standard injectable writer-death
@@ -1175,16 +1161,23 @@ object Ann extends Serializable {
       .distinct().localCheckpoint(true)
     if (upIds.isEmpty) return // empty batch: the index already is the post-tick state
     val hasCidmap = m.cidVersions.nonEmpty
+    // the affected ids' cbuckets — ONE collect, reused by the locate
+    // and the reverse-map rewrite below
     val candC =
       if (!hasCidmap) Set.empty[Int]
       else upIds.select(cidCbucket(col("cid"), m.cells).as("cbucket"))
         .distinct().collect().map(_.getInt(0)).toSet
         .filter(m.cidVersions.contains)
+    // ONE materialization of the candidate cbuckets' rows: the locate
+    // (semi-join) and the rewrite (anti-join) both read it
+    val candMap =
+      if (hasCidmap) readIvfCidmapAt(spark, dir, m, Some(candC))
+        .localCheckpoint(true)
+      else null
     // every cell holding an OLD copy (the strict locate: reverse map
     // when the index has one, full scan for a legacy dir)
     val touchedOld = (if (hasCidmap) {
-        readIvfCidmapAt(spark, dir, m, Some(candC))
-          .join(upIds, Seq("cid"), "left_semi").select(col("cell"))
+        candMap.join(upIds, Seq("cid"), "left_semi").select(col("cell"))
       } else {
         readIvfCellsAt(spark, dir, m)
           .join(upIds, Seq("cid"), "left_semi").select(col("cell"))
@@ -1211,17 +1204,17 @@ object Ann extends Serializable {
     val newCidVers = if (maintainCidmap) {
       val fresh = assigned.select(col("cid"), col("cell"))
         .withColumn("cbucket", cidCbucket(col("cid"), m.cells))
-      val allCand = upIds.select(cidCbucket(col("cid"), m.cells).as("cbucket"))
-        .distinct().collect().map(_.getInt(0)).toSet
-      val candTouched = allCand.filter(m.cidVersions.contains)
-      readIvfCidmapAt(spark, dir, m, Some(candTouched))
-        .join(upIds, Seq("cid"), "left_anti")
+      val remaining =
+        if (hasCidmap) candMap.join(upIds, Seq("cid"), "left_anti")
+        else readIvfCidmapAt(spark, dir, m, Some(candC)) // empty legacy frame, schema only
+      remaining
         .unionByName(fresh).distinct()
+        .repartition(col("cbucket")) // one file per cbucket (the compact write shape)
         .write.partitionBy("cbucket").mode("overwrite")
         .parquet(s"$dir/data/$newVer/cidmap")
       val presentD = ManifestIO
         .partitionIds(spark, s"$dir/data/$newVer/cidmap", "cbucket=").toSet
-      (m.cidVersions -- candTouched) ++ presentD.map(_ -> newVer)
+      (m.cidVersions -- candC) ++ presentD.map(_ -> newVer)
     } else m.cidVersions
     if (crashPoint == 1) return // simulated death: data written, nothing committed
     val present = ManifestIO
@@ -1309,18 +1302,25 @@ object Ann extends Serializable {
   def ivfVacuum(spark: SparkSession, dir: String,
       graceVersions: Long = 2L): Seq[Long] = {
     val m = readIvfManifest(spark, dir)
+    // the keep-set unions every IN-WINDOW manifest's references with
+    // the current one's (the Bm25.vacuumIndex rationale, and sharper
+    // here: a COMPACTION re-owns every fragmented cell in one commit,
+    // instantly un-referencing the whole accreted history from CURRENT
+    // while the pre-compaction manifest, one commit back and still
+    // inside the grace window, points at all of it)
+    val all = m +: ManifestIO.windowManifests(spark, dir, m.version,
+      graceVersions).map(parseIvfManifest)
+    val cellRefs = all.flatMap(_.cellVersions.values.flatten).toSet
+    val centRefs = all.map(_.centroidsVersion).toSet
+    val cidRefs = all.flatMap(_.cidVersions.values).toSet
     // the three artifacts supersede INDEPENDENTLY (the Bm25.vacuumIndex
-    // rationale): cells by rebuild/delete, centroids by rebuild only,
-    // cidmap cbuckets by every append/delete
+    // rationale): cells by rebuild/delete/compact, centroids by rebuild
+    // only, cidmap cbuckets by every append/delete
     val arts = ManifestIO.vacuumArtifacts(spark, dir, m.version,
-      Map("cells" -> m.cellVersions.values.flatten.toSet,
-        "centroids" -> Set(m.centroidsVersion),
-        "cidmap" -> m.cidVersions.values.toSet),
+      Map("cells" -> cellRefs, "centroids" -> centRefs, "cidmap" -> cidRefs),
       graceVersions)
     val whole = ManifestIO.vacuum(spark, dir, m.version,
-      m.cellVersions.values.flatten.toSet ++ m.cidVersions.values +
-        m.centroidsVersion + m.version,
-      graceVersions)
+      cellRefs ++ centRefs ++ cidRefs + m.version, graceVersions)
     (whole ++ arts.map(_._2)).distinct.sorted
   }
 

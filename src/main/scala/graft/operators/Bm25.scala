@@ -369,6 +369,7 @@ object Bm25 {
     // row per doc, no per-term rows): id-only takedowns locate their
     // work through it instead of scanning the postings
     docmapRows(docs, idCol, textCol, buckets)
+      .repartition(col("dbucket")) // one file per dbucket (the compact write shape)
       .write.partitionBy("dbucket").mode("overwrite").parquet(s"$dir/data/$ver/docmap")
     // only buckets that materialized get an owner (a tiny corpus at a
     // large bucket count leaves most buckets empty)
@@ -564,6 +565,17 @@ object Bm25 {
   def vacuumIndex(spark: SparkSession, dir: String,
       graceVersions: Long = 2L): Seq[Long] = {
     val m = readManifest(spark, dir)
+    // the keep-set unions every IN-WINDOW manifest's references with
+    // the current one's: in-window manifests are still servable
+    // (pinned readers, time travel), and one commit back can reference
+    // data versions far older than the window — without this, a tick
+    // that re-owns many buckets at once would let the same epoch's
+    // vacuum delete data the one-commit-old manifest still points at
+    val all = m +: ManifestIO.windowManifests(spark, dir, m.version,
+      graceVersions).map(parseManifest)
+    val postRefs = all.flatMap(_.bucketVersions.values).toSet
+    val docRefs = all.flatMap(_.docVersions.values).toSet
+    val statRefs = all.map(_.statsVersion).toSet
     // artifact-scoped pre-pass: the three artifacts supersede
     // INDEPENDENTLY (an append can re-own every postings bucket while
     // old dbuckets keep live docmap rows), so a version's superseded
@@ -571,13 +583,10 @@ object Bm25 {
     // version dir alive — without this, one live kilobyte of reverse
     // map would pin gigabytes of dead postings
     val arts = ManifestIO.vacuumArtifacts(spark, dir, m.version,
-      Map("postings" -> m.bucketVersions.values.toSet,
-        "docmap" -> m.docVersions.values.toSet,
-        "stats" -> Set(m.statsVersion)),
+      Map("postings" -> postRefs, "docmap" -> docRefs, "stats" -> statRefs),
       graceVersions)
     val whole = ManifestIO.vacuum(spark, dir, m.version,
-      m.bucketVersions.values.toSet ++ m.docVersions.values +
-        m.statsVersion + m.version, graceVersions)
+      postRefs ++ docRefs ++ statRefs + m.version, graceVersions)
     // the receipt covers BOTH passes: a version appears when it lost
     // its whole dir or any artifact subtree — a monitoring job tailing
     // it sees mass reclaimed even when live docmap rows keep a dir
@@ -717,6 +726,7 @@ object Bm25 {
         .collect().map(_.getInt(0)) // ≤ bucket count values
       readDocmapAt(spark, dir, m, Some(candD.toSet.filter(m.docVersions.contains)))
         .unionByName(batchRows)
+        .repartition(col("dbucket")) // one file per dbucket (the compact write shape)
         .write.partitionBy("dbucket").mode("overwrite")
         .parquet(s"$dir/data/$newVer/docmap")
       val presentD =
@@ -848,6 +858,7 @@ object Bm25 {
         readDocmapAt(spark, dir, m, Some(candD.toSet))
           .join(delIds, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("dl"), col("tbuckets"), col("dbucket"))
+          .repartition(col("dbucket")) // one file per dbucket (the compact write shape)
           .write.partitionBy("dbucket").mode("overwrite")
           .parquet(s"$dir/data/$newVer/docmap")
         val presentD =
@@ -994,6 +1005,7 @@ object Bm25 {
       readDocmapAt(spark, dir, m, Some(matchedD.toSet))
         .join(delIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("dl"), col("tbuckets"), col("dbucket"))
+        .repartition(col("dbucket")) // one file per dbucket (the compact write shape)
         .write.partitionBy("dbucket").mode("overwrite")
         .parquet(s"$dir/data/$newVer/docmap")
       val presentD =
@@ -1117,27 +1129,9 @@ object Bm25 {
   private[graft] def applyChangesHooked(spark: SparkSession, dir: String,
       changes: DataFrame, opCol: String, idCol: String, textCol: String,
       crashPoint: Int, txn: Option[(String, Long)] = None): Unit = {
-    // pin the RAW batch first: the op validation, the both-ops check
-    // and the verb split must all see the same rows
-    val pinned = changes.select(col(opCol).as("_op"), col(idCol), col(textCol))
-      .localCheckpoint(true)
-    val ops = pinned.select(col("_op")).distinct()
-      .collect().map(_.getString(0)).toSet
-    require(ops.subsetOf(Set("upsert", "delete")),
-      s"ops must be 'upsert' or 'delete', got $ops")
-    // an id sent with BOTH ops in one batch is a contract violation a
-    // per-id dedup would silently resolve; reject it loudly instead
-    val dups = pinned.select(col("_op"), col(idCol).cast("long").as("_id"))
-      .distinct()
-      .groupBy(col("_id")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).collect()
-    require(dups.isEmpty,
-      s"id ${dups.headOption.map(_.get(0)).orNull} carries both ops in one batch")
-    upsertCore(spark, dir,
-      pinned.filter(col("_op") === "upsert").select(col(idCol), col(textCol))
-        .dropDuplicates(Seq(idCol)),
-      pinned.filter(col("_op") === "delete")
-        .select(col(idCol).cast("long").as("doc_id")),
+    val (ups, dels) =
+      ManifestIO.splitChanges(changes, opCol, idCol, Seq(textCol))
+    upsertCore(spark, dir, ups, dels.select(col(idCol).as("doc_id")),
       idCol, textCol, crashPoint, txn)
   }
 
@@ -1169,20 +1163,30 @@ object Bm25 {
     val upIds = docs.select(col(idCol).cast("long").as("doc_id"))
       .unionByName(extraDeleteIds.select(col("doc_id")))
       .distinct().localCheckpoint(true)
+    if (upIds.isEmpty) return // empty batch: the index already is the post-tick state (gate FIRST — an idle streaming trigger must not pay the stats jobs)
     val newDl = docs.select(col(idCol).cast("long").as("doc_id"),
       coalesce(size(tokens(col(textCol))).cast("long"), lit(0L)).as("dl"))
     val add = newDl
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .select(col("n"), col("sdl")).head()
-    if (upIds.isEmpty) return // empty batch: the index already is the post-tick state
     val hasDocmap = m.docVersions.nonEmpty
+    // the affected ids' dbuckets — a pure function of the ids; ONE
+    // collect, reused by the locate AND the docmap rewrite below
+    val candD =
+      if (!hasDocmap) Set.empty[Int]
+      else upIds
+        .select(pmod(xxhash64(col("doc_id")), lit(m.buckets)).cast("int").as("k"))
+        .distinct().collect().map(_.getInt(0)).toSet // ≤ bucket count values
+    val candTouched = candD.filter(m.docVersions.contains)
+    // ONE materialization of the candidate dbuckets' rows: the locate
+    // (semi-join) and the rewrite (anti-join) below both read it
+    val candMap =
+      if (hasDocmap) readDocmapAt(spark, dir, m, Some(candTouched))
+        .localCheckpoint(true)
+      else null
     // the OLD copies: the deleteByIds locate, verbatim
     val matched = (if (hasDocmap) {
-      val candD = upIds
-        .select(pmod(xxhash64(col("doc_id")), lit(m.buckets)).cast("int").as("k"))
-        .distinct().collect().map(_.getInt(0)) // ≤ bucket count values
-        .filter(m.docVersions.contains)
-      readDocmapAt(spark, dir, m, Some(candD.toSet))
+      candMap
         .join(upIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("dl"), col("tbuckets").as("buckets"))
     } else {
@@ -1238,13 +1242,12 @@ object Bm25 {
     val maintainDocmap = m.docVersions.nonEmpty || m.bucketVersions.isEmpty
     val newDocVers = if (maintainDocmap) {
       val batchRows = docmapRows(docs, idCol, textCol, m.buckets)
-      val candD = upIds
-        .select(pmod(xxhash64(col("doc_id")), lit(m.buckets)).cast("int").as("dbucket"))
-        .distinct().collect().map(_.getInt(0)) // ≤ bucket count values
-      val candTouched = candD.toSet.filter(m.docVersions.contains)
-      readDocmapAt(spark, dir, m, Some(candTouched))
-        .join(upIds, Seq("doc_id"), "left_anti")
+      val remaining =
+        if (hasDocmap) candMap.join(upIds, Seq("doc_id"), "left_anti")
+        else readDocmapAt(spark, dir, m, Some(candTouched)) // empty legacy frame, schema only
+      remaining
         .unionByName(batchRows)
+        .repartition(col("dbucket")) // one file per dbucket (the compact write shape)
         .write.partitionBy("dbucket").mode("overwrite")
         .parquet(s"$dir/data/$newVer/docmap")
       val presentD =

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Versioned-manifest commit protocol shared by the standing indexes
   * ([[Bm25]] term buckets, [[Ann]] IVF segments).
@@ -120,9 +120,6 @@ private[graft] object ManifestIO {
     (v, readText(f, new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.txt")))
   }
 
-  /** The `key=value` lines of a manifest body — every index module's
-    * manifest is this shape (values may themselves contain '=': only
-    * the FIRST one splits). */
   /** TIME-TRAVEL read: the manifest body of a COMMITTED historical
     * version — the Delta/Iceberg `VERSION AS OF` primitive the
     * versioned layout already pays for. Only versions ≤ the committed
@@ -153,8 +150,12 @@ private[graft] object ManifestIO {
     * index_history TVF; layout-agnostic, so one implementation serves
     * all three index families. */
   def history(spark: SparkSession, dir: String): Seq[(Long, Boolean, Boolean)] = {
-    val (current, _) = readCurrent(spark, dir, "index")
     val f = fs(spark, dir)
+    // a dir with no committed index (fresh, or mid-first-build) has an
+    // empty history, not an error — this is a monitoring surface
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT")))
+      return Seq.empty
+    val (current, _) = readCurrent(spark, dir, "index")
     val p = new org.apache.hadoop.fs.Path(s"$dir/manifest")
     if (!f.exists(p)) return Seq.empty
     f.listStatus(p).toSeq.flatMap { st =>
@@ -165,9 +166,68 @@ private[graft] object ManifestIO {
     }.sorted.map(v => (v, v <= current, v == current))
   }
 
+  /** The `key=value` lines of a manifest body — every index module's
+    * manifest is this shape (values may themselves contain '=': only
+    * the FIRST one splits). */
   def parseKv(text: String): Map[String, String] =
     text.linesIterator.filter(_.contains("="))
       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+
+  /** The manifest BODIES of the committed versions still inside the
+    * vacuum grace window, EXCLUDING the current one (the caller holds
+    * it) and uncommitted orphans (> current): the states a pinned
+    * reader or a time-travel read may still legally serve. A vacuum's
+    * keep-set must union THESE manifests' references with the current
+    * one's — an in-window manifest can reference data versions far
+    * older than the window (a compaction re-owns every fragmented
+    * partition, instantly un-referencing years of accreted versions
+    * from CURRENT while the pre-compaction manifest, one commit back,
+    * still points at all of them). */
+  def windowManifests(spark: SparkSession, dir: String, currentVersion: Long,
+      graceVersions: Long): Seq[String] = {
+    val f = fs(spark, dir)
+    val cutoff = currentVersion - 1 - graceVersions
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    if (!f.exists(p)) return Seq.empty
+    f.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      val v =
+        if (n.startsWith("v") && n.endsWith(".txt"))
+          scala.util.Try(n.stripPrefix("v").stripSuffix(".txt").toLong).toOption
+        else None
+      v.filter(x => x > cutoff && x < currentVersion)
+        .map(_ => readText(f, st.getPath))
+    }
+  }
+
+  /** Validate and split a CDC change batch — the shared preamble of
+    * the three indexes' applyChanges ticks: pin the RAW frame (the op
+    * validation, the both-ops check and the verb split must all see
+    * the same rows), reject unknown ops and any id carrying BOTH ops
+    * in one batch (no meaningful order inside a set — a per-id dedup
+    * would silently resolve the conflict), then return the
+    * (id-distinct upsert half with `payload`, delete-ids half cast to
+    * long under `idCol`'s name). */
+  def splitChanges(changes: DataFrame, opCol: String, idCol: String,
+      payload: Seq[String]): (DataFrame, DataFrame) = {
+    val keep = (idCol +: payload).map(col)
+    val pinned = changes.select(col(opCol).as("_op") +: keep: _*)
+      .localCheckpoint(true)
+    val ops = pinned.select(col("_op")).distinct()
+      .collect().map(_.getString(0)).toSet
+    require(ops.subsetOf(Set("upsert", "delete")),
+      s"ops must be 'upsert' or 'delete', got $ops")
+    val dups = pinned.select(col("_op"), col(idCol).cast("long").as("_id"))
+      .distinct()
+      .groupBy(col("_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"id ${dups.headOption.map(_.get(0)).orNull} carries both ops in one batch")
+    (pinned.filter(col("_op") === "upsert").select(keep: _*)
+        .dropDuplicates(Seq(idCol)),
+      pinned.filter(col("_op") === "delete")
+        .select(col(idCol).cast("long").as(idCol)))
+  }
 
   /** BUILD/REBUILD slot allocation, shared by the three index builds:
     * the data version the build writes (committed + 1, or 1 on a fresh

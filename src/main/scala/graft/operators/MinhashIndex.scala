@@ -358,25 +358,9 @@ object MinhashIndex {
   private[graft] def applyChangesHooked(spark: SparkSession, dir: String,
       changes: DataFrame, opCol: String, idCol: String, textCol: String,
       crashPoint: Int, txn: Option[(String, Long)] = None): Unit = {
-    // pin the RAW batch first: the op validation, the both-ops check
-    // and the verb split must all see the same rows
-    val pinnedAll = changes.select(col(opCol).as("_op"), col(idCol), col(textCol))
-      .localCheckpoint(true)
-    val ops = pinnedAll.select(col("_op")).distinct()
-      .collect().map(_.getString(0)).toSet
-    require(ops.subsetOf(Set("upsert", "delete")),
-      s"ops must be 'upsert' or 'delete', got $ops")
-    val dups = pinnedAll.select(col("_op"), col(idCol).cast("long").as("_id"))
-      .distinct()
-      .groupBy(col("_id")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).collect()
-    require(dups.isEmpty,
-      s"id ${dups.headOption.map(_.get(0)).orNull} carries both ops in one batch")
-    upsertCore(spark, dir,
-      pinnedAll.filter(col("_op") === "upsert").select(col(idCol), col(textCol))
-        .dropDuplicates(Seq(idCol)),
-      pinnedAll.filter(col("_op") === "delete")
-        .select(col(idCol).cast("long").as("sid")),
+    val (ups, dels) =
+      ManifestIO.splitChanges(changes, opCol, idCol, Seq(textCol))
+    upsertCore(spark, dir, ups, dels.select(col(idCol).as("sid")),
       idCol, textCol, crashPoint, txn)
   }
 
@@ -490,7 +474,14 @@ object MinhashIndex {
   def vacuum(spark: SparkSession, dir: String,
       graceVersions: Long = 2L): Seq[Long] = {
     val m = readManifest(spark, dir)
+    // in-window manifests are still servable (pinned readers, the
+    // time-travel gate): their references survive too — the
+    // Bm25.vacuumIndex rationale; sharpest after a compaction re-owned
+    // every fragmented bucket in one commit
+    val all = m +: ManifestIO.windowManifests(spark, dir, m.version,
+      graceVersions).map(parse)
     ManifestIO.vacuum(spark, dir, m.version,
-      m.bucketVersions.values.flatten.toSet + m.version, graceVersions)
+      all.flatMap(_.bucketVersions.values.flatten).toSet + m.version,
+      graceVersions)
   }
 }

@@ -150,7 +150,7 @@ object SqlFrontDoor {
         val sp = s
         import sp.implicits._
         graft.operators.Bm25.vacuumIndex(sp, a.head, a(1).trim.toLong)
-          .toDF("deleted_version")
+          .toDF("reclaimed_version") // whole dir OR an artifact subtree reclaimed — see vacuumIndex/ivfVacuum scaladoc
       }),
       // bm25_index_delete(index_dir, docs_path): the takedown tick —
       // remove previously ingested documents (docs parquet carries
@@ -672,7 +672,7 @@ object SqlFrontDoor {
         val sp = s
         import sp.implicits._
         graft.operators.MinhashIndex.vacuum(sp, a.head, a(1).trim.toLong)
-          .toDF("deleted_version")
+          .toDF("reclaimed_version") // whole dir OR an artifact subtree reclaimed — see vacuumIndex/ivfVacuum scaladoc
       }),
       // minhash_index_upsert(index_dir, docs_path): the REFRESH verb —
       // (doc_id, text) rows whose new signature rows replace any
@@ -754,7 +754,7 @@ object SqlFrontDoor {
         val sp = s
         import sp.implicits._
         graft.operators.Ann.ivfVacuum(sp, a.head, a(1).trim.toLong)
-          .toDF("deleted_version")
+          .toDF("reclaimed_version") // whole dir OR an artifact subtree reclaimed — see vacuumIndex/ivfVacuum scaladoc
       }),
       ("ivf_serve", 4, a =>
         graft.operators.Ann.ivfServedTopK(s, a.head, s.read.parquet(a(1)),

@@ -201,8 +201,14 @@ class IndexMaintainSpec extends AnyFunSuite {
     // cadence fire would run
     Bm25.vacuumIndex(spark, dir, grace)
     val m = Bm25.readManifest(spark, dir)
-    val referenced = m.bucketVersions.values.toSet ++ m.docVersions.values +
-      m.statsVersion + m.version
+    // the keep-set includes every IN-WINDOW manifest's references (the
+    // vacuum's pinned-reader/time-travel contract), not just CURRENT's
+    val window = graft.operators.ManifestIO.history(spark, dir)
+      .collect { case (v, true, false) if v > m.version - 1 - grace => v }
+      .map(v => Bm25.readManifestVersion(spark, dir, v))
+    val all = m +: window
+    val referenced = all.flatMap(x => x.bucketVersions.values.toSet ++
+      x.docVersions.values.toSet + x.statsVersion).toSet + m.version
     val onDisk = dataVersions(dir)
     assert(referenced.subsetOf(onDisk), "vacuum must never touch referenced versions")
     // epochs 0..9 + build = versions 1..11; anything older than the
@@ -214,7 +220,8 @@ class IndexMaintainSpec extends AnyFunSuite {
     // and the MASS is bounded by the artifact pass: postings subtrees
     // exist only for versions a term bucket (or stats) still references
     // or inside the vacuum window
-    val postRefs = m.bucketVersions.values.toSet + m.statsVersion
+    val postRefs = all.flatMap(x =>
+      x.bucketVersions.values.toSet + x.statsVersion).toSet
     onDisk.foreach { v =>
       if (!postRefs(v) && v <= m.version - 1 - grace)
         assert(!java.nio.file.Files.exists(

@@ -98,6 +98,35 @@ class TimeTravelSpec extends AnyFunSuite {
       "the pre-takedown corpus still answers as of its version")
   }
 
+  test("vacuum keeps every in-window manifest's data: time travel survives a compaction") {
+    // a compaction re-owns every fragmented cell in ONE commit,
+    // instantly un-referencing the whole accreted history from CURRENT
+    // — the sharpest case for the keep-set: the pre-compaction
+    // manifest, still inside the grace window, references all of it
+    val cents = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    val dir = Files.createTempDirectory("ivfvacwin").toString
+    Ann.ivfIndexBuild(Seq((1L, Seq(0.9f, 0.1f, 0f))).toDF("cid", "cvec"),
+      dir, cents)
+    Ann.ivfIndexAppend(spark, dir, Seq((2L, Seq(0.8f, 0.2f, 0f)))
+      .toDF("cid", "cvec")) // v2: cell 0 now fragmented over [1, 2]
+    val q = Seq((9L, Seq(1f, 0f, 0f))).toDF("qid", "qvec")
+    def at(v: Long) = Ann.ivfServedTopKVersion(spark, dir, v, q, 3, 1)
+      .collect().map(_.toSeq).toSeq
+    val atV2 = at(2L)
+    Ann.ivfIndexCompact(spark, dir, minVersions = 2) // v3 re-owns cell 0
+    // grace 1 keeps manifest v2 servable — so its referenced data
+    // versions 1 and 2 must survive even though CURRENT (v3)
+    // references neither and both are past a naive cutoff
+    Ann.ivfVacuum(spark, dir, graceVersions = 1L)
+    assert(at(2L) == atV2,
+      "an in-grace-window version must stay fully servable after vacuum")
+    assert(at(3L) == atV2, "the compaction itself is physically invisible")
+    // shrinking the window retires it: grace 0 drops v1/v2's data
+    Ann.ivfVacuum(spark, dir, graceVersions = 0L)
+    intercept[Exception] { at(2L) }
+    assert(at(3L) == atV2)
+  }
+
   test("a version-tagged hybrid serve epoch replays exactly after later ticks") {
     import graft.operators.Hybrid
     import graft.streaming.HybridStream
