@@ -1277,6 +1277,24 @@ object Corpus {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** TIME-TRAVEL serve ([[Bm25.serveTopKVersion]]): t50's
+    * build-then-append index serves AS OF version 1 — the
+    * pre-append state. The oracle is the one-shot index over the
+    * INITIAL corpus only (doc_id % 3 ≠ 2, t50's split): a time-travel
+    * read that leaked any post-tick posting, df or stats value — or
+    * resolved the wrong manifest — breaks the hash. Queries also
+    * derive from the initial slice (the version-1 corpus is what a
+    * version-1 reader knew). */
+  val t61Bm25Version: Q = Q(
+    "t61_bm25_version",
+    bm25BatchSql(mod = 100, rem = 61, positions = Seq(2, 4, 9), k = 6,
+      corpusWhere = "doc_id % 3 <> 2")) { (s, d) =>
+    val initial = Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2)
+    Bm25.serveTopKVersion(s, bm25AppendedIndex(s, d), 1L,
+        bm25Queries(initial, 100, 61, Seq(2, 4, 9)), k = 6)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(t17SpanDedup, t18Bm25, t19BigramLm, t20LeakfreeSplit,
     t21ShardLayout, t22SourceMix, t24QualityModel, t25UrlCanon, t26TempSample,
     t27BpePairs, t28PplBuckets, t31NgramDecontam, t32SpanCut, t33PageRank,
@@ -1284,5 +1302,5 @@ object Corpus {
     t38StratifiedEval, t40Bm25Batch, t41Bm25Served, t48HybridRrf,
     t50Bm25Append, t51HybridServed, t53MixtureRates, t54HybridIndexed,
     t55Bm25Profile, t56Bm25Delete, t57Bm25DeleteIds, t59Bm25Upsert,
-    t60Bm25Cdc)
+    t60Bm25Cdc, t61Bm25Version)
 }
