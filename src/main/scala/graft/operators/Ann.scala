@@ -824,9 +824,13 @@ object Ann extends Serializable {
     val m = readIvfManifest(spark, dir)
     if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
     val newVer = m.version + 1
-    // pin ONE materialization of the batch: the no-op gate and the
-    // cell write must see the same rows for non-deterministic frames
-    val batch = corpus.select(col("cid"), col("cvec")).localCheckpoint(true)
+    // ONE pinned, cid-distinct materialization of the batch
+    // (ManifestIO.dedupBatch — the uniform intra-batch rule): the
+    // no-op gate and the cell write see the same rows for
+    // non-deterministic frames, a vector re-submitted within one
+    // micro-batch ingests once, and two DIFFERENT vectors under one
+    // cid in one batch reject loudly
+    val batch = ManifestIO.dedupBatch(corpus, "cid", Seq("cvec"), "IVF append")
     if (batch.isEmpty) return // the index already is the post-tick state
     val cents = readIvfCentroidsAt(spark, dir, m)
     ManifestIO.guardSlot(spark, dir, newVer)
@@ -1140,8 +1144,11 @@ object Ann extends Serializable {
   private[graft] def ivfIndexUpsertHooked(spark: SparkSession, dir: String,
       batch: DataFrame, crashPoint: Int,
       txn: Option[(String, Long)] = None): Unit = {
-    val pinned = batch.select(col("cid").cast("long").as("cid"), col("cvec"))
-      .dropDuplicates(Seq("cid")).localCheckpoint(true)
+    // the uniform intra-batch rule (ManifestIO.dedupBatch): exact
+    // duplicates collapse, two revisions of one cid reject loudly
+    val pinned = ManifestIO.dedupBatch(
+      batch.select(col("cid").cast("long").as("cid"), col("cvec")),
+      "cid", Seq("cvec"), "IVF upsert")
     ivfUpsertCore(spark, dir, pinned, pinned.select(col("cid")).limit(0),
       crashPoint, txn)
   }
@@ -1298,9 +1305,11 @@ object Ann extends Serializable {
     * stay live, and conversely a version's dead cells mass reclaims
     * even while its live cidmap rows keep the version dir).
     * [[ManifestIO.vacuum]] semantics: single-writer maintenance,
-    * `graceVersions` protects recently-pinned readers. */
+    * `graceVersions` protects recently-pinned readers; `graceMillis`
+    * adds the wall-clock floor that keeps the window stable under a
+    * hot maintenance stream (see [[ManifestIO.vacuum]]). */
   def ivfVacuum(spark: SparkSession, dir: String,
-      graceVersions: Long = 2L): Seq[Long] = {
+      graceVersions: Long = 2L, graceMillis: Long = 0L): Seq[Long] = {
     val m = readIvfManifest(spark, dir)
     // the keep-set unions every IN-WINDOW manifest's references with
     // the current one's (the Bm25.vacuumIndex rationale, and sharper
@@ -1309,7 +1318,7 @@ object Ann extends Serializable {
     // while the pre-compaction manifest, one commit back and still
     // inside the grace window, points at all of it)
     val all = m +: ManifestIO.windowManifests(spark, dir, m.version,
-      graceVersions).map(parseIvfManifest)
+      graceVersions, graceMillis).map(parseIvfManifest)
     val cellRefs = all.flatMap(_.cellVersions.values.flatten).toSet
     val centRefs = all.map(_.centroidsVersion).toSet
     val cidRefs = all.flatMap(_.cidVersions.values).toSet
@@ -1318,9 +1327,9 @@ object Ann extends Serializable {
     // only, cidmap cbuckets by every append/delete
     val arts = ManifestIO.vacuumArtifacts(spark, dir, m.version,
       Map("cells" -> cellRefs, "centroids" -> centRefs, "cidmap" -> cidRefs),
-      graceVersions)
+      graceVersions, graceMillis)
     val whole = ManifestIO.vacuum(spark, dir, m.version,
-      cellRefs ++ centRefs ++ cidRefs + m.version, graceVersions)
+      cellRefs ++ centRefs ++ cidRefs + m.version, graceVersions, graceMillis)
     (whole ++ arts.map(_._2)).distinct.sorted
   }
 

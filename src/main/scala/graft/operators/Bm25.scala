@@ -561,9 +561,11 @@ object Bm25 {
     * superseded bucket rewrites, crashed ticks' orphans, replaced
     * rebuilds ([[ManifestIO.vacuum]]; run from the index's single
     * writer; `graceVersions` protects readers pinned a few commits
-    * back). Returns the deleted data versions. */
+    * back; `graceMillis` adds the wall-clock floor that keeps the
+    * window stable under a hot maintenance stream — see
+    * [[ManifestIO.vacuum]]). Returns the deleted data versions. */
   def vacuumIndex(spark: SparkSession, dir: String,
-      graceVersions: Long = 2L): Seq[Long] = {
+      graceVersions: Long = 2L, graceMillis: Long = 0L): Seq[Long] = {
     val m = readManifest(spark, dir)
     // the keep-set unions every IN-WINDOW manifest's references with
     // the current one's: in-window manifests are still servable
@@ -572,7 +574,7 @@ object Bm25 {
     // that re-owns many buckets at once would let the same epoch's
     // vacuum delete data the one-commit-old manifest still points at
     val all = m +: ManifestIO.windowManifests(spark, dir, m.version,
-      graceVersions).map(parseManifest)
+      graceVersions, graceMillis).map(parseManifest)
     val postRefs = all.flatMap(_.bucketVersions.values).toSet
     val docRefs = all.flatMap(_.docVersions.values).toSet
     val statRefs = all.map(_.statsVersion).toSet
@@ -584,9 +586,9 @@ object Bm25 {
     // map would pin gigabytes of dead postings
     val arts = ManifestIO.vacuumArtifacts(spark, dir, m.version,
       Map("postings" -> postRefs, "docmap" -> docRefs, "stats" -> statRefs),
-      graceVersions)
+      graceVersions, graceMillis)
     val whole = ManifestIO.vacuum(spark, dir, m.version,
-      postRefs ++ docRefs ++ statRefs + m.version, graceVersions)
+      postRefs ++ docRefs ++ statRefs + m.version, graceVersions, graceMillis)
     // the receipt covers BOTH passes: a version appears when it lost
     // its whole dir or any artifact subtree — a monitoring job tailing
     // it sees mass reclaimed even when live docmap rows keep a dir
@@ -663,12 +665,16 @@ object Bm25 {
     if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
     interleave()
     val newVer = m.version + 1
-    // pin ONE materialization of the batch: the stats roll, the
-    // touched-bucket plan and the postings write must all see the same
-    // rows even for a non-deterministic caller frame — the serveTopK
-    // pin's rationale, applied to the tick (a torn batch would commit
-    // stats counting rows the postings never gained)
-    val docs = newDocs.select(col(idCol), col(textCol)).localCheckpoint(true)
+    // ONE pinned, id-distinct materialization of the batch
+    // (ManifestIO.dedupBatch — the uniform intra-batch rule all tick
+    // verbs share): the stats roll, the touched-bucket plan and the
+    // postings write must all see the same rows even for a
+    // non-deterministic caller frame (a torn batch would commit stats
+    // counting rows the postings never gained); a row re-submitted
+    // within one micro-batch ingests ONCE (rebuild-over-union of the
+    // DISTINCT batch is the contract), and two texts under one id in
+    // one batch reject loudly instead of double-counting n/sdl
+    val docs = ManifestIO.dedupBatch(newDocs, idCol, Seq(textCol), "BM25 append")
     val newDl = docs.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
     // the no-op gate is the batch ROW count, not the touched-bucket
@@ -796,19 +802,18 @@ object Bm25 {
     val m = readManifest(spark, dir)
     if (ManifestIO.txnAlreadyApplied(m.txns, txn)) return // retried epoch: already committed
     val newVer = m.version + 1
-    // pin ONE materialization of the takedown batch (the append tick's
-    // pin, inverted): a torn batch could plan buckets for one row set,
-    // anti-join another, and roll stats back by a third — silently
-    // leaving a legally deleted document servable with its epoch
-    // recorded as applied. DEDUPED BY ID first: a takedown feed that
-    // re-submits an opt-out within one micro-batch (which the txn
-    // ledger cannot catch — it gates epochs, not rows) must roll
-    // (n, sdl) back ONCE per document, the same set semantics the
-    // postings anti-join applies — a raw-row roll would subtract the
-    // duplicate twice while removing its postings once, silently
-    // corrupting N/avgdl for every later score
-    val pinned = docs.select(col(idCol), col(textCol))
-      .dropDuplicates(Seq(idCol)).localCheckpoint(true)
+    // pin ONE id-distinct materialization of the takedown batch (the
+    // append tick's pin, inverted; ManifestIO.dedupBatch — the uniform
+    // intra-batch rule): a torn batch could plan buckets for one row
+    // set, anti-join another, and roll stats back by a third —
+    // silently leaving a legally deleted document servable with its
+    // epoch recorded as applied. A takedown re-submitted within one
+    // micro-batch (which the txn ledger cannot catch — it gates
+    // epochs, not rows) rolls (n, sdl) back ONCE per document, the
+    // same set semantics the postings anti-join applies; two DIFFERENT
+    // texts under one id reject loudly (the stats roll trusts the
+    // text, so an arbitrary winner would roll the wrong dl)
+    val pinned = ManifestIO.dedupBatch(docs, idCol, Seq(textCol), "BM25 delete")
     val delDl = pinned.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
     val batch = delDl
@@ -1140,8 +1145,11 @@ object Bm25 {
   private[graft] def upsertIndexHooked(spark: SparkSession, dir: String,
       newDocs: DataFrame, idCol: String, textCol: String, crashPoint: Int,
       txn: Option[(String, Long)] = None): Unit = {
-    val docs = newDocs.select(col(idCol), col(textCol))
-      .dropDuplicates(Seq(idCol)).localCheckpoint(true)
+    // the uniform intra-batch rule (ManifestIO.dedupBatch): exact
+    // duplicate rows collapse, two REVISIONS of one id in one batch
+    // reject loudly — a silent winner would commit a partitioning-
+    // dependent state (collapse per key upstream instead)
+    val docs = ManifestIO.dedupBatch(newDocs, idCol, Seq(textCol), "BM25 upsert")
     upsertCore(spark, dir, docs,
       docs.select(col(idCol).cast("long").as("doc_id")).limit(0),
       idCol, textCol, crashPoint, txn)

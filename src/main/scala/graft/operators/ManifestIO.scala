@@ -148,7 +148,17 @@ private[graft] object ManifestIO {
     * [[readVersion]] — an orphan at current+1 is not), and whether it
     * IS the current one. The monitoring/debugging surface behind the
     * index_history TVF; layout-agnostic, so one implementation serves
-    * all three index families. */
+    * all three index families.
+    *
+    * "Servable" means COMMITTED AND MANIFEST PRESENT — not "data
+    * guaranteed intact": a vacuum that crashed between its artifact
+    * pass and its manifest pass (or an earlier vacuum run with a
+    * larger grace than a later one) can leave a listed version whose
+    * data files are already reclaimed; actually serving it fails
+    * loudly at read time ([[readVersionedArtifact]] lists explicit
+    * committed paths). Versions older than the last vacuum cutoff are
+    * best-effort by construction — time travel is reliable exactly as
+    * deep as the grace window, the [[readVersion]] contract. */
   def history(spark: SparkSession, dir: String): Seq[(Long, Boolean, Boolean)] = {
     val f = fs(spark, dir)
     // a dir with no committed index (fresh, or mid-first-build) has an
@@ -184,9 +194,12 @@ private[graft] object ManifestIO {
     * from CURRENT while the pre-compaction manifest, one commit back,
     * still points at all of them). */
   def windowManifests(spark: SparkSession, dir: String, currentVersion: Long,
-      graceVersions: Long): Seq[String] = {
+      graceVersions: Long, graceMillis: Long = 0L): Seq[String] = {
     val f = fs(spark, dir)
     val cutoff = currentVersion - 1 - graceVersions
+    val tCutoff =
+      if (graceMillis > 0L) System.currentTimeMillis() - graceMillis
+      else Long.MaxValue
     val p = new org.apache.hadoop.fs.Path(s"$dir/manifest")
     if (!f.exists(p)) return Seq.empty
     f.listStatus(p).toSeq.flatMap { st =>
@@ -195,7 +208,11 @@ private[graft] object ManifestIO {
         if (n.startsWith("v") && n.endsWith(".txt"))
           scala.util.Try(n.stripPrefix("v").stripSuffix(".txt").toLong).toOption
         else None
-      v.filter(x => x > cutoff && x < currentVersion)
+      // a manifest is in-window by GENERATION COUNT or by WALL CLOCK
+      // (mtime within graceMillis) — the time floor makes the pinned-
+      // reader guarantee load-independent (see [[vacuum]])
+      v.filter(x => x < currentVersion &&
+          (x > cutoff || st.getModificationTime >= tCutoff))
         .map(_ => readText(f, st.getPath))
     }
   }
@@ -203,11 +220,16 @@ private[graft] object ManifestIO {
   /** Validate and split a CDC change batch — the shared preamble of
     * the three indexes' applyChanges ticks: pin the RAW frame (the op
     * validation, the both-ops check and the verb split must all see
-    * the same rows), reject unknown ops and any id carrying BOTH ops
-    * in one batch (no meaningful order inside a set — a per-id dedup
-    * would silently resolve the conflict), then return the
-    * (id-distinct upsert half with `payload`, delete-ids half cast to
-    * long under `idCol`'s name). */
+    * the same rows), reject unknown ops, any id carrying BOTH ops in
+    * one batch, and any id carrying two upsert rows with DIFFERENT
+    * payloads (no meaningful order inside a set — a per-id dedup
+    * would silently resolve either conflict, and the committed state
+    * would depend on partitioning), then return the (id-distinct,
+    * PINNED upsert half with `payload`, delete-ids half cast to long
+    * under `idCol`'s name). The upsert half is pinned because the
+    * cores evaluate it in several independent jobs (stats roll,
+    * postings write, reverse-map write) — their own "must already be
+    * pinned" precondition now holds by construction. */
   def splitChanges(changes: DataFrame, opCol: String, idCol: String,
       payload: Seq[String]): (DataFrame, DataFrame) = {
     val keep = (idCol +: payload).map(col)
@@ -223,10 +245,47 @@ private[graft] object ManifestIO {
       .filter(col("c") > 1).limit(1).collect()
     require(dups.isEmpty,
       s"id ${dups.headOption.map(_.get(0)).orNull} carries both ops in one batch")
-    (pinned.filter(col("_op") === "upsert").select(keep: _*)
-        .dropDuplicates(Seq(idCol)),
+    // payload-distinct duplicate upserts pass the both-ops check but
+    // have no defined winner either: two revisions of doc 42 in one
+    // micro-batch would commit an arbitrary one (and a crash-before-
+    // commit retry could legally commit the OTHER) — reject loudly,
+    // the both-ops rule's rationale applied to revisions. Exact
+    // duplicate rows collapse in the distinct and pass. A feed with
+    // several revisions per epoch must collapse per key upstream
+    // (e.g. last-wins under its own sequence column) before the tick.
+    val ups = pinned.filter(col("_op") === "upsert").select(keep: _*)
+      .distinct().localCheckpoint(true)
+    val conflicts = ups.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(conflicts.isEmpty,
+      s"id ${conflicts.headOption.map(_.get(0)).orNull} carries conflicting " +
+        "upsert payloads in one batch — collapse revisions per key upstream")
+    (ups,
       pinned.filter(col("_op") === "delete")
         .select(col(idCol).cast("long").as(idCol)))
+  }
+
+  /** ONE intra-batch duplicate-id rule for every ingest-side tick verb
+    * (append / admission / upsert / text-carrying delete, across all
+    * three index families): pin one distinct materialization of the
+    * batch's (id, payload…) rows — a row re-submitted within one
+    * micro-batch counts ONCE (set semantics; the txn ledger gates
+    * epochs, not rows) — and REJECT payload-distinct same-id rows
+    * loudly (two revisions of one document in one batch have no
+    * defined winner; a silent per-id dedup would commit a
+    * partitioning-dependent choice). The returned frame is pinned and
+    * id-distinct, so callers may evaluate it in several independent
+    * jobs (stats roll, postings write, reverse maps) without tearing. */
+  def dedupBatch(docs: DataFrame, idCol: String, payload: Seq[String],
+      what: String): DataFrame = {
+    val uniq = docs.select((idCol +: payload).map(col): _*)
+      .distinct().localCheckpoint(true)
+    val conflicts = uniq.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(conflicts.isEmpty,
+      s"id ${conflicts.headOption.map(_.get(0)).orNull} carries conflicting " +
+        s"payloads in one $what batch — collapse revisions per key upstream")
+    uniq
   }
 
   /** BUILD/REBUILD slot allocation, shared by the three index builds:
@@ -388,30 +447,57 @@ private[graft] object ManifestIO {
     * than current, so the grace rule never touches it; that is safe
     * because the NEXT successful tick allocates the same version and
     * overwrites the slot (orphans self-heal, they cannot accumulate).
+    *
+    * `graceMillis` is the WALL-CLOCK floor on the same window: any
+    * manifest or data dir whose mtime is within graceMillis of now
+    * survives regardless of how many generations have passed. Without
+    * it the guarantee is load-DEPENDENT — a hot maintenance stream at
+    * seconds-per-tick burns a grace-2 generation window in seconds,
+    * so "pinned readers are protected" would hold only at low commit
+    * rates; the time floor makes the pinned-reader and time-travel
+    * windows wall-clock-stable at any tick cadence (the Delta/Iceberg
+    * retention-by-age idea, layered on the version count). 0 = no
+    * time floor (the original versions-only rule).
     * Returns the deleted data versions. */
   def vacuum(spark: SparkSession, dir: String, currentVersion: Long,
-      referenced: Set[Long], graceVersions: Long): Seq[Long] = {
+      referenced: Set[Long], graceVersions: Long,
+      graceMillis: Long = 0L): Seq[Long] = {
     require(graceVersions >= 0, s"graceVersions must be >= 0, got $graceVersions")
+    require(graceMillis >= 0, s"graceMillis must be >= 0, got $graceMillis")
     val f = fs(spark, dir)
     val cutoff = currentVersion - 1 - graceVersions
-    def versionsUnder(p: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val tCutoff =
+      if (graceMillis > 0L) System.currentTimeMillis() - graceMillis
+      else Long.MaxValue
+    def versionsUnder(p: String): Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
       val path = new org.apache.hadoop.fs.Path(p)
       if (!f.exists(path)) Seq.empty
       else f.listStatus(path).toSeq.flatMap { st =>
         val n = st.getPath.getName
         val v = if (n.startsWith("v") && n.endsWith(".txt"))
           n.stripPrefix("v").stripSuffix(".txt") else n
-        scala.util.Try(v.toLong).toOption.map(_ -> st.getPath)
+        scala.util.Try(v.toLong).toOption.map(_ -> st)
       }
     }
+    // a version's AGE is its COMMIT time = its manifest file's mtime
+    // (immutable after the write); a data dir's own mtime is only the
+    // fallback for manifest-less orphans — the dir mtime MUTATES when
+    // the artifact pre-pass deletes subtrees under it, which must not
+    // rejuvenate the version
+    val manifests = versionsUnder(s"$dir/manifest")
+    val commitTime = manifests.map { case (v, st) =>
+      v -> st.getModificationTime }.toMap
     val dataDead = versionsUnder(s"$dir/data")
-      .filter { case (v, _) => !referenced(v) && v <= cutoff }
-    dataDead.foreach { case (_, p) => f.delete(p, true) }
+      .filter { case (v, st) =>
+        !referenced(v) && v <= cutoff &&
+          commitTime.getOrElse(v, st.getModificationTime) < tCutoff }
+    dataDead.foreach { case (_, st) => f.delete(st.getPath, true) }
     // manifests: the current one is always load-bearing; older ones
     // only serve readers inside the grace window
-    versionsUnder(s"$dir/manifest")
-      .filter { case (v, _) => v != currentVersion && v <= cutoff }
-      .foreach { case (_, p) => f.delete(p, false) }
+    manifests
+      .filter { case (v, st) =>
+        v != currentVersion && v <= cutoff && st.getModificationTime < tCutoff }
+      .foreach { case (_, st) => f.delete(st.getPath, false) }
     dataDead.map(_._1).sorted
   }
 
@@ -428,22 +514,33 @@ private[graft] object ManifestIO {
     * [[vacuum]] after it to retire dirs with nothing left referenced. */
   def vacuumArtifacts(spark: SparkSession, dir: String, currentVersion: Long,
       artifactRefs: Map[String, Set[Long]],
-      graceVersions: Long): Seq[(String, Long)] = {
+      graceVersions: Long, graceMillis: Long = 0L): Seq[(String, Long)] = {
     require(graceVersions >= 0, s"graceVersions must be >= 0, got $graceVersions")
+    require(graceMillis >= 0, s"graceMillis must be >= 0, got $graceMillis")
     val f = fs(spark, dir)
     val cutoff = currentVersion - 1 - graceVersions
+    val tCutoff =
+      if (graceMillis > 0L) System.currentTimeMillis() - graceMillis
+      else Long.MaxValue
     val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
     if (!f.exists(dataPath)) return Seq.empty
+    // version age = commit time = manifest mtime (the [[vacuum]] rule);
+    // a subtree under a time-protected version is protected with it
+    def commitTime(v: Long): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.txt")
+      if (f.exists(p)) f.getFileStatus(p).getModificationTime else 0L
+    }
     val out = Seq.newBuilder[(String, Long)]
     f.listStatus(dataPath).foreach { st =>
       scala.util.Try(st.getPath.getName.toLong).toOption.foreach { v =>
-        if (v <= cutoff) artifactRefs.foreach { case (art, refs) =>
-          val sub = new org.apache.hadoop.fs.Path(st.getPath, art)
-          if (!refs(v) && f.exists(sub)) {
-            f.delete(sub, true)
-            out += ((art, v))
+        if (v <= cutoff && commitTime(v) < tCutoff)
+          artifactRefs.foreach { case (art, refs) =>
+            val sub = new org.apache.hadoop.fs.Path(st.getPath, art)
+            if (!refs(v) && f.exists(sub)) {
+              f.delete(sub, true)
+              out += ((art, v))
+            }
           }
-        }
       }
     }
     out.result()

@@ -192,9 +192,16 @@ object MinhashIndex {
     if (ManifestIO.txnAlreadyApplied(m.txns, txn))
       return Admission(emptyDecisions, 0L) // retried epoch: already committed
     val newVer = m.version + 1
-    // ONE tokenize+minhash scan of the batch, pinned: the gate probe,
-    // the verdicts and the admitted-subset write all see the same rows
-    val batchIndex = Dedup.minhashDocIndex(newDocs, idCol, textCol,
+    // the uniform intra-batch rule first (ManifestIO.dedupBatch): a
+    // doc re-submitted within one micro-batch gates and admits ONCE
+    // (duplicate signature rows would emit duplicate band rows — and
+    // duplicated pairs — on every later gate); two texts under one id
+    // reject loudly. Then ONE tokenize+minhash scan of the batch,
+    // pinned: the gate probe, the verdicts and the admitted-subset
+    // write all see the same rows.
+    val batchDocs = ManifestIO.dedupBatch(newDocs, idCol, Seq(textCol),
+      "minhash admission")
+    val batchIndex = Dedup.minhashDocIndex(batchDocs, idCol, textCol,
       m.n, m.bands, m.rowsPerBand).localCheckpoint(true)
     if (batchIndex.isEmpty) return Admission(emptyDecisions, 0L)
     val committed = readRowsAt(spark, dir, m)
@@ -368,8 +375,10 @@ object MinhashIndex {
   private[graft] def upsertHooked(spark: SparkSession, dir: String,
       docs: DataFrame, idCol: String, textCol: String, crashPoint: Int,
       txn: Option[(String, Long)] = None): Unit = {
-    val pinned = docs.select(col(idCol), col(textCol))
-      .dropDuplicates(Seq(idCol)).localCheckpoint(true)
+    // the uniform intra-batch rule (ManifestIO.dedupBatch): exact
+    // duplicates collapse, two revisions of one id reject loudly
+    val pinned = ManifestIO.dedupBatch(docs, idCol, Seq(textCol),
+      "minhash upsert")
     upsertCore(spark, dir, pinned,
       pinned.select(col(idCol).cast("long").as("sid")).limit(0),
       idCol, textCol, crashPoint, txn)
@@ -472,16 +481,16 @@ object MinhashIndex {
     * accrete (nothing superseded until a delete consolidates or a
     * rebuild replaces); deletes and rebuilds feed this. */
   def vacuum(spark: SparkSession, dir: String,
-      graceVersions: Long = 2L): Seq[Long] = {
+      graceVersions: Long = 2L, graceMillis: Long = 0L): Seq[Long] = {
     val m = readManifest(spark, dir)
     // in-window manifests are still servable (pinned readers, the
     // time-travel gate): their references survive too — the
     // Bm25.vacuumIndex rationale; sharpest after a compaction re-owned
     // every fragmented bucket in one commit
     val all = m +: ManifestIO.windowManifests(spark, dir, m.version,
-      graceVersions).map(parse)
+      graceVersions, graceMillis).map(parse)
     ManifestIO.vacuum(spark, dir, m.version,
       all.flatMap(_.bucketVersions.values.flatten).toSet + m.version,
-      graceVersions)
+      graceVersions, graceMillis)
   }
 }

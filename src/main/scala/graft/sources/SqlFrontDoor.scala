@@ -149,8 +149,14 @@ object SqlFrontDoor {
       ("bm25_index_vacuum", 2, a => {
         val sp = s
         import sp.implicits._
+        // reclaimed_version = whole dir OR an artifact subtree
+        // reclaimed (see vacuumIndex/ivfVacuum scaladoc);
+        // deleted_version is the pre-rename alias kept for one
+        // deprecation cycle so existing SQL consumers keep resolving
+        import org.apache.spark.sql.functions.col
         graft.operators.Bm25.vacuumIndex(sp, a.head, a(1).trim.toLong)
-          .toDF("reclaimed_version") // whole dir OR an artifact subtree reclaimed — see vacuumIndex/ivfVacuum scaladoc
+          .toDF("reclaimed_version")
+          .withColumn("deleted_version", col("reclaimed_version"))
       }),
       // bm25_index_delete(index_dir, docs_path): the takedown tick —
       // remove previously ingested documents (docs parquet carries
@@ -671,8 +677,12 @@ object SqlFrontDoor {
       ("minhash_index_vacuum", 2, a => {
         val sp = s
         import sp.implicits._
+        import org.apache.spark.sql.functions.col
+        // reclaimed_version as in bm25_index_vacuum; deleted_version
+        // is the pre-rename alias kept for one deprecation cycle
         graft.operators.MinhashIndex.vacuum(sp, a.head, a(1).trim.toLong)
-          .toDF("reclaimed_version") // whole dir OR an artifact subtree reclaimed — see vacuumIndex/ivfVacuum scaladoc
+          .toDF("reclaimed_version")
+          .withColumn("deleted_version", col("reclaimed_version"))
       }),
       // minhash_index_upsert(index_dir, docs_path): the REFRESH verb —
       // (doc_id, text) rows whose new signature rows replace any
@@ -753,8 +763,12 @@ object SqlFrontDoor {
       ("ivf_index_vacuum", 2, a => {
         val sp = s
         import sp.implicits._
+        import org.apache.spark.sql.functions.col
+        // reclaimed_version as in bm25_index_vacuum; deleted_version
+        // is the pre-rename alias kept for one deprecation cycle
         graft.operators.Ann.ivfVacuum(sp, a.head, a(1).trim.toLong)
-          .toDF("reclaimed_version") // whole dir OR an artifact subtree reclaimed — see vacuumIndex/ivfVacuum scaladoc
+          .toDF("reclaimed_version")
+          .withColumn("deleted_version", col("reclaimed_version"))
       }),
       ("ivf_serve", 4, a =>
         graft.operators.Ann.ivfServedTopK(s, a.head, s.read.parquet(a(1)),

@@ -244,10 +244,19 @@ object HybridStream {
   def epochIndexVersions(spark: org.apache.spark.sql.SparkSession,
       outDir: String, epoch: Long): (Long, Long) = {
     val f = graft.operators.ManifestIO.fs(spark, outDir)
+    val tag = new org.apache.hadoop.fs.Path(
+      s"$outDir/epoch=$epoch/_index_versions.txt")
+    // the sink writes the tag AFTER the epoch parquet, so a writer
+    // crash between the two leaves a readable-looking epoch dir with
+    // no tag — a PARTIAL epoch, not a bug: the stream's at-least-once
+    // re-delivery rewrites both. Name that state instead of
+    // surfacing a raw FileNotFoundException.
+    require(f.exists(tag),
+      s"epoch $epoch at $outDir has no _index_versions.txt tag — the " +
+        "epoch is PARTIAL (writer died between the parquet write and " +
+        "the tag); it heals when the stream re-delivers the epoch")
     val kv = graft.operators.ManifestIO.parseKv(
-      graft.operators.ManifestIO.readText(f,
-        new org.apache.hadoop.fs.Path(
-          s"$outDir/epoch=$epoch/_index_versions.txt")))
+      graft.operators.ManifestIO.readText(f, tag))
     (kv("bm25").toLong, kv("ivf").toLong)
   }
 

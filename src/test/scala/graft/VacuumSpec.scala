@@ -87,6 +87,51 @@ class VacuumSpec extends AnyFunSuite {
     assert(served.map(_.getLong(1)).toSeq == Seq(103L))
   }
 
+  test("graceMillis: in-window-by-TIME versions survive vacuum at graceVersions=0") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bm25vacT").toString
+    val docs = (0 until 30).map(i => (i.toLong, s"w${i % 9} common shared"))
+    Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text", dir)
+    // re-own every bucket so v1 is fully superseded, then remove the
+    // original docs so even its docmap rows die — at graceVersions=0
+    // with NO time floor v1's dir would vacuum away entirely
+    val broad = Seq((100L, (0 until 9).map(i => s"w$i").mkString(" ") + " common shared"))
+    Bm25.appendToIndex(spark, dir, broad.toDF("doc_id", "text"), "doc_id", "text")
+    Bm25.deleteFromIndex(spark, dir, docs.toDF("doc_id", "text"), "doc_id", "text")
+    // everything was JUST written: a one-hour time floor protects every
+    // version no matter how many generations a hot stream burned —
+    // the wall-clock-stable pinned-reader guarantee
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L,
+      graceMillis = 3600L * 1000L).isEmpty,
+      "versions inside the wall-clock window must survive a grace-0 vacuum")
+    assert(dataVersions(dir) == Set(1L, 2L, 3L))
+    // the old versions are still TIME-TRAVEL servable through the
+    // window (windowManifests honors the time floor for the keep-set)
+    val q = Seq((1L, "w0"), (2L, "common")).toDF("qid", "term")
+    assert(Bm25.serveTopKVersion(spark, dir, 1L, q, 5).count() > 0)
+    // age the superseded generations past the floor (manipulated
+    // mtimes — the spec contract from the round-15 verdict): a
+    // version's AGE is its COMMIT time (the manifest mtime), so aging
+    // v1 alone would not reclaim it while fresh v2's manifest — still
+    // inside the time window, hence still servable — references v1's
+    // live docmap rows; once BOTH superseded manifests age out, the
+    // keep-set collapses to CURRENT and the history reclaims
+    val f = graft.operators.ManifestIO.fs(spark, dir)
+    val old = System.currentTimeMillis() - 7200L * 1000L
+    Seq(s"$dir/manifest/v1.txt", s"$dir/manifest/v2.txt",
+      s"$dir/data/1", s"$dir/data/2").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (f.exists(hp)) f.setTimes(hp, old, old)
+    }
+    val reclaimed = Bm25.vacuumIndex(spark, dir, graceVersions = 0L,
+      graceMillis = 3600L * 1000L)
+    assert(reclaimed.contains(1L), s"aged v1 must reclaim, got $reclaimed")
+    assert(!dataVersions(dir).contains(1L))
+    // the current version is untouchable at any age
+    assert(dataVersions(dir).contains(3L))
+  }
+
   test("bm25: a reader pinned before an append serves the OLD index; grace protects it from vacuum") {
     val spark = SparkTest.spark
     import spark.implicits._
