@@ -355,7 +355,7 @@ object Dedup {
   }
 
   /** Intersection size of two sorted long arrays (single merge pass). */
-  private def sortedIntersect(a: Array[Long], b: Array[Long]): Int = {
+  private[operators] def sortedIntersect(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var c = 0
     while (i < a.length && j < b.length) {
       if (a(i) < b(j)) i += 1
@@ -490,7 +490,7 @@ object Dedup {
   /** First band index at which two band-hash vectors agree — the
     * canonical band that owns the pair's single emission. The kernels
     * call it only for rows meeting in SOME bucket, so a match exists. */
-  private def firstSharedBand(a: Array[Long], b: Array[Long]): Int = {
+  private[operators] def firstSharedBand(a: Array[Long], b: Array[Long]): Int = {
     var i = 0
     while (a(i) != b(i)) i += 1
     i

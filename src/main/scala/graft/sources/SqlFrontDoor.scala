@@ -673,6 +673,14 @@ object SqlFrontDoor {
           s.read.parquet(a(1)))
         minhashManifestSummary(a.head)
       }),
+      // minhash_index_build_bands(index_dir): MIGRATION — retrofit the
+      // band-partitioned gate artifact onto a pre-band legacy dir (one
+      // full signature read, paid once; later gate/admit probes read
+      // only their batch's (band, bucket) partitions)
+      ("minhash_index_build_bands", 1, a => {
+        graft.operators.MinhashIndex.buildBands(s, a.head)
+        minhashManifestSummary(a.head)
+      }),
       // minhash_index_vacuum(index_dir, grace_versions)
       ("minhash_index_vacuum", 2, a => {
         val sp = s
