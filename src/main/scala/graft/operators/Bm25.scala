@@ -205,20 +205,23 @@ object Bm25 {
   // ---------------------------------------------------------------
 
   /** One committed index state: the bucket count chosen at build time,
-    * the data version owning each bucket's postings (absent bucket =
-    * no terms hash there yet), the version owning the stats row, and
-    * the writer-transaction LEDGER (appId → last committed epoch,
-    * carried forward on every commit — see
-    * [[ManifestIO.txnAlreadyApplied]], the exactly-once gate for
-    * streaming maintenance). */
+    * the data versions CONTRIBUTING to each bucket's postings (absent
+    * bucket = no terms hash there yet; ACCRETIVE lists like the IVF
+    * cell / minhash models — an append adds only its own batch-derived
+    * files and appends its version to the touched buckets' lists,
+    * delete/upsert/rebuild/compact consolidate a bucket back to a
+    * single version), the version owning the stats row, and the
+    * writer-transaction LEDGER (appId → last committed epoch, carried
+    * forward on every commit — see [[ManifestIO.txnAlreadyApplied]],
+    * the exactly-once gate for streaming maintenance). */
   final case class IndexManifest(version: Long, buckets: Int,
-      statsVersion: Long, bucketVersions: Map[Int, Long],
+      statsVersion: Long, bucketVersions: Map[Int, Seq[Long]],
       txns: Map[String, Long] = Map.empty,
       docVersions: Map[Int, Long] = Map.empty)
 
   private def renderManifest(m: IndexManifest): String = {
     val bv = m.bucketVersions.toSeq.sortBy(_._1)
-      .map { case (b, v) => s"$b:$v" }.mkString(",")
+      .map { case (b, vs) => s"$b:${vs.mkString("|")}" }.mkString(",")
     val dv =
       if (m.docVersions.isEmpty) ""
       else "docVersions=" + m.docVersions.toSeq.sortBy(_._1)
@@ -230,8 +233,11 @@ object Bm25 {
 
   private def parseManifest(text: String): IndexManifest = {
     val kv = ManifestIO.parseKv(text)
+    // "b:v1|v2|…" — a legacy single-owner manifest ("b:v") parses as a
+    // one-element list, so pre-accretion dirs read unchanged
     val bv = kv("bucketVersions").split(",").filter(_.nonEmpty).map { e =>
-      val Array(b, v) = e.split(":"); b.toInt -> v.toLong
+      val Array(b, vs) = e.split(":")
+      b.toInt -> vs.split("\\|").map(_.toLong).toSeq
     }.toMap
     // docVersions is OPTIONAL: a manifest committed before the docmap
     // existed parses to an empty map, and every reader treats that as
@@ -271,9 +277,14 @@ object Bm25 {
       case Some(bs) => m.bucketVersions.filter { case (b, _) => bs(b) }
       case None => m.bucketVersions
     }
+    // NO df column: since appends became accretive, document frequency
+    // is a READ-TIME aggregate (a term's bucket is always read whole —
+    // every contributing version — so df = rows per term inside the
+    // pruned read is complete); legacy files that still carry a stored
+    // df simply have the column pruned away
     ManifestIO.readVersionedArtifact(spark, dir, "postings", "bucket",
-      "t STRING, doc_id BIGINT, tf BIGINT, df BIGINT, dl BIGINT, bucket INT",
-      wanted.toSeq.map { case (b, v) => (v, b) })
+      "t STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, bucket INT",
+      wanted.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) })
   }
 
   /** The doc→bucket REVERSE INDEX rows of one tick's documents — the
@@ -354,15 +365,18 @@ object Bm25 {
     val (ver, priorTxns) = ManifestIO.buildSlot(spark, dir)
     val dl = docs.select(col(idCol).cast("long").as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
-    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+    // no df on the rows: document frequency became a read-time
+    // aggregate when appends went accretive (see readPostingsAt) —
+    // which also drops the build's df join entirely
+    val rows = docs.select(col(idCol).cast("long").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("dl"),
         explode(tokens(col(textCol))).as("t"))
       .groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val rows = tf.join(broadcast(dfreq), "t").join(dl, "doc_id")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .withColumn("bucket", pmod(xxhash64(col("t")), lit(buckets)).cast("int"))
     ManifestIO.guardSlot(spark, dir, ver)
-    rows.write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data/$ver/postings")
+    rows.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data/$ver/postings")
     dl.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$ver/stats")
     // the doc→bucket reverse index rides every build (doc-sized — one
@@ -374,7 +388,7 @@ object Bm25 {
     // only buckets that materialized get an owner (a tiny corpus at a
     // large bucket count leaves most buckets empty)
     val present = ManifestIO.partitionIds(spark, s"$dir/data/$ver/postings", "bucket=")
-      .map(_ -> ver).toMap
+      .map(_ -> Seq(ver)).toMap
     val presentD = ManifestIO.partitionIds(spark, s"$dir/data/$ver/docmap", "dbucket=")
       .map(_ -> ver).toMap
     ManifestIO.commit(spark, dir, ver,
@@ -510,11 +524,18 @@ object Bm25 {
         pruned.filter(col("t").isin(
           probe.toIndexedSeq.map(_.getString(0).asInstanceOf[Any]): _*))
       else pruned.join(terms0, Seq("t"), "left_semi")
-    val kept = post
+    // df is a READ-TIME aggregate (the accretive-append model): a
+    // term's bucket is read whole across its contributing versions, so
+    // rows-per-term inside the term-filtered pruned read IS the
+    // document frequency — the exact batchTopK computation, hence the
+    // bit-identity contract holds with no stored df to go stale
+    val dfreq = post.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val kept = dfreq
       .crossJoin(broadcast(stats.select(col("n"))))
       .filter(col("df") * PruneDfDen < col("n") * PruneDfNum)
-      .drop("n")
-    val scored = kept
+      .select(col("t"), col("df"))
+    val scored = post
+      .join(broadcast(kept), "t")
       .crossJoin(broadcast(stats))
       .join(if (smallTerms) broadcast(q) else q, "t")
       .select(col("qid"), col("doc_id"),
@@ -531,20 +552,18 @@ object Bm25 {
     * (df ≥ [[PruneDfNum]]/[[PruneDfDen]] of n — prune pressure is the
     * skew defense's health meter), and the max df.
     *
-    * It is also the lifecycle's INTEGRITY SENTINEL: the index
-    * denormalizes df onto every postings row, so `distinct_terms` /
-    * `sum_df` are counted over distinct (term, df) pairs and
-    * `postings_rows` over raw rows — all three match the same profile
-    * recomputed from the source corpus IFF every append tick kept df
-    * fresh and exactly one df value exists per term (the staleness
-    * class [[appendToIndex]] exists to prevent). One postings scan;
-    * only integer aggregates shuffle. */
+    * df is recomputed from the rows (the accretive-append model has no
+    * stored df to audit — and therefore no staleness class to alarm
+    * on); `sum_df` equals `postings_rows` by construction
+    * (Σ_t df(t) = #(t, doc) pairs) and both columns stay for the
+    * monitoring-schema contract. One postings scan; only integer
+    * aggregates shuffle. */
   def indexProfile(spark: SparkSession, dir: String): DataFrame = {
     val m = readManifest(spark, dir)
     val stats = readStatsAt(spark, dir, m).select(col("n"), col("sdl"))
     val post = readPostingsAt(spark, dir, m)
     val rows = post.agg(count(lit(1)).as("postings_rows"))
-    val terms = post.select(col("t"), col("df")).distinct()
+    val terms = post.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats.select(col("n"))))
       .agg(count(lit(1)).as("distinct_terms"),
         coalesce(sum(col("df")), lit(0L)).as("sum_df"),
@@ -575,7 +594,7 @@ object Bm25 {
     // vacuum delete data the one-commit-old manifest still points at
     val all = m +: ManifestIO.windowManifests(spark, dir, m.version,
       graceVersions, graceMillis).map(parseManifest)
-    val postRefs = all.flatMap(_.bucketVersions.values).toSet
+    val postRefs = all.flatMap(_.bucketVersions.values.flatten).toSet
     val docRefs = all.flatMap(_.docVersions.values).toSet
     val statRefs = all.map(_.statsVersion).toSet
     // artifact-scoped pre-pass: the three artifacts supersede
@@ -595,27 +614,77 @@ object Bm25 {
     (whole ++ arts.map(_._2)).distinct.sorted
   }
 
+  /** COMPACT tick — the read-amplification bound the accretive
+    * [[appendToIndex]] needs (the [[graft.operators.Ann.ivfIndexCompact]]
+    * / [[MinhashIndex.compact]] sibling): appends ACCRETE, so a term
+    * bucket fed by N ticks reads a union of N file groups at every
+    * serve and its manifest entry grows without bound. Rewrite every
+    * bucket with ≥ `minVersions` distinct contributing versions into
+    * ONE new data version (a pure physical rewrite — rows, scores and
+    * stats bit-identical before and after), collapse the manifest
+    * entries, leave unpicked buckets unlisted; the superseded history
+    * is the next vacuum's food. Stats and docmap are untouched (their
+    * versions carry forward). Crash-atomic, txn ledger carried
+    * forward, single-writer maintenance. Returns the compacted bucket
+    * ids. */
+  def compactIndex(spark: SparkSession, dir: String,
+      minVersions: Int = 2): Seq[Int] =
+    compactIndexHooked(spark, dir, minVersions, crashPoint = 0)
+
+  /** [[compactIndex]] with the standard injectable writer-death points
+    * (1 = after the data write; 2 = after manifest, before flip). */
+  private[graft] def compactIndexHooked(spark: SparkSession, dir: String,
+      minVersions: Int, crashPoint: Int): Seq[Int] = {
+    require(minVersions >= 2,
+      s"minVersions < 2 would rewrite single-version buckets for nothing: $minVersions")
+    val m = readManifest(spark, dir)
+    val picked = m.bucketVersions
+      .filter { case (_, vs) => vs.distinct.size >= minVersions }
+      .keys.toSeq.sorted
+    if (picked.isEmpty) return Seq.empty // nothing fragmented: no tick
+    val newVer = m.version + 1
+    ManifestIO.guardSlot(spark, dir, newVer)
+    // one exchange on the bucket id → one file per bucket (the
+    // ivfIndexCompact rationale: the rewrite must not inherit the
+    // read's per-task fan-out)
+    readPostingsAt(spark, dir, m, Some(picked.toSet))
+      .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/data/$newVer/postings")
+    if (crashPoint == 1) return Seq.empty // simulated death: data written, nothing committed
+    val present = ManifestIO
+      .partitionIds(spark, s"$dir/data/$newVer/postings", "bucket=").toSet
+    val newOwners = (m.bucketVersions -- picked) ++ present.map(_ -> Seq(newVer))
+    val body = renderManifest(
+      IndexManifest(newVer, m.buckets, m.statsVersion, newOwners,
+        ManifestIO.mergeTxn(m.txns, None), m.docVersions))
+    if (crashPoint == 2) {
+      ManifestIO.writeManifestOnly(spark, dir, newVer, body)
+      return Seq.empty
+    }
+    ManifestIO.commit(spark, dir, newVer, body)
+    picked
+  }
+
   /** APPEND tick of the standing-index lifecycle ([[buildIndex]]
-    * builds, [[serveTopK]] serves, this grows). The subtlety this
-    * operator exists for: the index denormalizes each term's df onto
-    * its postings rows (the Lucene term-dictionary flattening that
-    * lets serving scan one frame), so appending documents STALES the
-    * df of every term they contain — blind row appends would serve
-    * wrong scores, not just miss documents.
-    *
-    * The fix exploits the layout: a term lives in exactly ONE bucket
-    * (bucket = hash(term)), so only the buckets of the batch's terms
-    * are affected. The tick reads those buckets, unions the batch's
-    * postings rows in, recomputes df per term inside the union
-    * (df = postings rows per term — self-contained), and rewrites ONLY
-    * those bucket partitions (dynamic partition overwrite; untouched
-    * buckets are never read or written). The 1-row stats table is
-    * recomputed from its old values + the batch's (n, Σdl) — no corpus
-    * re-scan anywhere: the tick costs the batch scan + the affected
-    * buckets' rewrite. With [[IndexBuckets]] buckets a text batch
-    * usually touches all of them — at corpus scale the bucket count is
-    * sized so each bucket is a manageable rewrite unit, and a skewed
-    * small batch (one domain, one language) touches fewer.
+    * builds, [[serveTopK]] serves, this grows) — ACCRETIVE: the tick
+    * writes ONLY its own batch-derived postings rows (partitioned by
+    * term bucket) under a fresh data version and appends that version
+    * to the touched buckets' manifest lists; the committed files are
+    * never read, so per-append cost is O(batch) however large the
+    * index has grown — the IVF-cell/minhash accrete-then-compact
+    * model. (The previous design rewrote every touched bucket IN FULL
+    * to refresh a df value denormalized onto the rows; a small
+    * broad-vocabulary batch therefore paid INDEX-sized writes — the
+    * round-15 verdict's write-amplification asymmetry. Document
+    * frequency is now a read-time aggregate: a term lives in exactly
+    * one bucket and a serve reads that bucket's every contributing
+    * version, so rows-per-term inside the pruned read is always the
+    * fresh df — nothing stored can go stale.) [[compactIndex]] bounds
+    * the read amplification a long append history accretes; the 1-row
+    * stats table rolls forward from its old values + the batch's
+    * (n, Σdl) — no corpus re-scan anywhere.
     *
     * Serving afterwards is bit-identical to an index built over the
     * union corpus in one shot: avgdl shifts globally, but serve-time
@@ -695,17 +764,10 @@ object Bm25 {
       .collect().map(_.getInt(0)) // ≤ manifest bucket count values
     ManifestIO.guardSlot(spark, dir, newVer)
     if (touched.nonEmpty) {
-      val existing = readPostingsAt(spark, dir, m, Some(touched.toSet))
-        .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
-      val unioned = existing
-        .unionByName(newTf.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket")))
-      val winDf = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
-      // df recompute rides the same bucket-partitioned shuffle; the write
-      // lands in a FRESH version dir, so the plan never overwrites what
-      // it reads (the old in-place tick needed a localCheckpoint pin)
-      unioned
-        .withColumn("df", count(lit(1)).over(winDf))
-        .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
+      // the ACCRETIVE write: batch rows only — the committed postings
+      // are neither read nor rewritten, so the tick's IO is O(batch)
+      // at any index size (df resolves at read time; see readPostingsAt)
+      newTf.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
         .write.partitionBy("bucket")
         .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
     }
@@ -740,7 +802,9 @@ object Bm25 {
       m.docVersions ++ presentD.map(_ -> newVer)
     } else m.docVersions
     if (crashPoint == 1) return // simulated writer death: data written, nothing committed
-    val newOwners = m.bucketVersions ++ touched.map(_ -> newVer)
+    // touched buckets ACCRETE the new version onto their lists
+    val newOwners = m.bucketVersions ++ touched.map(b =>
+      b -> (m.bucketVersions.getOrElse(b, Seq.empty) :+ newVer))
     val body = renderManifest(
       IndexManifest(newVer, m.buckets, newVer, newOwners,
         ManifestIO.mergeTxn(m.txns, txn), newDocVers))
@@ -832,14 +896,13 @@ object Bm25 {
       .filter(m.bucketVersions.contains) // only materialized buckets hold rows
     ManifestIO.guardSlot(spark, dir, newVer)
     if (touched.nonEmpty) {
+      // CONSOLIDATION: the touched buckets' full version unions minus
+      // the batch — each bucket's manifest entry collapses back to the
+      // single new version (no df recompute: df is read-time now)
       val delIds = delDl.select(col("doc_id")).distinct()
-      val remaining = readPostingsAt(spark, dir, m, Some(touched.toSet))
+      readPostingsAt(spark, dir, m, Some(touched.toSet))
         .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
         .join(delIds, Seq("doc_id"), "left_anti")
-      val winDf = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
-      remaining
-        .withColumn("df", count(lit(1)).over(winDf))
-        .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
         .write.partitionBy("bucket")
         .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
     }
@@ -877,7 +940,7 @@ object Bm25 {
     val present =
       if (touched.isEmpty) Set.empty[Int]
       else ManifestIO.partitionIds(spark, s"$dir/data/$newVer/postings", "bucket=").toSet
-    val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> newVer)
+    val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> Seq(newVer))
     val body = renderManifest(
       IndexManifest(newVer, m.buckets, newVer, newOwners,
         ManifestIO.mergeTxn(m.txns, txn), newDocVers))
@@ -984,13 +1047,11 @@ object Bm25 {
       .filter(m.bucketVersions.contains)
     ManifestIO.guardSlot(spark, dir, newVer)
     if (touched.nonEmpty) {
-      val remaining = readPostingsAt(spark, dir, m, Some(touched.toSet))
+      // consolidation: each touched bucket's full version union minus
+      // the ids, collapsing its manifest entry (df is read-time now)
+      readPostingsAt(spark, dir, m, Some(touched.toSet))
         .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
         .join(delIds, Seq("doc_id"), "left_anti")
-      val winDf = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
-      remaining
-        .withColumn("df", count(lit(1)).over(winDf))
-        .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
         .write.partitionBy("bucket")
         .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
     }
@@ -1021,7 +1082,7 @@ object Bm25 {
     val present =
       if (touched.isEmpty) Set.empty[Int]
       else ManifestIO.partitionIds(spark, s"$dir/data/$newVer/postings", "bucket=").toSet
-    val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> newVer)
+    val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> Seq(newVer))
     val body = renderManifest(
       IndexManifest(newVer, m.buckets, newVer, newOwners,
         ManifestIO.mergeTxn(m.txns, txn), newDocVers))
@@ -1220,18 +1281,15 @@ object Bm25 {
     val touched = (touchedNew ++ touchedOld).distinct // ≤ bucket count values
     ManifestIO.guardSlot(spark, dir, newVer)
     if (touched.nonEmpty) {
-      // one rewrite: (existing − old copies) ∪ new rows, df recomputed
-      // inside the final union — what the rebuild-over-modified-corpus
-      // would have written for these buckets
-      val remaining = readPostingsAt(spark, dir, m, Some(touched.toSet))
+      // one consolidating rewrite: (existing − old copies) ∪ new rows —
+      // what the rebuild-over-modified-corpus would have written for
+      // these buckets; their manifest entries collapse to the single
+      // new version (df is read-time now)
+      readPostingsAt(spark, dir, m, Some(touched.toSet))
         .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
         .join(upIds, Seq("doc_id"), "left_anti")
-      val unioned = remaining.unionByName(
-        newTf.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket")))
-      val winDf = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
-      unioned
-        .withColumn("df", count(lit(1)).over(winDf))
-        .select(col("t"), col("doc_id"), col("tf"), col("df"), col("dl"), col("bucket"))
+        .unionByName(
+          newTf.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket")))
         .write.partitionBy("bucket")
         .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
     }
@@ -1266,7 +1324,7 @@ object Bm25 {
     val present =
       if (touched.isEmpty) Set.empty[Int]
       else ManifestIO.partitionIds(spark, s"$dir/data/$newVer/postings", "bucket=").toSet
-    val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> newVer)
+    val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> Seq(newVer))
     val body = renderManifest(
       IndexManifest(newVer, m.buckets, newVer, newOwners,
         ManifestIO.mergeTxn(m.txns, txn), newDocVers))

@@ -142,6 +142,17 @@ object SqlFrontDoor {
           s.read.parquet(a(1)), "doc_id", "text")
         graft.operators.Bm25.readStats(s, a.head)
       }),
+      // bm25_index_compact(index_dir, min_versions): collapse every
+      // term bucket with >= min_versions accreted contributing
+      // versions into one new data version (pure physical rewrite —
+      // the read-amplification bound of the accretive append model);
+      // returns the compacted bucket ids
+      ("bm25_index_compact", 2, a => {
+        val sp = s
+        import sp.implicits._
+        graft.operators.Bm25.compactIndex(sp, a.head, a(1).trim.toInt)
+          .toDF("compacted_bucket")
+      }),
       // bm25_index_vacuum(index_dir, grace_versions): delete data
       // versions the committed manifest no longer references (keeping
       // the newest grace_versions for pinned readers); returns the

@@ -41,17 +41,29 @@ class AppendPropSpec extends AnyFunSuite {
       // the ADVICE-r12 corner where append used to undercount n
       val batch = corpus(5 + round * 3, seed = 950 + round, idBase = 1000L) ++
         (0 until (1 + round)).map(i => (2000L + i, null: String))
+      // the generator also re-submits rows WITHIN the batch: the
+      // uniform intra-batch rule ingests each id once, so append ==
+      // rebuild over base ∪ DISTINCT(batch) (ManifestIO.dedupBatch)
+      val withDups = batch ++ batch.take(2 + round)
 
       val dirA = Files.createTempDirectory(s"bm25prA$round").toString
       Bm25.buildIndex(base.toDF("doc_id", "text"), "doc_id", "text", dirA)
-      Bm25.appendToIndex(spark, dirA, batch.toDF("doc_id", "text"), "doc_id", "text")
+      Bm25.appendToIndex(spark, dirA, withDups.toDF("doc_id", "text"), "doc_id", "text")
       val dirB = Files.createTempDirectory(s"bm25prB$round").toString
       Bm25.buildIndex((base ++ batch).toDF("doc_id", "text"), "doc_id", "text", dirB)
 
       def postings(dir: String) = Bm25.readPostings(spark, dir)
-        .select("t", "doc_id", "tf", "df", "dl", "bucket")
+        .select("t", "doc_id", "tf", "dl", "bucket")
         .collect().map(_.toSeq).toSet
       assert(postings(dirA) == postings(dirB), s"round $round")
+      // df is a read-time aggregate now: recompute and compare per term
+      def dfOf(dir: String) = {
+        import org.apache.spark.sql.functions._
+        Bm25.readPostings(spark, dir)
+          .groupBy(col("t")).agg(count(lit(1)).as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      assert(dfOf(dirA) == dfOf(dirB), s"round $round")
       def stats(dir: String) = Bm25.readStats(spark, dir)
         .select("n", "sdl").head().toSeq
       assert(stats(dirA) == stats(dirB), s"round $round")

@@ -7,9 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Bm25
 
-/** BM25 index append tick ([[Bm25.appendToIndex]]): df refresh parity
-  * with a one-shot rebuild, the bucket-granularity claim (a batch
-  * touching one term bucket writes only that bucket into the new data
+/** BM25 index append tick ([[Bm25.appendToIndex]]) — ACCRETIVE since
+  * round 16: the tick writes only batch-derived rows and the touched
+  * buckets' manifest entries grow a version list (df is a read-time
+  * aggregate, so nothing stored goes stale). Pins: serve parity with a
+  * one-shot rebuild, the bucket-granularity claim (a batch touching
+  * one term bucket writes only that bucket into the new data
   * version), crash-atomicity of the versioned manifest commit, and
   * the build-time bucket-count parameter.
   */
@@ -35,9 +38,14 @@ class Bm25AppendSpec extends AnyFunSuite {
     Bm25.buildIndex((initial ++ batch).toDF("doc_id", "text"), "doc_id", "text", dirB)
 
     def postings(dir: String) = Bm25.readPostings(spark, dir)
-      .select("t", "doc_id", "tf", "df", "dl", "bucket")
+      .select("t", "doc_id", "tf", "dl", "bucket")
       .collect().map(_.toSeq).toSet
     assert(postings(dirA) == postings(dirB) && postings(dirA).nonEmpty)
+    // df is a read-time aggregate now — recompute it both ways too
+    def dfOf(dir: String) = Bm25.readPostings(spark, dir)
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfOf(dirA) == dfOf(dirB))
     def stats(dir: String) = Bm25.readStats(spark, dir)
       .select("n", "sdl").head().toSeq
     assert(stats(dirA) == stats(dirB))
@@ -63,13 +71,17 @@ class Bm25AppendSpec extends AnyFunSuite {
     val soloBucket = spark.range(1).select(
       pmod(xxhash64(lit("solo")), lit(before.buckets)).cast("int"))
       .head().getInt(0)
-    // the new data version owns EXACTLY the solo bucket; every other
-    // bucket still points at (and physically is) the version-1 files
+    // the new data version ACCRETES onto exactly the solo bucket's
+    // list; every other bucket's list is untouched (and physically is
+    // the version-1 files)
     assert(after.version == before.version + 1)
-    val moved = after.bucketVersions.filter(_._2 == after.version).keySet
+    val moved = after.bucketVersions.filter(_._2.contains(after.version)).keySet
     assert(moved == Set(soloBucket), s"only the solo bucket may move, got $moved")
     assert((after.bucketVersions - soloBucket) ==
       (before.bucketVersions - soloBucket))
+    assert(after.bucketVersions(soloBucket) ==
+      before.bucketVersions.getOrElse(soloBucket, Seq.empty) :+ after.version,
+      "the touched bucket's version list must accrete, not rewrite")
     val v2Buckets = java.nio.file.Files
       .list(java.nio.file.Paths.get(s"$dir/data/${after.version}/postings"))
       .toArray.toSeq.map(_.toString).filter(_.contains("bucket="))
@@ -138,7 +150,7 @@ class Bm25AppendSpec extends AnyFunSuite {
     Bm25.buildIndex((initial ++ batch).toDF("doc_id", "text"), "doc_id", "text", dir)
     val m = Bm25.readManifest(spark, dir)
     assert(m.version == 2L && m.statsVersion == 2L)
-    assert(m.bucketVersions.values.toSet == Set(2L),
+    assert(m.bucketVersions.values.toSet == Set(Seq(2L)),
       "a rebuild must re-own every bucket in the new version")
     assert(v1Files == before, "rebuild touched committed version-1 files")
 
@@ -209,40 +221,39 @@ class Bm25AppendSpec extends AnyFunSuite {
     assert(Bm25.readManifest(spark, dir).bucketVersions.nonEmpty)
   }
 
-  test("append rewrite bytes scale ~1/buckets for the same skewed batch") {
+  test("append payload is batch-bounded: the new version holds ONLY batch-derived rows") {
     val spark = SparkTest.spark
     import spark.implicits._
-    // 2000 docs over a 500-word vocabulary: buckets carry ~1/B of the
-    // postings at both counts; the batch's 4-term template storm
-    // touches <= 4 buckets regardless of B, so the tick's rewrite
-    // payload must fall with B (the sizing knob's entire point)
+    // 2000-doc corpus vs a 200-doc batch: the ACCRETIVE tick's write is
+    // sized by the BATCH — the corpus-sized committed postings are
+    // neither read nor rewritten at any bucket count (the round-15
+    // write-amplification asymmetry, closed; consolidation-payload
+    // scaling with the bucket count is the DELETE/UPSERT ticks' claim,
+    // pinned in tools/Bm25BucketScale)
     val corpus = (0 until 2000).map(i =>
       (i.toLong, (0 until 10).map(j => s"w${(i * 31 + j * 7) % 500}").mkString(" ")))
     val batch = (0 until 200).map(i =>
       (100000L + i, (0 until 10).map(j => s"narrow${(i + j) % 4}").mkString(" ")))
-    def rewriteBytes(buckets: Int): (Long, Int) = {
+    val batchRows = batch.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .distinct().count()
+    def appended(buckets: Int): (Long, Int) = {
       val dir = Files.createTempDirectory(s"bm25inv$buckets").toString
       Bm25.buildIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", dir, buckets)
       Bm25.appendToIndex(spark, dir, batch.toDF("doc_id", "text"), "doc_id", "text")
       val m = Bm25.readManifest(spark, dir)
-      val s = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(s"$dir/data/${m.version}/postings"))
-      val bytes =
-        try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .filterNot(_.getFileName.toString.startsWith("."))
-          .map(java.nio.file.Files.size(_)).sum
-        finally s.close()
-      (bytes, m.bucketVersions.count(_._2 == m.version))
+      val rows = spark.read
+        .parquet(s"$dir/data/${m.version}/postings").count()
+      (rows, m.bucketVersions.count(_._2.contains(m.version)))
     }
-    val (bytes16, touched16) = rewriteBytes(16)
-    val (bytes64, touched64) = rewriteBytes(64)
+    val (rows16, touched16) = appended(16)
+    val (rows64, touched64) = appended(64)
     assert(touched16 <= 4 && touched64 <= 4,
       s"skewed batch must touch <= 4 buckets, got $touched16/$touched64")
-    // 4x the buckets must at least halve the rewrite payload (parquet
-    // per-file floors keep the ratio below the ideal 4x)
-    assert(bytes64 * 2 < bytes16,
-      s"rewrite bytes must fall with bucket count: 16->$bytes16 64->$bytes64")
+    assert(rows16 == batchRows && rows64 == batchRows,
+      s"the new version must hold exactly the batch's postings rows " +
+        s"($batchRows), got $rows16/$rows64")
   }
 
   test("big-batch serve (distributed term join, no term collect) == small-batch serve") {

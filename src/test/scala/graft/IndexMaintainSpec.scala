@@ -207,7 +207,7 @@ class IndexMaintainSpec extends AnyFunSuite {
       .collect { case (v, true, false) if v > m.version - 1 - grace => v }
       .map(v => Bm25.readManifestVersion(spark, dir, v))
     val all = m +: window
-    val referenced = all.flatMap(x => x.bucketVersions.values.toSet ++
+    val referenced = all.flatMap(x => x.bucketVersions.values.flatten.toSet ++
       x.docVersions.values.toSet + x.statsVersion).toSet + m.version
     val onDisk = dataVersions(dir)
     assert(referenced.subsetOf(onDisk), "vacuum must never touch referenced versions")
@@ -221,7 +221,7 @@ class IndexMaintainSpec extends AnyFunSuite {
     // exist only for versions a term bucket (or stats) still references
     // or inside the vacuum window
     val postRefs = all.flatMap(x =>
-      x.bucketVersions.values.toSet + x.statsVersion).toSet
+      x.bucketVersions.values.flatten.toSet + x.statsVersion).toSet
     onDisk.foreach { v =>
       if (!postRefs(v) && v <= m.version - 1 - grace)
         assert(!java.nio.file.Files.exists(

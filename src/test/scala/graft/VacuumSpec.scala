@@ -29,28 +29,50 @@ class VacuumSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("bm25vac").toString
     val docs = (0 until 30).map(i => (i.toLong, s"w${i % 9} common shared"))
     Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text", dir)
-    // an append carrying EVERY term re-owns every bucket: v1 is then
-    // fully superseded (nothing in the committed manifest references it)
+    // an append ACCRETES (round-16 model): every touched bucket's list
+    // gains v2 while v1 stays referenced — nothing is superseded yet
     val broad = Seq((100L, (0 until 9).map(i => s"w$i").mkString(" ") + " common shared"))
     Bm25.appendToIndex(spark, dir, broad.toDF("doc_id", "text"), "doc_id", "text")
     val m = Bm25.readManifest(spark, dir)
-    assert(m.version == 2L && m.bucketVersions.values.toSet == Set(2L))
+    assert(m.version == 2L &&
+      m.bucketVersions.values.toSet == Set(Seq(1L, 2L)),
+      "an append must accrete onto the touched buckets' version lists")
     val q = Seq((1L, "w0"), (1L, "w4"), (2L, "common")).toDF("qid", "term")
     val before = Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq
+    // an accreted history's POSTINGS are fully referenced — the only
+    // vacuum food is the superseded v1 stats row (the append rolled
+    // stats forward to v2)
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L) == Seq(1L))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/data/1/postings")),
+      "accreted postings are referenced — vacuum must not touch them")
+    // COMPACTION consolidates the fragmented buckets into v3 — NOW the
+    // v1/v2 postings are superseded
+    assert(Bm25.compactIndex(spark, dir).nonEmpty)
+    val m3 = Bm25.readManifest(spark, dir)
+    assert(m3.version == 3L && m3.bucketVersions.values.toSet == Set(Seq(3L)))
+    assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq == before,
+      "compaction is a pure physical rewrite")
 
     // full grace: nothing deletable
     assert(Bm25.vacuumIndex(spark, dir, graceVersions = 10L).isEmpty)
-    // zero grace: the ARTIFACT pass reclaims v1's superseded postings
-    // and stats (the mass) — and the receipt reports it — while v1's
-    // docmap dbuckets — LIVE reverse rows for docs 0..29, untouched by
-    // the append — keep the version dir itself alive
-    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L) == Seq(1L))
-    assert(dataVersions(dir) == Set(1L, 2L))
+    // zero grace: the ARTIFACT pass reclaims the superseded postings
+    // mass (v1 and v2) — and the receipt reports it — while the LIVE
+    // docmap dbuckets (v1 rows for docs 0..29, v2 rows for the batch)
+    // and the current stats (v2 — compaction carries statsVersion
+    // forward) keep both version dirs alive
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L) == Seq(1L, 2L))
+    assert(dataVersions(dir) == Set(1L, 2L, 3L))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/data/1/postings")),
       "v1's superseded postings must reclaim even while its docmap lives")
     assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/data/2/postings")))
+    assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/data/1/stats")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/data/2/stats")),
+      "the current stats row (v2, carried by compaction) is load-bearing")
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/data/1/docmap")),
       "live docmap rows are data, not garbage")
@@ -60,7 +82,7 @@ class VacuumSpec extends AnyFunSuite {
       "second vacuum must be a no-op")
     // the committed manifest file survives
     assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$dir/manifest/v${m.version}.txt")))
+      java.nio.file.Paths.get(s"$dir/manifest/v${m3.version}.txt")))
     // deleting the original docs consolidates their docmap rows out of
     // v1 — NOW the version is fully unreferenced and the whole dir goes
     Bm25.deleteFromIndex(spark, dir, docs.toDF("doc_id", "text"), "doc_id", "text")
@@ -145,7 +167,8 @@ class VacuumSpec extends AnyFunSuite {
     val pinned = Bm25.serveTopK(spark, dir, q, 5)
     val v1Answer = pinned.collect().map(_.toSeq).toSeq
 
-    // a broad append re-owns every bucket (v2); new readers see v2
+    // a broad append accretes v2 onto every bucket; new readers see
+    // the union (v1 ∪ v2 files), the pinned plan still only v1's
     val broad = Seq((100L, (0 until 6).map(i => s"a$i").mkString(" ") + " base"))
     Bm25.appendToIndex(spark, dir, broad.toDF("doc_id", "text"), "doc_id", "text")
     val v2Answer = Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq
@@ -156,14 +179,23 @@ class VacuumSpec extends AnyFunSuite {
     // commit protocol promises
     assert(pinned.collect().map(_.toSeq).toSeq == v1Answer)
 
-    // vacuum with grace keeps v1 alive for that reader...
+    // vacuum with grace keeps everything for that reader...
     assert(Bm25.vacuumIndex(spark, dir, graceVersions = 1L).isEmpty)
     assert(pinned.collect().map(_.toSeq).toSeq == v1Answer)
-    // ...and zero grace is the documented razor: v1's postings go (the
-    // artifact pass, reported in the receipt — the pinned plan's files
-    // vanish even though v1's live docmap rows keep the dir), new
-    // serves unaffected
+    // ...zero grace is the documented razor's first cut: the
+    // superseded v1 STATS row goes (the append rolled stats to v2) —
+    // the accreted postings, still referenced, stay put
     assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L) == Seq(1L))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/data/1/postings")),
+      "accreted postings are referenced — vacuum must not touch them")
+    // compaction (v3) supersedes the accreted postings; the next
+    // zero-grace vacuum reclaims their mass (the artifact pass,
+    // reported in the receipt — the pinned plan's files vanish even
+    // though live docmap rows keep the dirs), new serves unaffected
+    assert(Bm25.compactIndex(spark, dir).nonEmpty)
+    assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq == v2Answer)
+    assert(Bm25.vacuumIndex(spark, dir, graceVersions = 0L) == Seq(1L, 2L))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/data/1/postings")))
     assert(Bm25.serveTopK(spark, dir, q, 5).collect().map(_.toSeq).toSeq == v2Answer)

@@ -74,7 +74,7 @@ object Bm25BucketScale {
       val appendT = time(graft.operators.Bm25
         .appendToIndex(spark, dir, batch, "doc_id", "text"))
       val m = graft.operators.Bm25.readManifest(spark, dir)
-      val rewritten = m.bucketVersions.count(_._2 == m.version)
+      val rewritten = m.bucketVersions.count(_._2.contains(m.version))
       val rewriteBytes = dirBytes(s"$dir/data/${m.version}/postings")
       val totalBytes = dirBytes(s"$dir/data/1/postings")
       // the takedown tick pays the same bucket-granular cost: deleting
@@ -82,7 +82,7 @@ object Bm25BucketScale {
       val deleteT = time(graft.operators.Bm25
         .deleteFromIndex(spark, dir, batch, "doc_id", "text"))
       val md = graft.operators.Bm25.readManifest(spark, dir)
-      val delRewritten = md.bucketVersions.count(_._2 == md.version)
+      val delRewritten = md.bucketVersions.count(_._2.contains(md.version))
       val delBytes = dirBytes(s"$dir/data/${md.version}/postings")
       // the ID-ONLY tick (round 15): re-append the batch, then take it
       // back out by bare ids. The docmap reverse index makes the locate
@@ -91,15 +91,15 @@ object Bm25BucketScale {
       // the REWRITE is bucket-granular either way.
       graft.operators.Bm25.appendToIndex(spark, dir, batch, "doc_id", "text")
       val mPre = graft.operators.Bm25.readManifest(spark, dir)
-      val postingsKb = mPre.bucketVersions.map { case (b, v) =>
-        dirBytes(s"$dir/data/$v/postings/bucket=$b") }.sum / 1024
+      val postingsKb = mPre.bucketVersions.toSeq.flatMap { case (b, vs) =>
+        vs.map(v => dirBytes(s"$dir/data/$v/postings/bucket=$b")) }.sum / 1024
       val docmapKb = mPre.docVersions.toSeq
         .map { case (k, v) => dirBytes(s"$dir/data/$v/docmap/dbucket=$k") }
         .sum / 1024
       val delIdsT = time(graft.operators.Bm25.deleteByIds(spark, dir,
         batch.select(col("doc_id")), "doc_id"))
       val mIds = graft.operators.Bm25.readManifest(spark, dir)
-      val idsRewritten = mIds.bucketVersions.count(_._2 == mIds.version)
+      val idsRewritten = mIds.bucketVersions.count(_._2.contains(mIds.version))
       val idsBytes = dirBytes(s"$dir/data/${mIds.version}/postings")
       val q = queryTerms.toDF("qid", "term")
       val served = graft.operators.Bm25.serveTopK(spark, dir, q, 10)
@@ -119,6 +119,65 @@ object Bm25BucketScale {
         f"vs_postings_kb=$postingsKb%6d " +
         f"serve=$serveT%5.2fs listed_buckets=$listedBuckets%3d " +
         f"listed_kb=${listedBytes / 1024}%5d")
+    }
+
+    // ── ACCRETIVE-APPEND receipt (round 16; VERDICT-r15 "done" bar:
+    // append wall-clock flat as the index grows 8×): the same
+    // 2000-doc broad-vocabulary batch — the old model's worst case, it
+    // touches every bucket — appended to indexes built over 5k / 10k /
+    // 20k / 40k docs. The tick writes only batch rows, so time and
+    // bytes must stay ~flat while the standing index grows 8×. A
+    // five-append chain then shows the read amplification compaction
+    // collapses: file count and serve time before vs after ONE
+    // compact+vacuum.
+    val broadBatch = spark.range(2000).select((col("id") + 2000000L).as("doc_id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("w"), pmod(hash(col("id") * 37 + j), lit(2000)))): _*).as("text"))
+      .cache()
+    broadBatch.count()
+    for (n <- Seq(5000, 10000, 20000, 40000)) {
+      val c = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 30).map(j =>
+          concat(lit("w"), pmod(hash(col("id") * 31 + j), lit(2000)))): _*).as("text"))
+      val dir = java.nio.file.Files.createTempDirectory(s"bm25acc$n").toString
+      graft.operators.Bm25.buildIndex(c, "doc_id", "text", dir, 64)
+      val indexKb = dirBytes(s"$dir/data/1/postings") / 1024
+      val appendT = med(Seq.fill(3) {
+        // re-time against a fresh slot each run: delete the batch back
+        // out first so every timed append does identical work
+        val t = time(graft.operators.Bm25
+          .appendToIndex(spark, dir, broadBatch, "doc_id", "text"))
+        graft.operators.Bm25.deleteByIds(spark, dir,
+          broadBatch.select(col("doc_id")), "doc_id")
+        t
+      })
+      val mA = graft.operators.Bm25.readManifest(spark, dir)
+      println(f"bm25_append_scale corpus=$n%6d index_kb=$indexKb%7d " +
+        f"append=$appendT%5.2fs (batch-bounded at any index size)")
+      val _ = mA
+    }
+    // read-amplification: five accreted appends, then one compact
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("bm25accC").toString
+      graft.operators.Bm25.buildIndex(corpus, "doc_id", "text", dir, 64)
+      for (k <- 0 until 5) {
+        val b = spark.range(400).select((col("id") + 3000000L + k * 1000L).as("doc_id"),
+          concat_ws(" ", (0 until 30).map(j =>
+            concat(lit("w"), pmod(hash(col("id") * 41 + j + k), lit(2000)))): _*).as("text"))
+        graft.operators.Bm25.appendToIndex(spark, dir, b, "doc_id", "text")
+      }
+      def serveFiles(): (Double, Int) = {
+        val served = graft.operators.Bm25.serveTopK(spark, dir,
+          queryTerms.toDF("qid", "term"), 10)
+        (med(Seq.fill(3)(time(served.count()))),
+          served.inputFiles.count(_.contains("/postings/")))
+      }
+      val (serveBefore, filesBefore) = serveFiles()
+      graft.operators.Bm25.compactIndex(spark, dir)
+      graft.operators.Bm25.vacuumIndex(spark, dir, graceVersions = 0L)
+      val (serveAfter, filesAfter) = serveFiles()
+      println(f"bm25_append_compact files=$filesBefore%4d -> $filesAfter%4d " +
+        f"serve=$serveBefore%5.2fs -> $serveAfter%5.2fs after one compact+vacuum")
     }
     spark.stop()
   }
