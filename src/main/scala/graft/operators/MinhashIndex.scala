@@ -803,6 +803,113 @@ object MinhashIndex {
     picked
   }
 
+  /** Fixed-point scale of the occupancy metrics ([[indexProfile]] /
+    * [[occupancyVerdict]]): floor(mean · 10⁶) as BIGINT — integral
+    * division, engine-identical (the t19/Bm25.ScoreScale discipline). */
+  val OccupancyScale = 1000000L
+
+  /** BIGINT integral division (Catalyst `IntegralDivide`, SQL's `//`)
+    * — never a float quotient whose rounding could drift across
+    * engines (the [[Hybrid.rrfContribution]] template). */
+  private def intDiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    GraftBridge.column(IntegralDivide(
+      GraftBridge.expression(a), GraftBridge.expression(b),
+      evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+  }
+
+  /** One-row band-occupancy summary of a manifest's committed band
+    * artifact: total band rows, distinct (band, bucket) groups, the
+    * deepest group, and the fixed-point mean occupancy
+    * (band_rows · 10⁶ ÷ distinct groups, integral). Occupancy is the
+    * GATE's health meter: every probe pays candidate pairing
+    * proportional to the depth of the buckets it lands in, so
+    * near-dup mass accumulating past the admission threshold shows up
+    * here before it shows up as gate latency. All-zero for a pre-band
+    * legacy manifest. */
+  private def occupancyAt(spark: SparkSession, dir: String,
+      m: Manifest): DataFrame = {
+    val occ = readBandsAt(spark, dir, m)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("c"))
+    occ.agg(coalesce(sum(col("c")), lit(0L)).as("band_rows"),
+        count(lit(1)).as("distinct_band_buckets"),
+        coalesce(max(col("c")), lit(0L)).as("max_band_bucket"))
+      .select(col("band_rows"), col("distinct_band_buckets"),
+        col("max_band_bucket"),
+        coalesce(intDiv(col("band_rows") * lit(OccupancyScale),
+          col("distinct_band_buckets")), lit(0L)).as("mean_occupancy_fp"))
+  }
+
+  /** Monitoring profile of the committed minhash index, computed from
+    * the COMMITTED ARTIFACTS ALONE (one CURRENT read pins both) — the
+    * [[Bm25.indexProfile]] sibling (the IVF family's equivalents are
+    * [[graft.operators.Ann.ivfGeometryDrift]] and the drift verdict)
+    * that gives all three families the same monitoring surface: doc
+    * count, the signature scheme, per-artifact
+    * materialization and FRAGMENTATION (partitions with > 1 accreted
+    * contributing version — compaction pressure), and the band
+    * occupancy block ([[occupancyAt]] — the gate-cost health meter).
+    * One column-pruned read per artifact; only integer aggregates
+    * shuffle. */
+  def indexProfile(spark: SparkSession, dir: String): DataFrame = {
+    val m = readManifest(spark, dir)
+    val docs = readRowsAt(spark, dir, m)
+      .agg(count(lit(1)).as("docs")) // one row per doc by construction
+    docs.crossJoin(occupancyAt(spark, dir, m))
+      .select(lit(m.version).as("version"), col("docs"),
+        col("band_rows"), col("distinct_band_buckets"),
+        col("max_band_bucket"), col("mean_occupancy_fp"),
+        lit(m.n).as("n"), lit(m.bands).as("bands"),
+        lit(m.rowsPerBand).as("rows_per_band"),
+        lit(m.buckets).as("buckets"),
+        lit(m.bucketVersions.size.toLong).as("materialized_buckets"),
+        lit(m.bucketVersions.values.count(_.distinct.size > 1).toLong)
+          .as("fragmented_buckets"),
+        lit(m.bandVersions.size.toLong).as("band_partitions"),
+        lit(m.bandVersions.values.count(_.distinct.size > 1).toLong)
+          .as("fragmented_band_partitions"))
+  }
+
+  /** OCCUPANCY drift verdict — the [[graft.operators.Ann.ivfDriftVerdict]]
+    * sibling, closing the three families' alarm parity: ONE row
+    * comparing the committed band occupancy against the OLDEST still-
+    * servable version's (the deepest reference time travel can reach —
+    * for a never-vacuumed index, the build itself). `rebuild_due`
+    * flips when the mean occupancy GREW by more than `growPct` percent
+    * (BIGINT threshold compare, engine-identical): admitted mass is
+    * clustering into the same LSH buckets faster than the corpus is
+    * growing, which is exactly when gate probes start paying
+    * quadratic in-bucket pairing — re-tune the signature scheme
+    * (bands/rowsPerBand) or tighten the admission threshold and
+    * rebuild. A pre-band legacy dir reports zeros and never alarms. */
+  def occupancyVerdict(spark: SparkSession, dir: String,
+      growPct: Int = 50): DataFrame = {
+    require(growPct >= 0, s"growPct must be >= 0, got $growPct")
+    val m = readManifest(spark, dir)
+    // the oldest servable manifest that already had a band artifact —
+    // the reference the verdict measures growth against
+    val refM = ManifestIO.history(spark, dir)
+      .collect { case (v, true, false) => v }.sorted
+      .iterator.map(v => readManifestVersion(spark, dir, v))
+      .find(_.bandBuckets > 0)
+      .getOrElse(m)
+    val ref = occupancyAt(spark, dir, refM)
+      .select(lit(refM.version).as("ref_version"),
+        col("mean_occupancy_fp").as("ref_occupancy_fp"))
+    val latest = occupancyAt(spark, dir, m)
+      .select(lit(m.version).as("latest_version"),
+        col("mean_occupancy_fp").as("latest_occupancy_fp"))
+    ref.crossJoin(latest)
+      .select(col("ref_version"), col("ref_occupancy_fp"),
+        col("latest_version"), col("latest_occupancy_fp"),
+        (col("ref_occupancy_fp") > 0L &&
+          col("latest_occupancy_fp") * lit(100L) >
+            col("ref_occupancy_fp") * lit(100L + growPct))
+          .as("rebuild_due"))
+  }
+
   /** VACUUM tick: retire data versions and manifests the committed
     * manifest no longer references ([[ManifestIO.vacuum]] semantics —
     * single-writer maintenance, grace counted in versions with an

@@ -465,23 +465,90 @@ object Text {
     * batch A → id-only bucket-local DELETE of the % 7 = 3 slice →
     * serve batch B's gate from the committed rows. One hash pins the
     * whole chain (see [[minhashLifecycleSql]]). */
+  /** The committed minhash lifecycle dir shared by t58 and t62 —
+    * build over the standing corpus (% 7 ∉ {1, 2}) → committed
+    * ADMISSION of batch A (≡ 1) → id-only DELETE of the ≡ 3 slice,
+    * once per (JVM, SF dir). */
+  private def minhashLifecycleDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val docs = graft.Tables.documents(s, d)
+    val m = col("doc_id") % 7
+    val dir = s"/tmp/graft_mh_index_${ProcessHandle.current().pid()}_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (!new java.io.File(s"$dir/CURRENT").exists()) {
+      MinhashIndex.build(docs.filter(m =!= 1 && m =!= 2), "doc_id", "text",
+        dir, ShingleN, Bands, RowsPerBand)
+      MinhashIndex.admit(s, dir, docs.filter(m === 1), "doc_id", "text",
+        JaccardThreshold)
+      MinhashIndex.deleteByIds(s, dir,
+        docs.filter(m === 3).select(col("doc_id").as("sid")))
+    }
+    dir
+  }
+
   val t58MinhashLifecycle: Q =
     Q("t58_minhash_lifecycle", minhashLifecycleSql) { (s, d) =>
       val docs = graft.Tables.documents(s, d)
-      val m = col("doc_id") % 7
-      val dir = s"/tmp/graft_mh_index_${ProcessHandle.current().pid()}_" +
-        d.replaceAll("[^A-Za-z0-9._-]", "_")
-      if (!new java.io.File(s"$dir/CURRENT").exists()) {
-        MinhashIndex.build(docs.filter(m =!= 1 && m =!= 2), "doc_id", "text",
-          dir, ShingleN, Bands, RowsPerBand)
-        MinhashIndex.admit(s, dir, docs.filter(m === 1), "doc_id", "text",
-          JaccardThreshold)
-        MinhashIndex.deleteByIds(s, dir,
-          docs.filter(m === 3).select(col("doc_id").as("sid")))
-      }
-      MinhashIndex.gate(s, dir, docs.filter(m === 2), "doc_id", "text",
-        JaccardThreshold)
+      val dir = minhashLifecycleDir(s, d)
+      MinhashIndex.gate(s, dir, docs.filter(col("doc_id") % 7 === 2),
+        "doc_id", "text", JaccardThreshold)
         .orderBy(col("da"), col("db"))
+    }
+
+  /** Oracle for [[t62MinhashProfile]]: the corpus-derivable block of
+    * the committed minhash index's monitoring profile, recomputed by
+    * DuckDB from the document state the t58 lifecycle chain leaves
+    * behind — live docs = (% 7 ∉ {1, 2, 3}) ∪ batch A's ADMITTED
+    * subset (the flaggedA replay). Band-bucket CARDINALITIES match
+    * across engines because both bucket functions are injective on
+    * the observed minhash tuples (the same equality semantics every
+    * t6-family oracle already rides); the mean occupancy is INTEGRAL
+    * division on both sides (Spark `IntegralDivide`, DuckDB `//`) at
+    * the 10⁶ fixed-point scale. */
+  private lazy val minhashProfileSql: String = {
+    s"""WITH $minhashBandCtes,
+       |candA AS (
+       |  SELECT DISTINCT a.sid AS da, b.sid AS db
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.sid % 7 = 1 AND b.sid % 7 NOT IN (1, 2)),
+       |interA AS (
+       |  SELECT da, db, count(*) AS i
+       |  FROM candA JOIN sh sa ON sa.sid = da JOIN sh sb ON sb.sid = db AND sb.g = sa.g
+       |  GROUP BY 1, 2),
+       |flaggedA AS (
+       |  SELECT DISTINCT da FROM interA
+       |  JOIN sizes za ON da = za.sid JOIN sizes zb ON db = zb.sid
+       |  WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= $JaccardThreshold),
+       |live AS (
+       |  SELECT sid, band, bucket FROM bands
+       |  WHERE sid % 7 NOT IN (1, 2, 3)
+       |     OR (sid % 7 = 1 AND sid NOT IN (SELECT da FROM flaggedA))),
+       |occ AS (SELECT band, bucket, count(*) AS c FROM live GROUP BY 1, 2),
+       |d AS (SELECT CAST(count(DISTINCT sid) AS BIGINT) AS docs FROM live)
+       |SELECT docs,
+       |       CAST(sum(c) AS BIGINT) AS band_rows,
+       |       CAST(count(*) AS BIGINT) AS distinct_band_buckets,
+       |       CAST(max(c) AS BIGINT) AS max_band_bucket,
+       |       (CAST(sum(c) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+       |         AS mean_occupancy_fp
+       |FROM occ, d GROUP BY docs""".stripMargin
+  }
+
+  /** Committed-index MONITORING PARITY (round 16): the minhash
+    * family's [[graft.operators.MinhashIndex.indexProfile]] — the
+    * Bm25 t55 sibling — over the t58 lifecycle dir, its
+    * corpus-derivable columns pinned against the DuckDB recount. The
+    * occupancy block is the GATE's health meter (candidate pairing
+    * pays the depth of the buckets a probe lands in), and
+    * [[graft.operators.MinhashIndex.occupancyVerdict]] alarms on its
+    * growth — spec-pinned (MinhashProfileSpec), with this row pinning
+    * the underlying numbers. */
+  val t62MinhashProfile: Q =
+    Q("t62_minhash_profile", minhashProfileSql) { (s, d) =>
+      val dir = minhashLifecycleDir(s, d)
+      graft.operators.MinhashIndex.indexProfile(s, dir)
+        .select(col("docs"), col("band_rows"), col("distinct_band_buckets"),
+          col("max_band_bucket"), col("mean_occupancy_fp"))
     }
 
   /** Split-leakage audit ([[graft.operators.Layout.leakageAudit]]):
@@ -1077,5 +1144,6 @@ object Text {
     t14DupClusters, t15SequencePack, t16Profile, t23CrossDedup,
     t29CrossDedupServed, t30CurateE2e, t39GopherGates, t42TextNormalize,
     t43CmsCounts, t44HllDistinct, t45HeavyHitters, t46Quantiles,
-    t47HllBySource, t49IndexAdmit, t52LeakAudit, t58MinhashLifecycle)
+    t47HllBySource, t49IndexAdmit, t52LeakAudit, t58MinhashLifecycle,
+    t62MinhashProfile)
 }

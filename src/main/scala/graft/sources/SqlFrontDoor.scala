@@ -684,6 +684,20 @@ object SqlFrontDoor {
           s.read.parquet(a(1)))
         minhashManifestSummary(a.head)
       }),
+      // minhash_index_profile(index_dir): the standing index's 1-row
+      // monitoring surface from the committed artifacts alone — doc
+      // count, the persisted signature scheme, per-artifact
+      // materialization + fragmentation (compaction pressure), and the
+      // band-occupancy block (the gate-cost health meter)
+      ("minhash_index_profile", 1, a =>
+        graft.operators.MinhashIndex.indexProfile(s, a.head)),
+      // minhash_index_occupancy(index_dir, grow_pct): the occupancy
+      // DRIFT VERDICT (the ivf_index_drift sibling) — rebuild_due
+      // flips when mean band occupancy grew more than grow_pct percent
+      // over the oldest servable version's
+      ("minhash_index_occupancy", 2, a =>
+        graft.operators.MinhashIndex.occupancyVerdict(s, a.head,
+          a(1).trim.toInt)),
       // minhash_index_build_bands(index_dir): MIGRATION — retrofit the
       // band-partitioned gate artifact onto a pre-band legacy dir (one
       // full signature read, paid once; later gate/admit probes read

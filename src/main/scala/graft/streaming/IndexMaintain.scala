@@ -229,7 +229,9 @@ object IndexMaintain {
       threshold: Double, appId: String, decisionsDir: String,
       vacuumEvery: Int = 0,
       graceVersions: Long = 2L, compactEvery: Int = 0,
-      compactMinVersions: Int = 2): (DataFrame, Long) => Unit =
+      compactMinVersions: Int = 2, driftEvery: Int = 0,
+      alarmDir: String = null,
+      occupancyGrowPct: Int = 50): (DataFrame, Long) => Unit =
     (batch, epoch) => {
       // verdicts land from INSIDE the tick, before its commit: a crash
       // on either side of the commit re-delivers the epoch and leaves
@@ -246,21 +248,32 @@ object IndexMaintain {
         MinhashIndex.compact(batch.sparkSession, dir, compactMinVersions)
       if (due(vacuumEvery, epoch))
         MinhashIndex.vacuum(batch.sparkSession, dir, graceVersions)
+      // the ivfSink drift cadence, occupancy flavor: the VERDICT row
+      // ([[MinhashIndex.occupancyVerdict]] — rebuild_due when mean
+      // band occupancy grew > occupancyGrowPct % over the oldest
+      // servable reference) lands under alarmDir/epoch=<id>, the
+      // idempotent alarm-dir discipline all three families share
+      if (due(driftEvery, epoch))
+        writeAlarm(MinhashIndex.occupancyVerdict(batch.sparkSession, dir,
+          occupancyGrowPct), alarmDir, epoch)
     }
 
   /** Maintain a committed minhash index from a streaming document
     * frame: one exactly-once admission tick per micro-batch, verdicts
-    * under `decisionsDir/epoch=<id>`. */
+    * under `decisionsDir/epoch=<id>`; `driftEvery` > 0 writes the
+    * occupancy drift verdict to `alarmDir/epoch=<id>` every that-many
+    * epochs (the ivf maintenance stream's alarm parity). */
   def maintainMinhash(docs: DataFrame, dir: String, idCol: String,
       textCol: String, threshold: Double, appId: String,
       decisionsDir: String, checkpoint: String, vacuumEvery: Int = 0,
       graceVersions: Long = 2L, compactEvery: Int = 0,
-      compactMinVersions: Int = 2): StreamingQuery =
+      compactMinVersions: Int = 2, driftEvery: Int = 0,
+      alarmDir: String = null, occupancyGrowPct: Int = 50): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(minhashSink(dir, idCol, textCol, threshold, appId,
         decisionsDir, vacuumEvery, graceVersions, compactEvery,
-        compactMinVersions))
+        compactMinVersions, driftEvery, alarmDir, occupancyGrowPct))
       .start()
 
   /** The minhash id-only takedown sink: batch frame carries `sid`. */
