@@ -823,8 +823,9 @@ object Bm25 {
     * to remove, WITH their text (a takedown request has the content;
     * the text is what locates the work — a term lives in exactly one
     * bucket, so only the buckets of the batch's terms are read,
-    * filtered and rewritten, with df recomputed inside the remaining
-    * union; no full-index scan). The 1-row stats roll BACK by the
+    * filtered and rewritten — consolidating each back to one version;
+    * df is read-time, so nothing else needs refreshing; no full-index
+    * scan). The 1-row stats roll BACK by the
     * batch's (count, Σdl). Serving afterwards is bit-identical to an
     * index built over the corpus MINUS the batch — delete == rebuild
     * is the contract, mirroring append == rebuild (so deleted docs
@@ -980,8 +981,8 @@ object Bm25 {
     * from delete == rebuild).
     *
     * Same lifecycle contract as every tick: delete == rebuild-over-
-    * remaining, emptied buckets leave the manifest, df recomputed
-    * inside the remaining union of touched buckets, docmap rows
+    * remaining, emptied buckets leave the manifest, touched buckets
+    * consolidate to one version (df is read-time), docmap rows
     * consolidated out of their dbuckets, CRASH-ATOMIC via new data
     * version + one CURRENT rename, exactly-once under
     * [[deleteByIdsTxn]]. */
@@ -1146,7 +1147,8 @@ object Bm25 {
     * dbucket dirs read); a pre-docmap legacy dir pays the documented
     * one-scan fallback (and its zero-token blind spot). REWRITE is the
     * union of the old copies' buckets and the new texts' buckets —
-    * each rewritten ONCE, df recomputed inside the final union. The
+    * each rewritten ONCE, consolidating to one version (df is
+    * read-time). The
     * batch is deduplicated BY ID first (set semantics — a feed that
     * carries one id twice in a batch has no meaningful "both" order;
     * route ordered feeds through one row per id per tick). An id

@@ -728,8 +728,8 @@ object Corpus {
   }
 
   /** Build-then-append cache backing [[t50Bm25Append]]: index built on
-    * doc_id % 3 ≠ 2, then the % 3 = 2 batch appended — bucket-granular
-    * df refresh ([[Bm25.appendToIndex]]). */
+    * doc_id % 3 ≠ 2, then the % 3 = 2 batch appended — the ACCRETIVE
+    * tick ([[Bm25.appendToIndex]]: batch rows only, df read-time). */
   private val bm25AppendCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -744,13 +744,14 @@ object Corpus {
     })
 
   /** Standing-BM25-index APPEND tick ([[Bm25.appendToIndex]]): t41
-    * serves a frozen index — this entry grows it. Appending stales the
-    * denormalized df of every term the batch contains, so the tick
-    * rewrites exactly the affected term buckets with df recomputed
-    * in-bucket and rolls the 1-row stats forward; untouched buckets are
-    * never read. The oracle is the one-shot index over the FULL corpus
-    * (the same [[bm25BatchSql]] as t40/t41) — any stale df, lost row or
-    * wrong stats after the append breaks the hash. */
+    * serves a frozen index — this entry grows it. The tick is
+    * ACCRETIVE (round 16): only batch-derived rows are written, the
+    * touched buckets' manifest lists accrete, and df resolves at READ
+    * time (rows-per-term inside the whole-bucket read), so no stored
+    * value can go stale and per-append cost is O(batch) at any index
+    * size. The oracle is the one-shot index over the FULL corpus (the
+    * same [[bm25BatchSql]] as t40/t41) — a wrong read-time df, lost
+    * row or wrong stats after the append breaks the hash. */
   val t50Bm25Append: Q = Q(
     "t50_bm25_append",
     bm25BatchSql(mod = 100, rem = 13, positions = Seq(1, 4, 6, 9), k = 6)) { (s, d) =>

@@ -133,10 +133,11 @@ object SqlFrontDoor {
         graft.operators.Bm25.serveTopKVersion(s, a.head, a(1).trim.toLong,
           s.read.parquet(a(2)), a(3).trim.toInt)),
       // bm25_index_append(index_dir, docs_path): grow a standing
-      // bm25_index — bucket-granular df refresh (only the batch's term
-      // buckets are rewritten into a NEW data version, committed by one
-      // atomic manifest flip), stats rolled forward; returns the
-      // updated 1-row stats
+      // bm25_index — ACCRETIVE (only batch-derived rows are written
+      // under a new data version; touched buckets' manifest lists
+      // accrete; df is a read-time aggregate, so per-append cost is
+      // O(batch) at any index size), stats rolled forward; returns
+      // the updated 1-row stats
       ("bm25_index_append", 2, a => {
         graft.operators.Bm25.appendToIndex(s, a.head,
           s.read.parquet(a(1)), "doc_id", "text")
@@ -172,7 +173,7 @@ object SqlFrontDoor {
       // bm25_index_delete(index_dir, docs_path): the takedown tick —
       // remove previously ingested documents (docs parquet carries
       // doc_id + text; the text locates the term buckets, so only
-      // those are rewritten with df recomputed); returns the
+      // those are consolidated and rewritten); returns the
       // rolled-back stats. Serve-after-delete == rebuild over the
       // remaining corpus.
       ("bm25_index_delete", 2, a => {
@@ -226,9 +227,8 @@ object SqlFrontDoor {
       // bm25_index_profile(index_dir): the standing index's monitoring
       // row from the committed artifacts alone — n/sdl (avgdl drift),
       // vocabulary size, postings mass, serving-prune pressure, max
-      // df; distinct_terms/sum_df fold the DENORMALIZED per-term df,
-      // so a stale df after an append breaks the row vs a corpus
-      // recount (the t55 integrity sentinel)
+      // df; df is recomputed from the rows (the accretive-append
+      // model stores none), so the row always matches a corpus recount
       ("bm25_index_profile", 1, a =>
         graft.operators.Bm25.indexProfile(s, a.head)),
       // retrieval-based decontamination, deployment split: train the
