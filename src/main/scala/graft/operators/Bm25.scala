@@ -217,7 +217,8 @@ object Bm25 {
   final case class IndexManifest(version: Long, buckets: Int,
       statsVersion: Long, bucketVersions: Map[Int, Seq[Long]],
       txns: Map[String, Long] = Map.empty,
-      docVersions: Map[Int, Long] = Map.empty)
+      docVersions: Map[Int, Long] = Map.empty,
+      termstats: Boolean = false)
 
   private def renderManifest(m: IndexManifest): String = {
     val bv = m.bucketVersions.toSeq.sortBy(_._1)
@@ -226,8 +227,9 @@ object Bm25 {
       if (m.docVersions.isEmpty) ""
       else "docVersions=" + m.docVersions.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k:$v" }.mkString(",") + "\n"
+    val ts = if (m.termstats) "termstats=1\n" else ""
     s"version=${m.version}\nbuckets=${m.buckets}\n" +
-      s"stats=${m.statsVersion}\nbucketVersions=$bv\n" + dv +
+      s"stats=${m.statsVersion}\nbucketVersions=$bv\n" + dv + ts +
       ManifestIO.renderTxns(m.txns)
   }
 
@@ -246,8 +248,13 @@ object Bm25 {
       .flatMap(_.split(",")).filter(_.nonEmpty).map { e =>
         val Array(k, v) = e.split(":"); k.toInt -> v.toLong
       }.toMap
+    // termstats is OPTIONAL: a manifest committed before the term-stats
+    // sidecar existed parses to false, and the serve falls back to
+    // recomputing df from the postings themselves (one extra scan of
+    // the pruned read — the documented legacy price; a rebuild
+    // upgrades, since the sidecar's versions must mirror the postings')
     IndexManifest(kv("version").toLong, kv("buckets").toInt, kv("stats").toLong, bv,
-      ManifestIO.parseTxns(kv), dv)
+      ManifestIO.parseTxns(kv), dv, kv.get("termstats").contains("1"))
   }
 
   /** Read the COMMITTED manifest — the index state every reader serves
@@ -282,9 +289,47 @@ object Bm25 {
     // every contributing version — so df = rows per term inside the
     // pruned read is complete); legacy files that still carry a stored
     // df simply have the column pruned away
-    ManifestIO.readVersionedArtifact(spark, dir, "postings", "bucket",
+    ManifestIO.readVersionedArtifactFused(spark, dir, "postings", "bucket",
       "t STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, bucket INT",
-      wanted.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) })
+      wanted.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) },
+      pmod(xxhash64(col("t")), lit(m.buckets)))
+  }
+
+  /** The committed TERM-STATS sidecar (t, df, bucket) — the Lucene
+    * term-dictionary idea applied to the accretive layout: every tick
+    * that writes a postings version also writes that version's
+    * per-(bucket, term) row counts, so a serve resolves df by reading
+    * a VOCABULARY-sized artifact (summing the deltas across a bucket's
+    * contributing versions) instead of scanning the pruned postings a
+    * second time for the aggregate. Versions mirror the postings'
+    * exactly (same ticks, same buckets), so the manifest needs no new
+    * reference list and vacuum scopes it by the same refs. */
+  def readTermstatsAt(spark: SparkSession, dir: String, m: IndexManifest,
+      onlyBuckets: Option[Set[Int]] = None): DataFrame = {
+    val wanted = onlyBuckets match {
+      case Some(bs) => m.bucketVersions.filter { case (b, _) => bs(b) }
+      case None => m.bucketVersions
+    }
+    ManifestIO.readVersionedArtifactFused(spark, dir, "termstats", "bucket",
+      "t STRING, df BIGINT, bucket INT",
+      wanted.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) },
+      pmod(xxhash64(col("t")), lit(m.buckets)))
+  }
+
+  /** Derive one tick's term-stats sidecar from its JUST-WRITTEN
+    * postings (read-back, so the two artifacts agree even for
+    * non-deterministic inputs — the MinhashIndex bands discipline).
+    * No-op when the version wrote no postings. */
+  private def writeTermstats(spark: SparkSession, dir: String,
+      ver: Long): Unit = {
+    val postingsDir = s"$dir/data/$ver/postings"
+    if (ManifestIO.partitionIds(spark, postingsDir, "bucket=").nonEmpty)
+      spark.read.parquet(postingsDir)
+        .groupBy(col("bucket"), col("t")).agg(count(lit(1)).as("df"))
+        .select(col("t"), col("df"), col("bucket"))
+        .repartition(col("bucket")) // one file per bucket (the compact write shape)
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$dir/data/$ver/termstats")
   }
 
   /** The doc→bucket REVERSE INDEX rows of one tick's documents — the
@@ -321,9 +366,10 @@ object Bm25 {
       case Some(ks) => m.docVersions.filter { case (k, _) => ks(k) }
       case None => m.docVersions
     }
-    ManifestIO.readVersionedArtifact(spark, dir, "docmap", "dbucket",
+    ManifestIO.readVersionedArtifactFused(spark, dir, "docmap", "dbucket",
       "doc_id BIGINT, dl BIGINT, tbuckets ARRAY<INT>, dbucket INT",
-      wanted.toSeq.map { case (k, v) => (v, k) })
+      wanted.toSeq.map { case (k, v) => (v, k) },
+      pmod(xxhash64(col("doc_id")), lit(m.buckets)))
   }
 
   /** The committed 1-row stats table (n, sdl). */
@@ -377,6 +423,9 @@ object Bm25 {
     ManifestIO.guardSlot(spark, dir, ver)
     rows.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data/$ver/postings")
+    // the term-stats sidecar rides every build: serves resolve df from
+    // it instead of scanning the pruned postings twice
+    writeTermstats(spark, dir, ver)
     dl.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/data/$ver/stats")
     // the doc→bucket reverse index rides every build (doc-sized — one
@@ -392,7 +441,8 @@ object Bm25 {
     val presentD = ManifestIO.partitionIds(spark, s"$dir/data/$ver/docmap", "dbucket=")
       .map(_ -> ver).toMap
     ManifestIO.commit(spark, dir, ver,
-      renderManifest(IndexManifest(ver, buckets, ver, present, priorTxns, presentD)))
+      renderManifest(IndexManifest(ver, buckets, ver, present, priorTxns, presentD,
+        termstats = true)))
   }
 
   /** Serve-path regime boundary: up to this many distinct query terms,
@@ -526,10 +576,23 @@ object Bm25 {
       else pruned.join(terms0, Seq("t"), "left_semi")
     // df is a READ-TIME aggregate (the accretive-append model): a
     // term's bucket is read whole across its contributing versions, so
-    // rows-per-term inside the term-filtered pruned read IS the
-    // document frequency — the exact batchTopK computation, hence the
-    // bit-identity contract holds with no stored df to go stale
-    val dfreq = post.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // rows-per-term IS the document frequency — the exact batchTopK
+    // computation, hence bit-identity holds with no stored value to go
+    // stale. On a sidecar'd index the aggregate comes from the
+    // VOCABULARY-sized termstats artifact (per-version deltas summed —
+    // the postings are scanned exactly ONCE, by the scoring branch); a
+    // pre-sidecar legacy dir recomputes it from the pruned postings
+    // (one extra scan of the matched row groups, the documented legacy
+    // price until a rebuild).
+    val dfreq =
+      if (m.termstats) {
+        val ts = readTermstatsAt(spark, indexDir, m, Some(bucketIds))
+        val tsf =
+          if (smallTerms) ts.filter(col("t").isin(
+            probe.toIndexedSeq.map(_.getString(0).asInstanceOf[Any]): _*))
+          else ts.join(terms0, Seq("t"), "left_semi")
+        tsf.groupBy(col("t")).agg(sum(col("df")).as("df"))
+      } else post.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val kept = dfreq
       .crossJoin(broadcast(stats.select(col("n"))))
       .filter(col("df") * PruneDfDen < col("n") * PruneDfNum)
@@ -552,27 +615,35 @@ object Bm25 {
     * (df ≥ [[PruneDfNum]]/[[PruneDfDen]] of n — prune pressure is the
     * skew defense's health meter), and the max df.
     *
-    * df is recomputed from the rows (the accretive-append model has no
-    * stored df to audit — and therefore no staleness class to alarm
-    * on); `sum_df` equals `postings_rows` by construction
-    * (Σ_t df(t) = #(t, doc) pairs) and both columns stay for the
-    * monitoring-schema contract. One postings scan; only integer
-    * aggregates shuffle. */
+    * df is recomputed from committed artifacts (the accretive-append
+    * model has no stored per-row df to audit — and therefore no
+    * staleness class to alarm on); `sum_df` equals `postings_rows` by
+    * construction (Σ_t df(t) = #(t, doc) pairs) and both columns stay
+    * for the monitoring-schema contract. On a sidecar'd index the
+    * whole row derives from the VOCABULARY-sized termstats artifact —
+    * no postings scan at all; a legacy dir pays one postings scan. */
   def indexProfile(spark: SparkSession, dir: String): DataFrame = {
     val m = readManifest(spark, dir)
     val stats = readStatsAt(spark, dir, m).select(col("n"), col("sdl"))
-    val post = readPostingsAt(spark, dir, m)
-    val rows = post.agg(count(lit(1)).as("postings_rows"))
-    val terms = post.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // per-term df: version deltas summed from the sidecar, or one
+    // postings scan on a pre-sidecar dir
+    val dfreq =
+      if (m.termstats)
+        readTermstatsAt(spark, dir, m)
+          .groupBy(col("t")).agg(sum(col("df")).as("df"))
+      else readPostingsAt(spark, dir, m)
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val terms = dfreq
       .crossJoin(broadcast(stats.select(col("n"))))
       .agg(count(lit(1)).as("distinct_terms"),
         coalesce(sum(col("df")), lit(0L)).as("sum_df"),
         coalesce(sum(when(col("df") * PruneDfDen >= col("n") * PruneDfNum, 1L)
           .otherwise(0L)), lit(0L)).as("pruned_terms"),
         coalesce(max(col("df")), lit(0L)).as("max_df"))
-    stats.crossJoin(rows).crossJoin(terms)
+    stats.crossJoin(terms)
       .select(col("n"), col("sdl"), col("distinct_terms"),
-        col("postings_rows"), col("sum_df"), col("pruned_terms"), col("max_df"))
+        col("sum_df").as("postings_rows"), col("sum_df"),
+        col("pruned_terms"), col("max_df"))
   }
 
   /** VACUUM tick of the standing-index lifecycle: delete data versions
@@ -603,8 +674,12 @@ object Bm25 {
     // postings/stats mass reclaims even while its docmap keeps the
     // version dir alive — without this, one live kilobyte of reverse
     // map would pin gigabytes of dead postings
+    // termstats versions mirror the postings' exactly (written by the
+    // same ticks for the same buckets), so the same reference set
+    // scopes both artifacts
     val arts = ManifestIO.vacuumArtifacts(spark, dir, m.version,
-      Map("postings" -> postRefs, "docmap" -> docRefs, "stats" -> statRefs),
+      Map("postings" -> postRefs, "termstats" -> postRefs,
+        "docmap" -> docRefs, "stats" -> statRefs),
       graceVersions, graceMillis)
     val whole = ManifestIO.vacuum(spark, dir, m.version,
       postRefs ++ docRefs ++ statRefs + m.version, graceVersions, graceMillis)
@@ -652,13 +727,14 @@ object Bm25 {
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/data/$newVer/postings")
+    if (m.termstats) writeTermstats(spark, dir, newVer)
     if (crashPoint == 1) return Seq.empty // simulated death: data written, nothing committed
     val present = ManifestIO
       .partitionIds(spark, s"$dir/data/$newVer/postings", "bucket=").toSet
     val newOwners = (m.bucketVersions -- picked) ++ present.map(_ -> Seq(newVer))
     val body = renderManifest(
       IndexManifest(newVer, m.buckets, m.statsVersion, newOwners,
-        ManifestIO.mergeTxn(m.txns, None), m.docVersions))
+        ManifestIO.mergeTxn(m.txns, None), m.docVersions, m.termstats))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return Seq.empty
@@ -770,6 +846,8 @@ object Bm25 {
       newTf.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
         .write.partitionBy("bucket")
         .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
+      // the version's term-stats delta (batch vocabulary-sized)
+      if (m.termstats) writeTermstats(spark, dir, newVer)
     }
     val old = readStatsAt(spark, dir, m).select(col("n"), col("sdl")).head()
     val statsDf = {
@@ -807,7 +885,7 @@ object Bm25 {
       b -> (m.bucketVersions.getOrElse(b, Seq.empty) :+ newVer))
     val body = renderManifest(
       IndexManifest(newVer, m.buckets, newVer, newOwners,
-        ManifestIO.mergeTxn(m.txns, txn), newDocVers))
+        ManifestIO.mergeTxn(m.txns, txn), newDocVers, m.termstats))
     if (crashPoint == 2) {
       // simulated death between manifest write and CURRENT flip: the
       // manifest file exists but is unreferenced garbage
@@ -906,6 +984,7 @@ object Bm25 {
         .join(delIds, Seq("doc_id"), "left_anti")
         .write.partitionBy("bucket")
         .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
+      if (m.termstats) writeTermstats(spark, dir, newVer)
     }
     val statsDf = {
       import spark.implicits._
@@ -944,7 +1023,7 @@ object Bm25 {
     val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> Seq(newVer))
     val body = renderManifest(
       IndexManifest(newVer, m.buckets, newVer, newOwners,
-        ManifestIO.mergeTxn(m.txns, txn), newDocVers))
+        ManifestIO.mergeTxn(m.txns, txn), newDocVers, m.termstats))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return
@@ -1055,6 +1134,7 @@ object Bm25 {
         .join(delIds, Seq("doc_id"), "left_anti")
         .write.partitionBy("bucket")
         .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
+      if (m.termstats) writeTermstats(spark, dir, newVer)
     }
     val old = readStatsAt(spark, dir, m).select(col("n"), col("sdl")).head()
     val statsDf = {
@@ -1086,7 +1166,7 @@ object Bm25 {
     val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> Seq(newVer))
     val body = renderManifest(
       IndexManifest(newVer, m.buckets, newVer, newOwners,
-        ManifestIO.mergeTxn(m.txns, txn), newDocVers))
+        ManifestIO.mergeTxn(m.txns, txn), newDocVers, m.termstats))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return
@@ -1127,7 +1207,7 @@ object Bm25 {
       .partitionIds(spark, s"$dir/data/$newVer/docmap", "dbucket=")
     ManifestIO.commit(spark, dir, newVer,
       renderManifest(IndexManifest(newVer, m.buckets, m.statsVersion,
-        m.bucketVersions, m.txns, presentD.map(_ -> newVer).toMap)))
+        m.bucketVersions, m.txns, presentD.map(_ -> newVer).toMap, m.termstats)))
     true
   }
 
@@ -1294,6 +1374,7 @@ object Bm25 {
           newTf.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket")))
         .write.partitionBy("bucket")
         .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
+      if (m.termstats) writeTermstats(spark, dir, newVer)
     }
     val old = readStatsAt(spark, dir, m).select(col("n"), col("sdl")).head()
     val statsDf = {
@@ -1329,7 +1410,7 @@ object Bm25 {
     val newOwners = (m.bucketVersions -- touched) ++ present.map(_ -> Seq(newVer))
     val body = renderManifest(
       IndexManifest(newVer, m.buckets, newVer, newOwners,
-        ManifestIO.mergeTxn(m.txns, txn), newDocVers))
+        ManifestIO.mergeTxn(m.txns, txn), newDocVers, m.termstats))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return

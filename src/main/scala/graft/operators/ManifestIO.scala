@@ -337,6 +337,43 @@ private[graft] object ManifestIO {
     }
   }
 
+  /** [[readVersionedArtifact]] for artifacts whose partition column is
+    * a PURE FUNCTION of the data columns (BM25 term buckets and
+    * termstats — bucket = hash(t); the docmap — dbucket = hash(id);
+    * minhash signature rows — bucket = hash(sid); minhash band rows —
+    * bb = hash(band, bucket)): every wanted (version, partition) leaf
+    * dir is read in ONE scan with an explicit schema and the partition
+    * column RECOMPUTED via `partValue`, instead of one read group per
+    * contributing version unioned together. An accreted partition then
+    * costs extra FILES in one scan stage, never extra scan stages — on
+    * a 2-version BM25 index this halved serve latency (the grouped
+    * union ran a full extra scan stage per version). IVF cells keep
+    * the grouped reader (a member's cell is assignment state, not a
+    * function of its columns). */
+  def readVersionedArtifactFused(spark: SparkSession, dir: String,
+      artifact: String, partCol: String, schemaDDL: String,
+      pairs: Seq[(Long, Int)],
+      partValue: org.apache.spark.sql.Column): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)
+    require(schema.fields.last.name == partCol,
+      s"schemaDDL must end with the partition column $partCol: $schemaDDL")
+    val dataSchema = org.apache.spark.sql.types.StructType(schema.fields.init)
+    if (pairs.isEmpty) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val dataCols = dataSchema.fields.map(f => col(f.name)).toSeq
+      // the explicit schema pins the read across versions (a legacy
+      // file's extra columns — e.g. a pre-r16 stored df — are pruned,
+      // never inferred); leaf dirs are listed explicitly, so
+      // uncommitted ticks' files stay invisible
+      spark.read.schema(dataSchema)
+        .parquet(pairs.distinct.sorted
+          .map { case (v, p) => s"$dir/data/$v/$artifact/$partCol=$p" }: _*)
+        .select(dataCols :+ partValue.cast("int").as(partCol): _*)
+    }
+  }
+
   /** Writer-transaction LEDGER manifest line
     * (`txns2=<appId>:<epoch>;<appId>:<epoch>;…`, keys escaped) — the
     * Delta-style

@@ -142,9 +142,10 @@ object MinhashIndex {
       case Some(bs) => m.bucketVersions.filter { case (b, _) => bs(b) }
       case None => m.bucketVersions
     }
-    ManifestIO.readVersionedArtifact(spark, dir, "rows", "bucket",
+    ManifestIO.readVersionedArtifactFused(spark, dir, "rows", "bucket",
       "sid BIGINT, gs ARRAY<BIGINT>, bhs ARRAY<BIGINT>, bucket INT",
-      wanted.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) })
+      wanted.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) },
+      pmod(xxhash64(col("sid")), lit(m.buckets)))
   }
 
   /** [[readRowsAt]] against a fresh CURRENT read. */
@@ -160,9 +161,10 @@ object MinhashIndex {
       case Some(ks) => m.bandVersions.filter { case (k, _) => ks(k) }
       case None => m.bandVersions
     }
-    ManifestIO.readVersionedArtifact(spark, dir, "bands", "bb",
+    ManifestIO.readVersionedArtifactFused(spark, dir, "bands", "bb",
       "band INT, bucket BIGINT, sid BIGINT, bhs ARRAY<BIGINT>, bb INT",
-      wanted.toSeq.flatMap { case (k, vs) => vs.map(v => (v, k)) })
+      wanted.toSeq.flatMap { case (k, vs) => vs.map(v => (v, k)) },
+      pmod(xxhash64(col("band"), col("bucket")), lit(m.bandBuckets)))
   }
 
   /** Write one tick's band rows (derived from its (sid, bhs) rows)

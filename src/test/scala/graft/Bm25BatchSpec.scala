@@ -118,4 +118,42 @@ class Bm25BatchSpec extends AnyFunSuite {
     // qid 1 retrieves exactly the docs containing "rare"
     assert(out.filter(_._1 == 1L).map(_._2).sorted === Seq(0L, 1L))
   }
+
+  test("serve resolves df from the term-stats sidecar; a stripped legacy dir falls back identically") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val docs = (0L until 40L).map(id => id -> s"w${id % 7} shared common")
+    val d = docs.toDF("doc_id", "text")
+    val q = Seq((1L, "w0"), (1L, "w3"), (2L, "shared")).toDF("qid", "term")
+    val dir = java.nio.file.Files.createTempDirectory("bm25ts").toString
+    Bm25.buildIndex(d, "doc_id", "text", dir)
+    // accrete an append so a bucket has TWO termstats deltas to sum
+    Bm25.appendToIndex(spark, dir,
+      Seq((100L, "w0 w3 shared fresh")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val served = Bm25.serveTopK(spark, dir, q, 5)
+    val expected = Bm25.batchTopK(
+        (docs :+ (100L -> "w0 w3 shared fresh")).toDF("doc_id", "text"),
+        "doc_id", "text", q, 5)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(served.orderBy("qid", "rank").collect().map(_.toSeq).toSeq == expected)
+    // the df branch reads the vocabulary-sized sidecar, so the pruned
+    // POSTINGS are scanned exactly once (by the scoring branch)
+    assert(served.inputFiles.exists(_.contains("/termstats/")),
+      "a sidecar'd serve must resolve df from the termstats artifact")
+    // strip the manifest flag and remove the sidecar: the legacy
+    // fallback recomputes df from the postings — same answers
+    val m = Bm25.readManifest(spark, dir)
+    val f = graft.operators.ManifestIO.fs(spark, dir)
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/manifest/v${m.version}.txt")
+    val body = graft.operators.ManifestIO.readText(f, mp)
+      .linesIterator.filterNot(_.startsWith("termstats=")).mkString("\n") + "\n"
+    graft.operators.ManifestIO.writeText(f, mp, body)
+    (1L to m.version).foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/data/$v/termstats"), true)
+    }
+    val legacy = Bm25.serveTopK(spark, dir, q, 5)
+    assert(legacy.orderBy("qid", "rank").collect().map(_.toSeq).toSeq == expected)
+    assert(!legacy.inputFiles.exists(_.contains("/termstats/")))
+  }
 }
