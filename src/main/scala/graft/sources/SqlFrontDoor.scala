@@ -162,13 +162,12 @@ object SqlFrontDoor {
         val sp = s
         import sp.implicits._
         // reclaimed_version = whole dir OR an artifact subtree
-        // reclaimed (see vacuumIndex/ivfVacuum scaladoc);
-        // deleted_version is the pre-rename alias kept for one
-        // deprecation cycle so existing SQL consumers keep resolving
-        import org.apache.spark.sql.functions.col
+        // reclaimed (see vacuumIndex/ivfVacuum scaladoc). The
+        // deleted_version pre-rename alias completed its one-cycle
+        // deprecation in round 16 and is RETIRED: SQL consumers select
+        // reclaimed_version.
         graft.operators.Bm25.vacuumIndex(sp, a.head, a(1).trim.toLong)
           .toDF("reclaimed_version")
-          .withColumn("deleted_version", col("reclaimed_version"))
       }),
       // bm25_index_delete(index_dir, docs_path): the takedown tick —
       // remove previously ingested documents (docs parquet carries
@@ -710,12 +709,10 @@ object SqlFrontDoor {
       ("minhash_index_vacuum", 2, a => {
         val sp = s
         import sp.implicits._
-        import org.apache.spark.sql.functions.col
-        // reclaimed_version as in bm25_index_vacuum; deleted_version
-        // is the pre-rename alias kept for one deprecation cycle
+        // reclaimed_version as in bm25_index_vacuum; the
+        // deleted_version alias is retired (deprecation cycle done)
         graft.operators.MinhashIndex.vacuum(sp, a.head, a(1).trim.toLong)
           .toDF("reclaimed_version")
-          .withColumn("deleted_version", col("reclaimed_version"))
       }),
       // minhash_index_upsert(index_dir, docs_path): the REFRESH verb —
       // (doc_id, text) rows whose new signature rows replace any
@@ -796,12 +793,10 @@ object SqlFrontDoor {
       ("ivf_index_vacuum", 2, a => {
         val sp = s
         import sp.implicits._
-        import org.apache.spark.sql.functions.col
-        // reclaimed_version as in bm25_index_vacuum; deleted_version
-        // is the pre-rename alias kept for one deprecation cycle
+        // reclaimed_version as in bm25_index_vacuum; the
+        // deleted_version alias is retired (deprecation cycle done)
         graft.operators.Ann.ivfVacuum(sp, a.head, a(1).trim.toLong)
           .toDF("reclaimed_version")
-          .withColumn("deleted_version", col("reclaimed_version"))
       }),
       ("ivf_serve", 4, a =>
         graft.operators.Ann.ivfServedTopK(s, a.head, s.read.parquet(a(1)),

@@ -230,8 +230,10 @@ object IndexMaintain {
       vacuumEvery: Int = 0,
       graceVersions: Long = 2L, compactEvery: Int = 0,
       compactMinVersions: Int = 2, driftEvery: Int = 0,
-      alarmDir: String = null,
-      occupancyGrowPct: Int = 50): (DataFrame, Long) => Unit =
+      alarmDir: String = "",
+      occupancyGrowPct: Int = 50): (DataFrame, Long) => Unit = {
+    require(driftEvery <= 0 || alarmDir.nonEmpty,
+      "driftEvery needs an alarmDir — the cadence would write to the filesystem root")
     (batch, epoch) => {
       // verdicts land from INSIDE the tick, before its commit: a crash
       // on either side of the commit re-delivers the epoch and leaves
@@ -257,6 +259,7 @@ object IndexMaintain {
         writeAlarm(MinhashIndex.occupancyVerdict(batch.sparkSession, dir,
           occupancyGrowPct), alarmDir, epoch)
     }
+  }
 
   /** Maintain a committed minhash index from a streaming document
     * frame: one exactly-once admission tick per micro-batch, verdicts
@@ -268,7 +271,7 @@ object IndexMaintain {
       decisionsDir: String, checkpoint: String, vacuumEvery: Int = 0,
       graceVersions: Long = 2L, compactEvery: Int = 0,
       compactMinVersions: Int = 2, driftEvery: Int = 0,
-      alarmDir: String = null, occupancyGrowPct: Int = 50): StreamingQuery =
+      alarmDir: String = "", occupancyGrowPct: Int = 50): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(minhashSink(dir, idCol, textCol, threshold, appId,

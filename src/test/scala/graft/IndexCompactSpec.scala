@@ -30,7 +30,7 @@ class IndexCompactSpec extends AnyFunSuite {
     Ann.ivfServedTopK(spark, dir, queries, k = 5, nprobe = 2)
       .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
 
-  test("ivf: compact collapses fragmented cells; serve bit-identical; history vacuums; cidmap untouched") {
+  test("ivf: compact collapses fragmented cells AND cbuckets; serve bit-identical; history vacuums") {
     val dir = Files.createTempDirectory("ivfcompact").toString
     Ann.ivfIndexBuild((100 until 120).map(i => (i.toLong, vec(i)))
       .toDF("cid", "cvec"), dir, cents)
@@ -56,8 +56,18 @@ class IndexCompactSpec extends AnyFunSuite {
       assert(after.cellVersions(c) == before.cellVersions(c),
         s"unpicked cell $c must keep its version list"))
     assert(after.txns == before.txns, "the txn ledger rides the compaction")
-    assert(after.cidVersions == before.cidVersions,
-      "membership is unchanged — the reverse map has nothing to do")
+    // the cidmap accretes on append too (round 17), so its fragmented
+    // cbuckets collapse in the same tick; MEMBERSHIP is unchanged (the
+    // mapBefore set compare below) — only the physical layout moves
+    assert(before.cidVersions.values.exists(_.distinct.size >= 2),
+      "precondition: accretive appends must fragment at least one cbucket")
+    before.cidVersions.foreach { case (k, vs) =>
+      if (vs.distinct.size >= 2)
+        assert(after.cidVersions(k) == Seq(after.version),
+          s"fragmented cbucket $k must collapse to the new version")
+      else assert(after.cidVersions(k) == vs,
+        s"unfragmented cbucket $k must keep its version list")
+    }
     assert(serve(dir) == served, "a compaction is physically invisible")
     assert(Ann.readIvfCidmap(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet == mapBefore)

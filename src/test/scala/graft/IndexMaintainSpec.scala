@@ -208,7 +208,7 @@ class IndexMaintainSpec extends AnyFunSuite {
       .map(v => Bm25.readManifestVersion(spark, dir, v))
     val all = m +: window
     val referenced = all.flatMap(x => x.bucketVersions.values.flatten.toSet ++
-      x.docVersions.values.toSet + x.statsVersion).toSet + m.version
+      x.docVersions.values.flatten.toSet + x.statsVersion).toSet + m.version
     val onDisk = dataVersions(dir)
     assert(referenced.subsetOf(onDisk), "vacuum must never touch referenced versions")
     // epochs 0..9 + build = versions 1..11; anything older than the
@@ -280,6 +280,12 @@ class IndexMaintainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       IndexMaintain.bm25Sink("/tmp/nowhere", "doc_id", "text", "app",
         profileEvery = 2)
+    }
+    // the third family too (round-16 ADVICE low: without the guard the
+    // verdict silently wrote to a relative path literally named "null")
+    intercept[IllegalArgumentException] {
+      IndexMaintain.minhashSink("/tmp/nowhere", "doc_id", "text", 0.5,
+        "app", "/tmp/nowhere-dec", driftEvery = 1)
     }
   }
 

@@ -150,4 +150,44 @@ class MinhashBandsSpec extends AnyFunSuite {
     assert(mC.bandVersions.values.forall(_.distinct.size == 1),
       "compaction must collapse fragmented band entries")
   }
+
+  test("time-travel gate reads the historical version's OWN band lists (FS audit after compaction)") {
+    val dir = Files.createTempDirectory("mhBandsTT").toString
+    MinhashIndex.build(refDocs, "doc_id", "text", dir, N, Bands, Rpb,
+      buckets = 8, bandBuckets = 16)
+    // v2: admit a doc that near-dups nothing (accretes both artifacts)
+    assert(MinhashIndex.admit(spark, dir,
+      Seq((700L, "novel content shared with absolutely nobody today"))
+        .toDF("doc_id", "text"), "doc_id", "text", 0.5).appended == 1L)
+    val histVer = MinhashIndex.readManifest(spark, dir).version
+    val histM = MinhashIndex.readManifestVersion(spark, dir, histVer)
+    // the answer AS OF v2, from the full kernel over v2's OWN rows
+    val expected = Dedup.minhashLshPairsAcrossIndexed(batch,
+        MinhashIndex.readRowsAt(spark, dir, histM), "doc_id", "text",
+        N, Bands, Rpb, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty)
+    // v3: a later upsert, then v4: COMPACTION — CURRENT's band
+    // partitions consolidate under v4, so a readBandsAt that resolved
+    // partitions from the WRONG manifest would reach for v4 files
+    MinhashIndex.upsert(spark, dir,
+      Seq((5L, "completely rewritten text for doc five now"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    MinhashIndex.compact(spark, dir, minVersions = 2)
+    val mC = MinhashIndex.readManifest(spark, dir)
+    assert(mC.version > histVer)
+    // FS-LEVEL pin: physically remove EVERY partition of the compacted
+    // version — the historical gate must not touch v4 at all, in either
+    // artifact (its manifest lists only v1/v2 paths)
+    val f = ManifestIO.fs(spark, dir)
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/data/${mC.version}/bands"), true)
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/data/${mC.version}/rows"), true)
+    val got = MinhashIndex.gateVersion(spark, dir, histVer, batch,
+        "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      "the time-travel gate must answer from the historical manifest's " +
+        "own band/row version lists, bit-identical to the full kernel " +
+        "over the historical rows")
+  }
 }

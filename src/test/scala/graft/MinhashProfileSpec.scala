@@ -109,4 +109,36 @@ class MinhashProfileSpec extends AnyFunSuite {
     val row = spark.read.parquet(s"$alarms/epoch=3").collect().head
     assert(row.schema.fieldNames.contains("rebuild_due"))
   }
+
+  test("occupancy reads the bandstats sidecar, not the band artifact (FS audit)") {
+    // round-17 (VERDICT-r16 What's-missing #3): the occupancy block of
+    // indexProfile and BOTH sides of occupancyVerdict must derive from
+    // the per-tick count-delta sidecar — a group-count-sized read — so
+    // the maintenance-stream alarm cadence never pays an index-sized
+    // band scan. FILESYSTEM-level: every band partition of every
+    // version is physically REMOVED and the answers are unchanged.
+    val dir = Files.createTempDirectory("mhOccIo").toString
+    MinhashIndex.build(distinctDocs.toDF("doc_id", "text"), "doc_id", "text",
+      dir, N, Bands, Rpb, buckets = 8, bandBuckets = 16)
+    // accrete a second version so multi-version delta summing is audited
+    assert(MinhashIndex.admit(spark, dir,
+      (100 until 110).map(i => (i.toLong, s"fresh$i mass$i unrelated$i body$i"))
+        .toDF("doc_id", "text"), "doc_id", "text", 0.9).appended == 10L)
+    val profile = MinhashIndex.indexProfile(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val verdict = MinhashIndex.occupancyVerdict(spark, dir, growPct = 50)
+      .collect().map(_.toSeq).toSeq
+    val m = MinhashIndex.readManifest(spark, dir)
+    assert(m.bandstats, "new indexes must carry the sidecar")
+    val f = graft.operators.ManifestIO.fs(spark, dir)
+    m.bandVersions.values.flatten.toSet[Long].foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/data/$v/bands"), true)
+    }
+    assert(MinhashIndex.indexProfile(spark, dir)
+      .collect().map(_.toSeq).toSeq == profile,
+      "the profile's occupancy block must come from the sidecar alone")
+    assert(MinhashIndex.occupancyVerdict(spark, dir, growPct = 50)
+      .collect().map(_.toSeq).toSeq == verdict,
+      "both verdict sides (reference + latest) must come from the sidecar alone")
+  }
 }

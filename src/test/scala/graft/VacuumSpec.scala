@@ -258,32 +258,52 @@ class VacuumSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("ivfartvac").toString
     Ann.ivfIndexBuild((100 until 140).map(i => (i.toLong, vec(i)))
       .toDF("cid", "cvec"), dir, cents)
-    // a broad append re-owns every cbucket (40 ids over 4 cbuckets —
-    // deterministic under the fixed hash; the precondition is asserted)
+    // appends ACCRETE the cidmap (round 17), so a live-cells-dead-cidmap
+    // version now arises from CONSOLIDATION: append two vectors whose
+    // cids share ONE cbucket but land in DIFFERENT cells (found under
+    // the index's own hash/assignment, precondition asserted), then
+    // id-only-delete one of them — its cbucket (v2's ONLY cidmap
+    // partition) consolidates into v3 while the other vector's cell
+    // keeps v2's cells subtree live.
+    val cand = graft.operators.Ann
+      .assignCells((200L until 300L).map(i => (i, vec(i.toInt)))
+        .toDF("cid", "cvec"), cents)
+      .select(col("cid"), col("cell"),
+        pmod(xxhash64(col("cid")), lit(4)).cast("int").as("cb"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val pair = cand.flatMap(a => cand.map(a -> _)).find { case (a, b) =>
+      a._1 < b._1 && a._3 == b._3 && a._2 != b._2 }.map(p => (p._1._1, p._2._1))
+    assert(pair.nonEmpty, "precondition: need two cids sharing a cbucket, different cells")
+    val (keep, drop) = pair.get
     Ann.ivfIndexAppend(spark, dir,
-      (200 until 240).map(i => (i.toLong, vec(i))).toDF("cid", "cvec"))
+      Seq((keep, vec(keep.toInt)), (drop, vec(drop.toInt))).toDF("cid", "cvec"))
     val m = Ann.readIvfManifest(spark, dir)
-    assert(m.cidVersions.values.toSet == Set(2L),
-      s"precondition: the append must re-own all cbuckets, got ${m.cidVersions}")
+    assert(m.cidVersions.count { case (_, vs) => vs.contains(2L) } == 1,
+      s"precondition: the append must accrete exactly one cbucket, got ${m.cidVersions}")
+    Ann.ivfIndexDeleteByIds(spark, dir, Seq(drop).toDF("cid"))
+    val m3 = Ann.readIvfManifest(spark, dir)
+    assert(!m3.cidVersions.values.flatten.toSet.contains(2L),
+      s"precondition: the consolidation must supersede v2's cidmap, got ${m3.cidVersions}")
+    assert(m3.cellVersions.values.flatten.toSet.contains(2L),
+      s"precondition: the kept vector's cell must keep v2's cells live")
     val q = (0 until 3).map(i => (i.toLong, vec(i + 500))).toDF("qid", "qvec")
     def serve() = Ann.ivfServedTopK(spark, dir, q, k = 5, nprobe = 2)
       .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
     val before = serve()
-    // v1's cells are live member data (appends accrete); v1's cidmap is
-    // fully superseded — without the artifact pass one live version dir
-    // would pin the dead reverse-map mass forever
-    assert(Ann.ivfVacuum(spark, dir, graceVersions = 0L) == Seq(1L))
-    assert(dataVersions(dir) == Set(1L, 2L))
-    assert(new java.io.File(s"$dir/data/1/cells").exists,
+    // v2's cells are live member data; v2's cidmap is fully superseded —
+    // without the artifact pass one live version dir would pin the dead
+    // reverse-map mass forever
+    assert(Ann.ivfVacuum(spark, dir, graceVersions = 0L).contains(2L))
+    assert(new java.io.File(s"$dir/data/2/cells").exists,
       "live member files must survive the artifact pass")
-    assert(!new java.io.File(s"$dir/data/1/cidmap").exists,
+    assert(!new java.io.File(s"$dir/data/2/cidmap").exists,
       "the superseded reverse-map subtree must be reclaimed")
     assert(serve() == before)
     // the reverse map still locates: an id-only takedown off the
     // vacuumed index equals the rebuild over the remainder
-    Ann.ivfIndexDeleteByIds(spark, dir, Seq(100L, 210L).toDF("cid"))
+    Ann.ivfIndexDeleteByIds(spark, dir, Seq(100L, keep).toDF("cid"))
     val dirU = Files.createTempDirectory("ivfartvacU").toString
-    Ann.ivfIndexBuild(((101 until 140) ++ (200 until 210) ++ (211 until 240))
+    Ann.ivfIndexBuild((101 until 140)
       .map(i => (i.toLong, vec(i))).toDF("cid", "cvec"), dirU, cents)
     def cellsOf(d: String) = Ann.readIvfCells(spark, d)
       .select(col("cid"), col("cell")).collect()

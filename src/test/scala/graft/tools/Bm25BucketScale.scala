@@ -94,7 +94,8 @@ object Bm25BucketScale {
       val postingsKb = mPre.bucketVersions.toSeq.flatMap { case (b, vs) =>
         vs.map(v => dirBytes(s"$dir/data/$v/postings/bucket=$b")) }.sum / 1024
       val docmapKb = mPre.docVersions.toSeq
-        .map { case (k, v) => dirBytes(s"$dir/data/$v/docmap/dbucket=$k") }
+        .flatMap { case (k, vs) =>
+          vs.map(v => dirBytes(s"$dir/data/$v/docmap/dbucket=$k")) }
         .sum / 1024
       val delIdsT = time(graft.operators.Bm25.deleteByIds(spark, dir,
         batch.select(col("doc_id")), "doc_id"))
@@ -151,10 +152,18 @@ object Bm25BucketScale {
           broadBatch.select(col("doc_id")), "doc_id")
         t
       })
+      // the round-17 reverse-map receipt: one more append, then measure
+      // the bytes IT wrote under its own data version — docmap included.
+      // Accretive maps write batch rows only, so docmap_kb must stay
+      // FLAT as the index grows 8× (the old rewrite-on-append model
+      // paid ~N/B existing rows per touched dbucket — index-bound)
+      graft.operators.Bm25.appendToIndex(spark, dir, broadBatch, "doc_id", "text")
       val mA = graft.operators.Bm25.readManifest(spark, dir)
+      val postKbA = dirBytes(s"$dir/data/${mA.version}/postings") / 1024
+      val docmapKbA = dirBytes(s"$dir/data/${mA.version}/docmap") / 1024
       println(f"bm25_append_scale corpus=$n%6d index_kb=$indexKb%7d " +
-        f"append=$appendT%5.2fs (batch-bounded at any index size)")
-      val _ = mA
+        f"append=$appendT%5.2fs postings_kb=$postKbA%5d docmap_kb=$docmapKbA%5d " +
+        f"(batch-bounded at any index size)")
     }
     // read-amplification: five accreted appends, then one compact
     locally {
