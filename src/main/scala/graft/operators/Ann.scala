@@ -609,10 +609,17 @@ object Ann extends Serializable {
     * `cellVersions` and the BM25 docmap's dbuckets — an append writes
     * only its batch's rows; delete/upsert consolidate, compact
     * collapses; empty for a pre-cidmap legacy dir, whose id-only
-    * takedowns fall back to the full cells scan). */
+    * takedowns fall back to the full cells scan). `cellstats` marks
+    * the per-(version, cell) DRIFT-STATS sidecar (member count + the
+    * BIGINT fixed-point cosine sum vs the committed centroids — the
+    * termstats/bandstats discipline applied to the drift alarm):
+    * present on every dir this code builds; a pre-sidecar dir
+    * recomputes drift from the full cells scan, the documented legacy
+    * price until a rebuild. */
   final case class IvfManifest(version: Long, cells: Int, centroidsVersion: Long,
       cellVersions: Map[Int, Seq[Long]], txns: Map[String, Long] = Map.empty,
-      cidVersions: Map[Int, Seq[Long]] = Map.empty)
+      cidVersions: Map[Int, Seq[Long]] = Map.empty,
+      cellstats: Boolean = false)
 
   private def renderIvfManifest(m: IvfManifest): String = {
     val cv = m.cellVersions.toSeq.sortBy(_._1)
@@ -620,8 +627,9 @@ object Ann extends Serializable {
     val dv = if (m.cidVersions.isEmpty) ""
       else "cidVersions=" + m.cidVersions.toSeq.sortBy(_._1)
         .map { case (b, vs) => s"$b:${vs.mkString("|")}" }.mkString(",") + "\n"
+    val cs = if (m.cellstats) "cellstats=1\n" else ""
     s"version=${m.version}\ncells=${m.cells}\n" +
-      s"centroids=${m.centroidsVersion}\ncellVersions=$cv\n" + dv +
+      s"centroids=${m.centroidsVersion}\ncellVersions=$cv\n" + dv + cs +
       ManifestIO.renderTxns(m.txns)
   }
 
@@ -637,8 +645,10 @@ object Ann extends Serializable {
       val Array(b, vs) = e.split(":")
       b.toInt -> vs.split("\\|").map(_.toLong).toSeq
     }.toMap).getOrElse(Map.empty[Int, Seq[Long]])
+    // cellstats is OPTIONAL: a pre-sidecar manifest parses to false and
+    // drift falls back to the full cells scan
     IvfManifest(kv("version").toLong, kv("cells").toInt, kv("centroids").toLong, cv,
-      ManifestIO.parseTxns(kv), dv)
+      ManifestIO.parseTxns(kv), dv, kv.get("cellstats").contains("1"))
   }
 
   /** The committed manifest — every reader's one CURRENT read. */
@@ -772,6 +782,40 @@ object Ann extends Serializable {
     ManifestIO.partitionIds(spark, s"$dir/data/$ver/cidmap", "cbucket=")
   }
 
+  /** Derive one tick's DRIFT-STATS sidecar from its JUST-WRITTEN cells
+    * (read-back, the termstats/bandstats discipline): one
+    * (cell, n, sum_cos_fp) row per cell the version wrote — the member
+    * count and the order-independent BIGINT sum of floor(cos·10⁶) vs
+    * the manifest's committed centroids, exactly the per-row quantity
+    * [[ivfGeometryDrift]] folds. Per-CELL granularity (not one row per
+    * version) because a later delete can supersede SOME of a version's
+    * cells: the drift read aggregates only the (version, cell) pairs
+    * the manifest still references, so partially superseded versions
+    * report exactly their live mass. With the sidecar, the
+    * `driftEvery` alarm cadence ([[graft.streaming.IndexMaintain
+    * .ivfSink]]) pays a cells-COUNT-sized read per tick instead of
+    * scanning every committed vector. No-op when the version wrote no
+    * cells. */
+  private def writeCellstats(spark: SparkSession, dir: String, ver: Long,
+      cents: Array[Array[Float]]): Unit = {
+    import spark.implicits._
+    val cellsDir = s"$dir/data/$ver/cells"
+    if (ManifestIO.partitionIds(spark, cellsDir, "cell=").nonEmpty) {
+      val centDf = cents.toSeq.zipWithIndex
+        .map { case (cv, c) => (c, cv.toSeq) }.toDF("cell", "centvec")
+      spark.read.parquet(cellsDir)
+        .select(col("cell").cast("int").as("cell"), col("cvec"))
+        .join(broadcast(centDf), "cell")
+        .select(col("cell"),
+          floor(cosine(col("cvec"), col("centvec")) * lit(1000000.0)).cast("long")
+            .as("cos_fp"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("cos_fp")).as("sum_cos_fp"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/data/$ver/cellstats")
+    }
+  }
+
   /** BUILD (or offline rebuild) of the committed IVF index: assign the
     * corpus under `cents`, write the cell-partitioned inverted file and
     * the centroid artifact under a fresh data version, commit both with
@@ -801,9 +845,12 @@ object Ann extends Serializable {
       if (present.isEmpty) Map.empty[Int, Seq[Long]]
       else writeCidmap(spark, dir, ver, cents.length)
         .map(_ -> Seq(ver)).toMap
+    // the drift-stats sidecar rides every build (see [[writeCellstats]])
+    writeCellstats(spark, dir, ver, cents)
     ManifestIO.commit(spark, dir, ver,
       renderIvfManifest(
-        IvfManifest(ver, cents.length, ver, present, priorTxns, cidVers)))
+        IvfManifest(ver, cents.length, ver, present, priorTxns, cidVers,
+          cellstats = true)))
   }
 
   /** APPEND tick of the committed served-IVF lifecycle
@@ -868,12 +915,14 @@ object Ann extends Serializable {
       m.cidVersions ++ presentC.map(k =>
         k -> (m.cidVersions.getOrElse(k, Seq.empty) :+ newVer))
     } else m.cidVersions
+    // the drift-stats sidecar rides the same write (batch-sized)
+    if (m.cellstats) writeCellstats(spark, dir, newVer, cents)
     if (crashPoint == 1) return // simulated death: data written, nothing committed
     val newCells = m.cellVersions ++ touched.map(c =>
       c -> (m.cellVersions.getOrElse(c, Seq.empty) :+ newVer))
     val body = renderIvfManifest(
       IvfManifest(newVer, m.cells, m.centroidsVersion, newCells,
-        ManifestIO.mergeTxn(m.txns, txn), newCidVers))
+        ManifestIO.mergeTxn(m.txns, txn), newCidVers, m.cellstats))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return
@@ -967,6 +1016,9 @@ object Ann extends Serializable {
         (m.cidVersions -- candC) ++ presentD.map(_ -> Seq(newVer))
       }
     } else m.cidVersions
+    // the consolidated cells' drift stats (touched-cell-sized)
+    if (m.cellstats && touched.nonEmpty)
+      writeCellstats(spark, dir, newVer, cents)
     if (crashPoint == 1) return // simulated death: data written, nothing committed
     val present =
       if (touched.isEmpty) Set.empty[Int]
@@ -974,7 +1026,7 @@ object Ann extends Serializable {
     val newCells = (m.cellVersions -- touched) ++ present.map(_ -> Seq(newVer))
     val body = renderIvfManifest(
       IvfManifest(newVer, m.cells, m.centroidsVersion, newCells,
-        ManifestIO.mergeTxn(m.txns, txn), newCidVers))
+        ManifestIO.mergeTxn(m.txns, txn), newCidVers, m.cellstats))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return
@@ -1063,13 +1115,16 @@ object Ann extends Serializable {
         .partitionIds(spark, s"$dir/data/$newVer/cidmap", "cbucket=").toSet
       (m.cidVersions -- candC) ++ presentD.map(_ -> Seq(newVer))
     } else m.cidVersions
+    // the consolidated cells' drift stats (touched-cell-sized)
+    if (m.cellstats)
+      writeCellstats(spark, dir, newVer, readIvfCentroidsAt(spark, dir, m))
     if (crashPoint == 1) return // simulated death: data written, nothing committed
     val present =
       ManifestIO.partitionIds(spark, s"$dir/data/$newVer/cells", "cell=").toSet
     val newCells = (m.cellVersions -- touched) ++ present.map(_ -> Seq(newVer))
     val body = renderIvfManifest(
       IvfManifest(newVer, m.cells, m.centroidsVersion, newCells,
-        ManifestIO.mergeTxn(m.txns, txn), newCidVers))
+        ManifestIO.mergeTxn(m.txns, txn), newCidVers, m.cellstats))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return
@@ -1124,7 +1179,8 @@ object Ann extends Serializable {
       .partitionIds(spark, s"$dir/data/$newVer/cidmap", "cbucket=")
     ManifestIO.commit(spark, dir, newVer,
       renderIvfManifest(IvfManifest(newVer, m.cells, m.centroidsVersion,
-        m.cellVersions, m.txns, presentD.map(_ -> Seq(newVer)).toMap)))
+        m.cellVersions, m.txns, presentD.map(_ -> Seq(newVer)).toMap,
+        m.cellstats)))
     true
   }
 
@@ -1241,13 +1297,15 @@ object Ann extends Serializable {
         .partitionIds(spark, s"$dir/data/$newVer/cidmap", "cbucket=").toSet
       (m.cidVersions -- candC) ++ presentD.map(_ -> Seq(newVer))
     } else m.cidVersions
+    // the rewritten cells' drift stats (touched-cell-sized)
+    if (m.cellstats) writeCellstats(spark, dir, newVer, cents)
     if (crashPoint == 1) return // simulated death: data written, nothing committed
     val present = ManifestIO
       .partitionIds(spark, s"$dir/data/$newVer/cells", "cell=").toSet
     val newCells = (m.cellVersions -- touched) ++ present.map(_ -> Seq(newVer))
     val body = renderIvfManifest(
       IvfManifest(newVer, m.cells, m.centroidsVersion, newCells,
-        ManifestIO.mergeTxn(m.txns, txn), newCidVers))
+        ManifestIO.mergeTxn(m.txns, txn), newCidVers, m.cellstats))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return
@@ -1302,12 +1360,17 @@ object Ann extends Serializable {
     // ONE file per cell: without it the rewrite inherits the read's
     // parallelism and each cell still fans out over every task that
     // held its rows — compaction exists to kill exactly that
-    if (picked.nonEmpty)
+    if (picked.nonEmpty) {
       readIvfCellsAt(spark, dir, m, Some(picked.toSet))
         .select(col("cid"), col("cvec"), col("cell"))
         .repartition(col("cell"))
         .write.partitionBy("cell").mode("overwrite")
         .parquet(s"$dir/data/$newVer/cells")
+      // the compacted cells' drift stats (a pure physical rewrite —
+      // the recount equals the superseded versions' sums)
+      if (m.cellstats)
+        writeCellstats(spark, dir, newVer, readIvfCentroidsAt(spark, dir, m))
+    }
     if (pickedC.nonEmpty)
       readIvfCidmapAt(spark, dir, m, Some(pickedC.toSet))
         .select(col("cid"), col("cell"), col("cbucket"))
@@ -1327,7 +1390,7 @@ object Ann extends Serializable {
     val newCidVers = (m.cidVersions -- pickedC) ++ presentC.map(_ -> Seq(newVer))
     val body = renderIvfManifest(
       IvfManifest(newVer, m.cells, m.centroidsVersion, newCells,
-        ManifestIO.mergeTxn(m.txns, None), newCidVers))
+        ManifestIO.mergeTxn(m.txns, None), newCidVers, m.cellstats))
     if (crashPoint == 2) {
       ManifestIO.writeManifestOnly(spark, dir, newVer, body)
       return Seq.empty
@@ -1367,8 +1430,11 @@ object Ann extends Serializable {
     // the three artifacts supersede INDEPENDENTLY (the Bm25.vacuumIndex
     // rationale): cells by rebuild/delete/compact, centroids by rebuild
     // only, cidmap cbuckets by every append/delete
+    // the drift-stats sidecar mirrors the cells' versions exactly
+    // (same ticks), so the same reference set scopes both
     val arts = ManifestIO.vacuumArtifacts(spark, dir, m.version,
-      Map("cells" -> cellRefs, "centroids" -> centRefs, "cidmap" -> cidRefs),
+      Map("cells" -> cellRefs, "centroids" -> centRefs, "cidmap" -> cidRefs,
+        "cellstats" -> cellRefs),
       graceVersions, graceMillis)
     val whole = ManifestIO.vacuum(spark, dir, m.version,
       cellRefs ++ centRefs ++ cidRefs + m.version, graceVersions, graceMillis)
@@ -1394,8 +1460,13 @@ object Ann extends Serializable {
     * Determinism: each member contributes floor(cos·10⁶) as BIGINT —
     * an order-independent integer sum (double sums through groupBy are
     * accumulation-order-dependent); `mean_cos_fp` is BIGINT integral
-    * division. Scale shape: one scan of the committed cells, shuffling
-    * only (version, cos_fp) aggregates; centroids broadcast. */
+    * division. Scale shape (round 17): on a sidecar'd index the whole
+    * report derives from the cells-COUNT-sized drift-stats artifact
+    * ([[writeCellstats]] — per-(version, cell) partial sums written by
+    * every cells-writing tick), so the `driftEvery` alarm cadence
+    * never scans a committed vector; a pre-sidecar legacy dir pays one
+    * cells scan shuffling only (version, cos_fp) aggregates, centroids
+    * broadcast — the documented legacy price until a rebuild. */
   def ivfGeometryDrift(spark: SparkSession, dir: String): DataFrame =
     ivfGeometryDriftAt(spark, dir, readIvfManifest(spark, dir))
 
@@ -1406,7 +1477,6 @@ object Ann extends Serializable {
   private def ivfGeometryDriftAt(spark: SparkSession, dir: String,
       m: IvfManifest): DataFrame = {
     import spark.implicits._
-    val cents = readIvfCentroidsAt(spark, dir, m)
     val byVer = m.cellVersions.toSeq
       .flatMap { case (c, vs) => vs.map(v => (v, c)) }
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -1418,20 +1488,41 @@ object Ann extends Serializable {
         org.apache.spark.sql.types.StructType.fromDDL(
           "version BIGINT, n_vectors BIGINT, sum_cos_fp BIGINT, mean_cos_fp BIGINT"))
     }
-    val members = byVer.map { case (v, cs) =>
-      spark.read.option("basePath", s"$dir/data/$v/cells")
-        .parquet(cs.map(_._2).sorted.map(c => s"$dir/data/$v/cells/cell=$c"): _*)
-        .select(lit(v).as("version"), col("cvec"),
-          col("cell").cast("int").as("cell"))
-    }.reduce(_ unionByName _)
-    val centDf = cents.toSeq.zipWithIndex
-      .map { case (cv, c) => (c, cv.toSeq) }.toDF("cell", "centvec")
-    val perRow = members.join(broadcast(centDf), "cell")
-      .select(col("version"),
-        floor(cosine(col("cvec"), col("centvec")) * lit(1000000.0)).cast("long")
-          .as("cos_fp"))
-    val agg = perRow.groupBy(col("version"))
-      .agg(count(lit(1)).as("n_vectors"), sum(col("cos_fp")).as("sum_cos_fp"))
+    // per-version (n, Σcos_fp): from the cells-COUNT-sized drift-stats
+    // sidecar when the index carries one (each version's per-cell
+    // partial sums, restricted to the cells the manifest still
+    // references — a later consolidation that superseded SOME of a
+    // version's cells drops exactly their rows); a pre-sidecar legacy
+    // dir recomputes them from the full committed cells, the
+    // documented legacy price. Identical integers either way: BIGINT
+    // partial sums are order-independent and additive.
+    val agg =
+      if (m.cellstats)
+        byVer.map { case (v, cs) =>
+          spark.read.parquet(s"$dir/data/$v/cellstats")
+            .filter(col("cell").isin(cs.map(_._2).map(Int.box): _*))
+            .select(lit(v).as("version"), col("n"), col("sum_cos_fp"))
+        }.reduce(_ unionByName _)
+          .groupBy(col("version"))
+          .agg(sum(col("n")).as("n_vectors"),
+            sum(col("sum_cos_fp")).as("sum_cos_fp"))
+      else {
+        val cents = readIvfCentroidsAt(spark, dir, m)
+        val members = byVer.map { case (v, cs) =>
+          spark.read.option("basePath", s"$dir/data/$v/cells")
+            .parquet(cs.map(_._2).sorted.map(c => s"$dir/data/$v/cells/cell=$c"): _*)
+            .select(lit(v).as("version"), col("cvec"),
+              col("cell").cast("int").as("cell"))
+        }.reduce(_ unionByName _)
+        val centDf = cents.toSeq.zipWithIndex
+          .map { case (cv, c) => (c, cv.toSeq) }.toDF("cell", "centvec")
+        members.join(broadcast(centDf), "cell")
+          .select(col("version"),
+            floor(cosine(col("cvec"), col("centvec")) * lit(1000000.0)).cast("long")
+              .as("cos_fp"))
+          .groupBy(col("version"))
+          .agg(count(lit(1)).as("n_vectors"), sum(col("cos_fp")).as("sum_cos_fp"))
+      }
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide}
     agg.select(col("version"), col("n_vectors"), col("sum_cos_fp"),
@@ -1460,7 +1551,8 @@ object Ann extends Serializable {
     * reference reports rebuild_due = false — geometry that bad needs a
     * human, not a threshold). A single-version index (nothing appended
     * yet) is its own reference: rebuild_due = false. Empty index →
-    * empty frame. One committed-cells scan, like the report. */
+    * empty frame. Reads the drift-stats sidecar like the report (a
+    * legacy dir pays the one cells scan). */
   def ivfDriftVerdict(spark: SparkSession, dir: String,
       rebuildDropPct: Int = 25): DataFrame = {
     require(rebuildDropPct >= 0 && rebuildDropPct < 100,

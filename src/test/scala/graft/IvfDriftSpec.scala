@@ -116,4 +116,37 @@ class IvfDriftSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$alarm/epoch=0")
       .select("rebuild_due").head().getBoolean(0))
   }
+
+  test("drift reads the cellstats sidecar, not the committed vectors (FS audit)") {
+    // round 17 (the minhash-occupancy discipline applied to the IVF
+    // alarm): ivfGeometryDrift / ivfDriftVerdict must derive from the
+    // per-(version, cell) drift-stats deltas — cells-COUNT-sized — so
+    // the driftEvery cadence never scans a committed vector.
+    // FILESYSTEM-level: every cells partition of every version is
+    // physically REMOVED and the answers are unchanged. A consolidation
+    // first (deleteByIds) pins that partially superseded versions
+    // report exactly their still-referenced mass.
+    val dir = Files.createTempDirectory("ivfdriftIo").toString
+    Ann.ivfIndexBuild(initial.toDF("cid", "cvec"), dir, cents)
+    Ann.ivfIndexAppend(spark, dir, appended.toDF("cid", "cvec"))
+    Ann.ivfIndexDeleteByIds(spark, dir,
+      Seq(100L, 12L).toDF("cid")) // consolidates two touched cells into v3
+    val report = Ann.ivfGeometryDrift(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val verdict = Ann.ivfDriftVerdict(spark, dir, rebuildDropPct = 25)
+      .collect().map(_.toSeq).toSeq
+    assert(report.nonEmpty)
+    val m = Ann.readIvfManifest(spark, dir)
+    assert(m.cellstats, "new indexes must carry the drift-stats sidecar")
+    val f = graft.operators.ManifestIO.fs(spark, dir)
+    m.cellVersions.values.flatten.toSet[Long].foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/data/$v/cells"), true)
+    }
+    assert(Ann.ivfGeometryDrift(spark, dir)
+      .collect().map(_.toSeq).toSeq == report,
+      "the drift report must come from the sidecar alone")
+    assert(Ann.ivfDriftVerdict(spark, dir, rebuildDropPct = 25)
+      .collect().map(_.toSeq).toSeq == verdict,
+      "the drift verdict must come from the sidecar alone")
+  }
 }
