@@ -633,7 +633,18 @@ object Bm25 {
     * construction (Σ_t df(t) = #(t, doc) pairs) and both columns stay
     * for the monitoring-schema contract. On a sidecar'd index the
     * whole row derives from the VOCABULARY-sized termstats artifact —
-    * no postings scan at all; a legacy dir pays one postings scan. */
+    * no postings scan at all; a legacy dir pays one postings scan.
+    *
+    * The vocabulary-sized read is this row's FLOOR, not an oversight
+    * (contrast the minhash occupancy / IVF drift verdicts, whose
+    * alarm reads went delta-sized in round 17): distinct_terms,
+    * max_df and pruned_terms are not decomposable into per-tick
+    * scalars — distinctness and max need the per-term aggregate, and
+    * the prune predicate compares every term's df against the
+    * CURRENT n, which moves with every tick. A deployment that wants
+    * a cheaper cadence should alarm on the delta-derivable pieces
+    * (n, sdl from the 1-row stats) and run this full row at a lower
+    * frequency. */
   def indexProfile(spark: SparkSession, dir: String): DataFrame = {
     val m = readManifest(spark, dir)
     val stats = readStatsAt(spark, dir, m).select(col("n"), col("sdl"))
