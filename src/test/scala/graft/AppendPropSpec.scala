@@ -67,6 +67,17 @@ class AppendPropSpec extends AnyFunSuite {
       def stats(dir: String) = Bm25.readStats(spark, dir)
         .select("n", "sdl").head().toSeq
       assert(stats(dirA) == stats(dirB), s"round $round")
+      // the ACCRETIVE reverse map (round 17) must equal the rebuild's
+      // too — including the zero-token docs' (dl = 0, empty tbuckets)
+      // rows, which only the docmap records
+      def docmap(dir: String) = {
+        import org.apache.spark.sql.functions._
+        Bm25.readDocmapAt(spark, dir, Bm25.readManifest(spark, dir))
+          .select(col("doc_id"), col("dl"),
+            array_sort(col("tbuckets")).as("tb"), col("dbucket"))
+          .collect().map(_.toSeq).toSet
+      }
+      assert(docmap(dirA) == docmap(dirB), s"round $round")
     }
   }
 
@@ -95,6 +106,19 @@ class AppendPropSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
       assert(cells(dirA) == cells(dirB) &&
         cells(dirA).size == base.size + batch.size, s"round $round")
+      // the ACCRETIVE reverse map (round 17) must equal the rebuild's
+      def cidmap(dir: String) = graft.operators.Ann.readIvfCidmap(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(cidmap(dirA) == cidmap(dirB), s"round $round")
+      // and the drift-stats sidecar reproduces the rebuild's per-cell
+      // sums once re-aggregated (versions differ; the totals may not)
+      def drift(dir: String) = {
+        import org.apache.spark.sql.functions._
+        graft.operators.Ann.ivfGeometryDrift(spark, dir)
+          .agg(sum(col("n_vectors")), sum(col("sum_cos_fp")))
+          .head().toSeq
+      }
+      assert(drift(dirA) == drift(dirB), s"round $round")
       val q = vecs(4, seed = 200 + round, idBase = 5000L).toDF("qid", "qvec")
       def serve(dir: String) = graft.operators.Ann
         .ivfServedTopK(spark, dir, q, k = 5, nprobe = 2)
