@@ -73,9 +73,12 @@ object MinhashIndex {
     * the full fan-out; [[buildBands]] migrates). `bandstats` marks the
     * band-OCCUPANCY sidecar (per-tick (band, bucket) count deltas — the
     * [[Bm25]] termstats discipline applied to monitoring): present on
-    * every dir this code builds/migrates; a pre-sidecar banded dir
-    * recomputes occupancy from the full band artifact, the documented
-    * legacy price until a rebuild or [[buildBands]]. */
+    * every dir this code builds (and on [[buildBands]]-migrated dirs,
+    * whose band artifact is born with it); a dir BANDED before the
+    * sidecar existed recomputes occupancy from the full band artifact
+    * until a REBUILD — the sidecar's versions must mirror the band
+    * artifact's, and retrofitting files into committed version dirs
+    * would break their immutability (the termstats upgrade rule). */
   final case class Manifest(version: Long, buckets: Int, n: Int,
       bands: Int, rowsPerBand: Int, bucketVersions: Map[Int, Seq[Long]],
       txns: Map[String, Long] = Map.empty,
