@@ -799,9 +799,11 @@ object Corpus {
   /** Build-then-DELETE-BY-IDS cache backing [[t57Bm25DeleteIds]]: index
     * built on the FULL corpus, then the doc_id % 7 = 3 slice removed by
     * the ID-ONLY takedown tick ([[Bm25.deleteByIds]]) — the real
-    * opt-out feed shape (no text): one full postings scan locates the
-    * ids, only buckets that held their rows rewrite, and the stats
-    * roll derives from the index itself. */
+    * opt-out feed shape (no text): the victims' term buckets are
+    * located through the doc→bucket reverse map (read ≤ |ids| dbucket
+    * dirs — no postings scan; the full-scan path survives only for
+    * pre-docmap legacy dirs), only buckets that held their rows
+    * rewrite, and the stats roll derives from the index itself. */
   private val bm25DeleteIdsCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -831,6 +833,51 @@ object Corpus {
     val remaining = Tables.documents(s, d).filter(col("doc_id") % 7 =!= 3)
     Bm25.serveTopK(s, bm25DeletedByIdsIndex(s, d),
         bm25Queries(remaining, 100, 33, Seq(1, 5, 9)), k = 6)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Build → ACCRETIVE append → DELETE-BY-IDS chain cache backing
+    * [[t63Bm25TakedownChain]]: the index is built on doc_id % 3 ≠ 2,
+    * grown by the accretive append tick (% 3 = 2 — the touched
+    * dbuckets' docVersions lists hold TWO contributing versions at
+    * that point), then the doc_id % 7 = 3 slice is removed by the
+    * id-only takedown, which must locate every victim's term buckets
+    * through the MULTI-VERSION reverse map (round 17's accretive
+    * docmap) and consolidate the touched dbuckets back to one
+    * version. */
+  private val bm25ChainCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def bm25ChainIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25ChainCache.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d)
+      val dir = s"/tmp/graft_bm25_chain_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Bm25.buildIndex(docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", dir)
+      Bm25.appendToIndex(s, dir, docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text")
+      Bm25.deleteByIds(s, dir,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
+      dir
+    })
+
+  /** The accretive-docmap TAKEDOWN CHAIN — t50's append followed by
+    * t57's id-only delete on ONE standing index: at delete time the
+    * touched dbuckets are multi-version lists (the round-17 accretive
+    * model), so the locate must read the reverse map FUSED across
+    * contributing versions and the consolidation must collapse them
+    * without losing either version's rows. t57 pins the takedown on a
+    * single-version docmap; this row pins it on an accreted one —
+    * through the driver's DuckDB gate, not only ReverseMapSpec. The
+    * oracle is the one-shot index over the corpus MINUS the deleted
+    * slice (chain == rebuild). */
+  val t63Bm25TakedownChain: Q = Q(
+    "t63_bm25_takedown_chain",
+    bm25BatchSql(mod = 100, rem = 41, positions = Seq(2, 5, 7), k = 6,
+      corpusWhere = "doc_id % 7 <> 3")) { (s, d) =>
+    val remaining = Tables.documents(s, d).filter(col("doc_id") % 7 =!= 3)
+    Bm25.serveTopK(s, bm25ChainIndex(s, d),
+        bm25Queries(remaining, 100, 41, Seq(2, 5, 7)), k = 6)
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1303,5 +1350,5 @@ object Corpus {
     t38StratifiedEval, t40Bm25Batch, t41Bm25Served, t48HybridRrf,
     t50Bm25Append, t51HybridServed, t53MixtureRates, t54HybridIndexed,
     t55Bm25Profile, t56Bm25Delete, t57Bm25DeleteIds, t59Bm25Upsert,
-    t60Bm25Cdc, t61Bm25Version)
+    t60Bm25Cdc, t61Bm25Version, t63Bm25TakedownChain)
 }

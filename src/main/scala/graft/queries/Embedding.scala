@@ -1229,10 +1229,67 @@ object Embedding {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Build → ACCRETIVE append → DELETE-BY-IDS chain cache backing
+    * [[v26IvfTakedownChain]]: the committed index is built (and its
+    * centroids trained) on vec_id ≥ [[AppendSplit]], grown by the
+    * accretive append tick ([NumQueries, AppendSplit) — the touched
+    * cbuckets' cidVersions lists hold TWO contributing versions at
+    * that point), then the vec_id % 11 = 7 slice is removed by the
+    * id-only takedown ([[graft.operators.Ann.ivfIndexDeleteByIds]]),
+    * which must locate every victim's cells through the MULTI-VERSION
+    * reverse map (round 17's accretive cidmap) and consolidate. */
+  private val ivfChainCache = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+
+  private def ivfChainIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ivfChainCache.getOrElseUpdate(d, {
+      val e = Tables.embeddings(s, d)
+      val initial = e.filter(col("vec_id") >= AppendSplit)
+      val numCells = 16
+      val init = Ann.kmeansParallelInit(initial, "vec_id", "embedding", numCells)
+      val cents = Ann.kmeansCentroids(initial, "embedding", init, iters = 5)
+      val dir = s"/tmp/graft_ivf_chain_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Ann.ivfIndexBuild(initial.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec")), dir, cents)
+      Ann.ivfIndexAppend(s, dir,
+        e.filter(col("vec_id") >= NumQueries && col("vec_id") < AppendSplit)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+      Ann.ivfIndexDeleteByIds(s, dir,
+        e.filter(col("vec_id") % 11 === 7 && col("vec_id") >= NumQueries)
+          .select(col("vec_id").as("cid")))
+      dir
+    })
+
+  /** The accretive-cidmap TAKEDOWN CHAIN — v19's append followed by an
+    * id-only delete on ONE standing index: at delete time the touched
+    * cbuckets are multi-version lists (the round-17 accretive model),
+    * so the locate must read the reverse map FUSED across contributing
+    * versions and the consolidation must collapse them without losing
+    * either version's rows. v22 pins the takedown on a single-version
+    * cidmap; this row pins it on an accreted one — through the
+    * driver's DuckDB gate, not only ReverseMapSpec. The oracle replays
+    * the serve over the union corpus MINUS the deleted slice from the
+    * persisted geometry (chain == rebuild). */
+  val v26IvfTakedownChain: Q = Q(
+    "v26_ivf_takedown_chain",
+    ivfServeSql("v26_centroids", nprobe = 12,
+      corpusWhere = s"e.vec_id >= $NumQueries AND e.vec_id % 11 <> 7")) { (s, d) =>
+    val dir = ivfChainIndex(s, d)
+    writeCentroids(s, "v26_centroids", Ann.readIvfCentroids(s, dir))
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.ivfServedTopK(s, dir, queries, K, nprobe = 12)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,
     v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
     v9KnnPq, v10KnnIvfPq, v11IvfServed, v12IvfPqServed, v13KnnLshAmplified,
     v14SemDedup, v15HardNegatives, v16KnnSq8, v17RandomProjection,
     v18ClusterSample, v19IvfAppend, v20VecClusters, v21IvfDrift,
-    v22IvfDelete, v23IvfDriftVerdict, v24IvfCompact, v25IvfUpsert)
+    v22IvfDelete, v23IvfDriftVerdict, v24IvfCompact, v25IvfUpsert,
+    v26IvfTakedownChain)
 }
