@@ -120,6 +120,99 @@ private[graft] object ManifestIO {
     (v, readText(f, new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.txt")))
   }
 
+  // ───────────────────────── writer lease ─────────────────────────
+  //
+  // The lost-update guards above DETECT a violated single-writer
+  // discipline; the lease primitives below let [[WriterLease]] ENFORCE
+  // it — concurrent well-meaning writers serialize instead of dying on
+  // the guard (and, worse, instead of a concurrent vacuum reclaiming
+  // another writer's in-flight uncommitted data dir). Readers never
+  // touch the lock.
+
+  private val LockName = "WRITER_LOCK"
+
+  /** Acquire `dir`'s writer lease: an atomic create-if-absent of
+    * `WRITER_LOCK` holding a fresh random token (an atomic NameNode op
+    * on HDFS; the O_EXCL equivalent on the POSIX local FS). A lock
+    * whose mtime is older than `leaseMs` belongs to a DEAD writer
+    * (live holders renew) and is taken over by renaming it to a
+    * token-unique tomb — rename succeeds for exactly one contender,
+    * so the takeover itself cannot race. Waits up to `waitMs` for a
+    * live holder, then fails loudly. Returns the holder token. */
+  private[graft] def acquireLease(spark: SparkSession, dir: String,
+      leaseMs: Long, waitMs: Long): String = {
+    require(leaseMs > 0, "leaseMs must be positive")
+    val f = fs(spark, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/$LockName")
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + waitMs
+    var backoff = 20L
+    while (true) {
+      f.mkdirs(dirPath)
+      // create-if-absent: the acquire. On HDFS, create(path, false) is
+      // one atomic NameNode op. The LOCAL FileSystem's create is
+      // check-then-create (NOT atomic — simultaneous contenders all
+      // pass the exists check and double-admit), so the file scheme
+      // takes java.io.File.createNewFile, the POSIX O_CREAT|O_EXCL
+      // atom; the token lands right after (the reserved-but-empty
+      // window reads as a token mismatch, which every reader treats
+      // as "not mine" — safe).
+      val acquired =
+        if (f.getUri.getScheme == "file") {
+          new java.io.File(lock.toUri.getPath).createNewFile()
+        } else {
+          try { f.create(lock, false).close(); true }
+          catch { case _: java.io.IOException => false }
+        }
+      if (acquired) {
+        writeText(f, lock, token)
+        return token
+      }
+      val heldSince = try {
+        Some(f.getFileStatus(lock).getModificationTime)
+      } catch { case _: java.io.IOException => None } // released mid-check
+      heldSince.foreach { t =>
+        if (System.currentTimeMillis() - t > leaseMs) {
+          val tomb = new org.apache.hadoop.fs.Path(s"$dir/$LockName.usurped.$token")
+          if (f.rename(lock, tomb)) f.delete(tomb, false)
+        }
+      }
+      if (System.currentTimeMillis() >= deadline)
+        throw new IllegalStateException(
+          s"writer lease at $dir still held after $waitMs ms — a live " +
+            "writer is mid-tick (its heartbeat is younger than " +
+            s"$leaseMs ms); retry later or raise waitMs")
+      Thread.sleep(backoff)
+      backoff = math.min(200L, backoff * 2)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Heartbeat: refresh the lock's mtime iff `token` still holds it.
+    * False = usurped — the polite early exit for a tick that overran
+    * its lease (its commit would die on the lost-update guard anyway;
+    * the guard stays the last line of defense). */
+  private[graft] def renewLease(spark: SparkSession, dir: String,
+      token: String): Boolean = {
+    val f = fs(spark, dir)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/$LockName")
+    try {
+      if (readText(f, lock) != token) false
+      else { f.setTimes(lock, System.currentTimeMillis(), -1); true }
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Release iff `token` still holds the lock — a holder that overran
+    * its lease and was usurped must NOT delete the usurper's lock. */
+  private[graft] def releaseLease(spark: SparkSession, dir: String,
+      token: String): Unit = {
+    val f = fs(spark, dir)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/$LockName")
+    try { if (readText(f, lock) == token) f.delete(lock, false) }
+    catch { case _: java.io.IOException => () }
+  }
+
   /** TIME-TRAVEL read: the manifest body of a COMMITTED historical
     * version — the Delta/Iceberg `VERSION AS OF` primitive the
     * versioned layout already pays for. Only versions ≤ the committed

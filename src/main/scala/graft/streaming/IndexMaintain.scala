@@ -26,8 +26,26 @@ import graft.operators.{Ann, Bm25, MinhashIndex}
   * txnAppId) and epochs per appId monotone, which batchId is.
   *
   * Single writer per index dir, as everywhere in the lifecycle: one
-  * maintenance stream per index. */
+  * maintenance stream per index. A deployment that must share the dir
+  * with OTHER writers — an external compaction job, a manual backfill
+  * — wraps its sink in [[leased]] (and wraps those jobs' ticks in
+  * [[graft.operators.WriterLease.withLease]]) so the writers
+  * serialize instead of dying on the commit protocol's lost-update
+  * guard. */
 object IndexMaintain {
+
+  /** Wrap any sink body in the index dir's WRITER LEASE
+    * ([[graft.operators.WriterLease]]) — the mixed-deployment form:
+    * `leased(dir)(bm25Sink(dir, …))` makes each micro-batch tick
+    * acquire the dir's `WRITER_LOCK` before writing and release it
+    * after, serializing against any other leased writer on the same
+    * dir. Single-stream deployments don't need it (the stream IS the
+    * single writer); it costs two filesystem ops per tick when used. */
+  def leased(dir: String, leaseMs: Long = 600000L, waitMs: Long = 60000L)(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, epoch) =>
+      graft.operators.WriterLease.withLease(batch.sparkSession, dir,
+        leaseMs, waitMs) { _ => sink(batch, epoch) }
 
   /** True when epoch `epoch` is a maintenance-cadence tick (vacuum or
     * monitoring) under cadence `every` (0 = off). Epoch-keyed, so a
