@@ -1285,11 +1285,36 @@ object Embedding {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** TIME-TRAVEL serve on the committed IVF index
+    * ([[graft.operators.Ann.ivfServedTopKVersion]] — t61's sibling,
+    * previously pinned only by TimeTravelSpec): v26's chain dir holds
+    * the build (v1), the accretive append (v2 — the touched cells'
+    * manifest lists are [1, 2]) and the takedown (v3); this row serves
+    * AS OF version 2 — yesterday's index, after today's takedown
+    * already committed — so the serve must plan from the HISTORICAL
+    * manifest's own accreted cell lists, not CURRENT's consolidated
+    * ones. The oracle replays the serve over the FULL union corpus
+    * (the pre-delete membership) from the persisted geometry: a
+    * deleted vector missing from the historical serve, or a CURRENT
+    * list leaking in, breaks the hash. */
+  val v27IvfVersion: Q = Q(
+    "v27_ivf_version",
+    ivfServeSql("v27_centroids", nprobe = 12,
+      corpusWhere = s"e.vec_id >= $NumQueries")) { (s, d) =>
+    val dir = ivfChainIndex(s, d)
+    writeCentroids(s, "v27_centroids", Ann.readIvfCentroids(s, dir))
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.ivfServedTopKVersion(s, dir, 2L, queries, K, nprobe = 12)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(v1KnnBrute, v2KnnLsh, v3VectorNorms, v4KnnIvf,
     v5CosineNearDup, v6NearDupLsh, v7KnnIvfTrained, v8KnnLshMultiprobe,
     v9KnnPq, v10KnnIvfPq, v11IvfServed, v12IvfPqServed, v13KnnLshAmplified,
     v14SemDedup, v15HardNegatives, v16KnnSq8, v17RandomProjection,
     v18ClusterSample, v19IvfAppend, v20VecClusters, v21IvfDrift,
     v22IvfDelete, v23IvfDriftVerdict, v24IvfCompact, v25IvfUpsert,
-    v26IvfTakedownChain)
+    v26IvfTakedownChain, v27IvfVersion)
 }
