@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{ManifestIO, WriterLease}
@@ -103,6 +104,47 @@ class LeaseSpec extends AnyFunSuite {
       "token-guarded release: the usurped holder must leave the usurper's lock")
     ManifestIO.releaseLease(spark, dir, second)
     assert(!lockFile(dir).exists())
+  }
+
+  test("two leased BM25 append ticks serialize end-to-end: both commit, serve == rebuild") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lease_e2e").toString
+    val base = (0 until 20).map(i => (i.toLong, s"w${i % 5} common"))
+    graft.operators.Bm25.buildIndex(base.toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    // two concurrent writers, disjoint batches: WITHOUT the lease this
+    // interleaving dies on the commit protocol's lost-update guard
+    // (both ticks pin version 1 and race for slot 2); WITH it the
+    // second acquirer re-reads the first's commit and lands on slot 3
+    val batches = Seq(
+      (100 until 110).map(i => (i.toLong, s"w${i % 5} fresh common")),
+      (200 until 210).map(i => (i.toLong, s"w${i % 5} fresh common")))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = batches.map { b =>
+      new Thread(() =>
+        try WriterLease.withLease(spark, dir, leaseMs = 120000L,
+          waitMs = 120000L) { _ =>
+          graft.operators.Bm25.appendToIndex(spark, dir,
+            b.toDF("doc_id", "text"), "doc_id", "text")
+        } catch { case t: Throwable => failures.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(180000))
+    assert(failures.isEmpty, s"both leased ticks must commit: ${failures.peek()}")
+    assert(graft.operators.Bm25.readManifest(spark, dir).version == 3L,
+      "two serialized ticks = two committed versions after the build")
+    // end state == the one-shot rebuild over the union
+    val union = base ++ batches.flatten
+    val refDir = Files.createTempDirectory("lease_e2e_ref").toString
+    graft.operators.Bm25.buildIndex(union.toDF("doc_id", "text"),
+      "doc_id", "text", refDir)
+    val q = Seq((1L, "common"), (2L, "fresh"), (3L, "w3")).toDF("qid", "term")
+    val got = graft.operators.Bm25.serveTopK(spark, dir, q, k = 5)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    val want = graft.operators.Bm25.serveTopK(spark, refDir, q, k = 5)
+      .orderBy(col("qid"), col("rank")).collect().toSeq
+    assert(got == want, "serialized concurrent appends must equal the rebuild")
   }
 
   test("a throwing tick still releases; leased() serializes sink ticks") {
