@@ -1399,6 +1399,53 @@ object Ann extends Serializable {
     picked
   }
 
+  /** EXPORT (deep clone) of the committed IVF index AS OF `version`
+    * (default CURRENT, -1) into the FRESH dir `destDir` — the
+    * [[graft.operators.Bm25.exportIndex]] verb on the vector family:
+    * copy exactly the referenced per-(version, cell) partitions, the
+    * cid→cell reverse-map partitions, the drift-stats sidecar and the
+    * trained centroids, publish the manifest body verbatim. Same
+    * contract: deep (the clone owns its files), bit-identical serves,
+    * tick-able thereafter, dead history never crosses, copy IO
+    * referenced-file-bound. See the BM25 scaladoc for the full
+    * rationale; ExportSpec pins all three families. */
+  def ivfIndexExport(spark: SparkSession, srcDir: String, destDir: String,
+      version: Long = -1L): Long = {
+    val ver =
+      if (version < 0) ManifestIO.readCurrent(spark, srcDir, "IVF index")._1
+      else version
+    val body = ManifestIO.readVersion(spark, srcDir, ver, "IVF index")
+    val m = parseIvfManifest(body)
+    m.cellVersions.foreach { case (c, vs) =>
+      vs.distinct.foreach { v =>
+        require(ManifestIO.copySubtree(spark, srcDir, destDir,
+          s"data/$v/cells/cell=$c"),
+          s"referenced cell partition cell=$c of version $v is missing " +
+            s"at $srcDir (vacuumed?)")
+      }
+    }
+    // the drift-stats sidecar is per-version whole dirs (the drift
+    // read filters to referenced (version, cell) pairs), mirroring the
+    // cells refs
+    if (m.cellstats)
+      m.cellVersions.values.flatten.toSeq.distinct.foreach { v =>
+        ManifestIO.copySubtree(spark, srcDir, destDir, s"data/$v/cellstats")
+      }
+    m.cidVersions.foreach { case (b, vs) =>
+      vs.distinct.foreach { v =>
+        require(ManifestIO.copySubtree(spark, srcDir, destDir,
+          s"data/$v/cidmap/cbucket=$b"),
+          s"referenced cidmap partition cbucket=$b of version $v is " +
+            s"missing at $srcDir (vacuumed?)")
+      }
+    }
+    require(ManifestIO.copySubtree(spark, srcDir, destDir,
+      s"data/${m.centroidsVersion}/centroids"),
+      s"centroids of version ${m.centroidsVersion} missing at $srcDir (vacuumed?)")
+    ManifestIO.publishExport(spark, destDir, ver, body)
+    ver
+  }
+
   /** VACUUM tick of the committed-IVF lifecycle: delete data versions
     * and manifests the committed manifest no longer references —
     * replaced rebuilds and crashed ticks' orphans (appends never
@@ -1412,7 +1459,8 @@ object Ann extends Serializable {
     * [[ManifestIO.vacuum]] semantics: single-writer maintenance,
     * `graceVersions` protects recently-pinned readers; `graceMillis`
     * adds the wall-clock floor that keeps the window stable under a
-    * hot maintenance stream (see [[ManifestIO.vacuum]]). */
+    * hot maintenance stream (see [[ManifestIO.vacuum]]).
+    * Returns the deleted data versions. */
   def ivfVacuum(spark: SparkSession, dir: String,
       graceVersions: Long = 2L, graceMillis: Long = 0L): Seq[Long] = {
     val m = readIvfManifest(spark, dir)

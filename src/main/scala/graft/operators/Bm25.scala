@@ -669,6 +669,60 @@ object Bm25 {
         col("pruned_terms"), col("max_df"))
   }
 
+  /** EXPORT (deep clone) of the committed index AS OF `version`
+    * (default CURRENT, -1) into the FRESH dir `destDir` — the
+    * promotion / DR / branching verb: copy exactly the files the
+    * version's manifest references (per-(version, bucket) postings and
+    * termstats partitions, per-(version, dbucket) docmap partitions,
+    * the 1-row stats dir) and publish the manifest body VERBATIM — the
+    * version number is kept so the body's data-version references stay
+    * valid. The clone OWNS its files (deep, where a Delta SHALLOW
+    * CLONE's pointers would dangle after a source vacuum), serves
+    * bit-identically, and accepts its own ticks thereafter (next slot
+    * = version + 1, its own compact/vacuum cadence, the txn ledger
+    * carried verbatim so a resumed maintenance stream stays
+    * exactly-once across the promotion). Unreferenced partitions of
+    * partially superseded source versions are NOT copied (ExportSpec's
+    * filesystem audit) — dead history never crosses. History below the
+    * exported version does not exist at the clone; time travel there
+    * fails loudly, exactly like a vacuumed version at the source.
+    * Copy IO is referenced-file-bound — at any index size the export
+    * moves the live index mass once, never the accumulated history.
+    * Fails loudly when `version` is uncommitted or already vacuumed.
+    * Returns the exported version. */
+  def exportIndex(spark: SparkSession, srcDir: String, destDir: String,
+      version: Long = -1L): Long = {
+    val ver =
+      if (version < 0) ManifestIO.readCurrent(spark, srcDir, "BM25 index")._1
+      else version
+    val body = ManifestIO.readVersion(spark, srcDir, ver, "BM25 index")
+    val m = parseManifest(body)
+    m.bucketVersions.foreach { case (b, vs) =>
+      vs.distinct.foreach { v =>
+        require(ManifestIO.copySubtree(spark, srcDir, destDir,
+          s"data/$v/postings/bucket=$b"),
+          s"referenced postings partition bucket=$b of version $v is " +
+            s"missing at $srcDir (vacuumed?)")
+        if (m.termstats) // mirrors the postings refs by construction
+          ManifestIO.copySubtree(spark, srcDir, destDir,
+            s"data/$v/termstats/bucket=$b")
+      }
+    }
+    m.docVersions.foreach { case (k, vs) =>
+      vs.distinct.foreach { v =>
+        require(ManifestIO.copySubtree(spark, srcDir, destDir,
+          s"data/$v/docmap/dbucket=$k"),
+          s"referenced docmap partition dbucket=$k of version $v is " +
+            s"missing at $srcDir (vacuumed?)")
+      }
+    }
+    require(ManifestIO.copySubtree(spark, srcDir, destDir,
+      s"data/${m.statsVersion}/stats"),
+      s"stats of version ${m.statsVersion} missing at $srcDir (vacuumed?)")
+    ManifestIO.publishExport(spark, destDir, ver, body)
+    ver
+  }
+
   /** VACUUM tick of the standing-index lifecycle: delete data versions
     * and manifests the committed manifest no longer references —
     * superseded bucket rewrites, crashed ticks' orphans, replaced

@@ -120,6 +120,48 @@ private[graft] object ManifestIO {
     (v, readText(f, new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.txt")))
   }
 
+  // ───────────────────────── export / clone ─────────────────────────
+
+  /** Deep-copy one subtree of an index dir verbatim (e.g.
+    * `data/5/postings/bucket=3`), creating parents at the destination.
+    * Returns false when the source subtree does not exist (an export
+    * caller's referenced-but-optional artifact, e.g. a version that
+    * wrote no docmap). Refuses to overwrite: the destination of an
+    * export is a FRESH dir by contract. */
+  private[graft] def copySubtree(spark: SparkSession, srcDir: String,
+      destDir: String, rel: String): Boolean = {
+    val f = fs(spark, srcDir)
+    val src = new org.apache.hadoop.fs.Path(s"$srcDir/$rel")
+    if (!f.exists(src)) return false
+    val dst = new org.apache.hadoop.fs.Path(s"$destDir/$rel")
+    require(!f.exists(dst), s"export destination $dst already exists — " +
+      "export targets a fresh dir")
+    f.mkdirs(dst.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst,
+      /* deleteSource = */ false, spark.sessionState.newHadoopConf())
+  }
+
+  /** Publish an EXPORTED manifest at the destination: write
+    * `manifest/v<version>.txt` verbatim and flip CURRENT — without
+    * [[commit]]'s lost-update guard, which a fresh dir adopting an
+    * existing version number (the export keeps the source's version
+    * so the manifest body's data-version references stay valid) would
+    * trip. Refuses a destination that is already an index. */
+  private[graft] def publishExport(spark: SparkSession, destDir: String,
+      version: Long, manifestBody: String): Unit = {
+    val f = fs(spark, destDir)
+    require(!f.exists(new org.apache.hadoop.fs.Path(s"$destDir/CURRENT")),
+      s"export destination $destDir already holds a committed index")
+    writeManifestOnly(spark, destDir, version, manifestBody)
+    val tmp = new org.apache.hadoop.fs.Path(s"$destDir/CURRENT.tmp$version")
+    writeText(f, tmp, version.toString)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new org.apache.hadoop.fs.Path(destDir).toUri,
+      spark.sessionState.newHadoopConf())
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$destDir/CURRENT"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   // ───────────────────────── writer lease ─────────────────────────
   //
   // The lost-update guards above DETECT a violated single-writer

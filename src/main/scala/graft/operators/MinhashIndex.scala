@@ -1001,6 +1001,46 @@ object MinhashIndex {
           .as("rebuild_due"))
   }
 
+  /** EXPORT (deep clone) of the committed minhash index AS OF
+    * `version` (default CURRENT, -1) into the FRESH dir `destDir` —
+    * the [[graft.operators.Bm25.exportIndex]] verb on the dedup
+    * family: copy exactly the referenced per-(version, bucket) rows
+    * partitions, per-(version, bb) band partitions and their
+    * occupancy-sidecar mirrors, publish the manifest body verbatim.
+    * Same contract: deep (the clone owns its files), bit-identical
+    * gates, tick-able thereafter, dead history never crosses, copy IO
+    * referenced-file-bound. See the BM25 scaladoc for the full
+    * rationale; ExportSpec pins all three families. */
+  def exportIndex(spark: SparkSession, srcDir: String, destDir: String,
+      version: Long = -1L): Long = {
+    val ver =
+      if (version < 0) ManifestIO.readCurrent(spark, srcDir, "minhash index")._1
+      else version
+    val body = ManifestIO.readVersion(spark, srcDir, ver, "minhash index")
+    val m = parse(body)
+    m.bucketVersions.foreach { case (b, vs) =>
+      vs.distinct.foreach { v =>
+        require(ManifestIO.copySubtree(spark, srcDir, destDir,
+          s"data/$v/rows/bucket=$b"),
+          s"referenced rows partition bucket=$b of version $v is " +
+            s"missing at $srcDir (vacuumed?)")
+      }
+    }
+    m.bandVersions.foreach { case (k, vs) =>
+      vs.distinct.foreach { v =>
+        require(ManifestIO.copySubtree(spark, srcDir, destDir,
+          s"data/$v/bands/bb=$k"),
+          s"referenced band partition bb=$k of version $v is " +
+            s"missing at $srcDir (vacuumed?)")
+        if (m.bandstats) // mirrors the band refs by construction
+          ManifestIO.copySubtree(spark, srcDir, destDir,
+            s"data/$v/bandstats/bb=$k")
+      }
+    }
+    ManifestIO.publishExport(spark, destDir, ver, body)
+    ver
+  }
+
   /** VACUUM tick: retire data versions and manifests the committed
     * manifest no longer references ([[ManifestIO.vacuum]] semantics —
     * single-writer maintenance, grace counted in versions with an

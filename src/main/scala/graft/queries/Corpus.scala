@@ -881,6 +881,38 @@ object Corpus {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Export-clone cache backing [[t64Bm25Export]]: t50's
+    * build-then-append dir (fragmented — the touched buckets' manifest
+    * lists hold two versions) deep-cloned by [[Bm25.exportIndex]] into
+    * a fresh dir; the serve below runs ENTIRELY on the clone's files. */
+  private val bm25ExportCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def bm25ExportedIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25ExportCache.getOrElseUpdate(d, {
+      val dir = s"/tmp/graft_bm25_export_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Bm25.exportIndex(s, bm25AppendedIndex(s, d), dir)
+      dir
+    })
+
+  /** EXPORT / deep-clone verb ([[Bm25.exportIndex]] — the promotion /
+    * DR read of the lifecycle): t50's fragmented appended index is
+    * cloned into a fresh dir (only manifest-referenced files cross;
+    * the manifest body is published verbatim) and THIS row serves from
+    * the clone — a lost partition, a dropped accreted version, or a
+    * mangled stats copy breaks the hash. The oracle is the one-shot
+    * index over the full corpus, as for t50 (export == source ==
+    * rebuild). */
+  val t64Bm25Export: Q = Q(
+    "t64_bm25_export",
+    bm25BatchSql(mod = 100, rem = 53, positions = Seq(3, 6, 8), k = 6)) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Bm25.serveTopK(s, bm25ExportedIndex(s, d),
+        bm25Queries(docs, 100, 53, Seq(3, 6, 8)), k = 6)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Index-profile monitoring row ([[Bm25.indexProfile]]) over the
     * build-then-append standing index (t50's dir): doc count, token
     * mass, vocabulary size, postings mass, serving-prune pressure and
@@ -1350,5 +1382,5 @@ object Corpus {
     t38StratifiedEval, t40Bm25Batch, t41Bm25Served, t48HybridRrf,
     t50Bm25Append, t51HybridServed, t53MixtureRates, t54HybridIndexed,
     t55Bm25Profile, t56Bm25Delete, t57Bm25DeleteIds, t59Bm25Upsert,
-    t60Bm25Cdc, t61Bm25Version, t63Bm25TakedownChain)
+    t60Bm25Cdc, t61Bm25Version, t63Bm25TakedownChain, t64Bm25Export)
 }

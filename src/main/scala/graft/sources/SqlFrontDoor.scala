@@ -154,6 +154,27 @@ object SqlFrontDoor {
         graft.operators.Bm25.compactIndex(sp, a.head, a(1).trim.toInt)
           .toDF("compacted_bucket")
       }),
+      // bm25_index_export(src_dir, dest_dir): deep-clone the committed
+      // index into a fresh dir — only files the CURRENT manifest
+      // references cross (the promotion / DR verb; the clone owns its
+      // files and ticks independently thereafter); returns the
+      // exported version
+      ("bm25_index_export", 2, a => {
+        val sp = s
+        import sp.implicits._
+        Seq(graft.operators.Bm25.exportIndex(sp, a.head, a(1)))
+          .toDF("exported_version")
+      }),
+      // bm25_index_export_version(src_dir, dest_dir, version): the
+      // TIME-TRAVEL export — clone the index AS OF a committed
+      // historical version (reaches as deep as the vacuum grace
+      // window, like every version read)
+      ("bm25_index_export_version", 3, a => {
+        val sp = s
+        import sp.implicits._
+        Seq(graft.operators.Bm25.exportIndex(sp, a.head, a(1),
+          a(2).trim.toLong)).toDF("exported_version")
+      }),
       // bm25_index_vacuum(index_dir, grace_versions): delete data
       // versions the committed manifest no longer references (keeping
       // the newest grace_versions for pinned readers); returns the
@@ -706,6 +727,21 @@ object SqlFrontDoor {
         minhashManifestSummary(a.head)
       }),
       // minhash_index_vacuum(index_dir, grace_versions)
+      // minhash_index_export(src_dir, dest_dir) /
+      // minhash_index_export_version(src_dir, dest_dir, version): the
+      // bm25_index_export verbs on the dedup family
+      ("minhash_index_export", 2, a => {
+        val sp = s
+        import sp.implicits._
+        Seq(graft.operators.MinhashIndex.exportIndex(sp, a.head, a(1)))
+          .toDF("exported_version")
+      }),
+      ("minhash_index_export_version", 3, a => {
+        val sp = s
+        import sp.implicits._
+        Seq(graft.operators.MinhashIndex.exportIndex(sp, a.head, a(1),
+          a(2).trim.toLong)).toDF("exported_version")
+      }),
       ("minhash_index_vacuum", 2, a => {
         val sp = s
         import sp.implicits._
@@ -871,6 +907,21 @@ object SqlFrontDoor {
         import sp.implicits._
         graft.operators.Ann.ivfIndexCompact(sp, a.head, a(1).trim.toInt)
           .toDF("compacted_cell")
+      }),
+      // ivf_index_export(src_dir, dest_dir) /
+      // ivf_index_export_version(src_dir, dest_dir, version): the
+      // bm25_index_export verbs on the vector family
+      ("ivf_index_export", 2, a => {
+        val sp = s
+        import sp.implicits._
+        Seq(graft.operators.Ann.ivfIndexExport(sp, a.head, a(1)))
+          .toDF("exported_version")
+      }),
+      ("ivf_index_export_version", 3, a => {
+        val sp = s
+        import sp.implicits._
+        Seq(graft.operators.Ann.ivfIndexExport(sp, a.head, a(1),
+          a(2).trim.toLong)).toDF("exported_version")
       }),
       // ivf_index_build_cidmap(index_dir): MIGRATION — retrofit the
       // cid→cell reverse map onto a pre-cidmap legacy dir (one full

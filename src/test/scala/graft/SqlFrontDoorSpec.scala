@@ -1039,4 +1039,34 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq ==
       Seq((1L, true, false), (2L, true, true)))
   }
+
+  test("export TVFs deep-clone the committed indexes from pure SQL") {
+    val dir = Files.createTempDirectory("graftsqlexp")
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val corpP = dir.resolve("corp").toString
+    spark.read.parquet(docs).selectExpr("doc_id", "text")
+      .write.mode("overwrite").parquet(corpP)
+    val idx = dir.resolve("bm25").toString
+    spark.sql(s"SELECT * FROM bm25_index('$corpP', '$idx')").collect()
+    val qP = dir.resolve("q").toString
+    spark.sql(s"""SELECT doc_id AS qid, split(trim(text), '\\\\s+')[1] AS term
+                 |FROM parquet.`$corpP` WHERE doc_id % 40 = 3""".stripMargin)
+      .write.mode("overwrite").parquet(qP)
+    // export CURRENT, serve from the clone — identical rows
+    val clone = dir.resolve("bm25clone").toString
+    assert(spark.sql(
+      s"SELECT * FROM bm25_index_export('$idx', '$clone')")
+      .collect().head.getLong(0) == 1L)
+    val serve = (d: String) => spark.sql(
+      s"SELECT qid, doc_id, score, rank FROM bm25_serve('$d', '$qP', '5') ORDER BY qid, rank")
+      .collect().map(_.toSeq).toSeq
+    assert(serve(clone) == serve(idx) && serve(idx).nonEmpty)
+    // the versioned form refuses an uncommitted version, loudly
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM bm25_index_export_version('$idx', '${dir.resolve("v9")}', '9')")
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
