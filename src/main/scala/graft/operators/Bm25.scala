@@ -688,8 +688,12 @@ object Bm25 {
     * fails loudly, exactly like a vacuumed version at the source.
     * Copy IO is referenced-file-bound — at any index size the export
     * moves the live index mass once, never the accumulated history.
-    * Fails loudly when `version` is uncommitted or already vacuumed.
-    * Returns the exported version. */
+    * Fails loudly when `version` is uncommitted or already vacuumed —
+    * which means an export racing a maintenance stream's vacuum can
+    * die mid-copy like any deep reader; run it under
+    * [[WriterLease.withLease]] there (it serializes with the leased
+    * sink's vacuum tick), or export a version the grace window
+    * protects. Returns the exported version. */
   def exportIndex(spark: SparkSession, srcDir: String, destDir: String,
       version: Long = -1L): Long = {
     val ver =

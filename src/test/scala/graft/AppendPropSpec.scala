@@ -78,6 +78,13 @@ class AppendPropSpec extends AnyFunSuite {
           .collect().map(_.toSeq).toSet
       }
       assert(docmap(dirA) == docmap(dirB), s"round $round")
+      // the EXPORT clone (round 17) replays the accreted index exactly:
+      // postings, read-time df, stats and reverse map all equal
+      val dirC = Files.createTempDirectory(s"bm25prC$round").toString + "/c"
+      Bm25.exportIndex(spark, dirA, dirC)
+      assert(postings(dirC) == postings(dirA) && dfOf(dirC) == dfOf(dirA) &&
+        stats(dirC) == stats(dirA) && docmap(dirC) == docmap(dirA),
+        s"round $round: export must clone the index bit-identically")
     }
   }
 
@@ -124,6 +131,13 @@ class AppendPropSpec extends AnyFunSuite {
         .ivfServedTopK(spark, dir, q, k = 5, nprobe = 2)
         .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
       assert(serve(dirA) == serve(dirB) && serve(dirA).nonEmpty, s"round $round")
+      // the EXPORT clone (round 17) serves and drifts identically
+      val dirC = java.nio.file.Files
+        .createTempDirectory(s"ivfprC$round").toString + "/c"
+      graft.operators.Ann.ivfIndexExport(spark, dirA, dirC)
+      assert(serve(dirC) == serve(dirA) && cidmap(dirC) == cidmap(dirA) &&
+        drift(dirC) == drift(dirA),
+        s"round $round: export must clone the index bit-identically")
     }
   }
 
