@@ -1416,34 +1416,22 @@ object Ann extends Serializable {
       else version
     val body = ManifestIO.readVersion(spark, srcDir, ver, "IVF index")
     val m = parseIvfManifest(body)
-    m.cellVersions.foreach { case (c, vs) =>
-      vs.distinct.foreach { v =>
-        require(ManifestIO.copySubtree(spark, srcDir, destDir,
-          s"data/$v/cells/cell=$c"),
-          s"referenced cell partition cell=$c of version $v is missing " +
-            s"at $srcDir (vacuumed?)")
-      }
-    }
-    // the drift-stats sidecar is per-version whole dirs (the drift
-    // read filters to referenced (version, cell) pairs), mirroring the
-    // cells refs
-    if (m.cellstats)
-      m.cellVersions.values.flatten.toSeq.distinct.foreach { v =>
-        ManifestIO.copySubtree(spark, srcDir, destDir, s"data/$v/cellstats")
-      }
-    m.cidVersions.foreach { case (b, vs) =>
-      vs.distinct.foreach { v =>
-        require(ManifestIO.copySubtree(spark, srcDir, destDir,
-          s"data/$v/cidmap/cbucket=$b"),
-          s"referenced cidmap partition cbucket=$b of version $v is " +
-            s"missing at $srcDir (vacuumed?)")
-      }
-    }
-    require(ManifestIO.copySubtree(spark, srcDir, destDir,
-      s"data/${m.centroidsVersion}/centroids"),
-      s"centroids of version ${m.centroidsVersion} missing at $srcDir (vacuumed?)")
-    ManifestIO.publishExport(spark, destDir, ver, body)
-    ver
+    // manifest→subtree mapping only; the copy/publish protocol lives in
+    // [[ManifestIO.exportReferenced]]. The drift-stats sidecar is
+    // per-version WHOLE dirs (the drift read filters to referenced
+    // (version, cell) pairs), mirroring the cells refs.
+    val subtrees =
+      m.cellVersions.toSeq.flatMap { case (c, vs) =>
+        vs.distinct.map(v => (s"data/$v/cells/cell=$c", true))
+      } ++
+      (if (m.cellstats)
+        m.cellVersions.values.flatten.toSeq.distinct
+          .map(v => (s"data/$v/cellstats", false))
+      else Seq.empty) ++
+      m.cidVersions.toSeq.flatMap { case (b, vs) =>
+        vs.distinct.map(v => (s"data/$v/cidmap/cbucket=$b", true))
+      } :+ (s"data/${m.centroidsVersion}/centroids", true)
+    ManifestIO.exportReferenced(spark, srcDir, destDir, ver, body, subtrees)
   }
 
   /** VACUUM tick of the committed-IVF lifecycle: delete data versions

@@ -701,30 +701,21 @@ object Bm25 {
       else version
     val body = ManifestIO.readVersion(spark, srcDir, ver, "BM25 index")
     val m = parseManifest(body)
-    m.bucketVersions.foreach { case (b, vs) =>
-      vs.distinct.foreach { v =>
-        require(ManifestIO.copySubtree(spark, srcDir, destDir,
-          s"data/$v/postings/bucket=$b"),
-          s"referenced postings partition bucket=$b of version $v is " +
-            s"missing at $srcDir (vacuumed?)")
-        if (m.termstats) // mirrors the postings refs by construction
-          ManifestIO.copySubtree(spark, srcDir, destDir,
-            s"data/$v/termstats/bucket=$b")
-      }
-    }
-    m.docVersions.foreach { case (k, vs) =>
-      vs.distinct.foreach { v =>
-        require(ManifestIO.copySubtree(spark, srcDir, destDir,
-          s"data/$v/docmap/dbucket=$k"),
-          s"referenced docmap partition dbucket=$k of version $v is " +
-            s"missing at $srcDir (vacuumed?)")
-      }
-    }
-    require(ManifestIO.copySubtree(spark, srcDir, destDir,
-      s"data/${m.statsVersion}/stats"),
-      s"stats of version ${m.statsVersion} missing at $srcDir (vacuumed?)")
-    ManifestIO.publishExport(spark, destDir, ver, body)
-    ver
+    // the manifest→subtree mapping is this family's whole contribution;
+    // the copy/publish protocol (freshness guard BEFORE the first byte,
+    // required-vs-sidecar handling) lives in ManifestIO.exportReferenced
+    val subtrees =
+      m.bucketVersions.toSeq.flatMap { case (b, vs) =>
+        vs.distinct.flatMap(v =>
+          Seq((s"data/$v/postings/bucket=$b", true)) ++
+            // the termstats sidecar mirrors the postings refs
+            (if (m.termstats) Seq((s"data/$v/termstats/bucket=$b", false))
+             else Seq.empty))
+      } ++
+      m.docVersions.toSeq.flatMap { case (k, vs) =>
+        vs.distinct.map(v => (s"data/$v/docmap/dbucket=$k", true))
+      } :+ (s"data/${m.statsVersion}/stats", true)
+    ManifestIO.exportReferenced(spark, srcDir, destDir, ver, body, subtrees)
   }
 
   /** VACUUM tick of the standing-index lifecycle: delete data versions

@@ -130,15 +130,55 @@ private[graft] object ManifestIO {
     * export is a FRESH dir by contract. */
   private[graft] def copySubtree(spark: SparkSession, srcDir: String,
       destDir: String, rel: String): Boolean = {
-    val f = fs(spark, srcDir)
+    // source and destination resolve their OWN filesystems — the
+    // promotion/DR shape is exactly a cross-cluster (or hdfs→file)
+    // copy, where addressing dst through the source FS would throw
+    // "Wrong FS"
+    val srcFs = fs(spark, srcDir)
+    val dstFs = fs(spark, destDir)
     val src = new org.apache.hadoop.fs.Path(s"$srcDir/$rel")
-    if (!f.exists(src)) return false
+    if (!srcFs.exists(src)) return false
     val dst = new org.apache.hadoop.fs.Path(s"$destDir/$rel")
-    require(!f.exists(dst), s"export destination $dst already exists — " +
+    require(!dstFs.exists(dst), s"export destination $dst already exists — " +
       "export targets a fresh dir")
-    f.mkdirs(dst.getParent)
-    org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst,
+    dstFs.mkdirs(dst.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, dst,
       /* deleteSource = */ false, spark.sessionState.newHadoopConf())
+  }
+
+  /** The export's UPFRONT freshness guard — run BEFORE the first byte
+    * is copied: a destination that already holds a committed index (or
+    * any data/ debris, e.g. a crashed export's) must refuse here, not
+    * after the full live mass has been copied into a live dir whose
+    * next tick would then accrete foreign partitions. A crashed
+    * export's debris must be deleted before retrying (fail-loud, like
+    * every half-written state in this protocol). */
+  private[graft] def requireFreshExportDest(spark: SparkSession,
+      destDir: String): Unit = {
+    val f = fs(spark, destDir)
+    require(!f.exists(new org.apache.hadoop.fs.Path(s"$destDir/CURRENT")),
+      s"export destination $destDir already holds a committed index")
+    require(!f.exists(new org.apache.hadoop.fs.Path(s"$destDir/data")),
+      s"export destination $destDir already holds index data " +
+        "(a crashed export's debris? delete it first) — export targets a fresh dir")
+  }
+
+  /** The shared export skeleton: freshness guard, copy every referenced
+    * subtree (`required = false` marks sidecars a legacy version may
+    * legitimately lack), publish the manifest body verbatim. Each
+    * family supplies only its manifest→subtree mapping, so the
+    * copy/publish protocol lives exactly once. */
+  private[graft] def exportReferenced(spark: SparkSession, srcDir: String,
+      destDir: String, version: Long, manifestBody: String,
+      subtrees: Seq[(String, Boolean)]): Long = {
+    requireFreshExportDest(spark, destDir)
+    subtrees.foreach { case (rel, required) =>
+      val copied = copySubtree(spark, srcDir, destDir, rel)
+      require(copied || !required,
+        s"referenced subtree $rel is missing at $srcDir (vacuumed?)")
+    }
+    publishExport(spark, destDir, version, manifestBody)
+    version
   }
 
   /** Publish an EXPORTED manifest at the destination: write
@@ -214,19 +254,42 @@ private[graft] object ManifestIO {
       val heldSince = try {
         Some(f.getFileStatus(lock).getModificationTime)
       } catch { case _: java.io.IOException => None } // released mid-check
+      var tookOver = false
       heldSince.foreach { t =>
         if (System.currentTimeMillis() - t > leaseMs) {
           val tomb = new org.apache.hadoop.fs.Path(s"$dir/$LockName.usurped.$token")
-          if (f.rename(lock, tomb)) f.delete(tomb, false)
+          if (f.rename(lock, tomb)) {
+            // TOCTOU re-check: the holder may have RENEWED between our
+            // staleness read and the rename — the rename wins either
+            // way, so decide from the tomb's own mtime. Stale: the
+            // holder is dead, complete the takeover. Fresh: give the
+            // lock back (if a new lock appeared meanwhile the
+            // rename-back fails and the tomb is deleted — the
+            // displaced holder's next renew/release reads a token
+            // mismatch and stands down, the documented overrun path).
+            val tombMtime = try {
+              f.getFileStatus(tomb).getModificationTime
+            } catch { case _: java.io.IOException => 0L }
+            if (System.currentTimeMillis() - tombMtime > leaseMs) {
+              f.delete(tomb, false)
+              tookOver = true
+            } else if (!f.rename(tomb, lock)) f.delete(tomb, false)
+          }
         }
       }
-      if (System.currentTimeMillis() >= deadline)
-        throw new IllegalStateException(
-          s"writer lease at $dir still held after $waitMs ms — a live " +
-            "writer is mid-tick (its heartbeat is younger than " +
-            s"$leaseMs ms); retry later or raise waitMs")
-      Thread.sleep(backoff)
-      backoff = math.min(200L, backoff * 2)
+      // a successful takeover earns one immediate create retry even at
+      // the deadline — throwing "still held" right after proving the
+      // holder dead and freeing the lock would be a lie that also
+      // leaves the dir unlocked
+      if (!tookOver) {
+        if (System.currentTimeMillis() >= deadline)
+          throw new IllegalStateException(
+            s"writer lease at $dir still held after $waitMs ms — a live " +
+              "writer is mid-tick (its heartbeat is younger than " +
+              s"$leaseMs ms); retry later or raise waitMs")
+        Thread.sleep(backoff)
+        backoff = math.min(200L, backoff * 2)
+      }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -697,15 +760,22 @@ private[graft] object ManifestIO {
     val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
     if (!f.exists(dataPath)) return Seq.empty
     // version age = commit time = manifest mtime (the [[vacuum]] rule);
-    // a subtree under a time-protected version is protected with it
-    def commitTime(v: Long): Long = {
+    // a subtree under a time-protected version is protected with it.
+    // Manifest-less versions fall back to the version DIR's mtime, the
+    // same fallback [[vacuum]] uses — never 0: an export clone's
+    // non-exported data versions have no manifest (only the exported
+    // version's crossed), and a zero fallback would void the
+    // wall-clock floor for exactly those versions. (An earlier
+    // artifact deletion under the dir refreshes its mtime, which only
+    // DELAYS reclamation — the safe direction.)
+    def commitTime(v: Long, dirMtime: Long): Long = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.txt")
-      if (f.exists(p)) f.getFileStatus(p).getModificationTime else 0L
+      if (f.exists(p)) f.getFileStatus(p).getModificationTime else dirMtime
     }
     val out = Seq.newBuilder[(String, Long)]
     f.listStatus(dataPath).foreach { st =>
       scala.util.Try(st.getPath.getName.toLong).toOption.foreach { v =>
-        if (v <= cutoff && commitTime(v) < tCutoff)
+        if (v <= cutoff && commitTime(v, st.getModificationTime) < tCutoff)
           artifactRefs.foreach { case (art, refs) =>
             val sub = new org.apache.hadoop.fs.Path(st.getPath, art)
             if (!refs(v) && f.exists(sub)) {

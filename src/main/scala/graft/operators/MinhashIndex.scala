@@ -1018,27 +1018,20 @@ object MinhashIndex {
       else version
     val body = ManifestIO.readVersion(spark, srcDir, ver, "minhash index")
     val m = parse(body)
-    m.bucketVersions.foreach { case (b, vs) =>
-      vs.distinct.foreach { v =>
-        require(ManifestIO.copySubtree(spark, srcDir, destDir,
-          s"data/$v/rows/bucket=$b"),
-          s"referenced rows partition bucket=$b of version $v is " +
-            s"missing at $srcDir (vacuumed?)")
+    // manifest→subtree mapping only; the copy/publish protocol lives in
+    // [[ManifestIO.exportReferenced]]. The bandstats sidecar mirrors
+    // the band refs by construction.
+    val subtrees =
+      m.bucketVersions.toSeq.flatMap { case (b, vs) =>
+        vs.distinct.map(v => (s"data/$v/rows/bucket=$b", true))
+      } ++
+      m.bandVersions.toSeq.flatMap { case (k, vs) =>
+        vs.distinct.flatMap(v =>
+          Seq((s"data/$v/bands/bb=$k", true)) ++
+            (if (m.bandstats) Seq((s"data/$v/bandstats/bb=$k", false))
+             else Seq.empty))
       }
-    }
-    m.bandVersions.foreach { case (k, vs) =>
-      vs.distinct.foreach { v =>
-        require(ManifestIO.copySubtree(spark, srcDir, destDir,
-          s"data/$v/bands/bb=$k"),
-          s"referenced band partition bb=$k of version $v is " +
-            s"missing at $srcDir (vacuumed?)")
-        if (m.bandstats) // mirrors the band refs by construction
-          ManifestIO.copySubtree(spark, srcDir, destDir,
-            s"data/$v/bandstats/bb=$k")
-      }
-    }
-    ManifestIO.publishExport(spark, destDir, ver, body)
-    ver
+    ManifestIO.exportReferenced(spark, srcDir, destDir, ver, body, subtrees)
   }
 
   /** VACUUM tick: retire data versions and manifests the committed

@@ -726,7 +726,6 @@ object SqlFrontDoor {
         graft.operators.MinhashIndex.buildBands(s, a.head)
         minhashManifestSummary(a.head)
       }),
-      // minhash_index_vacuum(index_dir, grace_versions)
       // minhash_index_export(src_dir, dest_dir) /
       // minhash_index_export_version(src_dir, dest_dir, version): the
       // bm25_index_export verbs on the dedup family
@@ -742,6 +741,7 @@ object SqlFrontDoor {
         Seq(graft.operators.MinhashIndex.exportIndex(sp, a.head, a(1),
           a(2).trim.toLong)).toDF("exported_version")
       }),
+      // minhash_index_vacuum(index_dir, grace_versions)
       ("minhash_index_vacuum", 2, a => {
         val sp = s
         import sp.implicits._

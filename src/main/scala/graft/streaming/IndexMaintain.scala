@@ -39,13 +39,28 @@ object IndexMaintain {
     * `leased(dir)(bm25Sink(dir, …))` makes each micro-batch tick
     * acquire the dir's `WRITER_LOCK` before writing and release it
     * after, serializing against any other leased writer on the same
-    * dir. Single-stream deployments don't need it (the stream IS the
-    * single writer); it costs two filesystem ops per tick when used. */
+    * dir. A daemon timer HEARTBEATS the lease every leaseMs/3 for the
+    * duration of the tick — the `(DataFrame, Long) => Unit` sink shape
+    * cannot reach the lease itself, and without renewal any
+    * maintenance-cadence micro-batch outliving `leaseMs` (a compact +
+    * vacuum epoch, say) would silently go stale and re-admit the
+    * concurrent-writer hazard the lease exists to close.
+    * Single-stream deployments don't need the wrapper (the stream IS
+    * the single writer); it costs two filesystem ops per tick plus the
+    * heartbeat when used. */
   def leased(dir: String, leaseMs: Long = 600000L, waitMs: Long = 60000L)(
       sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch, epoch) =>
       graft.operators.WriterLease.withLease(batch.sparkSession, dir,
-        leaseMs, waitMs) { _ => sink(batch, epoch) }
+        leaseMs, waitMs) { lease =>
+        val period = math.max(1000L, leaseMs / 3)
+        val timer = new java.util.Timer("graft-lease-renew", /* daemon = */ true)
+        timer.schedule(new java.util.TimerTask {
+          override def run(): Unit = lease.renew()
+        }, period, period)
+        try sink(batch, epoch)
+        finally timer.cancel()
+      }
 
   /** True when epoch `epoch` is a maintenance-cadence tick (vacuum or
     * monitoring) under cadence `every` (0 = off). Epoch-keyed, so a

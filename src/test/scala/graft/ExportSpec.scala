@@ -91,6 +91,28 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
+  test("export refuses a non-fresh destination BEFORE copying anything") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val src = Files.createTempDirectory("exp_guard_src").toString
+    Bm25.buildIndex((0 until 10).map(i => (i.toLong, s"w$i common"))
+      .toDF("doc_id", "text"), "doc_id", "text", src)
+    // a destination that is already an index: refuse with ZERO copies —
+    // copying first and refusing at publish time would leave foreign
+    // data/<v> dirs a live index's next tick could accrete
+    val taken = Files.createTempDirectory("exp_guard_taken").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(taken, "CURRENT"),
+      "7".getBytes)
+    intercept[IllegalArgumentException] { Bm25.exportIndex(spark, src, taken) }
+    assert(!new java.io.File(s"$taken/data").exists(),
+      "the refusal must land before the first byte is copied")
+    // crashed-export debris (data/, no CURRENT): same upfront refusal
+    val debris = Files.createTempDirectory("exp_guard_debris").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(debris, "data", "1"))
+    intercept[IllegalArgumentException] { Bm25.exportIndex(spark, src, debris) }
+  }
+
   test("bm25: historical export == the source's time-travel serve") {
     val spark = SparkTest.spark
     import spark.implicits._
