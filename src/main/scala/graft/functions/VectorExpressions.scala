@@ -67,9 +67,67 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** [[FloatVecDot]] for `array<double>` inputs — the SQ8/PQ dequantized
+  * scan's inner loop. Numerically identical to the sequential
+  * `aggregate(zip_with(x, y, (p, q) => p * q), 0.0, _ + _)` fold it
+  * replaces (same element order, same double ops) for the operators'
+  * equal-length non-null vectors, without the per-row array allocation
+  * and lambda boxing of the higher-order-function form (guide §4:
+  * prefer codegen expressions in the hot path). */
+case class DoubleVecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dvec_dot"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var n = x.numElements()
+    if (y.numElements() < n) n = y.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() < $n) $n = $b.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   def fvec_dot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def dvec_dot(a: Column, b: Column): Column =
+    GraftBridge.column(DoubleVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** SQL registration: `SELECT fvec_dot(a, b)` (FunctionRegistry path). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -40,6 +40,21 @@ object Ann extends Serializable {
     * result is engine-independent given identical folds. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** sqrt(‖a‖²) — the left/right factor of [[cosine]]'s denominator,
+    * exposed so pairwise kernels can precompute it ONCE PER ROW before
+    * the join instead of once per pair: an all-pairs scorer pays 3
+    * dot products per pair through [[cosine]] (dot + both norms) and
+    * exactly 1 through [[cosinePre]] (optimization guide §1.2 "per-task
+    * work": v5's 2M-pair scan recomputed each side's norm 2000×). */
+  def l2norm(a: Column): Column = sqrt(norm2(a))
+
+  /** [[cosine]] from a precomputed dot and precomputed per-side norms.
+    * BIT-IDENTICAL to [[cosine]]: same fold for the dot, same sqrt per
+    * side, same `(la * lb)` operand order, same final division — only
+    * WHERE the factors are computed moves (per row vs per pair). */
+  def cosinePre(dotAb: Column, la: Column, lb: Column): Column =
+    dotAb / (la * lb)
+
   /** Deterministic ±1 hyperplane: component j of plane p is +1 iff the
     * first hex nibble of md5("p_j") is < '8'. Same constants are inlined
     * into the oracle SQL. (±1 is exact in float; promotion to double in
@@ -83,10 +98,15 @@ object Ann extends Serializable {
   /** Exact top-k neighbors by cosine for each query vector (brute force).
     * `queries` is broadcast; ranks are (cosine desc, neighbor id asc). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.as("c")
-      .join(broadcast(queries.as("q")), col("q.qid") =!= col("c.cid"))
+    // norms once per row, not per (query, corpus) pair — see [[cosinePre]];
+    // Q·N scoring must not ride a single-split scan stage ([[Par.spread]])
+    val c = Par.spread(corpus).withColumn("_cl", l2norm(col("cvec")))
+    val q = queries.withColumn("_ql", l2norm(col("qvec")))
+    val scored = c.as("c")
+      .join(broadcast(q.as("q")), col("q.qid") =!= col("c.cid"))
       .select(col("q.qid"), col("c.cid"),
-        cosine(col("q.qvec"), col("c.cvec")).as("cosine"))
+        cosinePre(dot(col("q.qvec"), col("c.cvec")),
+          col("q._ql"), col("c._cl")).as("cosine"))
     topK(scored, k)
   }
 
@@ -97,22 +117,28 @@ object Ann extends Serializable {
     * inequality fused into the join; swap the scorer for an IVF/LSH
     * candidate pass at corpus scales where Q·N is unpayable. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.as("c")
-      .join(broadcast(queries.as("q")),
+    val c = Par.spread(corpus).withColumn("_cl", l2norm(col("cvec")))
+    val q = queries.withColumn("_ql", l2norm(col("qvec")))
+    val scored = c.as("c")
+      .join(broadcast(q.as("q")),
         col("q.qid") =!= col("c.cid") && col("q.qlabel") =!= col("c.clabel"))
       .select(col("q.qid"), col("c.cid"),
-        cosine(col("q.qvec"), col("c.cvec")).as("cosine"))
+        cosinePre(dot(col("q.qvec"), col("c.cvec")),
+          col("q._ql"), col("c._cl")).as("cosine"))
     topK(scored, k)
   }
 
   /** ANN via single-probe hyperplane-LSH bucket join, then exact cosine
     * rank within the bucket. May return < k neighbors per query. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, planes: Seq[Seq[Float]], k: Int): DataFrame = {
-    val cb = corpus.select(col("cid"), col("cvec"), lshBucket(col("cvec"), planes).as("bucket"))
-    val qb = queries.select(col("qid"), col("qvec"), lshBucket(col("qvec"), planes).as("bucket"))
+    val cb = Par.spread(corpus).select(col("cid"), col("cvec"), l2norm(col("cvec")).as("_cl"),
+      lshBucket(col("cvec"), planes).as("bucket"))
+    val qb = queries.select(col("qid"), col("qvec"), l2norm(col("qvec")).as("_ql"),
+      lshBucket(col("qvec"), planes).as("bucket"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+      .select(col("qid"), col("cid"),
+        cosinePre(dot(col("qvec"), col("cvec")), col("_ql"), col("_cl")).as("cosine"))
     topK(scored, k)
   }
 
@@ -135,16 +161,45 @@ object Ann extends Serializable {
     * corpora sit well above these floors at equal L. */
   def lshTopKAmplified(corpus: DataFrame, queries: DataFrame,
       tables: Seq[Seq[Seq[Float]]], k: Int): DataFrame = {
-    def buckets(df: DataFrame, id: String, vec: String) = df.select(col(id),
-      posexplode(array(tables.map(pl => lshBucket(col(vec), pl)): _*)).as(Seq("t", "bucket")))
-    val cand = buckets(corpus, "cid", "cvec")
+    // L·K sign projections per row as ONE typed kernel: the expression
+    // form (posexplode over L lshBucket trees = L·K inlined dot
+    // expressions) generates a method far past the JIT/codegen size
+    // limits, so it ran interpreted — measured ~0.8 s/task on rows
+    // whose flop count is microseconds. dotD == the codegen'd fold
+    // bit-for-bit (the lshNearDupPairs precedent), so bucket ids — and
+    // therefore candidates and the exact re-rank — are unchanged.
+    val planesArr = tables.map(_.map(_.toArray).toArray).toArray
+    def buckets(df: DataFrame, id: String, vec: String) = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(id).cast("long"), col(vec))
+        .as[(Long, Array[Float])]
+        .flatMap { case (rid, v) =>
+          planesArr.indices.iterator.map { t =>
+            val pl = planesArr(t)
+            var b = 0L
+            var p = 0
+            while (p < pl.length) {
+              if (dotD(v, pl(p)) >= 0) b |= 1L << p
+              p += 1
+            }
+            (t, b, rid)
+          }
+        }
+        .toDF("t", "bucket", id)
+    }
+    // the corpus is hashed L·K times and re-read for the re-rank: keep
+    // both passes off a single-split scan stage ([[Par.spread]])
+    val corpusW = Par.spread(corpus)
+    val cand = buckets(corpusW, "cid", "cvec")
       .join(broadcast(buckets(queries, "qid", "qvec")), Seq("t", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid")).distinct()
     val scored = cand
-      .join(corpus, Seq("cid"))
-      .join(broadcast(queries), Seq("qid"))
-      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+      .join(corpusW.withColumn("_cl", l2norm(col("cvec"))), Seq("cid"))
+      .join(broadcast(queries.withColumn("_ql", l2norm(col("qvec")))), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        cosinePre(dot(col("qvec"), col("cvec")), col("_ql"), col("_cl")).as("cosine"))
     topK(scored, k)
   }
 
@@ -542,9 +597,11 @@ object Ann extends Serializable {
         }
         .toDF("qid", "qvec", "cell")
       val scored = assignCells(corpus, cents)
-        .join(probes, Seq("cell"))
+        .withColumn("_cl", l2norm(col("cvec")))
+        .join(probes.withColumn("_ql", l2norm(col("qvec"))), Seq("cell"))
         .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+        .select(col("qid"), col("cid"),
+          cosinePre(dot(col("qvec"), col("cvec")), col("_ql"), col("_cl")).as("cosine"))
       topK(scored, k)
     }
   }
@@ -801,13 +858,19 @@ object Ann extends Serializable {
     import spark.implicits._
     val cellsDir = s"$dir/data/$ver/cells"
     if (ManifestIO.partitionIds(spark, cellsDir, "cell=").nonEmpty) {
+      // centroid norms once on the 16-row broadcast side, member norm
+      // once per row — not 3 dots per (member, centroid) pair; the
+      // Scala-side sqrt(dotD) equals the codegen'd sqrt(fvec_dot)
+      // bit-for-bit (same fold, same promotion, IEEE sqrt)
       val centDf = cents.toSeq.zipWithIndex
-        .map { case (cv, c) => (c, cv.toSeq) }.toDF("cell", "centvec")
+        .map { case (cv, c) => (c, cv.toSeq, math.sqrt(dotD(cv, cv))) }
+        .toDF("cell", "centvec", "_centl2")
       spark.read.parquet(cellsDir)
         .select(col("cell").cast("int").as("cell"), col("cvec"))
         .join(broadcast(centDf), "cell")
         .select(col("cell"),
-          floor(cosine(col("cvec"), col("centvec")) * lit(1000000.0)).cast("long")
+          floor(cosinePre(dot(col("cvec"), col("centvec")),
+            l2norm(col("cvec")), col("_centl2")) * lit(1000000.0)).cast("long")
             .as("cos_fp"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"), sum(col("cos_fp")).as("sum_cos_fp"))
@@ -1662,9 +1725,12 @@ object Ann extends Serializable {
       .toDF("cid", "qvec", "cell")
     val members = readIvfCellsAt(spark, dir, m)
       .select(col("cid").as("ref_cid"), col("cvec").as("rvec"), col("cell"))
-    val matches = probes.join(members, Seq("cell"))
+      .withColumn("_rl", l2norm(col("rvec")))
+    val matches = probes.withColumn("_ql", l2norm(col("qvec")))
+      .join(members, Seq("cell"))
       .filter(col("cid") =!= col("ref_cid") &&
-        cosine(col("qvec"), col("rvec")) >= threshold)
+        cosinePre(dot(col("qvec"), col("rvec")),
+          col("_ql"), col("_rl")) >= threshold)
       .groupBy(col("cid")).agg(count(lit(1)).as("n_ref_matches"))
     val replayed = members.select(col("ref_cid").as("cid")).distinct()
       .withColumn("replayed", lit(true))
@@ -1721,11 +1787,14 @@ object Ann extends Serializable {
       nearestCells(cents, v, nprobe).map(c => (qid, v, c))
     }
     val probes = probeRows.toSeq.toDF("qid", "qvec", "cell")
+      .withColumn("_ql", l2norm(col("qvec")))
     val members = readIvfCellsAt(spark, dir, m, Some(probeRows.map(_._3).toSet))
     val scored = members
+      .withColumn("_cl", l2norm(col("cvec")))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+      .select(col("qid"), col("cid"),
+        cosinePre(dot(col("qvec"), col("cvec")), col("_ql"), col("_cl")).as("cosine"))
     topK(scored, k)
   }
 
@@ -1751,11 +1820,14 @@ object Ann extends Serializable {
     }
     val probedCells = probeRows.map(_._3).distinct.toSeq
     val probes = probeRows.toSeq.toDF("qid", "qvec", "cell")
+      .withColumn("_ql", l2norm(col("qvec")))
     val scored = assigned
       .filter(col("cell").isInCollection(probedCells))
+      .withColumn("_cl", l2norm(col("cvec")))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+      .select(col("qid"), col("cid"),
+        cosinePre(dot(col("qvec"), col("cvec")), col("_ql"), col("_cl")).as("cosine"))
     topK(scored, k)
   }
 
@@ -2280,7 +2352,7 @@ object Ann extends Serializable {
     val spark = corpus.sparkSession
     import spark.implicits._
     val planesArr = planes.map(_.toArray).toArray
-    val cb = corpus.select(col("cid"), col("cvec"),
+    val cb = Par.spread(corpus).select(col("cid"), col("cvec"), l2norm(col("cvec")).as("_cl"),
       lshBucket(col("cvec"), planes).as("bucket"))
     val qb = queries.select(col("qid"), col("qvec")).as[(Long, Array[Float])]
       .flatMap { case (qid, v) =>
@@ -2294,9 +2366,11 @@ object Ann extends Serializable {
         }
       }
       .toDF("qid", "qvec", "bucket")
+      .withColumn("_ql", l2norm(col("qvec")))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cosine"))
+      .select(col("qid"), col("cid"),
+        cosinePre(dot(col("qvec"), col("cvec")), col("_ql"), col("_cl")).as("cosine"))
     topK(scored, k)
   }
 
@@ -2344,7 +2418,7 @@ object Ann extends Serializable {
     // Parity-safe: the cross-engine contract is per-double-op identity,
     // and dot(q,dv) / (sqrt(dot(q,q)) * sqrt(dot(dv,dv))) multiplies
     // the same three doubles in the same order wherever each is computed.
-    val codes = sq8Encode(corpus, "cid", "cvec")
+    val codes = sq8Encode(Par.spread(corpus), "cid", "cvec")
       .withColumn("dv", sq8Decode(col("mn"), col("mx"), col("codes")))
       .withColumn("dnorm", sqrt(dotArr(col("dv"), col("dv"))))
       .select(col("cid"), col("dv"), col("dnorm"))
@@ -2367,9 +2441,13 @@ object Ann extends Serializable {
     topK(scored, k)
   }
 
-  /** Sequential-fold dot over two DOUBLE-array columns (the generic
-    * `aggregate(zip_with(...))` form — [[cosine]]'s codegen'd FloatVecDot
-    * is float-input only, and SQ8's dequantized values are doubles). */
+  /** Sequential-fold dot over two DOUBLE-array columns — the codegen'd
+    * [[graft.functions.DoubleVecDot]] ([[cosine]]'s FloatVecDot is
+    * float-input only, and SQ8's dequantized values are doubles). Same
+    * fold as the `aggregate(zip_with(...))` form it replaced (identical
+    * element order and double ops for the operators' equal-length
+    * non-null vectors), without per-row array allocation or lambda
+    * boxing — guide §4, the v16 approx scan's inner loop. */
   private def dotArr(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dvec_dot(x, y)
 }

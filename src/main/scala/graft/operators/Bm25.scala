@@ -154,17 +154,22 @@ object Bm25 {
       queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("qid").cast("long").as("qid"),
       col("term").as("t")).distinct()
-    val dl = docs.select(col(idCol).cast("long").as("doc_id"),
-      size(tokens(col(textCol))).cast("long").as("dl"))
+    // tokenize + explode is the corpus-sized compute of this plan;
+    // [[Par.spread]] keeps it off a single-split scan stage (guide
+    // §2.5 — no-op when the input already scans wide)
+    val d0 = Par.spread(docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("_text")))
+    val dl = d0.select(col("doc_id"),
+      size(tokens(col("_text"))).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
       .select(col("n"), (col("sdl").cast("double") / col("n")).as("avgdl"))
     val terms = q.select(col("t")).distinct()
     // dl rides the postings rows (constant per doc, one extra long per
     // shuffled row) so scoring never joins two corpus-sized frames —
     // the serve path gets the same for free from the denormalized index
-    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
-        size(tokens(col(textCol))).cast("long").as("dl"),
-        explode(tokens(col(textCol))).as("t"))
+    val tf = d0.select(col("doc_id"),
+        size(tokens(col("_text"))).cast("long").as("dl"),
+        explode(tokens(col("_text"))).as("t"))
       .join(broadcast(terms), "t")
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))

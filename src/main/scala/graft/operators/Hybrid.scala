@@ -108,8 +108,14 @@ object Hybrid {
     // terms drawn by element_at past a short doc's token count — still
     // retrieves on its vector leg, and a null-qvec qid on its lexical
     // leg. A row-level AND would silently drop such qids from BOTH.
-    val corpus = corpus0.filter(col(idCol).isNotNull &&
-      col(textCol).isNotNull && col(vecCol).isNotNull)
+    // ONE materialization of the (possibly join-derived) corpus feeds
+    // both legs: without the pin each leg's every consumer re-executes
+    // the corpus subtree (t48's documents ⋈ embeddings join ran 5×),
+    // and [[Par.spread]] keeps the legs' corpus-sized compute off a
+    // single-split scan stage (guide §2.5/§3.3). Values unchanged —
+    // localCheckpoint pins the same deterministic rows.
+    val corpus = Par.spread(corpus0.filter(col(idCol).isNotNull &&
+      col(textCol).isNotNull && col(vecCol).isNotNull)).localCheckpoint(true)
     val queries = queries0.filter(col("qid").isNotNull)
     val lexLeg = dropSelf(
       Bm25.batchTopK(corpus, idCol, textCol,

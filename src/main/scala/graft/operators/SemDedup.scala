@@ -41,9 +41,14 @@ object SemDedup {
     * ties to the LOWEST index (struct ordering picks the highest
     * -index). A chained when-reduce would embed each step's tree twice
     * and blow up 2^K; greatest keeps the expression linear in K. */
-  private def bestCentroid(vec: Column, cents: Array[Array[Float]]): Column = {
+  private def bestCentroid(vec: Column, vecL2: Column,
+      cents: Array[Array[Float]]): Column = {
+    // vector norm once per ROW (vecL2), centroid norms once per PLAN
+    // (Scala-side sqrt(dotD) == the codegen'd sqrt(fvec_dot) bit-for-
+    // bit) — not 3 dots per (row, centroid); see [[Ann.cosinePre]]
     val cands = cents.zipWithIndex.map { case (c, i) =>
-      struct(Ann.cosine(vec, typedLit(c.toSeq)).as("c"), lit(-i).as("nid"))
+      struct(Ann.cosinePre(Ann.dot(vec, typedLit(c.toSeq)),
+        vecL2, lit(math.sqrt(Ann.dotD(c, c)))).as("c"), lit(-i).as("nid"))
     }
     if (cands.length == 1) cands.head else greatest(cands.toIndexedSeq: _*)
   }
@@ -61,8 +66,9 @@ object SemDedup {
       // user-facing TVF over arbitrary parquet: null ids/vectors carry
       // nothing to assign (the Phrases.tag convention)
       .filter(col("vec_id").isNotNull && col("v").isNotNull)
-      .withColumn("best", bestCentroid(col("v"), cents))
-      .select(col("vec_id"), col("v"),
+      .withColumn("_vl", Ann.l2norm(col("v")))
+      .withColumn("best", bestCentroid(col("v"), col("_vl"), cents))
+      .select(col("vec_id"), col("v"), col("_vl"),
         (-col("best").getField("nid")).cast("long").as("cluster_id"),
         col("best").getField("c").as("cent_cos"))
     val w = Window.partitionBy(col("cluster_id"))
@@ -70,12 +76,14 @@ object SemDedup {
     val ranked = assigned.withColumn("rk", row_number().over(w))
     // dominated = has a better-ranked neighbor within tau in its cluster.
     // Equi-key is the cluster id, so the join reuses the window's
-    // partitioning; per-cluster pair count is the Σ n_c² budget.
+    // partitioning; per-cluster pair count is the Σ n_c² budget — paid
+    // at 1 dot per pair (norms ride the rows; see [[Ann.cosinePre]]).
     val dominated = ranked.as("i")
       .join(ranked.as("j"),
         col("i.cluster_id") === col("j.cluster_id")
           && col("j.rk") < col("i.rk")
-          && Ann.cosine(col("i.v"), col("j.v")) >= tau,
+          && Ann.cosinePre(Ann.dot(col("i.v"), col("j.v")),
+            col("i._vl"), col("j._vl")) >= tau,
         "left_semi")
       .select(col("vec_id"), lit(true).as("dominated"))
     ranked
@@ -146,7 +154,7 @@ object SemDedup {
     vecs
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
       .filter(col("vec_id").isNotNull && col("v").isNotNull)
-      .withColumn("best", bestCentroid(col("v"), cents))
+      .withColumn("best", bestCentroid(col("v"), Ann.l2norm(col("v")), cents))
       .select(col("vec_id"),
         (-col("best").getField("nid")).cast("long").as("cluster_id"))
   }

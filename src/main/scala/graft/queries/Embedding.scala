@@ -329,10 +329,17 @@ object Embedding {
        |SELECT da, db, cosine FROM p WHERE cosine >= 0.5
        |ORDER BY da, db""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("da"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("db"), col("embedding").as("vb"))
+    // norms once per row before the all-pairs join (1 dot/pair, not 3 —
+    // Ann.cosinePre replays Ann.cosine's exact arithmetic); the streamed
+    // side of the N² loop must not ride a single-split scan (Par.spread)
+    val a = graft.operators.Par.spread(e)
+      .select(col("vec_id").as("da"), col("embedding").as("va"),
+        Ann.l2norm(col("embedding")).as("la"))
+    val b = e.select(col("vec_id").as("db"), col("embedding").as("vb"),
+      Ann.l2norm(col("embedding")).as("lb"))
     a.join(b, col("da") < col("db"))
-      .select(col("da"), col("db"), Ann.cosine(col("va"), col("vb")).as("cosine"))
+      .select(col("da"), col("db"),
+        Ann.cosinePre(Ann.dot(col("va"), col("vb")), col("la"), col("lb")).as("cosine"))
       .filter(col("cosine") >= 0.5)
       .orderBy(col("da"), col("db"))
   }
@@ -365,20 +372,25 @@ object Embedding {
          |WHERE rank <= $K
          |ORDER BY qid, rank""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val e = Tables.embeddings(s, d)
+      val e = graft.operators.Par.spread(Tables.embeddings(s, d))
+        .withColumn("_el", Ann.l2norm(col("embedding")))
       val cent = e.filter(col("vec_id") < numCells)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+          col("_el").as("_cl"))
       val assign = e.join(broadcast(cent))
         .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-          .orderBy(Ann.cosine(col("embedding"), col("cvec")).desc, col("cent_id"))))
+          .orderBy(Ann.cosinePre(Ann.dot(col("embedding"), col("cvec")),
+            col("_el"), col("_cl")).desc, col("cent_id"))))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id"))
+        .select(col("vec_id"), col("embedding"), col("_el"), col("cent_id"))
       val q = assign.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("cent_id"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("_el").as("_ql"), col("cent_id"))
       val scored = q.join(assign, Seq("cent_id"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid"),
-          Ann.cosine(col("qvec"), col("embedding")).as("cosine"))
+          Ann.cosinePre(Ann.dot(col("qvec"), col("embedding")),
+            col("_ql"), col("_el")).as("cosine"))
       scored
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))).cast("long"))
