@@ -34,6 +34,14 @@ final case class DecodedMedia(mediaId: Long, kind: String, content: Array[Byte],
 
 object Multimodal {
 
+  // javax.imageio defaults to DISK-backed stream caches: every
+  // ImageIO.read/write spins up a temp-file-cached stream, so a
+  // per-frame MJPEG encode/decode pays a filesystem round-trip per
+  // frame (guide §1.2 "per-task work" — m8 measured ~1.6 s CPU per
+  // 64-frame clip, mostly cache-file churn). Memory-cached streams
+  // produce byte-identical codec output; this is pure IO plumbing.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** STUB — replace with a real codec binding. Deterministic: properties
     * are pure functions of the blob bytes. */
   object StubCodec {

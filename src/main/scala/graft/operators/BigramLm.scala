@@ -57,6 +57,11 @@ object BigramLm {
     // user-facing TVFs (bigram_lm_scores, dsir_select, …) run this over
     // arbitrary parquet, so null ids/text are expected — they carry no
     // tokens (the Phrases.tag convention)
+    // NOT Par.spread here — measured this round (r17 opt): spreading
+    // this projection cost t37 0.90→1.61 s and t19 0.96→1.09 s (the
+    // three consumers pay extra exchange stages that exceed the
+    // single-task tokenize they parallelize) — the same verdict as the
+    // round-6 recompute-vs-materialize A/B above scores().
     docs.select(col(idCol).cast("long"), col(textCol))
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]

@@ -164,7 +164,10 @@ object Extras {
     import graft.multimodal.{MediaRecord, Multimodal}
     val docs = Tables.documents(s, d)
     val nDocs = docs.count()
-    val blobs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // blob synthesis is ~24 MB of byte-filling: keep it off the
+    // single-split scan stage (Par.spread, guide §2.5)
+    val blobs = graft.operators.Par.spread(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .map { case (id, text) =>
         val seed = text.getBytes("UTF-8")
         val len = 16384 + (id % 5).toInt * 16384
