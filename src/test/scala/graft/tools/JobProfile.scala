@@ -88,6 +88,36 @@ object JobProfile {
         val sum = jobs.values.map(j => (j.end - j.start) / 1e9).sum
         System.err.println(f"  jobs=${jobs.size} sum(jobWall)=$sum%.3f s (gaps = driver-side planning/IO)")
       }
+      // per-operator SQL metrics of the LAST executed plan (post-AQE):
+      // WholeStageCodegen duration + per-node output rows — maps the
+      // task-time mass back to plan operators without a UI
+      if (sys.env.contains("SPARK_GRAFT_PROF_PLAN")) {
+        val df2 = q.run(spark, sfDir)
+        // execute THIS QueryExecution (df2.count() would plan a fresh
+        // one, leaving df2's metrics at zero)
+        df2.queryExecution.executedPlan.execute().count()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+          p.foreach { n =>
+            val interesting = n.metrics.filter { case (k, m) =>
+              (k == "numOutputRows" || k.contains("duration") ||
+                k.contains("Time") || k.contains("time")) && m.value > 0
+            }
+            if (interesting.nonEmpty)
+              System.err.println("  [plan] " + n.nodeName + "  " +
+                interesting.map { case (k, m) => s"$k=${m.value}" }.mkString(" "))
+            n match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                walk(a.executedPlan)
+              case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                walk(s.plan)
+              case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+                walk(b.child)
+              case _ => ()
+            }
+          }
+        }
+        walk(df2.queryExecution.executedPlan)
+      }
     }
     spark.stop()
   }
