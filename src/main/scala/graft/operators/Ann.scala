@@ -523,7 +523,16 @@ object Ann extends Serializable {
       init: Array[Array[Float]], iters: Int): Array[Array[Float]] = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // pin the vectors ONCE for the iteration loop: without it every
+    // Lloyd's round re-plans and re-scans the source (iters × scan +
+    // deserialize — guide §5 "reused AND recomputing is more expensive").
+    // Unpersisted in the finally — no CacheManager entry outlives the
+    // call (the pplBuckets TVF discipline).
     val ds = vecs.select(col(vecCol)).as[Array[Float]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // one planned RDD for every round (per-round .rdd would re-plan)
+    val rdd = ds.rdd
     var cents = init
     val dim = if (init.nonEmpty) init(0).length else 0
     for (_ <- 0 until iters) {
@@ -533,7 +542,7 @@ object Ann extends Serializable {
       // merges ≤ √partitions arrays — no conf-width exchange stage for
       // k rows of data (the MLlib Lloyd's layout). The driver receives
       // a single k×dim×8B array per round — the documented bound on k.
-      val (acc, cnt) = ds.rdd.treeAggregate(
+      val (acc, cnt) = rdd.treeAggregate(
         (Array.fill(cents.length)(new Array[Double](dim)), new Array[Long](cents.length)))(
         seqOp = { case (z, v) =>
           val best = nearestCell(bc.value, v)
@@ -561,6 +570,7 @@ object Ann extends Serializable {
       }
     }
     cents
+    } finally ds.unpersist()
   }
 
   /** IVF search against trained centroids: corpus vectors live in their
@@ -1851,7 +1861,13 @@ object Ann extends Serializable {
       init: Array[Array[Array[Float]]], iters: Int): Array[Array[Array[Float]]] = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // pin once across rounds + one planned RDD — the kmeansCentroids
+    // discipline (per-round re-plan + re-scan otherwise); unpersisted
+    // in the finally
     val ds = vecs.select(col(vecCol)).as[Array[Float]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val rdd = ds.rdd
     val m = init.length
     val k = init(0).length
     val sub = init(0)(0).length
@@ -1860,7 +1876,7 @@ object Ann extends Serializable {
       val bc = spark.sparkContext.broadcast(books)
       // same treeAggregate layout as kmeansCentroids: one job per
       // round, m×k×sub doubles to the driver, no conf-width exchange
-      val (acc, cnt) = ds.rdd.treeAggregate(
+      val (acc, cnt) = rdd.treeAggregate(
         (Array.fill(m, k)(new Array[Double](sub)), Array.fill(m, k)(0L)))(
         seqOp = { case (z, v) =>
           val bs = bc.value
@@ -1905,6 +1921,7 @@ object Ann extends Serializable {
       }
     }
     books
+    } finally ds.unpersist()
   }
 
   /** ANN via product quantization with asymmetric distance computation
