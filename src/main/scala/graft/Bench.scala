@@ -176,15 +176,15 @@ object Bench {
       "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_5":$rc,"recall_floor_notes":$notes,"failed":$fl,"run_outliers":$ol,"sf":"$sfDir"}""")
-    // the driver's artifact keeps the TAIL of the output: the FINAL
-    // line must carry the complete record, not just the headline —
-    // round-6's artifact kept only 46 of 86 per-query timings because
-    // the full map lived on the first (truncated-away) line. So the
-    // tail line repeats the whole per-query map, recall, and failures.
-    // Distinct metric name — two lines sharing "total" would
-    // double-count for a per-metric consumer.
+    // The FULL record (per-query map, recall, outlier runs) — persisted
+    // to BENCH_SELF.json below. It is NOT printed last anymore: the
+    // driver's artifact keeps only the final ~2000 chars of output, and
+    // at 161 queries this line is ~8 KB, so the driver has found no
+    // complete JSON line in the tail since round 15 (PERF per_query
+    // empty — the round-17 verdict's measurement-contract bug). The
+    // full map still prints on the FIRST line above and is committed in
+    // BENCH_SELF.json each round.
     val tailLine = s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.length},"queries":$qs,"recall_at_5":$rc,"recall_floor_notes":$notes,"failed":$fl,"run_outliers":$ol,"sf":"$sfDir"}"""
-    println(tailLine)
     // belt-and-braces: also persist the full record into the repo so the
     // per-query history survives any driver-side truncation; committed
     // with each round's artifacts. FULL sweeps only — a subset
@@ -204,6 +204,26 @@ object Bench {
           System.err.println(s"[bench] $out write failed: $e")
       }
     }
+    // COMPACT final line — the one the driver's 2000-char tail capture
+    // can actually parse. Carries the headline (same total as line 1),
+    // failure/outlier names, recall, and STABLE FAMILY SUBTOTALS under
+    // "queries" (key = name prefix + decade: fam_t40 sums t40..t49) so
+    // round-over-round per-family speedups and scaling ratios stay
+    // machine-readable at any query count. Per-query ground truth lives
+    // on the first line and in BENCH_SELF.json — no number is lost,
+    // only the duplicate 8 KB print that overflowed the tail. The
+    // fam_* keys are ADDED entries; no real query is dropped from the
+    // bench or from the recorded per-query maps.
+    val famKey: String => String = { n =>
+      val m = java.util.regex.Pattern.compile("^([a-z]+)([0-9]+)").matcher(n)
+      if (m.find()) f"fam_${m.group(1)}${(m.group(2).toInt / 10) * 10}%02d"
+      else "fam_other"
+    }
+    val fams = results.groupBy(r => famKey(r._1)).toSeq.sortBy(_._1)
+      .map { case (f, xs) => "\"" + f + "\":" + f"${xs.map(_._2).sum}%.4f" }
+      .mkString("{", ",", "}")
+    val olNames = outliers.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.length},"queries":$fams,"recall_at_5":$rc,"failed":$fl,"run_outlier_names":$olNames,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

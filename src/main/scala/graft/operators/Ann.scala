@@ -172,7 +172,12 @@ object Ann extends Serializable {
     def buckets(df: DataFrame, id: String, vec: String) = {
       val spark = df.sparkSession
       import spark.implicits._
+      // null ids/vectors carry nothing to hash (the Phrases.tag TVF
+      // convention): the typed kernel's non-nullable encoder would
+      // otherwise crash on them, where the old posexplode expression
+      // form silently tolerated nulls (round-17 ADVICE)
       df.select(col(id).cast("long"), col(vec))
+        .filter(col(id).isNotNull && col(vec).isNotNull)
         .as[(Long, Array[Float])]
         .flatMap { case (rid, v) =>
           planesArr.indices.iterator.map { t =>
@@ -906,7 +911,14 @@ object Ann extends Serializable {
     // rebuild-over-union contract), same as [[Bm25.buildIndex]]
     val (ver, priorTxns) = ManifestIO.buildSlot(spark, dir)
     ManifestIO.guardSlot(spark, dir, ver)
-    assignCells(corpus, cents).write.partitionBy("cell").mode("overwrite")
+    // one exchange on the cell id → one file per cell (the compact
+    // write shape the cidmap/compact writers already use): without it
+    // every assignment task leaves its own file per cell it touched
+    // (tasks × cells files), and every later serve pays a parquet
+    // reader init per file inside its probed-cell read
+    assignCells(corpus, cents)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dir/data/$ver/cells")
     cents.toSeq.zipWithIndex.map { case (v, c) => (c, v.toSeq) }
       .toDF("cell", "cvec")
@@ -967,7 +979,9 @@ object Ann extends Serializable {
     if (batch.isEmpty) return // the index already is the post-tick state
     val cents = readIvfCentroidsAt(spark, dir, m)
     ManifestIO.guardSlot(spark, dir, newVer)
-    assignCells(batch, cents).write.partitionBy("cell").mode("overwrite")
+    assignCells(batch, cents)
+      .repartition(col("cell")) // one file per cell (the compact write shape)
+      .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dir/data/$newVer/cells")
     val touched = ManifestIO.partitionIds(spark, s"$dir/data/$newVer/cells", "cell=")
     // reverse-map maintenance — ACCRETIVE, like the cells themselves:
@@ -1063,6 +1077,7 @@ object Ann extends Serializable {
       readIvfCellsAt(spark, dir, m, Some(touched.toSet))
         .join(delIds, Seq("cid"), "left_anti")
         .select(col("cid"), col("cvec"), col("cell"))
+        .repartition(col("cell")) // one file per cell (the compact write shape)
         .write.partitionBy("cell").mode("overwrite")
         .parquet(s"$dir/data/$newVer/cells")
     }
@@ -1173,6 +1188,7 @@ object Ann extends Serializable {
     readIvfCellsAt(spark, dir, m, Some(touched.toSet))
       .join(delIds, Seq("cid"), "left_anti")
       .select(col("cid"), col("cvec"), col("cell"))
+      .repartition(col("cell")) // one file per cell (the compact write shape)
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dir/data/$newVer/cells")
     // reverse-map consolidation: the matched cids' rows (EVERY copy)
@@ -1347,6 +1363,7 @@ object Ann extends Serializable {
       .join(upIds, Seq("cid"), "left_anti")
       .select(col("cid"), col("cvec"), col("cell"))
       .unionByName(assigned.select(col("cid"), col("cvec"), col("cell")))
+      .repartition(col("cell")) // one file per cell (the compact write shape)
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$dir/data/$newVer/cells")
     // reverse-map rewrite: a cid's old rows and its new row live in

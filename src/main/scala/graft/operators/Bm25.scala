@@ -166,13 +166,29 @@ object Bm25 {
     val terms = q.select(col("t")).distinct()
     // dl rides the postings rows (constant per doc, one extra long per
     // shuffled row) so scoring never joins two corpus-sized frames —
-    // the serve path gets the same for free from the denormalized index
-    val tf = d0.select(col("doc_id"),
-        size(tokens(col("_text"))).cast("long").as("dl"),
-        explode(tokens(col("_text"))).as("t"))
+    // the serve path gets the same for free from the denormalized index.
+    // dl is computed BELOW the explode and only the scalar rides the
+    // Generate: `size(tokens) AS dl` projected ABOVE `explode(tokens)`
+    // re-evaluates the regex split once PER TOKEN ROW (the r18 t40
+    // profile: ~16 s task time in that stage), because the Generate
+    // carries the raw text through and the projection re-splits it per
+    // output row. Splitting below the Generate tokenizes once per DOC
+    // and the Generate carries an 8-byte long instead of the array.
+    val tf0 = d0.select(col("doc_id"), tokens(col("_text")).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        col("_toks"))
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("t"))
       .join(broadcast(terms), "t")
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // tf feeds TWO consumers (the df prune and the scoring join) whose
+    // different column pruning defeats exchange reuse — unpinned, the
+    // whole corpus-tokenize subtree executed twice (r18 profile: jobs
+    // 36/37 repeated jobs 31/32). tf is QUERY-TERM-bounded by the
+    // broadcast semi-join above (docs × queried terms, never
+    // corpus-sized at any SF — the scaladoc's scale contract), so the
+    // size-gated [[Par.pin]] materializes it once for both.
+    val tf = Par.pin(tf0)
     val kept = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats.select(col("n"))))
       .filter(col("df") * PruneDfDen < col("n") * PruneDfNum)
@@ -341,6 +357,23 @@ object Bm25 {
         .parquet(s"$dir/data/$ver/termstats")
   }
 
+  /** One (doc, term) tf pass with the doc length riding each row,
+    * shared by the build/append/upsert tick writers — tokenized once
+    * per DOC: dl is computed BELOW the explode so the Generate carries
+    * an 8-byte long, never the raw text. (The previous shape projected
+    * `size(tokens) AS dl` ABOVE `explode(tokens)`, which re-ran the
+    * regex split once per TOKEN row — the r18 t40 profile's dominant
+    * cost, ~16 s task time on the sf0.1 corpus.) Values identical:
+    * same tokens, same per-doc dl. */
+  private def tfRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        col("_toks"))
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
   /** The doc→bucket REVERSE INDEX rows of one tick's documents — the
     * scale path for id-only takedowns: one row per ingested doc
     * (doc_id, dl, tbuckets = the distinct term buckets its tokens hash
@@ -426,14 +459,18 @@ object Bm25 {
     // no df on the rows: document frequency became a read-time
     // aggregate when appends went accretive (see readPostingsAt) —
     // which also drops the build's df join entirely
-    val rows = docs.select(col(idCol).cast("long").as("doc_id"),
-        size(tokens(col(textCol))).cast("long").as("dl"),
-        explode(tokens(col(textCol))).as("t"))
-      .groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val rows = tfRows(docs, idCol, textCol)
       .withColumn("bucket", pmod(xxhash64(col("t")), lit(buckets)).cast("int"))
     ManifestIO.guardSlot(spark, dir, ver)
+    // one exchange on the bucket id → one file per bucket (the compact
+    // write shape the docmap/termstats/compact writers already use):
+    // without it every task holding rows for a bucket leaves its own
+    // file (tasks × buckets files — measured 448 files for 16 buckets
+    // at sf0.1), and EVERY later serve pays a parquet reader init per
+    // file inside its pruned read. The bucket is the rewrite/read unit
+    // by design, so one file per (version, bucket) is the floor.
     rows.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data/$ver/postings")
     // the term-stats sidecar rides every build: serves resolve df from
     // it instead of scanning the pruned postings twice
@@ -932,11 +969,7 @@ object Bm25 {
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .select(col("n"), col("sdl")).head()
     if (batch.getLong(0) == 0L) return // empty batch: the index already is the post-tick state
-    val newTf = docs.select(col(idCol).cast("long").as("doc_id"),
-        size(tokens(col(textCol))).cast("long").as("dl"),
-        explode(tokens(col(textCol))).as("t"))
-      .groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val newTf = tfRows(docs, idCol, textCol)
       .withColumn("bucket", pmod(xxhash64(col("t")), lit(m.buckets)).cast("int"))
     val touched = newTf.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)) // ≤ manifest bucket count values
@@ -946,6 +979,7 @@ object Bm25 {
       // are neither read nor rewritten, so the tick's IO is O(batch)
       // at any index size (df resolves at read time; see readPostingsAt)
       newTf.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+        .repartition(col("bucket")) // one file per bucket (the compact write shape)
         .write.partitionBy("bucket")
         .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
       // the version's term-stats delta (batch vocabulary-sized)
@@ -1087,6 +1121,7 @@ object Bm25 {
       readPostingsAt(spark, dir, m, Some(touched.toSet))
         .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
         .join(delIds, Seq("doc_id"), "left_anti")
+        .repartition(col("bucket")) // one file per bucket (the compact write shape)
         .write.partitionBy("bucket")
         .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
       if (m.termstats) writeTermstats(spark, dir, newVer)
@@ -1239,6 +1274,7 @@ object Bm25 {
       readPostingsAt(spark, dir, m, Some(touched.toSet))
         .select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
         .join(delIds, Seq("doc_id"), "left_anti")
+        .repartition(col("bucket")) // one file per bucket (the compact write shape)
         .write.partitionBy("bucket")
         .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
       if (m.termstats) writeTermstats(spark, dir, newVer)
@@ -1457,11 +1493,7 @@ object Bm25 {
     val rm = matched
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .select(col("n"), col("sdl")).head()
-    val newTf = docs.select(col(idCol).cast("long").as("doc_id"),
-        size(tokens(col(textCol))).cast("long").as("dl"),
-        explode(tokens(col(textCol))).as("t"))
-      .groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val newTf = tfRows(docs, idCol, textCol)
       .withColumn("bucket", pmod(xxhash64(col("t")), lit(m.buckets)).cast("int"))
     val touchedNew = newTf.select(col("bucket")).distinct()
       .collect().map(_.getInt(0))
@@ -1480,6 +1512,7 @@ object Bm25 {
         .join(upIds, Seq("doc_id"), "left_anti")
         .unionByName(
           newTf.select(col("t"), col("doc_id"), col("tf"), col("dl"), col("bucket")))
+        .repartition(col("bucket")) // one file per bucket (the compact write shape)
         .write.partitionBy("bucket")
         .mode("overwrite").parquet(s"$dir/data/$newVer/postings")
       if (m.termstats) writeTermstats(spark, dir, newVer)

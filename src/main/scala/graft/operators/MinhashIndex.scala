@@ -246,6 +246,7 @@ object MinhashIndex {
     ManifestIO.guardSlot(spark, dir, ver)
     Dedup.minhashDocIndex(docs, idCol, textCol, n, bands, rowsPerBand)
       .select(col("sid"), col("gs"), col("bhs"), bucketOf(buckets))
+      .repartition(col("bucket")) // one file per bucket (the compact write shape)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/data/$ver/rows")
     val present = ManifestIO.partitionIds(spark, s"$dir/data/$ver/rows", "bucket=")
@@ -558,7 +559,9 @@ object MinhashIndex {
       .join(decisions.filter(col("admitted")).select(col("sid")), Seq("sid"))
       .select(col("sid"), col("gs"), col("bhs"), bucketOf(m.buckets))
     ManifestIO.guardSlot(spark, dir, newVer)
-    admittedRows.write.partitionBy("bucket").mode("overwrite")
+    admittedRows
+      .repartition(col("bucket")) // one file per bucket (the compact write shape)
+      .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/data/$newVer/rows")
     // the band artifact accretes the same admitted docs (derived from
     // the same two pins, so rows and bands cannot diverge); the
@@ -637,6 +640,7 @@ object MinhashIndex {
     readRowsAt(spark, dir, m, Some(touched.toSet))
       .join(delIds, Seq("sid"), "left_anti")
       .select(col("sid"), col("gs"), col("bhs"), col("bucket"))
+      .repartition(col("bucket")) // one file per bucket (the compact write shape)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/data/$newVer/rows")
     // band consolidation: the matched rows' bb partitions — a pure
@@ -777,6 +781,7 @@ object MinhashIndex {
       .join(upSids, Seq("sid"), "left_anti")
       .select(col("sid"), col("gs"), col("bhs"), col("bucket"))
       .unionByName(newRows)
+      .repartition(col("bucket")) // one file per bucket (the compact write shape)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/data/$newVer/rows")
     // band rewrite: the affected partitions are the OLD copies' bbs

@@ -37,4 +37,41 @@ object Par {
       catch { case scala.util.control.NonFatal(_) => 0 }
     if (files > 0 && files * 2 <= want) df.repartition(want) else df
   }
+
+  /** Input-size ceiling (bytes) below which [[pin]] uses an EAGER
+    * `localCheckpoint` for a multi-consumer frame. Above it the frame is
+    * `persist(MEMORY_AND_DISK)`-ed instead: a localCheckpoint
+    * materializes the WHOLE frame to executor-local storage up front,
+    * is non-evictable, and is lost with an executor (non-reliable
+    * checkpoint) — the right trade for a batch-scale intermediate, the
+    * wrong one for a 100 TB joined corpus. Session-overridable so
+    * deployments (and the gate's spec) can move the boundary. */
+  val PinLocalCheckpointMaxBytesKey = "spark.graft.pin.localCheckpointMaxBytes"
+  val PinLocalCheckpointMaxBytesDefault: Long = 8L << 30 // 8 GiB
+
+  /** Pin a frame that several downstream subtrees will consume, so the
+    * shared subtree executes ONCE (guide §5 reuse / §3.3 plan
+    * truncation) — SIZE-GATED: below the byte ceiling (summed LEAF
+    * sizes of the optimized plan — the only pre-execution estimate that
+    * is not a join-cardinality guess), an eager `localCheckpoint`;
+    * above it, `persist(MEMORY_AND_DISK)` — evictable, recoverable via
+    * lineage, spills instead of pinning executor storage. Values are
+    * identical either way: both materialize the same deterministic
+    * rows. The persist leg's entry is dropped by the session's ordinary
+    * cache management (the engine's bench clears caches between runs;
+    * a serving deployment unpersists by ttl/eviction). */
+  def pin(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val limit = conf.getOption(PinLocalCheckpointMaxBytesKey)
+      .map(_.toLong).getOrElse(PinLocalCheckpointMaxBytesDefault)
+    val leafBytes =
+      try df.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.sizeInBytes).sum
+      catch { case scala.util.control.NonFatal(_) => BigInt(0) }
+    if (leafBytes <= limit) df.localCheckpoint(true)
+    else {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+  }
 }
