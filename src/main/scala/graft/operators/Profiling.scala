@@ -79,6 +79,11 @@ object Profiling {
   def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"heavyHitters needs k >= 2, got $k")
     import docs.sparkSession.implicits._
+    // NOTE (r18 A/B): Par.spread of this tokenize REGRESSED t45
+    // 0.87→0.95-1.33 s (alternating-window medians) even though three
+    // consumers share the exchange — the three extra distributed stage
+    // rounds cost more than the ~0.2 s single-task passes they
+    // parallelize (the r17 BigramLm rule). Recompute-narrow kept.
     val toks = docs.select(explode(tokens(col(textCol))).as("t"))
     val cand = candidates(toks.as[String], k)
     val total = toks.agg(count(lit(1)).as("n"))

@@ -37,6 +37,11 @@ object Sketches {
     * on a batch or STREAMING frame: the streaming deployment is this
     * exact groupBy under complete/update mode, counters merging by
     * addition across micro-batches. */
+  // NOTE (r18 A/B): Par.spread of this kernel's tokenize REGRESSED
+  // t43 0.64→0.88 s (5-run medians, same window) — single-consumer
+  // tokenize below ~0.3 s single-task does not pay for the exchange
+  // (the r17 BigramLm rule). Only the TWO-consumer tokenize in
+  // [[hllRegistersByGroup]] keeps the spread (t47 0.86→0.67 s).
   def cmsGrid(docs: DataFrame, textCol: String, depth: Int, width: Int): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("t"))
       .select(explode(array((0 until depth).map(r =>
@@ -49,7 +54,7 @@ object Sketches {
     * frame. Buckets no token has hit are absent (fill with 0 at
     * read-out, as [[hllRegisters]] does). */
   def hllRegisterRows(docs: DataFrame, textCol: String): DataFrame = {
-    val h = docs.select(explode(tokens(col(textCol))).as("t"))
+    val h = docs.select(explode(tokens(col(textCol))).as("t")) // unspread: see cmsGrid note
       .select(md5Long(concat(lit("hll#"), col("t"))).as("w"))
     h.select((col("w") % 16).as("bucket"),
         when(shiftright(col("w"), 4) === 0, lit(57))
@@ -64,7 +69,7 @@ object Sketches {
     * the min over its d counters. `overestimate = estimate − true ≥ 0`
     * is the CMS guarantee made visible — collisions only ever inflate. */
   def cmsEstimates(docs: DataFrame, textCol: String, depth: Int, width: Int): DataFrame = {
-    val termCounts = docs.select(explode(tokens(col(textCol))).as("t"))
+    val termCounts = docs.select(explode(tokens(col(textCol))).as("t")) // unspread: see cmsGrid note
       .groupBy(col("t")).agg(count(lit(1)).as("true_count"))
     val cells = termCounts.select(
       col("t"), col("true_count"),
@@ -101,7 +106,11 @@ object Sketches {
     * Emits one row per OCCUPIED (group, bucket) with the group's
     * estimate and exact distinct count alongside. */
   def hllRegistersByGroup(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("t"))
+    // the tokenize feeds TWO consumers (registers + exact distinct) off
+    // one reused exchange; unspread it ran twice in a 1-task scan stage
+    // (r18 profile: the 0.5 s single-task job dominating t47)
+    val tok = Par.spread(docs.select(col(groupCol).as("grp"), col(textCol).as("_t")))
+      .select(col("grp"), explode(tokens(col("_t"))).as("t"))
     val reg = tok.select(col("grp"), md5Long(concat(lit("hll#"), col("t"))).as("w"))
       .select(col("grp"), (col("w") % 16).as("bucket"),
         when(shiftright(col("w"), 4) === 0, lit(57))
@@ -135,7 +144,7 @@ object Sketches {
       .agg(aggregate(sort_array(collect_list(struct(col("bucket"), col("inv")))),
         lit(0.0), (a, x) => a + x.getField("inv")).as("s"))
       .select((lit(0.673) * lit(256.0) / col("s")).as("hll_estimate"))
-    val td = docs.select(explode(tokens(col(textCol))).as("t"))
+    val td = docs.select(explode(tokens(col(textCol))).as("t")) // unspread: see cmsGrid note
       .agg(count_distinct(col("t")).as("true_distinct"))
     full.crossJoin(broadcast(den)).crossJoin(broadcast(td))
       .select(col("bucket"), col("register"), col("hll_estimate"), col("true_distinct"))

@@ -905,12 +905,20 @@ object Text {
          |ORDER BY lang""".stripMargin) { (s, d) =>
       val w = tokens(col("text"))
       def cnt(lang: String) = wordListCount(w, LangWords(lang))
-      val tok = Tables.documents(s, d).select(
+      // the tokenize+langid pass is the corpus-sized compute and hist
+      // feeds TWO consumers (the cumulative window and the broadcast
+      // totals) — unspread/unpinned it ran twice, single-task (r18
+      // profile: 2 serial 1-task jobs of ~0.45 s). Par.spread
+      // parallelizes the pass (§2.5); Par.pin materializes the tiny
+      // (lang, n) histogram once for both readers. Values unchanged.
+      val tok = graft.operators.Par.spread(
+        Tables.documents(s, d).select(col("text"))).select(
         size(w).cast("long").as("n"),
         when(cnt("en") >= cnt("de") && cnt("en") >= cnt("es"), "en")
           .when(cnt("de") >= cnt("es"), "de")
           .otherwise("es").as("lang"))
-      val hist = tok.groupBy(col("lang"), col("n")).agg(count(lit(1)).as("c"))
+      val hist = graft.operators.Par.pin(
+        tok.groupBy(col("lang"), col("n")).agg(count(lit(1)).as("c")))
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("n"))
         .rowsBetween(Long.MinValue, 0)
