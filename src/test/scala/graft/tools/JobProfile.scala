@@ -22,14 +22,18 @@ object JobProfile {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // conf A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" (profiling only)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").iterator
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .foreach { case Array(k, v) => builder.config(k, v); case _ => () }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     final case class Job(id: Int, desc: String, start: Long,
