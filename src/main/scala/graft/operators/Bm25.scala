@@ -159,22 +159,23 @@ object Bm25 {
     // §2.5 — no-op when the input already scans wide)
     val d0 = Par.spread(docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("_text")))
-    val dl = d0.select(col("doc_id"),
-      size(tokens(col("_text"))).cast("long").as("dl"))
+    // ONE corpus tokenize for the whole plan (guide §1.2 fewer passes):
+    // the doc-length/stats leg and the postings leg both read the
+    // size-gated pin of (doc_id, tokens) — unpinned, each leg re-ran
+    // the regex split over the corpus in its own scan stage. dl is
+    // computed BELOW the explode and only the scalar rides the
+    // Generate: `size(tokens) AS dl` projected ABOVE `explode(tokens)`
+    // re-evaluated the split once PER TOKEN ROW (the r18 t40 profile:
+    // ~16 s task time in that stage).
+    val d1 = Par.pin(d0.select(col("doc_id"), tokens(col("_text")).as("_toks")))
+    val dl = d1.select(col("doc_id"), size(col("_toks")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
       .select(col("n"), (col("sdl").cast("double") / col("n")).as("avgdl"))
     val terms = q.select(col("t")).distinct()
     // dl rides the postings rows (constant per doc, one extra long per
     // shuffled row) so scoring never joins two corpus-sized frames —
-    // the serve path gets the same for free from the denormalized index.
-    // dl is computed BELOW the explode and only the scalar rides the
-    // Generate: `size(tokens) AS dl` projected ABOVE `explode(tokens)`
-    // re-evaluates the regex split once PER TOKEN ROW (the r18 t40
-    // profile: ~16 s task time in that stage), because the Generate
-    // carries the raw text through and the projection re-splits it per
-    // output row. Splitting below the Generate tokenizes once per DOC
-    // and the Generate carries an 8-byte long instead of the array.
-    val tf0 = d0.select(col("doc_id"), tokens(col("_text")).as("_toks"))
+    // the serve path gets the same for free from the denormalized index
+    val tf0 = d1
       .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
         col("_toks"))
       .select(col("doc_id"), col("dl"), explode(col("_toks")).as("t"))
